@@ -1,0 +1,497 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator surface (SURVEY §2.2 engine plan).
+  *
+  * The reference has no relational algebra at all — its only operators are a
+  * per-line mapper UDF (MapReduce.h:41-44), a global string sort
+  * (ExternalMergeSort.h:39-118) and an ordered grouped fold (MapReduce.h:192-208).
+  * This module supplies the full declarative surface those generalize to:
+  * scans with pushdown, projections/filters, every join flavor, partial+final
+  * aggregation (the reference lacks a combiner — SURVEY §4.2), distinct aggs,
+  * rollup/cube/grouping sets, windows, top-k, set ops, and scalar functions.
+  *
+  * Design notes for 100 TB:
+  *  - every filter is a `Column` predicate on the scanned frame → Catalyst
+  *    pushes it into the Parquet scan (PushedFilters), nothing is post-filtered;
+  *  - dimension joins (region/nation/customer/supplier/part) are explicitly
+  *    `broadcast()` — at scale the fact table never shuffles for them;
+  *  - aggregates run partial (map-side) + final automatically;
+  *  - top-k is `orderBy.limit` → `TakeOrderedAndProject` (no global sort);
+  *  - double-valued aggregates are `round`ed only in the *output* projection so
+  *    comparisons are stable across summation orders, not inside the plan.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def rev: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  // ---------------------------------------------------------------- queries
+
+  /** TPC-H Q1 shape: scan + filter + groupBy + multi-agg (partial/final). */
+  private val q01: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(rev), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Projection + conjunctive filter — both must reach the Parquet scan. */
+  private val q02: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** TPC-H Q3 shape: 3-way join (dim broadcast), agg, top-10. */
+  private val q03: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.lineitem(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(rev), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        to_date(col("o_orderdate")).as("orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Broadcast hash join fact→dim + agg by brand. */
+  private val q04: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(rev), 2).as("revenue"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  /** TPC-H Q5 shape: 5-way star join, revenue by nation within one region. */
+  private val q05: Q = (s, d) => {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1999-01-01"))
+    val l = Tables.lineitem(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(rev), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left-semi join: customers having at least one finished order (EXISTS). */
+  private val q06: Q = (s, d) => {
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join: customers with no urgent order (NOT EXISTS). */
+  private val q07: Q = (s, d) => {
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-outer join preserving customers with zero orders. */
+  private val q08: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  /** Ranking window: top-3 orders per customer by price (row_number). */
+  private val q09: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running-total window frame (rows unbounded preceding → current). */
+  private val q10: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_spent", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("orderdate"), col("running_spent"))
+      .orderBy(col("o_custkey"), col("orderdate"), col("o_orderkey"))
+  }
+
+  /** lag/lead analytics over the event stream (per-user deltas). */
+  private val q11: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value") - coalesce(col("prev_value"), lit(0.0)), 2).as("delta"),
+        coalesce(col("next_type"), lit("none")).as("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** ROLLUP hierarchy totals. */
+  private val q12: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over two order dimensions. */
+  private val q13: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** GROUPING SETS via SQL (Catalyst Expand). */
+  private val q14: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(1) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """)
+  }
+
+  /** Distinct aggregation (exact). */
+  private val q15: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Top-k by sort+limit → TakeOrderedAndProject (no full sort at scale). */
+  private val q16: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"),
+        round(col("p_retailprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("p_partkey"))
+      .limit(15)
+
+  /** Set operations: nation keys by membership class. */
+  private val q17: Q = (s, d) => {
+    val cn = Tables.customer(s, d).select(col("c_nationkey").as("nk")).distinct()
+    val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nk")).distinct()
+    val both = cn.intersect(sn).withColumn("tag", lit("both"))
+    val custOnly = cn.except(sn).withColumn("tag", lit("cust_only"))
+    both.union(custOnly).select(col("tag"), col("nk")).orderBy(col("tag"), col("nk"))
+  }
+
+  /** Scalar string functions. */
+  private val q18: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_up"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time functions: truncation + part extraction + grouping. */
+  private val q19: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("y"), col("q"))
+
+  /** CASE WHEN buckets + math functions. */
+  private val q20: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("bal_bucket"),
+        round(abs(col("c_acctbal")), 2).as("abs_bal"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_k"),
+        round(sqrt(abs(col("c_acctbal"))), 4).as("sqrt_bal"))
+      .orderBy(col("c_custkey"))
+
+  /** JSON-ish extraction from the events.props string column. */
+  private val q21: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("k_mod"))
+
+  /** Correlated EXISTS subquery via SQL. */
+  private val q22: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT o_orderkey, o_orderstatus
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.0)
+      ORDER BY o_orderkey
+    """)
+  }
+
+  /** GROUP BY + HAVING. */
+  private val q23: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .filter(col("sum_qty") > 15000.0)
+      .orderBy(col("l_suppkey"))
+
+  /** Scalar (uncorrelated) subquery: orders above the mean price. */
+  private val q24: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_orderstatus, count(1) AS n_above
+      FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_filter_project" -> q02,
+    "q03_top_orders" -> q03,
+    "q04_broadcast_brand" -> q04,
+    "q05_region_revenue" -> q05,
+    "q06_semi_join" -> q06,
+    "q07_anti_join" -> q07,
+    "q08_outer_join" -> q08,
+    "q09_window_rank" -> q09,
+    "q10_window_running" -> q10,
+    "q11_lag_lead" -> q11,
+    "q12_rollup" -> q12,
+    "q13_cube" -> q13,
+    "q14_grouping_sets" -> q14,
+    "q15_distinct_agg" -> q15,
+    "q16_topk" -> q16,
+    "q17_setops" -> q17,
+    "q18_string_funcs" -> q18,
+    "q19_date_funcs" -> q19,
+    "q20_case_math" -> q20,
+    "q21_json_extract" -> q21,
+    "q22_exists_subquery" -> q22,
+    "q23_having" -> q23,
+    "q24_scalar_subquery" -> q24,
+  )
+
+  // ---------------------------------------------------------------- oracles
+  // DuckDB-dialect SQL producing identical (column-name, value) results.
+  // Conventions: BIGINT casts where DuckDB widens (sum(int)→HUGEINT,
+  // year()→BIGINT); NULLS FIRST to match Spark's asc_nulls_first; DATE casts
+  // for timestamp-valued outputs.
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+      FROM lineitem
+      WHERE l_quantity > 45 AND l_discount >= 0.05
+      ORDER BY l_orderkey, l_linenumber""",
+    "q03_top_orders" -> """
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""",
+    "q04_broadcast_brand" -> """
+      SELECT p_brand,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             round(sum(l_quantity), 2) AS sum_qty,
+             count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand""",
+    "q05_region_revenue" -> """
+      SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY n_name
+      ORDER BY n_name""",
+    "q06_semi_join" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      ORDER BY c_custkey""",
+    "q07_anti_join" -> """
+      SELECT c_custkey, c_name, c_nationkey
+      FROM customer
+      WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""",
+    "q08_outer_join" -> """
+      SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+             round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY c_custkey""",
+    "q09_window_rank" -> """
+      SELECT o_custkey, rn, o_orderkey, price FROM (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn""",
+    "q10_window_running" -> """
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+             round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spent
+      FROM orders
+      ORDER BY o_custkey, orderdate, o_orderkey""",
+    "q11_lag_lead" -> """
+      SELECT user_id, event_id, event_type,
+             round(value - coalesce(lag(value, 1) OVER w, 0), 2) AS delta,
+             coalesce(lead(event_type, 1) OVER w, 'none') AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+    "q12_rollup" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q13_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q14_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q15_distinct_agg" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT l_partkey) AS n_part,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    "q16_topk" -> """
+      SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+      FROM part
+      ORDER BY price DESC, p_partkey
+      LIMIT 15""",
+    "q17_setops" -> """
+      WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+           sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+      SELECT 'both' AS tag, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+      UNION ALL
+      SELECT 'cust_only' AS tag, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+      ORDER BY tag, nk""",
+    "q18_string_funcs" -> """
+      SELECT p_partkey,
+             upper(p_brand) AS brand_up,
+             substring(p_name, 1, 8) AS name8,
+             CAST(length(p_name) AS INT) AS name_len,
+             concat_ws('|', p_brand, p_type) AS brand_type,
+             CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INT) AS brand_num
+      FROM part
+      ORDER BY p_partkey""",
+    "q19_date_funcs" -> """
+      SELECT CAST(year(o_orderdate) AS INT) AS y,
+             CAST(quarter(o_orderdate) AS INT) AS q,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY y, q""",
+    "q20_case_math" -> """
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS bal_bucket,
+             round(abs(c_acctbal), 2) AS abs_bal,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+             round(sqrt(abs(c_acctbal)), 4) AS sqrt_bal
+      FROM customer
+      ORDER BY c_custkey""",
+    "q21_json_extract" -> """
+      SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) % 10 AS k_mod,
+             count(*) AS n, round(avg(value), 4) AS avg_value
+      FROM events
+      GROUP BY 1
+      ORDER BY k_mod""",
+    "q22_exists_subquery" -> """
+      SELECT o_orderkey, o_orderstatus
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.0)
+      ORDER BY o_orderkey""",
+    "q23_having" -> """
+      SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      FROM lineitem
+      GROUP BY l_suppkey
+      HAVING round(sum(l_quantity), 2) > 15000.0
+      ORDER BY l_suppkey""",
+    "q24_scalar_subquery" -> """
+      SELECT o_orderstatus, count(*) AS n_above
+      FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+  )
+}

@@ -1,0 +1,9 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+  val queries: Map[String, Q] = Map()
+  val oracles: Map[String, String] = Map()
+}

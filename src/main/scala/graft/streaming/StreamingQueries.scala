@@ -1,0 +1,9 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object StreamingQueries {
+  type Q = (SparkSession, String) => DataFrame
+  val queries: Map[String, Q] = Map()
+  val oracles: Map[String, String] = Map()
+}

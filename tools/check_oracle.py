@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate (dev tool, not engine code).
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet written by `sbt "runMain graft.Verify <sf> <out>"`,
+runs the matching oracle_sql.json query in DuckDB over the same sf tables, and
+compares row-by-row after sorting columns by name and rows by value (mirrors
+the driver: sorted-column value hash).
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow as pa
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_tbl = pq.read_table(f"{outdir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            n_fail += 1
+            continue
+        try:
+            exp_tbl = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        gcols = sorted(got_tbl.column_names)
+        ecols = sorted(exp_tbl.column_names)
+        if gcols != ecols:
+            print(f"FAIL {name}: columns {gcols} != {ecols}")
+            n_fail += 1
+            continue
+        got = sorted((tuple(norm(r[c]) for c in gcols) for r in got_tbl.to_pylist()),
+                     key=repr)
+        exp = sorted((tuple(norm(r[c]) for c in ecols) for r in exp_tbl.to_pylist()),
+                     key=repr)
+        if got == exp:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: {len(got)} vs {len(exp)} rows")
+            for i, (g, e) in enumerate(zip(got, exp)):
+                if g != e:
+                    print(f"  first diff at sorted row {i}:\n   got {g}\n   exp {e}")
+                    break
+            else:
+                tag = "got" if len(got) > len(exp) else "exp"
+                extra = (got if len(got) > len(exp) else exp)[min(len(got), len(exp))]
+                print(f"  extra {tag} row: {extra}")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
