@@ -1,9 +1,124 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
 
+/** Multimodal-column operators (north-star extension, SURVEY §2.3): media
+  * payloads are opaque `BinaryType` columns + typed metadata; decode /
+  * feature-extract / frame-sample run as batched per-partition functions.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub ([[DecodeStub]]); everything around it —
+  * schema, binary columns, partition-batched iteration, feature array shape,
+  * byte-level ops — is real Spark and tested. Swapping the stub for a JNI /
+  * onnx decoder changes one function, not the pipeline.
+  *
+  * Byte-level operators (q70) are pure SQL expressions with an exact DuckDB
+  * oracle; the payload here is the document text re-encoded as bytes (the
+  * fixtures ship no true media blobs).
+  */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** documents with a fake binary payload column, standing in for a media
+    * blob: payload = utf-8 bytes of `text` (ASCII fixture ⇒ 1 byte/char). */
+  def withPayload(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("media_meta", struct(
+        lit("fake/plain").as("format"),
+        length(col("text")).as("n_bytes")))
+
+  /** Byte-level metadata + frame sampling, all codegen'd SQL: payload size,
+    * additive checksum mod 997, every-16th-byte "frame" sample and its sum. */
+  private val q70: Q = (s, d) =>
+    withPayload(s, d)
+      .withColumn("codes",
+        expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        expr("aggregate(codes, 0L, (acc, c) -> (acc + c) % 997)").as("checksum"),
+        expr("size(filter(sequence(1, length(text)), i -> i % 16 = 1))").as("n_frames"),
+        expr("aggregate(filter(transform(sequence(1, length(text)), i -> named_struct('i', i, 'c', ascii(substring(text, i, 1)))), x -> x.i % 16 = 1), 0L, (acc, x) -> acc + x.c)")
+          .as("frame_sum"))
+      .orderBy(col("doc_id"))
+
+  /** Decode + feature-extract through the batched partition path (the
+    * mapInPandas-shaped plumbing): binary payload → DecodeStub → fixed-width
+    * feature vector. Rows-only check (the features are stub-defined), but the
+    * pipeline — BinaryType in, ArrayType(FloatType) out, batched per
+    * partition — is the real thing. */
+  private val q71: Q = (s, d) => {
+    val src = withPayload(s, d).select(col("doc_id"), col("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("features", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    src.mapPartitions { (it: Iterator[Row]) =>
+      // Batched iteration: one decoder instance per partition, reused across
+      // rows — the expensive-init shape a real codec needs.
+      val decoder = new DecodeStub
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = decoder.decode(bytes)
+        Row(id, img.width, img.height, img.features)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q70_binary_meta" -> q70,
+    "q71_decode_features" -> q71,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q70_binary_meta" -> """
+      WITH c AS (SELECT doc_id, text,
+                        list_transform(range(1, length(text) + 1),
+                          i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+                 FROM documents)
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS n_bytes,
+             list_reduce(list_concat([CAST(0 AS BIGINT)], codes),
+                         (acc, x) -> (acc + x) % 997) AS checksum,
+             CAST(len(list_filter(range(1, length(text) + 1), i -> i % 16 = 1)) AS INT)
+               AS n_frames,
+             CAST(list_sum(list_transform(list_filter(range(1, length(text) + 1),
+                    i -> i % 16 = 1),
+                    i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))) AS BIGINT)
+               AS frame_sum
+      FROM c ORDER BY doc_id""",
+    // q71_decode_features intentionally oracle-free: output is stub-defined.
+  )
+}
+
+/** STUB — stands in for a real media decoder (libjpeg/ffmpeg/…), which this
+  * container does not ship. Deterministic fake so tests are stable: "image"
+  * dimensions derive from a payload checksum; "features" are a 8-bin byte
+  * histogram normalized to [0,1]. Replace `decode` with a real codec to
+  * productionize; the Spark pipeline around it is unchanged. */
+final class DecodeStub {
+  final case class Decoded(width: Int, height: Int, features: Array[Float])
+
+  def decode(payload: Array[Byte]): Decoded = {
+    // ??? ← a real implementation would parse the container format here.
+    var sum = 0L
+    val hist = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      sum += payload(i) & 0xff
+      hist(((payload(i) & 0xff) >> 5)) += 1f
+      i += 1
+    }
+    val n = math.max(payload.length, 1)
+    var j = 0
+    while (j < 8) { hist(j) /= n.toFloat; j += 1 }
+    Decoded(width = (sum % 640).toInt + 1, height = (sum % 480).toInt + 1, features = hist)
+  }
 }

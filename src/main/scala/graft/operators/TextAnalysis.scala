@@ -1,9 +1,175 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
 
+/** Text-analysis operators over the `documents` table (north-star extension,
+  * SURVEY §2.3): token statistics, n-gram profiles + language ID, quality
+  * scoring, and document fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` + higher-order array
+  * functions (transform/filter/aggregate) — no Scala UDFs in any hot path, so
+  * whole-stage codegen spans the full pipeline and the same logic is
+  * expressible 1:1 in the DuckDB oracle dialect (list_transform/list_filter/
+  * list_reduce). The reference's closest analog is its word→(key,"1") mapper
+  * (main.cpp:35-39) — the classic word-count shape generalized here.
+  */
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** Non-empty whitespace tokens of `text` (1-based element_at to mirror
+    * DuckDB's 1-based list indexing). */
+  private val toksExpr = "filter(split(text, ' '), t -> t != '')"
+
+  /** Small English stopword set intersected with the fixture vocabulary. */
+  private val stopwords = Seq("the", "a", "of", "and", "in")
+  private val stopwordsSql = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Per-document token statistics: counts, distinct counts, mean token
+    * length. Integer sums divided as double — bit-identical cross-engine. */
+  private val q40: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("avg_token_len", round(
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").cast("double")
+          / col("n_tokens"), 4))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("avg_token_len"), length(col("text")).as("n_chars_computed"))
+      .orderBy(col("doc_id"))
+
+  /** Per-language character-trigram profile, top-5 trigrams per language —
+    * the model a n-gram language identifier scores against. */
+  private val q41: Q = (s, d) => {
+    val tri = Tables.documents(s, d)
+      .select(col("lang"), explode(
+        expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+        .as("trigram"))
+      .filter(length(col("trigram")) === 3)
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("trigram"))
+    tri.groupBy(col("lang"), col("trigram")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** Quality scoring: length, stopword ratio, lexical diversity, bucket. */
+  private val q42: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio", round(
+        expr(s"size(filter(toks, t -> t IN $stopwordsSql))").cast("double")
+          / col("n_tokens"), 4))
+      .withColumn("diversity", round(
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"), 4))
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"), col("diversity"),
+        when(col("n_tokens") < 30, "short")
+          .when(col("stop_ratio") > 0.15, "stopword_heavy")
+          .when(col("diversity") < 0.3, "repetitive")
+          .otherwise("ok").as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling polynomial fingerprint over characters (mod 1e9+7) — exact
+    * integer arithmetic, bit-identical in any engine. */
+  private val q43: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("""aggregate(
+                  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+                  0L, (acc, c) -> (acc * 31 + c) % 1000000007)""").as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID by trigram-profile scoring (rows-only check: float log-score
+    * argmax is not stably hashable cross-engine). Builds per-lang trigram
+    * frequency profiles from the corpus, broadcasts them, scores each doc by
+    * sum of log-frequencies of its trigrams under each profile, predicts the
+    * argmax lang. At 100 TB the profile side stays tiny (langs × trigrams) —
+    * broadcast join — while the doc side streams. */
+  private val q44: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tri = docs.select(col("doc_id"), col("lang"), explode(
+        expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+        .as("trigram"))
+      .filter(length(col("trigram")) === 3)
+    // profile: P(trigram | lang) with add-one smoothing over the trigram vocab
+    val langTotals = tri.groupBy(col("lang")).agg(count(lit(1)).as("lang_n"))
+    val profile = tri.groupBy(col("lang"), col("trigram")).agg(count(lit(1)).as("tn"))
+      .join(langTotals, "lang")
+      .select(col("lang").as("p_lang"), col("trigram"),
+        log((col("tn") + 1.0) / (col("lang_n") + 1000.0)).as("logp"))
+    val scored = tri.join(broadcast(profile), Seq("trigram"))
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(sum(col("logp")).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("true_lang"), col("p_lang").as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q40_token_stats" -> q40,
+    "q41_trigram_profile" -> q41,
+    "q42_quality_score" -> q42,
+    "q43_fingerprint" -> q43,
+    "q44_lang_id" -> q44,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_token_stats" -> """
+      WITH t AS (SELECT doc_id, text,
+                        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+             round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / len(toks), 4) AS avg_token_len,
+             CAST(length(text) AS INT) AS n_chars_computed
+      FROM t ORDER BY doc_id""",
+    "q41_trigram_profile" -> """
+      WITH tri AS (
+        SELECT lang, unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                     i -> substr(text, CAST(i AS INT), 3))) AS trigram
+        FROM documents),
+      counts AS (
+        SELECT lang, trigram, count(*) AS n FROM tri
+        WHERE length(trigram) = 3 GROUP BY lang, trigram),
+      ranked AS (
+        SELECT lang, trigram, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, trigram) AS rank
+        FROM counts)
+      SELECT lang, trigram, n, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY lang, rank""",
+    "q42_quality_score" -> s"""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                 FROM documents),
+      m AS (SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   round(CAST(len(list_filter(toks, t -> t IN $stopwordsSql)) AS DOUBLE)
+                         / len(toks), 4) AS stop_ratio,
+                   round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+                     AS diversity
+            FROM t)
+      SELECT doc_id, n_tokens, stop_ratio, diversity,
+             CASE WHEN n_tokens < 30 THEN 'short'
+                  WHEN stop_ratio > 0.15 THEN 'stopword_heavy'
+                  WHEN diversity < 0.3 THEN 'repetitive'
+                  ELSE 'ok' END AS quality
+      FROM m ORDER BY doc_id""",
+    "q43_fingerprint" -> """
+      SELECT doc_id,
+             list_reduce(
+               list_concat([CAST(0 AS BIGINT)],
+                 list_transform(range(1, length(text) + 1),
+                                i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      FROM documents ORDER BY doc_id""",
+    // q44_lang_id intentionally has no oracle: float log-likelihood argmax.
+  )
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Contract tests for the LLM-pipeline operators whose outputs are not
+  * SQL-oracle-hashable: approximate ANN recall, lang-ID sanity, simhash
+  * locality, decode-stub plumbing. The hashable ones are covered by the
+  * DuckDB gate (tools/check_oracle.py). */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("ann lsh: recall vs brute-force top-10 is usable and never fabricates") {
+    val exact = Similarity.queries("q60_knn_bruteforce")(spark, sf001)
+      .select("qid", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annLsh(spark, sf001).select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every ANN hit must be a real vector pair with qid<5
+    assert(approx.forall { case (q, n) => q < 5 && n != q })
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"LSH recall@10 = $recall (${approx.size} candidates returned)")
+    assert(recall > 0.05, "LSH found nothing from the exact top-k at all")
+  }
+
+  test("simhash: identical texts collide, near-dup pair is hamming-close") {
+    val sh = Dedup.queries("q52_simhash")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // q53 found exact-jaccard >= 0.5 near-dup pairs; their simhashes must be
+    // closer than the corpus median pairwise distance.
+    val pairs = Dedup.queries("q53_ngram_jaccard")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearDists = pairs.map { case (a, b) => ham(sh(a), sh(b)) }
+    val ids = sh.keys.toArray.sorted.take(80)
+    val background = for (i <- ids.indices; j <- (i + 1) until ids.length)
+      yield ham(sh(ids(i)), sh(ids(j)))
+    val bgMedian = background.sorted.apply(background.size / 2)
+    info(s"near-dup hamming: ${nearDists.mkString(",")}; background median: $bgMedian")
+    assert(nearDists.max < bgMedian,
+      "near-duplicate documents should have closer simhashes than random pairs")
+  }
+
+  test("minhash estimate correlates with exact jaccard on found pairs") {
+    val est = Dedup.queries("q51_minhash_lsh")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.queries("q53_ngram_jaccard")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = est.keySet intersect exact.keySet
+    assert(common.nonEmpty, "LSH should surface at least one true near-dup pair")
+    val errs = common.toSeq.map(k => math.abs(est(k) - exact(k)))
+    info(s"${common.size} common pairs, mean |est-exact| = ${errs.sum / errs.size}")
+    assert(errs.sum / errs.size < 0.25)
+  }
+
+  test("lang-id predicts only known languages and is deterministic") {
+    val df = TextAnalysis.queries("q44_lang_id")(spark, sf0001)
+    val langs = Tables.documents(spark, sf0001).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    val rows = df.collect()
+    assert(rows.length == Tables.documents(spark, sf0001).count())
+    assert(rows.forall(r => langs.contains(r.getAs[String]("predicted_lang"))))
+    val again = TextAnalysis.queries("q44_lang_id")(spark, sf0001).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("decode stub pipeline: schema, determinism, histogram sums to 1") {
+    val df = Multimodal.queries("q71_decode_features")(spark, sf0001)
+    assert(df.schema.fieldNames.sameElements(
+      Array("doc_id", "width", "height", "features")))
+    val rows = df.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(f.length == 8)
+      assert(math.abs(f.sum - 1.0f) < 1e-3, s"histogram not normalized: $f")
+      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("height") >= 1)
+    }
+  }
+
+  test("exact dedup keeper: keeper_id <= doc_id and keepers are fixpoints") {
+    val rows = Dedup.queries("q50_exact_dedup")(spark, sf0001).collect()
+    val keeper = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      assert(keeper(r.getLong(1)) == r.getLong(1), "keeper must keep itself")
+      assert(r.getBoolean(2) == (r.getLong(0) != r.getLong(1)))
+    }
+  }
+}
