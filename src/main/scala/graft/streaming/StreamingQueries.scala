@@ -1,9 +1,218 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
 
+/** Structured-Streaming layer over the `events` table (SURVEY §2.2 streaming
+  * row; north-star M5). The reference is pure batch — its "streams" are
+  * threads (MapReduce.h:10-11) — so this layer is additive capability.
+  *
+  * Three shapes:
+  *  - windowed aggregations (tumbling/sliding/session) usable identically in
+  *    batch and streaming — q80/q81 run them in batch mode with DuckDB
+  *    oracles (time_bucket / lag-based sessionization are SQL-standard);
+  *  - q82 runs the *same* tumbling aggregation through a real
+  *    `readStream` → memory-sink micro-batch execution, so the streaming
+  *    runtime itself is under the correctness gate (its oracle is q80's);
+  *  - [[sessionize]] is `mapGroupsWithState` sessionization — custom state
+  *    machine, checked against the SQL sessionization in StreamingSpec.
+  *
+  * Scale: watermark + windowed agg state is bounded per (window × key);
+  * sessionization state is one small struct per active user.
+  */
 object StreamingQueries {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** Tumbling 1-hour windows per event_type (batch execution of the
+    * streaming-shaped plan). */
+  private val q80: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Gap-based sessionization (30-min inactivity) per user via
+    * `session_window` — the declarative form of [[sessionize]]. */
+  private val q81: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** The q80 aggregation executed by the *streaming* engine: file-source
+    * readStream over the same parquet, complete-mode memory sink, drained
+    * synchronously. Oracle = identical SQL to q80. */
+  private val q82: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.readStream
+      .schema(Tables.load(s, d, "events").schema) // on-disk schema (ts as long nanos)
+      .parquet(streamDir(d, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = raw
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+    val name = s"graft_stream_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Spark's streaming file source requires a *directory*; the fixtures are
+    * single parquet files. Stage a per-table symlink dir under java.io.tmpdir
+    * (idempotent, no copy). */
+  private def streamDir(d: String, table: String): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_stream_$safe$table")
+    Files.createDirectories(dir)
+    val link = dir.resolve(s"$table.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(d, s"$table.parquet"))
+    dir.toString
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q80_tumbling_window" -> q80,
+    "q81_session_window" -> q81,
+    "q82_stream_tumbling" -> q82,
+  )
+
+  private val tumblingOracle = """
+      SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS window_start,
+             event_type, count(*) AS n, round(sum(value), 2) AS total
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type"""
+
+  val oracles: Map[String, String] = Map(
+    "q80_tumbling_window" -> tumblingOracle,
+    "q82_stream_tumbling" -> tumblingOracle,
+    // Sessionization via the SQL-standard lag + cumulative-flag pattern —
+    // independent formulation of Spark's session_window semantics.
+    "q81_session_window" -> """
+      WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP) - CAST(lag(ts) OVER w AS TIMESTAMP)
+                            >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id,
+             CAST(min(CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS session_start,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM sessions
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
+  )
+
+  // ------------------------------------------------------------- stateful
+
+  /** Event time as epoch *micros* end-to-end — java.sql.Timestamp.getTime is
+    * millisecond-precision and would corrupt session starts. */
+  final case class Event(user_id: Long, ts_us: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class Session(user_id: Long, start_us: Long, n_events: Int,
+      total_value: Double)
+
+  private val GapUs = 30L * 60 * 1000 * 1000 // 30-minute inactivity gap
+
+  /** `mapGroupsWithState`-style sessionization as a custom state machine.
+    * Batch `flatMapGroups` shares the same fold so the logic is testable
+    * without a streaming runtime; [[sessionizeStreaming]] runs it under the
+    * real streaming engine with `GroupStateTimeout`. */
+  def sessionize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[Event]) =>
+        val evs = it.toArray.sortBy(_.ts_us)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+        var st: SessionState = null
+        for (e <- evs) {
+          val t = e.ts_us
+          if (st == null) st = SessionState(t, t, 1, e.value)
+          else if (t - st.last >= GapUs) {
+            out += Session(uid, st.start, st.n, st.total)
+            st = SessionState(t, t, 1, e.value)
+          } else st = st.copy(last = t, n = st.n + 1, total = st.total + e.value)
+        }
+        if (st != null) out += Session(uid, st.start, st.n, st.total)
+        out.iterator
+      }
+      .select(col("user_id"), timestamp_micros(col("start_us")).as("session_start"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** The same state machine under the streaming engine via
+    * `flatMapGroupsWithState` with event-time timeout — sessions emit when
+    * the watermark passes their gap. Demonstrated/asserted in StreamingSpec. */
+  final case class EventW(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+      value: Double)
+
+  def sessionizeStreaming(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(Tables.load(spark, d, "events").schema)
+      .parquet(streamDir(d, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("value")).as[EventW]
+    val sessions = raw
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[EventW], state: GroupState[List[SessionState]]) =>
+          val evs = it.toArray.sortBy(_.ts_us)
+          var open = state.getOption.getOrElse(Nil)
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          for (e <- evs) {
+            val t = e.ts_us
+            open match {
+              case st :: rest if t - st.last < GapUs =>
+                open = st.copy(last = t, n = st.n + 1, total = st.total + e.value) :: rest
+              case st :: rest =>
+                closed += Session(uid, st.start, st.n, st.total)
+                open = SessionState(t, t, 1, e.value) :: rest
+              case Nil =>
+                open = SessionState(t, t, 1, e.value) :: Nil
+            }
+          }
+          if (state.hasTimedOut) {
+            open.foreach(st => closed += Session(uid, st.start, st.n, st.total))
+            state.remove()
+          } else {
+            state.update(open)
+            val wm = state.getCurrentWatermarkMs()
+            open.headOption.foreach(st =>
+              state.setTimeoutTimestamp(math.max(st.last / 1000 + GapUs / 1000, wm + 1)))
+          }
+          closed.iterator
+      }
+    val name = s"graft_sessions_${System.nanoTime()}"
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("user_id"), timestamp_micros(col("start_us")).as("session_start"),
+        col("n_events"), col("total_value"))
+  }
 }
