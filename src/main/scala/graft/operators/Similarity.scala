@@ -34,17 +34,18 @@ object Similarity {
     s"sqrt(aggregate($a, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
 
   /** Brute-force cosine top-k: for each query vector (vec_id < 5), the 10
-    * nearest corpus vectors by cosine. */
+    * nearest corpus vectors by cosine — via the codegen'd
+    * [[graft.functions.CosineSimilarity]] expression (same double fold order
+    * as the HOF/oracle formulation, so values are bit-compatible). */
   private val q60: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), expr(normExpr("embedding")).as("nrm"))
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine_raw").desc, col("vec_id"))
     emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cosine_raw",
-        expr(dotExpr("embedding", "qe")) / (col("nrm") * col("qn")))
+      .withColumn("cosine_raw", expr("cosine_sim(embedding, qe)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -56,12 +57,11 @@ object Similarity {
     * the data has no pairs above cosine 0.52, so threshold-style dedup is
     * expressed as top-k rather than an empty cut). */
   private val q61: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), expr(normExpr("embedding")).as("nrm"))
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
-        (expr(dotExpr("x.embedding", "y.embedding")) / (col("x.nrm") * col("y.nrm")))
-          .as("cosine_raw"))
+        expr("cosine_sim(x.embedding, y.embedding)").as("cosine_raw"))
       .orderBy(col("cosine_raw").desc, col("id1"), col("id2"))
       .limit(20)
       .select(col("id1"), col("id2"), round(col("cosine_raw"), 6).as("cosine"))
@@ -92,6 +92,7 @@ object Similarity {
     * At 100 TB: the corpus side is one map (signature) + one shuffle on
     * (table, bucket); candidate generation never materializes all-pairs. */
   def annLsh(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val dim = 64
     val bucketExprs = (0 until NumTables).map { t =>
       (0 until PlanesPerTable).map { i =>
@@ -101,8 +102,7 @@ object Similarity {
       }.mkString(" + ")
     }
     val bucketsArr = bucketExprs.mkString("array(", ", ", ")")
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), expr(normExpr("embedding")).as("nrm"))
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val bucketed = emb.select(col("vec_id"),
       posexplode(expr(bucketsArr))).toDF("vec_id", "tbl", "bucket")
     val qB = bucketed.filter(col("vec_id") < nQueries)
@@ -113,10 +113,9 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine_raw").desc, col("vec_id"))
     cand
       .join(emb, "vec_id")
-      .join(broadcast(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"))), "qid")
-      .withColumn("cosine_raw",
-        expr(dotExpr("embedding", "qe")) / (col("nrm") * col("qn")))
+      .join(broadcast(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"))),
+        "qid")
+      .withColumn("cosine_raw", expr("cosine_sim(embedding, qe)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Relational, Similarity}
+
+/** Physical-plan audits (the "is this the plan you'd want at 100 TB" gate):
+  * filters reach the parquet scan, dimension joins broadcast, aggregation is
+  * partial+final, top-k avoids a global sort. These lock in the scale
+  * properties the SURVEY §7.5 design stance promises — a regression that
+  * turns a broadcast join into a shuffle join fails here, not in a 100 TB
+  * run. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val q = Relational.queries.getOrElse(name, Similarity.queries(name))
+    q(spark, sf0001).queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate filter is pushed into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$p")
+  }
+
+  test("q02: conjunctive filter pushed; scan reads only projected columns") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), p)
+    // NB: Spark elides long PushedFilters lists ("GreaterThanOrEqual(l..."),
+    // so assert on the un-truncated DataFilters form.
+    assert("l_discount#\\d+ >= 0.05".r.findFirstIn(p).isDefined, p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("q03/q04/q05: dimension joins are broadcast, not shuffled") {
+    Seq("q03_top_orders", "q04_broadcast_brand", "q05_region_revenue").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n has no broadcast join:\n$p")
+    }
+  }
+
+  test("q01: aggregation is partial (map-side) + final") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("q16: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q16_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q60: cosine expression runs inside WholeStageCodegen") {
+    // AQE only shows codegen spans in the *final* plan — execute first.
+    val df = Similarity.queries("q60_knn_bruteforce")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in compact plans;
+    // the cosine projection must carry one.
+    val cosLine = p.linesIterator.find(_.contains("cosine_sim")).getOrElse("")
+    assert(cosLine.contains("*("), s"cosine_sim outside codegen:\n$p")
+  }
+
+  test("q06/q07: semi/anti joins plan as semi/anti (no row explosion)") {
+    assert(plan("q06_semi_join").contains("LeftSemi"), plan("q06_semi_join"))
+    assert(plan("q07_anti_join").contains("LeftAnti"), plan("q07_anti_join"))
+  }
+}
