@@ -69,10 +69,70 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native strided polynomial byte-fold over a string column:
+  * `acc = (acc * mult + byte[i]) % mod` for i = 0, step, 2·step, …
+  * Generalizes three per-character operators that were interpreted HOF
+  * lambdas (`transform`/`aggregate` evaluate their lambda per element):
+  *  - document fingerprint (mult=31, mod=1e9+7, step=1) — q43;
+  *  - additive checksum (mult=1, mod=997, step=1) — q70;
+  *  - frame-sample sum (mult=1, huge mod, step=16) — q70.
+  * ASCII-only fixture semantics: byte value == `ascii()` codepoint, matching
+  * the DuckDB oracles char-for-char.
+  */
+case class BytePoly(child: Expression, mult: Long, mod: Long, step: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "byte_poly"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * mult + (bytes(i) & 0xffL)) % mod
+      i += step
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BytePolyImpl.fold($c.getBytes(), ${mult}L, ${mod}L, $step)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Static helper the generated code calls (keeps codegen one-line). */
+object BytePolyImpl {
+  def fold(bytes: Array[Byte], mult: Long, mod: Long, step: Int): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * mult + (bytes(i) & 0xffL)) % mod
+      i += step
+    }
+    acc
+  }
+}
+
 object GraftFunctions {
-  /** Idempotent per-session registration; afterwards `cosine_sim(a, b)` is
+  /** Idempotent per-session registration; afterwards the functions are
     * available to SQL and `expr(...)`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_fingerprint", exprs => BytePoly(exprs.head, 31L, 1000000007L, 1),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_checksum997", exprs => BytePoly(exprs.head, 1L, 997L, 1), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_frame_sum16", exprs => BytePoly(exprs.head, 1L, Long.MaxValue, 16),
+      "built-in")
+  }
 }

@@ -71,22 +71,30 @@ object Dedup {
 
   /** MinHash + LSH near-dup candidate pairs with estimated Jaccard.
     * shingle → 60-bit hash → 32 permutation min-hashes → 8 LSH bands of 4 →
-    * band-signature equality join → signature-overlap estimate. */
+    * band-signature equality join → signature-overlap estimate.
+    *
+    * The 32 min-hashes are 32 `min` aggregate columns over the shingle
+    * stream — one codegen'd HashAggregate with map-side partials, no
+    * (shingle × perm) row expansion (a 32× shuffle-volume saving that holds
+    * at any scale). Bands then explode from the signature array: one row per
+    * (doc, band) — 8 rows/doc regardless of document size. */
   private val q51: Q = (s, d) => {
-    val permsDf = s.createDataFrame(perms).toDF("pid", "a", "b")
     val hashed = shingled(s, d)
       .select(col("doc_id"), (expr(h60("sh")) % P).as("hv"))
-    val mh = hashed.crossJoin(broadcast(permsDf))
-      .groupBy(col("doc_id"), col("pid"))
-      .agg(min((col("a") * col("hv") + col("b")) % P).as("m"))
-    val sig = mh.groupBy(col("doc_id"))
-      .agg(expr("transform(sort_array(collect_list(struct(pid, m))), x -> x.m)").as("sg"))
-    val bands = mh.withColumn("band", floor(col("pid") / BandSize))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(expr("concat_ws('_', transform(sort_array(collect_list(struct(pid, m))), x -> string(x.m)))").as("bsig"))
+    val minCols = perms.map { case (pid, a, b) =>
+      min((col("hv") * a + b) % P).as(s"m$pid")
+    }
+    val sigArr = (0 until NumPerms).map(i => s"m$i").mkString("array(", ", ", ")")
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), expr(sigArr).as("sg"))
+    val bandExpr = (0 until NumPerms / BandSize).map { bi =>
+      val parts = (0 until BandSize).map(j => s"string(sg[${bi * BandSize + j}])")
+      s"concat('$bi', '_', ${parts.mkString(", '_', ")})"
+    }.mkString("array(", ", ", ")")
+    val bands = sig.select(col("doc_id"), explode(expr(bandExpr)).as("bsig"))
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.bsig") === col("y.bsig") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
     cand
       .join(sig.select(col("doc_id").as("id1"), col("sg").as("sg1")), "id1")
@@ -128,11 +136,20 @@ object Dedup {
     * pair-rows instead of 12.5M array intersections, and the shape is a plain
     * shuffle join that scales linearly in index postings. */
   private val q53: Q = (s, d) => {
-    val sets = Tables.documents(s, d)
+    // Shingle identity = xxhash64 of the 3 token strings (no intermediate
+    // concat string); collisions across the shingle vocabulary are
+    // ~|V|²/2⁶⁵ — negligible even at 100 TB vocab. The inverted index is
+    // persisted: both self-join branches and the size aggregate read it, and
+    // without the persist Spark recomputes the (interpreted-HOF) shingling
+    // once per branch.
+    val inv = Tables.documents(s, d)
       .withColumn("toks", expr(toksExpr))
-      .select(col("doc_id"), expr(shinglesExpr).as("sh"))
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
-    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+             i -> xxhash64(element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"""))
+        .as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     inv.as("x").join(inv.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))

@@ -31,20 +31,21 @@ object Multimodal {
         lit("fake/plain").as("format"),
         length(col("text")).as("n_bytes")))
 
-  /** Byte-level metadata + frame sampling, all codegen'd SQL: payload size,
-    * additive checksum mod 997, every-16th-byte "frame" sample and its sum. */
-  private val q70: Q = (s, d) =>
+  /** Byte-level metadata + frame sampling via native
+    * [[graft.functions.BytePoly]] expressions (per-char HOF lambdas were
+    * interpreted): payload size, additive checksum mod 997, every-16th-byte
+    * "frame" sample count and sum. */
+  private val q70: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
     withPayload(s, d)
-      .withColumn("codes",
-        expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"))
       .select(
         col("doc_id"),
         length(col("payload")).as("n_bytes"),
-        expr("aggregate(codes, 0L, (acc, c) -> (acc + c) % 997)").as("checksum"),
-        expr("size(filter(sequence(1, length(text)), i -> i % 16 = 1))").as("n_frames"),
-        expr("aggregate(filter(transform(sequence(1, length(text)), i -> named_struct('i', i, 'c', ascii(substring(text, i, 1)))), x -> x.i % 16 = 1), 0L, (acc, x) -> acc + x.c)")
-          .as("frame_sum"))
+        expr("graft_checksum997(text)").as("checksum"),
+        ceil(length(col("text")) / 16.0).cast("int").as("n_frames"),
+        expr("graft_frame_sum16(text)").as("frame_sum"))
       .orderBy(col("doc_id"))
+  }
 
   /** Decode + feature-extract through the batched partition path (the
     * mapInPandas-shaped plumbing): binary payload → DecodeStub → fixed-width

@@ -74,14 +74,15 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   /** Rolling polynomial fingerprint over characters (mod 1e9+7) — exact
-    * integer arithmetic, bit-identical in any engine. */
-  private val q43: Q = (s, d) =>
+    * integer arithmetic, bit-identical in any engine. Native
+    * [[graft.functions.BytePoly]] expression (the HOF formulation
+    * interpreted its lambda per character). */
+  private val q43: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        expr("""aggregate(
-                  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
-                  0L, (acc, c) -> (acc * 31 + c) % 1000000007)""").as("fingerprint"))
+      .select(col("doc_id"), expr("graft_fingerprint(text)").as("fingerprint"))
       .orderBy(col("doc_id"))
+  }
 
   /** Language ID by trigram-profile scoring (rows-only check: float log-score
     * argmax is not stably hashable cross-engine). Builds per-lang trigram
@@ -91,10 +92,13 @@ object TextAnalysis {
     * broadcast join — while the doc side streams. */
   private val q44: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // Persisted: the trigram explode feeds profile-building (twice) and
+    // scoring; without it the interpreted-HOF explode runs once per branch.
     val tri = docs.select(col("doc_id"), col("lang"), explode(
         expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
         .as("trigram"))
       .filter(length(col("trigram")) === 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // profile: P(trigram | lang) with add-one smoothing over the trigram vocab
     val langTotals = tri.groupBy(col("lang")).agg(count(lit(1)).as("lang_n"))
     val profile = tri.groupBy(col("lang"), col("trigram")).agg(count(lit(1)).as("tn"))
