@@ -19,6 +19,7 @@ object SparkEntry {
       (operators.Similarity.queries, operators.Similarity.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Parity.queries, operators.Parity.oracles),
+      (operators.AsOf.queries, operators.AsOf.oracles),
       (streaming.StreamingQueries.queries, streaming.StreamingQueries.oracles),
     )
 

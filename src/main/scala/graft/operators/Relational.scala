@@ -285,7 +285,50 @@ object Relational {
     """)
   }
 
+  /** Ordered-set aggregates: exact interpolated percentiles. */
+  private val q25: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Pivot (segments → columns); count(null→0) matches the CASE oracle. */
+  private val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  private val q26: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .pivot("c_mktsegment", segs)
+      .agg(count(lit(1)))
+      .na.fill(0L, segs)
+      .orderBy(col("c_nationkey"))
+
+  /** min_by / max_by (argmin/argmax aggregates). */
+  private val q27: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"),
+        round(max(col("o_totalprice")), 2).as("top_price"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Ordered array_agg with array slicing: first 3 orders per customer. */
+  private val q28: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(expr(
+        "slice(transform(sort_array(collect_list(struct(o_orderdate, o_orderkey))), x -> x.o_orderkey), 1, 3)")
+        .as("first_orders"))
+      .orderBy(col("o_custkey"))
+
   val queries: Map[String, Q] = Map(
+    "q25_percentiles" -> q25,
+    "q26_pivot" -> q26,
+    "q27_minmax_by" -> q27,
+    "q28_array_agg" -> q28,
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
     "q03_top_orders" -> q03,
@@ -319,6 +362,30 @@ object Relational {
   // for timestamp-valued outputs.
 
   val oracles: Map[String, String] = Map(
+    "q25_percentiles" -> """
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q26_pivot" -> """
+      SELECT c_nationkey,
+             count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+             count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS "BUILDING",
+             count(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS "FURNITURE",
+             count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS "HOUSEHOLD",
+             count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS "MACHINERY"
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q27_minmax_by" -> """
+      SELECT o_orderstatus,
+             arg_max(o_orderkey, o_totalprice) AS top_order,
+             arg_min(o_orderkey, o_totalprice) AS bottom_order,
+             round(max(o_totalprice), 2) AS top_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q28_array_agg" -> """
+      SELECT o_custkey,
+             (list(o_orderkey ORDER BY o_orderdate, o_orderkey))[1:3] AS first_orders
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
