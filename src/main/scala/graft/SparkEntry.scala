@@ -20,6 +20,7 @@ object SparkEntry {
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Parity.queries, operators.Parity.oracles),
       (operators.AsOf.queries, operators.AsOf.oracles),
+      (operators.Skew.queries, operators.Skew.oracles),
       (streaming.StreamingQueries.queries, streaming.StreamingQueries.oracles),
     )
 

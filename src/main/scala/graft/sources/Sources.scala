@@ -1,0 +1,28 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Source/sink round-trips (SURVEY §2.2 scans/sinks row: the reference reads
+  * newline text only; the engine speaks the standard columnar/row formats).
+  * All formats go through the same DataFrameReader/Writer surface, so
+  * pushdown/pruning behavior is uniform; SourcesSpec asserts lossless
+  * round-trips per format.
+  */
+object Sources {
+
+  /** Write `df` as `format` under `path`, read it back with the original
+    * schema (CSV/JSON are schemaless-on-read; forcing the schema keeps types
+    * lossless). */
+  def roundTrip(spark: SparkSession, df: DataFrame, format: String,
+      path: String): DataFrame = {
+    df.write.format(format).mode(SaveMode.Overwrite).save(path)
+    spark.read.format(format).schema(df.schema).load(path)
+  }
+
+  /** Text sink/source parity with the reference's line-file model
+    * (MapReduce.h:219-245): one string column ⇆ newline-delimited files. */
+  def textRoundTrip(spark: SparkSession, lines: DataFrame, path: String): DataFrame = {
+    lines.write.mode(SaveMode.Overwrite).text(path)
+    spark.read.text(path)
+  }
+}
