@@ -324,7 +324,18 @@ object Relational {
         .as("first_orders"))
       .orderBy(col("o_custkey"))
 
+  /** Proper JSON parsing of events.props via from_json (q21 is the regexp
+    * variant; this exercises the JSON reader + struct field access). */
+  private val q33: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("j", from_json(col("props"), lit("k INT")))
+      .groupBy((col("j.k") % 2 === 0).as("k_even"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+        max(col("j.k")).as("max_k"))
+      .orderBy(col("k_even"))
+
   val queries: Map[String, Q] = Map(
+    "q33_from_json" -> q33,
     "q25_percentiles" -> q25,
     "q26_pivot" -> q26,
     "q27_minmax_by" -> q27,
@@ -362,6 +373,11 @@ object Relational {
   // for timestamp-valued outputs.
 
   val oracles: Map[String, String] = Map(
+    "q33_from_json" -> """
+      SELECT CAST(json_extract(props, '$.k') AS INT) % 2 = 0 AS k_even,
+             count(*) AS n, round(sum(value), 2) AS total,
+             max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+      FROM events GROUP BY 1 ORDER BY k_even""",
     "q25_percentiles" -> """
       SELECT o_orderstatus,
              round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -114,7 +114,20 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Token counting two ways: whitespace split vs a BPE-ish regex lexer
+    * (alpha runs / single digits / other non-space) — the sub-word-style
+    * count a tokenizer-budget estimator needs. */
+  private val q45: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_ws", size(expr(toksExpr)))
+      .withColumn("n_re",
+        size(expr("""regexp_extract_all(text, '([a-z]+|[0-9]|\\S)', 1)""")))
+      .select(col("doc_id"), col("n_ws"), col("n_re"),
+        round(col("n_re").cast("double") / col("n_ws"), 4).as("re_per_ws"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
+    "q45_regex_tokens" -> q45,
     "q40_token_stats" -> q40,
     "q41_trigram_profile" -> q41,
     "q42_quality_score" -> q42,
@@ -123,6 +136,13 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q45_regex_tokens" -> """
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_ws,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|\S')) AS INT) AS n_re,
+             round(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|\S')) AS DOUBLE)
+                   / len(list_filter(string_split(text, ' '), t -> t <> '')), 4) AS re_per_ws
+      FROM documents ORDER BY doc_id""",
     "q40_token_stats" -> """
       WITH t AS (SELECT doc_id, text,
                         list_filter(string_split(text, ' '), t -> t <> '') AS toks
