@@ -334,8 +334,23 @@ object Relational {
         max(col("j.k")).as("max_k"))
       .orderBy(col("k_even"))
 
+  /** RANGE window frame over event time (micros as exact integers both
+    * engines — DuckDB's epoch() is fractional-double, epoch_us is not):
+    * rolling 5-minute per-user event count and value sum. */
+  private val q34: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-300000000L, 0L) // 5 minutes in µs, inclusive
+    Tables.events(s, d)
+      .withColumn("n5m", count(lit(1)).over(w))
+      .withColumn("v5m", round(sum(col("value")).over(w), 2))
+      .select(col("user_id"), col("event_id"), col("n5m"), col("v5m"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q33_from_json" -> q33,
+    "q34_range_frame" -> q34,
     "q25_percentiles" -> q25,
     "q26_pivot" -> q26,
     "q27_minmax_by" -> q27,
@@ -373,6 +388,14 @@ object Relational {
   // for timestamp-valued outputs.
 
   val oracles: Map[String, String] = Map(
+    "q34_range_frame" -> """
+      SELECT user_id, event_id,
+             count(*) OVER w AS n5m,
+             round(sum(value) OVER w, 2) AS v5m
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                   RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
     "q33_from_json" -> """
       SELECT CAST(json_extract(props, '$.k') AS INT) % 2 = 0 AS k_even,
              count(*) AS n, round(sum(value), 2) AS total,

@@ -125,10 +125,71 @@ object Similarity {
 
   private val q62: Q = (s, d) => annLsh(s, d)
 
+  /** Per-label centroids: element-wise mean via posexplode → (label, pos)
+    * aggregate → reassembled array. The coarse-quantizer build step of an
+    * IVF index (and a classic embedding-pipeline aggregate on its own).
+    * Linear, one shuffle on (label, pos); at 100 TB this is exactly how
+    * k-means assignment-step centroids are computed. */
+  private val q63: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).as("pos"), col("col").cast("double").as("v"))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("av"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, av))), x -> round(x.av, 5))")
+        .as("centroid"))
+      .orderBy(col("label"))
+
+  /** IVF-style ANN: labels act as the inverted-file partitions (the coarse
+    * quantizer); per query, probe the `nprobe` partitions whose centroids
+    * are most cosine-similar, then exact-rank only within those partitions.
+    * Candidate set = corpus ∩ probed partitions — at scale the partition
+    * column is the partitioning key, so probing reads only matching
+    * partitions (partition pruning), never the full corpus.
+    * Mechanism contract (PipelineOpsSpec): results equal brute-force search
+    * restricted to the probed partitions. */
+  def ivfSearch(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("av"))
+      .groupBy(col("label"))
+      .agg(expr("cast(transform(sort_array(collect_list(struct(pos, av))), x -> float(x.av)) as array<float>)")
+        .as("centroid"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("label"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", expr("cosine_sim(qe, centroid)"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qe"), col("label"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine_raw").desc, col("vec_id"))
+    emb.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine_raw", expr("cosine_sim(embedding, qe)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label"), round(col("cosine_raw"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q64: Q = (s, d) => ivfSearch(s, d)
+
   val queries: Map[String, Q] = Map(
     "q60_knn_bruteforce" -> q60,
     "q61_embedding_neardup" -> q61,
     "q62_ann_lsh" -> q62,
+    "q63_label_centroids" -> q63,
+    "q64_ann_ivf" -> q64,
   )
 
   private val duckDot =
@@ -161,7 +222,16 @@ object Similarity {
       ORDER BY ${duckDot.format("x.embedding", "y.embedding")} / (x.nrm * y.nrm) DESC,
                id1, id2
       LIMIT 20""",
-    // q62_ann_lsh intentionally oracle-free: approximate operator — its
-    // contract (recall vs exact top-k) is asserted in SimilaritySpec.
+    // q62_ann_lsh / q64_ann_ivf intentionally oracle-free: approximate
+    // operators — their contracts (recall / mechanism-exactness vs the exact
+    // baseline) are asserted in PipelineOpsSpec.
+    "q63_label_centroids" -> """
+      WITH ex AS (SELECT label, unnest(list_zip(range(1, 65), embedding)) AS z
+                  FROM embeddings),
+      p AS (SELECT label, CAST(z[1] AS INT) AS pos, CAST(z[2] AS DOUBLE) AS v
+            FROM ex),
+      a AS (SELECT label, pos, avg(v) AS av FROM p GROUP BY label, pos)
+      SELECT label, list(round(av, 5) ORDER BY pos) AS centroid
+      FROM a GROUP BY label ORDER BY label""",
   )
 }

@@ -79,10 +79,20 @@ object StreamingQueries {
     dir.toString
   }
 
+  /** Sliding 2-hour windows every hour per event_type: each event lands in
+    * two windows (Expand in the plan); oracle enumerates both buckets. */
+  private val q83: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+      .orderBy(col("window_start"), col("event_type"))
+
   val queries: Map[String, Q] = Map(
     "q80_tumbling_window" -> q80,
     "q81_session_window" -> q81,
     "q82_stream_tumbling" -> q82,
+    "q83_sliding_window" -> q83,
   )
 
   private val tumblingOracle = """
@@ -96,6 +106,16 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     "q80_tumbling_window" -> tumblingOracle,
     "q82_stream_tumbling" -> tumblingOracle,
+    "q83_sliding_window" -> """
+      SELECT ws AS window_start, event_type, count(*) AS n,
+             round(sum(value), 2) AS total
+      FROM (SELECT unnest([time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                           time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                             - INTERVAL '1 hour']) AS ws,
+                   event_type, value
+            FROM events)
+      GROUP BY ws, event_type
+      ORDER BY window_start, event_type""",
     // Sessionization via the SQL-standard lag + cumulative-flag pattern —
     // independent formulation of Spark's session_window semantics.
     "q81_session_window" -> """

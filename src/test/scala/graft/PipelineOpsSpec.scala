@@ -52,6 +52,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(errs.sum / errs.size < 0.25)
   }
 
+  test("ivf ann: equals exact search restricted to probed partitions") {
+    // Driver-side independent reimplementation (2000 × 64 floats — tiny).
+    val vecs = Tables.embeddings(spark, sf001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val centroids = vecs.groupBy(_._2).map { case (lbl, vs) =>
+      lbl -> Array.tabulate(64)(i => (vs.map(_._3(i).toDouble).sum / vs.size).toFloat)
+    }
+    val expected = (0L until 5L).flatMap { qid =>
+      val qe = vecs.find(_._1 == qid).get._3
+      val probed = centroids.toSeq.map { case (l, c) => (cos(qe, c), l) }
+        .sortBy { case (c, l) => (-c, l) }.take(3).map(_._2).toSet
+      vecs.filter(v => probed.contains(v._2) && v._1 != qid)
+        .map(v => (cos(qe, v._3), v._1))
+        .sortBy { case (c, id) => (-c, id) }.take(10).zipWithIndex
+        .map { case ((c, id), i) =>
+          (qid, i + 1, id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.toSet
+    val got = graft.operators.Similarity.queries("q64_ann_ivf")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4))).toSet
+    assert(got == expected,
+      s"IVF mechanism drift; only-got=${(got diff expected).take(3)} only-exp=${(expected diff got).take(3)}")
+  }
+
   test("lang-id predicts only known languages and is deterministic") {
     val df = TextAnalysis.queries("q44_lang_id")(spark, sf0001)
     val langs = Tables.documents(spark, sf0001).select("lang").distinct()
