@@ -348,9 +348,20 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Unpivot (wide → long): numeric part attributes to (metric, value). */
+  private val q35: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "metric", "value")
+      .select(col("p_partkey"), col("metric"), round(col("value"), 2).as("value"))
+      .orderBy(col("p_partkey"), col("metric"))
+
   val queries: Map[String, Q] = Map(
     "q33_from_json" -> q33,
     "q34_range_frame" -> q34,
+    "q35_unpivot" -> q35,
     "q25_percentiles" -> q25,
     "q26_pivot" -> q26,
     "q27_minmax_by" -> q27,
@@ -388,6 +399,13 @@ object Relational {
   // for timestamp-valued outputs.
 
   val oracles: Map[String, String] = Map(
+    "q35_unpivot" -> """
+      SELECT p_partkey, 'size' AS metric, round(CAST(p_size AS DOUBLE), 2) AS value
+      FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice' AS metric, round(p_retailprice, 2) AS value
+      FROM part
+      ORDER BY p_partkey, metric""",
     "q34_range_frame" -> """
       SELECT user_id, event_id,
              count(*) OVER w AS n5m,

@@ -61,6 +61,22 @@ class PlanSpec extends SparkSpec {
     assert(cosLine.contains("*("), s"cosine_sim outside codegen:\n$p")
   }
 
+  test("q31 as-of join: no cross/nested-loop join — window composition only") {
+    val p = graft.operators.AsOf.queries("q31_asof_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of join degenerated to a product:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q51 minhash-lsh: candidate generation is an equality join, not a product") {
+    val p = graft.operators.Dedup.queries("q51_minhash_lsh")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"LSH banding degenerated:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q06/q07: semi/anti joins plan as semi/anti (no row explosion)") {
     assert(plan("q06_semi_join").contains("LeftSemi"), plan("q06_semi_join"))
     assert(plan("q07_anti_join").contains("LeftAnti"), plan("q07_anti_join"))
