@@ -91,26 +91,52 @@ object TextAnalysis {
     * argmax lang. At 100 TB the profile side stays tiny (langs × trigrams) —
     * broadcast join — while the doc side streams. */
   private val q44: Q = (s, d) => {
+    import s.implicits._
     val docs = Tables.documents(s, d)
-    // Persisted: the trigram explode feeds profile-building (twice) and
-    // scoring; without it the interpreted-HOF explode runs once per branch.
     val tri = docs.select(col("doc_id"), col("lang"), explode(
         expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
         .as("trigram"))
       .filter(length(col("trigram")) === 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // profile: P(trigram | lang) with add-one smoothing over the trigram vocab
+    // Profile: P(trigram | lang) with add-one smoothing — built distributed,
+    // then collected + broadcast as the scoring model. The model side is
+    // tiny at any corpus scale (langs × trigram vocab), so scoring becomes a
+    // map-side pass over documents — no doc×lang join row amplification.
     val langTotals = tri.groupBy(col("lang")).agg(count(lit(1)).as("lang_n"))
-    val profile = tri.groupBy(col("lang"), col("trigram")).agg(count(lit(1)).as("tn"))
+    val profileRows = tri.groupBy(col("lang"), col("trigram")).agg(count(lit(1)).as("tn"))
       .join(langTotals, "lang")
-      .select(col("lang").as("p_lang"), col("trigram"),
+      .select(col("lang"), col("trigram"),
         log((col("tn") + 1.0) / (col("lang_n") + 1000.0)).as("logp"))
-    val scored = tri.join(broadcast(profile), Seq("trigram"))
-      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
-      .agg(sum(col("logp")).as("score"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("true_lang"), col("p_lang").as("predicted_lang"))
+      .collect()
+    val langs: Array[String] = profileRows.map(_.getString(0)).distinct.sorted
+    val langIdx = langs.zipWithIndex.toMap
+    val model: Map[String, Array[Double]] = profileRows
+      .groupBy(_.getString(1))
+      .map { case (tg, rows) =>
+        val arr = new Array[Double](langs.length)
+        rows.foreach(r => arr(langIdx(r.getString(0))) = r.getDouble(2))
+        tg -> arr
+      }
+    val bModel = s.sparkContext.broadcast(model)
+    val bLangs = s.sparkContext.broadcast(langs)
+    val predict = udf { (text: String) =>
+      val m = bModel.value; val ls = bLangs.value
+      val scores = new Array[Double](ls.length)
+      var i = 0
+      while (i + 3 <= text.length) {
+        m.get(text.substring(i, i + 3)) match {
+          case Some(arr) =>
+            var j = 0; while (j < arr.length) { scores(j) += arr(j); j += 1 }
+          case None => ()
+        }
+        i += 1
+      }
+      // argmax, ties broken by lang name ascending (ls is sorted)
+      var best = 0; var j = 1
+      while (j < ls.length) { if (scores(j) > scores(best)) best = j; j += 1 }
+      ls(best)
+    }
+    docs.select(col("doc_id"), col("lang").as("true_lang"),
+        predict(col("text")).as("predicted_lang"))
       .orderBy(col("doc_id"))
   }
 
