@@ -358,10 +358,41 @@ object Relational {
       .select(col("p_partkey"), col("metric"), round(col("value"), 2).as("value"))
       .orderBy(col("p_partkey"), col("metric"))
 
+  /** Band (non-equi range) join: each order matched to its price tier.
+    * The tier table is tiny → broadcast nested-loop is the *right* plan
+    * here; the anti-pattern is non-equi joining two big sides. */
+  private val q36: Q = (s, d) => {
+    val tiers = s.createDataFrame(Seq(
+      ("bronze", 0.0, 100000.0),
+      ("silver", 100000.0, 250000.0),
+      ("gold", 250000.0, 400000.0),
+      ("platinum", 400000.0, 1e9))).toDF("tier", "lo", "hi")
+    Tables.orders(s, d)
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .orderBy(col("tier"))
+  }
+
+  /** Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicates. */
+  private val q37: Q = (s, d) => {
+    val a = Tables.lineitem(s, d).filter(col("l_returnflag") === "A")
+      .select(col("l_partkey").as("pk"))
+    val r = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_partkey").as("pk"))
+    a.intersectAll(r).withColumn("op", lit("intersect_all"))
+      .union(a.exceptAll(r).withColumn("op", lit("except_all")))
+      .groupBy(col("op")).agg(count(lit(1)).as("n"), countDistinct(col("pk")).as("n_distinct"))
+      .orderBy(col("op"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q33_from_json" -> q33,
     "q34_range_frame" -> q34,
     "q35_unpivot" -> q35,
+    "q36_band_join" -> q36,
+    "q37_multiset_ops" -> q37,
     "q25_percentiles" -> q25,
     "q26_pivot" -> q26,
     "q27_minmax_by" -> q27,
@@ -399,6 +430,22 @@ object Relational {
   // for timestamp-valued outputs.
 
   val oracles: Map[String, String] = Map(
+    "q36_band_join" -> """
+      WITH tiers(tier, lo, hi) AS (VALUES
+        ('bronze', 0.0, 100000.0), ('silver', 100000.0, 250000.0),
+        ('gold', 250000.0, 400000.0), ('platinum', 400000.0, 1000000000.0))
+      SELECT tier, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+      FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY tier ORDER BY tier""",
+    "q37_multiset_ops" -> """
+      WITH a AS (SELECT l_partkey AS pk FROM lineitem WHERE l_returnflag = 'A'),
+           r AS (SELECT l_partkey AS pk FROM lineitem WHERE l_returnflag = 'R'),
+      u AS (
+        SELECT 'intersect_all' AS op, pk FROM (SELECT pk FROM a INTERSECT ALL SELECT pk FROM r)
+        UNION ALL
+        SELECT 'except_all' AS op, pk FROM (SELECT pk FROM a EXCEPT ALL SELECT pk FROM r))
+      SELECT op, count(*) AS n, count(DISTINCT pk) AS n_distinct
+      FROM u GROUP BY op ORDER BY op""",
     "q35_unpivot" -> """
       SELECT p_partkey, 'size' AS metric, round(CAST(p_size AS DOUBLE), 2) AS value
       FROM part
