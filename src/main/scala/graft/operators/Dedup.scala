@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
-/** Deduplication operators over `documents` (north-star extension, SURVEY
-  * §2.3): exact, MinHash+LSH, SimHash, and exact n-gram Jaccard.
+/** Deduplication operators (north-star extension, SURVEY §2.3): exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard — each a *parameterized
+  * library function* over any (id, text) DataFrame; the fixture-bound
+  * `queries` wrappers feed the driver's correctness gate.
   *
   * Cross-engine-verifiable hashing: every hash bottoms out in md5 (available
   * and bit-identical in Spark and DuckDB), parsed to a 60-bit integer, so the
@@ -15,13 +17,15 @@ import graft.Tables
   *
   * Scale design (100 TB posture):
   *  - shingling/hashing is embarrassingly parallel map-side work (HOF
-  *    expressions, codegen'd, no UDFs);
+  *    expressions, no UDFs); hot per-char loops use native expressions;
   *  - MinHash signatures reduce each document to 32 longs regardless of
-  *    document size; LSH banding turns all-pairs O(n²) into a groupBy-join on
-  *    band signatures — only colliding candidates are compared (the
-  *    SURVEY §7.5 "never a blind crossJoin" rule);
-  *  - the exact-Jaccard all-pairs form (q53) exists as the small-data oracle
-  *    / recall baseline; at scale you run q51 (LSH) instead.
+  *    document size, computed as 32 min-aggregate columns (no row
+  *    expansion); LSH banding turns all-pairs O(n²) into an equality join on
+  *    band signatures — only colliding candidates are compared (the SURVEY
+  *    §7.5 "never a blind crossJoin" rule);
+  *  - the exact-Jaccard form uses an inverted-index set-similarity join —
+  *    linear in index postings — and exists as the oracle/recall baseline;
+  *    at scale you run MinHash-LSH first.
   */
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
@@ -42,132 +46,124 @@ object Dedup {
   private def h60(colSql: String) =
     s"cast(conv(substring(md5($colSql), 1, 15), 16, 10) as bigint)"
 
-  private val toksExpr = "filter(split(text, ' '), t -> t != '')"
+  private def toksExpr(textCol: String) =
+    s"filter(split($textCol, ' '), t -> t != '')"
 
-  /** Distinct token 3-gram shingles (docs always have ≥3 tokens: n_chars is
-    * 100–500 of space-joined short tokens, FIXTURES.md). */
-  private val shinglesExpr =
-    """array_distinct(transform(sequence(1, size(toks) - 2),
-         i -> concat(element_at(toks, i), '_', element_at(toks, i + 1), '_', element_at(toks, i + 2))))"""
+  /** Distinct token 3-gram shingles of `textCol` (requires ≥3 tokens/doc). */
+  private def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("toks", expr(toksExpr(textCol)))
+      .select(col(idCol), explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+             i -> concat(element_at(toks, i), '_', element_at(toks, i + 1), '_', element_at(toks, i + 2))))"""))
+        .as("sh"))
 
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("toks", expr(toksExpr))
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+  // ------------------------------------------------------------ library API
 
-  // ---------------------------------------------------------------- queries
-
-  /** Exact dedup by full text: hash-groupBy keeper assignment. Every doc maps
-    * to the group's min doc_id; `is_dup` marks rows a dedup pass would drop.
-    * (`dropDuplicates("text")` is the one-liner; this form also *audits*.) */
-  private val q50: Q = (s, d) => {
-    val w = Window.partitionBy(col("text"))
-    Tables.documents(s, d)
-      .withColumn("keeper_id", min(col("doc_id")).over(w))
-      .select(col("doc_id"), col("keeper_id"),
-        (col("doc_id") =!= col("keeper_id")).as("is_dup"))
-      .orderBy(col("doc_id"))
+  /** Exact dedup by `keyCol`: keeper assignment (group min of `idCol`) and
+    * an is_dup audit flag. `dropDuplicates(keyCol)` is the destructive
+    * one-liner; this form keeps the mapping. */
+  def exactDedup(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    df.withColumn("keeper_id", min(col(idCol)).over(w))
+      .select(col(idCol), col("keeper_id"),
+        (col(idCol) =!= col("keeper_id")).as("is_dup"))
   }
 
-  /** MinHash + LSH near-dup candidate pairs with estimated Jaccard.
-    * shingle → 60-bit hash → 32 permutation min-hashes → 8 LSH bands of 4 →
-    * band-signature equality join → signature-overlap estimate.
-    *
-    * The 32 min-hashes are 32 `min` aggregate columns over the shingle
-    * stream — one codegen'd HashAggregate with map-side partials, no
-    * (shingle × perm) row expansion (a 32× shuffle-volume saving that holds
-    * at any scale). Bands then explode from the signature array: one row per
-    * (doc, band) — 8 rows/doc regardless of document size. */
-  private val q51: Q = (s, d) => {
-    val hashed = shingled(s, d)
-      .select(col("doc_id"), (expr(h60("sh")) % P).as("hv"))
+  /** MinHash + LSH near-dup candidate pairs with estimated Jaccard ≥
+    * `minEst`. shingle → 60-bit hash → 32 permutation min-hashes (aggregate
+    * columns, one HashAggregate) → 8 bands of 4 → band-signature equality
+    * join → signature-overlap estimate. */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+      minEst: Double = 0.35): DataFrame = {
+    val hashed = shingled(df, idCol, textCol)
+      .select(col(idCol), (expr(h60("sh")) % P).as("hv"))
     val minCols = perms.map { case (pid, a, b) =>
       min((col("hv") * a + b) % P).as(s"m$pid")
     }
     val sigArr = (0 until NumPerms).map(i => s"m$i").mkString("array(", ", ", ")")
-    val sig = hashed.groupBy(col("doc_id"))
+    val sig = hashed.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), expr(sigArr).as("sg"))
+      .select(col(idCol), expr(sigArr).as("sg"))
     val bandExpr = (0 until NumPerms / BandSize).map { bi =>
       val parts = (0 until BandSize).map(j => s"string(sg[${bi * BandSize + j}])")
       s"concat('$bi', '_', ${parts.mkString(", '_', ")})"
     }.mkString("array(", ", ", ")")
-    val bands = sig.select(col("doc_id"), explode(expr(bandExpr)).as("bsig"))
+    val bands = sig.select(col(idCol), explode(expr(bandExpr)).as("bsig"))
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.bsig") === col("y.bsig") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+        col("x.bsig") === col("y.bsig") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2")).distinct()
     cand
-      .join(sig.select(col("doc_id").as("id1"), col("sg").as("sg1")), "id1")
-      .join(sig.select(col("doc_id").as("id2"), col("sg").as("sg2")), "id2")
+      .join(sig.select(col(idCol).as("id1"), col("sg").as("sg1")), "id1")
+      .join(sig.select(col(idCol).as("id2"), col("sg").as("sg2")), "id2")
       .withColumn("est_jaccard", round(
         expr("size(filter(zip_with(sg1, sg2, (x, y) -> x = y), v -> v))").cast("double")
           / NumPerms, 4))
-      .filter(col("est_jaccard") >= 0.35)
+      .filter(col("est_jaccard") >= minEst)
       .select(col("id1"), col("id2"), col("est_jaccard"))
-      .orderBy(col("id1"), col("id2"))
   }
 
-  /** SimHash-60 fingerprint per document: per-token 60-bit hash, per-bit
-    * ±1 vote weighted by occurrence, sign → bit. Exact integer output.
-    * Implemented as 60 parallel aggregate columns over the token stream (one
-    * shuffle, no 60× row expansion, stays inside codegen'd HashAggregate). */
-  private val q52: Q = (s, d) => {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
-      .select(col("doc_id"), expr(h60("t")).as("hv"))
+  /** SimHash-60 fingerprint per row: per-token 60-bit hash, per-bit ±1 vote
+    * weighted by occurrence, sign → bit. 60 parallel aggregate columns over
+    * the token stream (one shuffle, no 60× row expansion). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(expr(toksExpr(textCol))).as("t"))
+      .select(col(idCol), expr(h60("t")).as("hv"))
     val votes = (0 until 60).map(j =>
       sum(expr(s"CASE WHEN (shiftright(hv, $j) & 1) = 1 THEN 1 ELSE -1 END"))
         .as(s"b$j"))
     val compose = (0 until 60)
       .map(j => s"CASE WHEN b$j > 0 THEN shiftleft(1L, $j) ELSE 0L END")
       .mkString(" + ")
-    tok.groupBy(col("doc_id"))
+    tok.groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), expr(compose).as("simhash"))
-      .orderBy(col("doc_id"))
+      .select(col(idCol), expr(compose).as("simhash"))
   }
 
-  /** Exact n-gram (shingle) Jaccard similarity — all pairs ≥ 0.5, via the
-    * scalable inverted-index set-similarity join: explode shingles, self-join
-    * on the shingle, count shared shingles per pair, then
-    * J = |∩| / (|A| + |B| − |∩|). Never materializes all-pairs (a pair with
-    * J > 0 must share a shingle, so candidates = index collisions only) and
-    * never touches quadratic array ops — a 5000-doc corpus is ~1.4M candidate
-    * pair-rows instead of 12.5M array intersections, and the shape is a plain
-    * shuffle join that scales linearly in index postings. */
-  private val q53: Q = (s, d) => {
-    // Shingle identity = xxhash64 of the 3 token strings (no intermediate
-    // concat string); collisions across the shingle vocabulary are
-    // ~|V|²/2⁶⁵ — negligible even at 100 TB vocab. The inverted index is
-    // persisted: both self-join branches and the size aggregate read it, and
-    // without the persist Spark recomputes the (interpreted-HOF) shingling
-    // once per branch.
-    val inv = Tables.documents(s, d)
-      .withColumn("toks", expr(toksExpr))
-      .select(col("doc_id"), explode(expr(
+  /** Exact n-gram (shingle) Jaccard ≥ `minJ`, via the scalable
+    * inverted-index set-similarity join: explode shingles, self-join on the
+    * shingle hash, count shared shingles per pair, J = |∩|/(|A|+|B|−|∩|).
+    * Never materializes all-pairs (a pair with J > 0 must share a shingle)
+    * and never touches quadratic array ops — linear in index postings.
+    *
+    * Shingle identity = xxhash64 of the token triple (no concat string);
+    * collisions are ~|V|²/2⁶⁵ — negligible at any vocabulary. The index is
+    * persisted: both self-join branches and the size aggregate read it
+    * (Spark would otherwise recompute the interpreted-HOF shingling per
+    * branch). */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      minJ: Double = 0.5): DataFrame = {
+    val inv = df.withColumn("toks", expr(toksExpr(textCol)))
+      .select(col(idCol), explode(expr(
         """array_distinct(transform(sequence(1, size(toks) - 2),
              i -> xxhash64(element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"""))
         .as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     inv.as("x").join(inv.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+        col("x.s") === col("y.s") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), "id2")
       .withColumn("jaccard", round(col("inter").cast("double")
         / (col("sz1") + col("sz2") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= minJ)
       .select(col("id1"), col("id2"), col("jaccard"))
-      .orderBy(col("id1"), col("id2"))
   }
 
+  // ------------------------------------------------- fixture-bound queries
+
   val queries: Map[String, Q] = Map(
-    "q50_exact_dedup" -> q50,
-    "q51_minhash_lsh" -> q51,
-    "q52_simhash" -> q52,
-    "q53_ngram_jaccard" -> q53,
+    "q50_exact_dedup" -> ((s, d) =>
+      exactDedup(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))),
+    "q51_minhash_lsh" -> ((s, d) =>
+      minHashLsh(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id1"), col("id2"))),
+    "q52_simhash" -> ((s, d) =>
+      simHash(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))),
+    "q53_ngram_jaccard" -> ((s, d) =>
+      ngramJaccard(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id1"), col("id2"))),
   )
 
   // ---------------------------------------------------------------- oracles

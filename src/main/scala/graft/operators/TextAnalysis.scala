@@ -19,70 +19,79 @@ import graft.Tables
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Non-empty whitespace tokens of `text` (1-based element_at to mirror
+  /** Non-empty whitespace tokens of `textCol` (1-based element_at to mirror
     * DuckDB's 1-based list indexing). */
-  private val toksExpr = "filter(split(text, ' '), t -> t != '')"
+  private def toksOf(textCol: String) =
+    s"filter(split($textCol, ' '), t -> t != '')"
+  private val toksExpr = toksOf("text")
 
   /** Small English stopword set intersected with the fixture vocabulary. */
   private val stopwords = Seq("the", "a", "of", "and", "in")
   private val stopwordsSql = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 
-  /** Per-document token statistics: counts, distinct counts, mean token
-    * length. Integer sums divided as double — bit-identical cross-engine. */
-  private val q40: Q = (s, d) =>
-    Tables.documents(s, d)
-      .withColumn("toks", expr(toksExpr))
+  /** Per-row token statistics: counts, distinct counts, mean token length.
+    * Integer sums divided as double — bit-identical cross-engine. */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("toks", expr(toksOf(textCol)))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_distinct", size(array_distinct(col("toks"))))
       .withColumn("avg_token_len", round(
         expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").cast("double")
           / col("n_tokens"), 4))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        col("avg_token_len"), length(col("text")).as("n_chars_computed"))
-      .orderBy(col("doc_id"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        col("avg_token_len"), length(col(textCol)).as("n_chars_computed"))
 
-  /** Per-language character-trigram profile, top-5 trigrams per language —
-    * the model a n-gram language identifier scores against. */
-  private val q41: Q = (s, d) => {
-    val tri = Tables.documents(s, d)
-      .select(col("lang"), explode(
-        expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
-        .as("trigram"))
+  private val q40: Q = (s, d) =>
+    tokenStats(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
+
+  private def trigramsOf(textCol: String) =
+    s"transform(sequence(1, greatest(length($textCol) - 2, 1)), i -> substring($textCol, i, 3))"
+
+  /** Per-group character-trigram profile, top-k trigrams per group — the
+    * model a n-gram language identifier scores against. */
+  def trigramProfile(df: DataFrame, groupCol: String, textCol: String,
+      topK: Int = 5): DataFrame = {
+    val tri = df.select(col(groupCol), explode(expr(trigramsOf(textCol))).as("trigram"))
       .filter(length(col("trigram")) === 3)
-    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("trigram"))
-    tri.groupBy(col("lang"), col("trigram")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col("trigram"))
+    tri.groupBy(col(groupCol), col("trigram")).agg(count(lit(1)).as("n"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .orderBy(col("lang"), col("rank"))
+      .filter(col("rank") <= topK)
   }
 
+  private val q41: Q = (s, d) =>
+    trigramProfile(Tables.documents(s, d), "lang", "text")
+      .orderBy(col("lang"), col("rank"))
+
   /** Quality scoring: length, stopword ratio, lexical diversity, bucket. */
-  private val q42: Q = (s, d) =>
-    Tables.documents(s, d)
-      .withColumn("toks", expr(toksExpr))
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("toks", expr(toksOf(textCol)))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("stop_ratio", round(
         expr(s"size(filter(toks, t -> t IN $stopwordsSql))").cast("double")
           / col("n_tokens"), 4))
       .withColumn("diversity", round(
         size(array_distinct(col("toks"))).cast("double") / col("n_tokens"), 4))
-      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"), col("diversity"),
+      .select(col(idCol), col("n_tokens"), col("stop_ratio"), col("diversity"),
         when(col("n_tokens") < 30, "short")
           .when(col("stop_ratio") > 0.15, "stopword_heavy")
           .when(col("diversity") < 0.3, "repetitive")
           .otherwise("ok").as("quality"))
-      .orderBy(col("doc_id"))
+
+  private val q42: Q = (s, d) =>
+    qualityScore(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
 
   /** Rolling polynomial fingerprint over characters (mod 1e9+7) — exact
     * integer arithmetic, bit-identical in any engine. Native
     * [[graft.functions.BytePoly]] expression (the HOF formulation
     * interpreted its lambda per character). */
-  private val q43: Q = (s, d) => {
-    graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, d)
-      .select(col("doc_id"), expr("graft_fingerprint(text)").as("fingerprint"))
-      .orderBy(col("doc_id"))
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol), expr(s"graft_fingerprint($textCol)").as("fingerprint"))
   }
+
+  private val q43: Q = (s, d) =>
+    fingerprint(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
 
   /** Language ID by trigram-profile scoring (rows-only check: float log-score
     * argmax is not stably hashable cross-engine). Builds per-lang trigram
@@ -90,12 +99,11 @@ object TextAnalysis {
     * sum of log-frequencies of its trigrams under each profile, predicts the
     * argmax lang. At 100 TB the profile side stays tiny (langs × trigrams) —
     * broadcast join — while the doc side streams. */
-  private val q44: Q = (s, d) => {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val tri = docs.select(col("doc_id"), col("lang"), explode(
-        expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
-        .as("trigram"))
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val s = docs.sparkSession
+    val tri = docs.select(col(idCol), col(labelCol).as("lang"),
+        explode(expr(trigramsOf(textCol))).as("trigram"))
       .filter(length(col("trigram")) === 3)
     // Profile: P(trigram | lang) with add-one smoothing — built distributed,
     // then collected + broadcast as the scoring model. The model side is
@@ -135,22 +143,25 @@ object TextAnalysis {
       while (j < ls.length) { if (scores(j) > scores(best)) best = j; j += 1 }
       ls(best)
     }
-    docs.select(col("doc_id"), col("lang").as("true_lang"),
-        predict(col("text")).as("predicted_lang"))
-      .orderBy(col("doc_id"))
+    docs.select(col(idCol), col(labelCol).as("true_lang"),
+        predict(col(textCol)).as("predicted_lang"))
   }
+
+  private val q44: Q = (s, d) =>
+    langId(Tables.documents(s, d), "doc_id", "text", "lang").orderBy(col("doc_id"))
 
   /** Token counting two ways: whitespace split vs a BPE-ish regex lexer
     * (alpha runs / single digits / other non-space) — the sub-word-style
     * count a tokenizer-budget estimator needs. */
-  private val q45: Q = (s, d) =>
-    Tables.documents(s, d)
-      .withColumn("n_ws", size(expr(toksExpr)))
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("n_ws", size(expr(toksOf(textCol))))
       .withColumn("n_re",
-        size(expr("""regexp_extract_all(text, '([a-z]+|[0-9]|\\S)', 1)""")))
-      .select(col("doc_id"), col("n_ws"), col("n_re"),
+        size(expr(s"""regexp_extract_all($textCol, '([a-z]+|[0-9]|\\\\S)', 1)""")))
+      .select(col(idCol), col("n_ws"), col("n_re"),
         round(col("n_re").cast("double") / col("n_ws"), 4).as("re_per_ws"))
-      .orderBy(col("doc_id"))
+
+  private val q45: Q = (s, d) =>
+    tokenCounts(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
 
   val queries: Map[String, Q] = Map(
     "q45_regex_tokens" -> q45,
