@@ -119,6 +119,66 @@ object BytePolyImpl {
   }
 }
 
+/** Winnowing fingerprint (MOSS): polynomial hashes of all k-byte grams, then
+  * the min of each w-hash sliding window, distinct + sorted. Same integer
+  * algebra as the HOF/DuckDB formulation (hash = BytePoly(31, 1e9+7) of the
+  * gram; short inputs degrade to one gram/window), but one tight Java pass —
+  * the HOF form re-evaluates an interpreted lambda per gram. */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowImpl.winnow(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowImpl.winnow($c.getBytes(), $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowImpl {
+  private val Mod = 1000000007L
+
+  def winnow(bytes: Array[Byte], k: Int, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = bytes.length
+    val m = math.max(n - k + 1, 1) // gram count (short input → 1 short gram)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) { acc = (acc * 31 + (bytes(j) & 0xffL)) % Mod; j += 1 }
+      hs(i) = acc
+      i += 1
+    }
+    val numW = math.max(m - w + 1, 1)
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    var j2 = 0
+    while (j2 < numW) {
+      var mn = Long.MaxValue
+      var t = j2
+      val end = math.min(j2 + w, m)
+      while (t < end) { if (hs(t) < mn) mn = hs(t); t += 1 }
+      mins.add(mn)
+      j2 += 1
+    }
+    val out = new Array[Long](mins.size)
+    val it = mins.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object GraftFunctions {
   /** Idempotent per-session registration; afterwards the functions are
     * available to SQL and `expr(...)`. */
@@ -134,5 +194,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_frame_sum16", exprs => BytePoly(exprs.head, 1L, Long.MaxValue, 16),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_winnow", exprs => WinnowFingerprint(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

@@ -163,8 +163,25 @@ object TextAnalysis {
   private val q45: Q = (s, d) =>
     tokenCounts(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
 
+  /** Winnowing fingerprints (MOSS-style): polynomial hashes of all k-char
+    * grams, then the minimum hash of each w-hash window; the distinct sorted
+    * mins are the document's robust fingerprint set — stable under local
+    * edits, the unit of content-defined near-dup detection. Pure integer
+    * algebra on both engines (graft_fingerprint = the registered BytePoly
+    * expression, reused inside the HOF lambda). */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      expr(s"graft_winnow($textCol, $k, $w)").as("fingerprints"))
+  }
+
+  private val q46: Q = (s, d) =>
+    winnow(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "q45_regex_tokens" -> q45,
+    "q46_winnowing" -> q46,
     "q40_token_stats" -> q40,
     "q41_trigram_profile" -> q41,
     "q42_quality_score" -> q42,
@@ -173,6 +190,21 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q46_winnowing" -> """
+      WITH h AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                 i -> list_reduce(
+                        list_concat([CAST(0 AS BIGINT)],
+                          list_transform(range(CAST(i AS INT), CAST(i AS INT) + 8),
+                            c -> CAST(ascii(substr(text, CAST(c AS INT), 1)) AS BIGINT))),
+                        (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+        FROM documents)
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                 j -> list_min(hs[CAST(j AS INT):CAST(j AS INT) + 3])))) AS fingerprints
+      FROM h ORDER BY doc_id""",
     "q45_regex_tokens" -> """
       SELECT doc_id,
              CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_ws,
