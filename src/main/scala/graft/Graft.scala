@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+
+/** Single-import facade over the engine's library API — the surface a user
+  * of the reference framework (or of any data-pipeline toolkit) programs
+  * against. Each method delegates to the operator modules; see README.md
+  * "Library API" and COVERAGE.md for the full inventory and guarantees.
+  */
+object Graft {
+  import operators._
+
+  /** Register graft's native SQL functions (cosine_sim, graft_fingerprint,
+    * graft_checksum997, graft_frame_sum16, graft_winnow) on the session. */
+  def init(spark: SparkSession): Unit = functions.GraftFunctions.register(spark)
+
+  // dedup
+  def exactDedup(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    Dedup.exactDedup(df, idCol, keyCol)
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+      minEst: Double = 0.35): DataFrame = Dedup.minHashLsh(df, idCol, textCol, minEst)
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.simHash(df, idCol, textCol)
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      minJ: Double = 0.5): DataFrame = Dedup.ngramJaccard(df, idCol, textCol, minJ)
+
+  // similarity search
+  def knn(df: DataFrame, idCol: String, vecCol: String, isQuery: Column,
+      k: Int = 10): DataFrame = Similarity.knnBruteForce(df, idCol, vecCol, isQuery, k)
+  def similarPairs(df: DataFrame, idCol: String, vecCol: String,
+      topN: Int = 20): DataFrame = Similarity.topPairs(df, idCol, vecCol, topN)
+  def annLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      isQuery: Column, k: Int): DataFrame =
+    Similarity.annLsh(df, idCol, vecCol, dim, isQuery, k)
+  def annIvf(df: DataFrame, idCol: String, partCol: String, vecCol: String,
+      isQuery: Column, k: Int = 10, nprobe: Int = 3): DataFrame =
+    Similarity.ivfSearch(df, idCol, partCol, vecCol, isQuery, k, nprobe)
+  def centroids(df: DataFrame, partCol: String, vecCol: String): DataFrame =
+    Similarity.centroids(df, partCol, vecCol)
+
+  // text analysis
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.tokenStats(df, idCol, textCol)
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.qualityScore(df, idCol, textCol)
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.fingerprint(df, idCol, textCol)
+  def winnow(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+      w: Int = 4): DataFrame = TextAnalysis.winnow(df, idCol, textCol, k, w)
+  def langId(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = TextAnalysis.langId(df, idCol, textCol, labelCol)
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.tokenCounts(df, idCol, textCol)
+
+  // joins / aggregation helpers
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, valueCols: Seq[String]): DataFrame =
+    AsOf.asofJoin(left, right, keyCol, timeCol, valueCols)
+  def saltedAggregate(df: DataFrame, keyCol: String, sumCol: String,
+      salts: Int): DataFrame = Skew.saltedAggregate(df, keyCol, sumCol, salts)
+
+  // reference-parity
+  def mapReduce[K, V, O](mappers: Int, reducers: Int,
+      mapper: String => IterableOnce[(K, V)],
+      reducer: (K, Iterator[V]) => IterableOnce[O]): MapReduceJob[K, V, O] =
+    MapReduceJob(mappers, reducers, mapper, reducer)
+  def minimalUniquePrefix(spark: SparkSession, lines: Dataset[String]): Option[Int] =
+    UniquePrefix.solve(spark, lines)
+}

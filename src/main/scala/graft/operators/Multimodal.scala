@@ -58,7 +58,8 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
-      StructField("features", ArrayType(FloatType))))
+      StructField("features", ArrayType(FloatType)),
+      StructField("thumb", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     src.mapPartitions { (it: Iterator[Row]) =>
       // Batched iteration: one decoder instance per partition, reused across
@@ -68,7 +69,7 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         val img = decoder.decode(bytes)
-        Row(id, img.width, img.height, img.features)
+        Row(id, img.width, img.height, img.features, decoder.resize(bytes, 32))
       }
     }(enc).orderBy(col("doc_id"))
   }
@@ -121,5 +122,20 @@ final class DecodeStub {
     var j = 0
     while (j < 8) { hist(j) /= n.toFloat; j += 1 }
     Decoded(width = (sum % 640).toInt + 1, height = (sum % 480).toInt + 1, features = hist)
+  }
+
+  /** STUB resize: nearest-neighbor downsample of the payload to `target`
+    * bytes (a real decoder would resample pixels; the sampling arithmetic
+    * and output shape are what the pipeline contract needs). */
+  def resize(payload: Array[Byte], target: Int): Array[Byte] = {
+    // ??? ← a real implementation would resample decoded pixels here.
+    if (payload.isEmpty) return new Array[Byte](0)
+    val out = new Array[Byte](target)
+    var i = 0
+    while (i < target) {
+      out(i) = payload((i.toLong * payload.length / target).toInt)
+      i += 1
+    }
+    out
   }
 }

@@ -100,7 +100,7 @@ class PipelineOpsSpec extends SparkSpec {
   test("decode stub pipeline: schema, determinism, histogram sums to 1") {
     val df = Multimodal.queries("q71_decode_features")(spark, sf0001)
     assert(df.schema.fieldNames.sameElements(
-      Array("doc_id", "width", "height", "features")))
+      Array("doc_id", "width", "height", "features", "thumb")))
     val rows = df.collect()
     assert(rows.length == 500)
     rows.foreach { r =>
@@ -108,6 +108,7 @@ class PipelineOpsSpec extends SparkSpec {
       assert(f.length == 8)
       assert(math.abs(f.sum - 1.0f) < 1e-3, s"histogram not normalized: $f")
       assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("height") >= 1)
+      assert(r.getAs[Array[Byte]]("thumb").length == 32, "resize stub shape")
     }
   }
 
