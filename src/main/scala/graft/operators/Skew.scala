@@ -37,6 +37,24 @@ object Skew {
       .select(col("l_returnflag"), col("n"), round(col("total"), 2).as("total"))
       .orderBy(col("l_returnflag"))
 
+  /** Salted join for a skewed key distribution: the (big, skewed) left side
+    * gets a pseudo-random salt appended to its key; the (small) right side
+    * is exploded to every salt value, so each hot key's rows spread across
+    * `salts` partitions while join semantics are unchanged. Classic manual
+    * complement to AQE's skew-join splitting (which needs the skew to be
+    * visible in map-output sizes); result-identical to the plain join. */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val explodedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
+    saltedLeft.join(explodedRight,
+        saltedLeft(leftKey) === explodedRight(rightKey) &&
+          saltedLeft("_salt") === explodedRight("_salt"))
+      .drop("_salt")
+  }
+
   val queries: Map[String, Q] = Map("q32_salted_agg" -> q32)
 
   val oracles: Map[String, String] = Map(
