@@ -387,12 +387,40 @@ object Relational {
       .orderBy(col("op"))
   }
 
+  /** Ordered string aggregation (listagg / string_agg). */
+  private val q38: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql("""
+      SELECT c_nationkey,
+             listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names
+      FROM customer WHERE c_custkey < 200
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey
+    """)
+  }
+
+  /** LATERAL correlated subquery: top-2 customers per nation by balance. */
+  private val q39: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql("""
+      SELECT n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+      FROM nation,
+      LATERAL (SELECT c_name, c_acctbal FROM customer
+               WHERE c_nationkey = n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY n_name, acctbal DESC, c_name
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
     "q33_from_json" -> q33,
     "q34_range_frame" -> q34,
     "q35_unpivot" -> q35,
     "q36_band_join" -> q36,
     "q37_multiset_ops" -> q37,
+    "q38_listagg" -> q38,
+    "q39_lateral" -> q39,
     "q25_percentiles" -> q25,
     "q26_pivot" -> q26,
     "q27_minmax_by" -> q27,
@@ -430,6 +458,17 @@ object Relational {
   // for timestamp-valued outputs.
 
   val oracles: Map[String, String] = Map(
+    "q38_listagg" -> """
+      SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
+      FROM customer WHERE c_custkey < 200
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q39_lateral" -> """
+      SELECT n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+      FROM nation,
+      LATERAL (SELECT c_name, c_acctbal FROM customer
+               WHERE c_nationkey = n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY n_name, acctbal DESC, c_name""",
     "q36_band_join" -> """
       WITH tiers(tier, lo, hi) AS (VALUES
         ('bronze', 0.0, 100000.0), ('silver', 100000.0, 250000.0),

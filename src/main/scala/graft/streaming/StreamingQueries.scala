@@ -88,11 +88,31 @@ object StreamingQueries {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Time-series gap fill: per user (< 5), a complete hourly grid between
+    * their first and last event, zero-filled where no events landed —
+    * the densification step before any rolling/window model. */
+  private val q84: Q = (s, d) => {
+    val ev = Tables.events(s, d).filter(col("user_id") < 5)
+      .withColumn("h", date_trunc("hour", col("ts")))
+    val bounds = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = bounds.select(col("user_id"),
+      explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val counts = ev.groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    grid.join(counts, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total"), lit(0.0)).as("total"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q80_tumbling_window" -> q80,
     "q81_session_window" -> q81,
     "q82_stream_tumbling" -> q82,
     "q83_sliding_window" -> q83,
+    "q84_gap_fill" -> q84,
   )
 
   private val tumblingOracle = """
@@ -106,6 +126,18 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     "q80_tumbling_window" -> tumblingOracle,
     "q82_stream_tumbling" -> tumblingOracle,
+    "q84_gap_fill" -> """
+      WITH ev AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+                  FROM events WHERE user_id < 5),
+      b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY user_id),
+      grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+               FROM b),
+      c AS (SELECT user_id, h, count(*) AS n, round(sum(value), 2) AS total
+            FROM ev GROUP BY user_id, h)
+      SELECT g.user_id, CAST(g.h AS TIMESTAMP) AS hour,
+             coalesce(c.n, 0) AS n, coalesce(c.total, 0.0) AS total
+      FROM grid g LEFT JOIN c ON g.user_id = c.user_id AND g.h = c.h
+      ORDER BY g.user_id, hour""",
     "q83_sliding_window" -> """
       SELECT ws AS window_start, event_type, count(*) AS n,
              round(sum(value), 2) AS total
