@@ -23,6 +23,8 @@ object Graft {
     Dedup.simHash(df, idCol, textCol)
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       minJ: Double = 0.5): DataFrame = Dedup.ngramJaccard(df, idCol, textCol, minJ)
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 20): DataFrame = Dedup.connectedComponents(edges, src, dst, maxIter)
 
   // similarity search
   def knn(df: DataFrame, idCol: String, vecCol: String, isQuery: Column,

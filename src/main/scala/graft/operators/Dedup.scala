@@ -151,6 +151,46 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Connected components over a pair/edge DataFrame by min-label
+    * propagation: every node starts labeled with itself; each iteration
+    * takes the min of its own and its neighbors' labels; fixpoint = the
+    * component id (the component's min node id).
+    *
+    * This is the grouping step of real near-dup dedup at scale — candidate
+    * pairs (from LSH or exact Jaccard) form a graph and each component keeps
+    * one document. The driver-side convergence loop is the same iterative
+    * multi-job shape as the reference's prefix-length loop (main.cpp:30-68,
+    * SURVEY O12), with each iteration one join+aggregate — O(diameter)
+    * rounds, which for near-dup graphs (small components) is 2–3. */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col(src).as("a"), col(dst).as("b"))
+      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = und.join(labels, und("b") === labels("id"))
+        .groupBy(und("a").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      val newLabels = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = newLabels.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = newLabels
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist()
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
   // ------------------------------------------------- fixture-bound queries
 
   val queries: Map[String, Q] = Map(
@@ -164,6 +204,11 @@ object Dedup {
     "q53_ngram_jaccard" -> ((s, d) =>
       ngramJaccard(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("id1"), col("id2"))),
+    "q54_neardup_components" -> ((s, d) =>
+      connectedComponents(
+        ngramJaccard(Tables.documents(s, d), "doc_id", "text"), "id1", "id2")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -239,5 +284,26 @@ object Dedup {
       WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(x.sh, y.sh))), 4) >= 0.5
       ORDER BY id1, id2""",
+    "q54_neardup_components" -> """
+      WITH RECURSIVE
+      toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+               FROM documents),
+      sets AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2])) AS sh
+               FROM toks),
+      edges AS (
+        SELECT x.doc_id AS id1, y.doc_id AS id2
+        FROM sets x JOIN sets y ON x.doc_id < y.doc_id
+        WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.sh, y.sh))), 4) >= 0.5),
+      und AS (SELECT id1 AS a, id2 AS b FROM edges
+              UNION SELECT id2 AS a, id1 AS b FROM edges),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+      SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+      FROM reach GROUP BY a ORDER BY doc_id""",
   )
 }

@@ -86,6 +86,23 @@ class PipelineOpsSpec extends SparkSpec {
       s"IVF mechanism drift; only-got=${(got diff expected).take(3)} only-exp=${(expected diff got).take(3)}")
   }
 
+  test("connected components: edge endpoints share components, labels are minima") {
+    val edges = Dedup.queries("q53_ngram_jaccard")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = Dedup.queries("q54_neardup_components")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"edge ($a,$b) split across components")
+    }
+    comp.foreach { case (id, c) =>
+      assert(c <= id, "component label must be the component's min id")
+      assert(comp(c) == c, "the component representative labels itself")
+    }
+    // exactly the nodes that appear in edges are labeled
+    assert(comp.keySet == edges.flatMap(e => Seq(e._1, e._2)).toSet)
+  }
+
   test("lang-id predicts only known languages and is deterministic") {
     val df = TextAnalysis.queries("q44_lang_id")(spark, sf0001)
     val langs = Tables.documents(spark, sf0001).select("lang").distinct()
