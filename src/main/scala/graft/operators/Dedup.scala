@@ -191,6 +191,21 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("component"))
   }
 
+  /** The end-to-end near-dup dedup pipeline, composed: MinHash-LSH candidate
+    * pairs → connected components → keeper per document (component minimum;
+    * documents with no near-dup keep themselves). This is the operator a
+    * training-data pipeline actually runs: one pass of map-side hashing, one
+    * banding join, O(diameter) label rounds — no quadratic stage anywhere. */
+  def dedupNearDup(df: DataFrame, idCol: String, textCol: String,
+      minEst: Double = 0.35): DataFrame = {
+    val pairs = minHashLsh(df, idCol, textCol, minEst)
+    val comp = connectedComponents(pairs, "id1", "id2")
+    df.select(col(idCol))
+      .join(comp, df(idCol) === comp("id"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("keeper_id"))
+  }
+
   // ------------------------------------------------- fixture-bound queries
 
   val queries: Map[String, Q] = Map(
@@ -208,6 +223,9 @@ object Dedup {
       connectedComponents(
         ngramJaccard(Tables.documents(s, d), "doc_id", "text"), "id1", "id2")
         .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))),
+    "q55_dedup_pipeline" -> ((s, d) =>
+      dedupNearDup(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
   )
 
@@ -231,13 +249,8 @@ object Dedup {
                       i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2]))) AS s
              FROM toks)"""
 
-  val oracles: Map[String, String] = Map(
-    "q50_exact_dedup" -> """
-      SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper_id,
-             doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
-      FROM documents ORDER BY doc_id""",
-    "q51_minhash_lsh" -> s"""
-      WITH $duckShingles,
+  /** The MinHash CTE chain shared by the q51 and q55 oracles. */
+  private val duckMinhashCtes = s"""$duckShingles,
       h AS (SELECT doc_id, (${duckH60("s")}) % $P AS hv FROM sh),
       perms(pid, a, b) AS (VALUES $permsValues),
       mh AS (SELECT doc_id, pid, min((a * hv + b) % $P) AS m
@@ -254,9 +267,31 @@ object Dedup {
                            / $NumPerms, 4) AS est_jaccard
               FROM cand
               JOIN sig s1 ON s1.doc_id = id1
-              JOIN sig s2 ON s2.doc_id = id2)
+              JOIN sig s2 ON s2.doc_id = id2)"""
+
+  val oracles: Map[String, String] = Map(
+    "q50_exact_dedup" -> """
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper_id,
+             doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+      FROM documents ORDER BY doc_id""",
+    "q51_minhash_lsh" -> s"""
+      WITH $duckMinhashCtes
       SELECT id1, id2, est_jaccard FROM est
       WHERE est_jaccard >= 0.35 ORDER BY id1, id2""",
+    "q55_dedup_pipeline" -> s"""
+      WITH RECURSIVE $duckMinhashCtes,
+      pairs AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.35),
+      und AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION SELECT id2 AS a, id1 AS b FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      comp AS (SELECT a AS id, CAST(least(a, min(b)) AS BIGINT) AS component
+               FROM reach GROUP BY a)
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS keeper_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+      ORDER BY d.doc_id""",
     "q52_simhash" -> s"""
       WITH tok AS (
         SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
