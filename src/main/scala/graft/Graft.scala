@@ -25,6 +25,8 @@ object Graft {
       minJ: Double = 0.5): DataFrame = Dedup.ngramJaccard(df, idCol, textCol, minJ)
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 20): DataFrame = Dedup.connectedComponents(edges, src, dst, maxIter)
+  def dedupNearDup(df: DataFrame, idCol: String, textCol: String,
+      minEst: Double = 0.35): DataFrame = Dedup.dedupNearDup(df, idCol, textCol, minEst)
 
   // similarity search
   def knn(df: DataFrame, idCol: String, vecCol: String, isQuery: Column,
