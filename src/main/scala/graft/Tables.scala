@@ -42,7 +42,13 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register all tables as temp views so spark.sql(...) queries (grouping
-    * sets, EXISTS subqueries) can name them exactly as the DuckDB oracle does. */
+    * sets, EXISTS subqueries) can name them exactly as the DuckDB oracle does.
+    * `events` goes through [[events]] (nanos→µs conversion) — the raw parquet
+    * would fail to read (PARQUET_TYPE_ILLEGAL) and diverge from every events
+    * oracle. */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n        => load(spark, dir, n).createOrReplaceTempView(n)
+    }
 }

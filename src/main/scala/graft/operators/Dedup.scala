@@ -49,12 +49,17 @@ object Dedup {
   private def toksExpr(textCol: String) =
     s"filter(split($textCol, ' '), t -> t != '')"
 
-  /** Distinct token 3-gram shingles of `textCol` (requires ≥3 tokens/doc). */
+  /** Distinct token 3-gram shingles of `textCol`. Documents with fewer than
+    * 3 tokens yield no shingles (empty array → explode drops them) — the same
+    * empty-set behavior as DuckDB's `range(1, len-1)`; an unguarded
+    * `sequence(1, size-2)` would auto-step -1 and index element 0 (ANSI
+    * error) on short docs. */
   private def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("toks", expr(toksExpr(textCol)))
       .select(col(idCol), explode(expr(
-        """array_distinct(transform(sequence(1, size(toks) - 2),
-             i -> concat(element_at(toks, i), '_', element_at(toks, i + 1), '_', element_at(toks, i + 2))))"""))
+        """CASE WHEN size(toks) < 3 THEN array()
+           ELSE array_distinct(transform(sequence(1, size(toks) - 2),
+             i -> concat(element_at(toks, i), '_', element_at(toks, i + 1), '_', element_at(toks, i + 2)))) END"""))
         .as("sh"))
 
   // ------------------------------------------------------------ library API
@@ -126,18 +131,36 @@ object Dedup {
     * and never touches quadratic array ops — linear in index postings.
     *
     * Shingle identity = xxhash64 of the token triple (no concat string);
-    * collisions are ~|V|²/2⁶⁵ — negligible at any vocabulary. The index is
-    * persisted: both self-join branches and the size aggregate read it
-    * (Spark would otherwise recompute the interpreted-HOF shingling per
-    * branch). */
+    * collisions are ~|V|²/2⁶⁵ — negligible at any vocabulary.
+    *
+    * Skew guard: a shingle occurring in f documents contributes f² join rows,
+    * so one boilerplate shingle across a 100 TB corpus is a fatal hot key.
+    * Shingles with document frequency > `maxDf` are excluded from the
+    * similarity computation entirely (index AND set sizes — J stays
+    * consistent over the retained sets). The df count rides a window over the
+    * same hash-partitioning the self-join needs, so the guard adds no extra
+    * shuffle of the postings.
+    *
+    * The index is materialized once via `localCheckpoint` (eager): both
+    * self-join branches and the size aggregate read it — Spark would
+    * otherwise recompute the interpreted-HOF shingling per branch — and
+    * unlike `persist` the blocks are released by the ContextCleaner when the
+    * plan is garbage-collected, so repeated calls in a long session don't
+    * accumulate cache. (On a multi-executor cluster you'd use a reliable
+    * `checkpoint` dir instead; local blocks die with an executor.) */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      minJ: Double = 0.5): DataFrame = {
-    val inv = df.withColumn("toks", expr(toksExpr(textCol)))
+      minJ: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    val postings = df.withColumn("toks", expr(toksExpr(textCol)))
       .select(col(idCol), explode(expr(
-        """array_distinct(transform(sequence(1, size(toks) - 2),
-             i -> xxhash64(element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"""))
+        """CASE WHEN size(toks) < 3 THEN array()
+           ELSE array_distinct(transform(sequence(1, size(toks) - 2),
+             i -> xxhash64(element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))) END"""))
         .as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = postings
+      .withColumn("df_", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df_") <= maxDf)
+      .drop("df_")
+      .localCheckpoint()
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     inv.as("x").join(inv.as("y"),
         col("x.s") === col("y.s") && col(s"x.$idCol") < col(s"y.$idCol"))
@@ -160,34 +183,39 @@ object Dedup {
     * pairs (from LSH or exact Jaccard) form a graph and each component keeps
     * one document. The driver-side convergence loop is the same iterative
     * multi-job shape as the reference's prefix-length loop (main.cpp:30-68,
-    * SURVEY O12), with each iteration one join+aggregate — O(diameter)
-    * rounds, which for near-dup graphs (small components) is 2–3. */
+    * SURVEY O12) — O(diameter) rounds, which for near-dup graphs (small
+    * components) is 2–3.
+    *
+    * Loop cost per round = ONE materializing action: the label update keeps
+    * the previous label alongside the new one, `localCheckpoint` (eager)
+    * materializes it with truncated lineage (no AQE replanning of an
+    * ever-deeper chain; blocks are ContextCleaner-released on GC, unlike
+    * `persist`), and convergence is a `where(new < prev).isEmpty` probe over
+    * the already-cached blocks — no second join, no recompute. On a
+    * multi-executor cluster swap `localCheckpoint` for a reliable
+    * `checkpoint` dir (local blocks die with their executor). */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 20): DataFrame = {
     val und = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = und.join(labels, und("b") === labels("id"))
         .groupBy(und("a").as("nid")).agg(min(col("lbl")).as("nlbl"))
-      val newLabels = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = newLabels.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist()
-      labels = newLabels
-      converged = changed == 0
+      val upd = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(col("id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = upd.where(col("lbl") < col("prev")).isEmpty
+      labels = upd.select(col("id"), col("lbl"))
       iter += 1
     }
-    und.unpersist()
     labels.select(col("id"), col("lbl").as("component"))
   }
 

@@ -135,16 +135,25 @@ final case class MapReduceJob[K, V, O](
         val in = it.buffered
         new Iterator[O] {
           private var current: Iterator[O] = Iterator.empty
+          // The values iterator of the key currently being emitted. Only
+          // drained once `current` is exhausted — a reducer may return a LAZY
+          // iterator derived from vs (e.g. vs.map(...)), so draining eagerly
+          // right after calling the reducer would consume the values out from
+          // under it and silently emit nothing.
+          private var pendingVs: Iterator[V] = Iterator.empty
           private def advance(): Unit = {
             while (!current.hasNext && in.hasNext) {
-              val k = in.head._1
-              // Values of one key: consume while the head key matches.
-              val vs = new Iterator[V] {
-                def hasNext = in.hasNext && in.head._1 == k
-                def next() = in.next()._2
+              while (pendingVs.hasNext) pendingVs.next() // skip to next key
+              if (in.hasNext) {
+                val k = in.head._1
+                // Values of one key: consume while the head key matches.
+                val vs = new Iterator[V] {
+                  def hasNext = in.hasNext && in.head._1 == k
+                  def next() = in.next()._2
+                }
+                pendingVs = vs
+                current = r(k, vs).iterator
               }
-              current = r(k, vs).iterator
-              while (vs.hasNext) vs.next() // drain if reducer didn't
             }
           }
           def hasNext: Boolean = { advance(); current.hasNext }
@@ -199,12 +208,12 @@ object UniquePrefix {
       .repartitionByRange(n, col("value"))
       .sortWithinPartitions(col("value"))
       .as[String]
-    // (maxLcp, hasDup, first, last) per non-empty partition
+    // (maxLcp, hasDup, first, last, maxLen) per non-empty partition
     val stats = sorted.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
         var first: String = null; var prev: String = null
-        var maxLcp = 0; var dup = false
+        var maxLcp = 0; var dup = false; var maxLen = 0
         while (it.hasNext) {
           val cur = it.next()
           if (first == null) first = cur
@@ -212,9 +221,10 @@ object UniquePrefix {
             if (cur == prev) dup = true
             maxLcp = math.max(maxLcp, lcp(prev, cur))
           }
+          maxLen = math.max(maxLen, cur.length)
           prev = cur
         }
-        Iterator.single((maxLcp, dup, first, prev))
+        Iterator.single((maxLcp, dup, first, prev, maxLen))
       }
     }.collect() // ≤ numPartitions rows — the O10-style tiny driver result
     if (stats.isEmpty) return None
@@ -223,12 +233,16 @@ object UniquePrefix {
     // Boundary pairs: last of partition i vs first of partition i+1.
     // repartitionByRange gives ordered, non-overlapping ranges.
     stats.sliding(2).foreach {
-      case Array((_, _, _, lastA), (_, _, firstB, _)) =>
+      case Array((_, _, _, lastA, _), (_, _, firstB, _, _)) =>
         if (lastA == firstB) dup = true
         maxLcp = math.max(maxLcp, lcp(lastA, firstB))
       case _ =>
     }
-    val full = stats.map(s => math.max(s._3.length, s._4.length)).max
+    // `full` = true max line length (an interior line can be the longest, so
+    // first/last lengths alone would under-count and falsely return None for
+    // inputs like ["b", "caaax", "caaay", "d"]). For distinct lines
+    // maxLcp < full always holds; the check only guards degenerate inputs.
+    val full = stats.map(_._5).max
     if (dup || maxLcp >= full) None else Some(maxLcp + 1)
   }
 

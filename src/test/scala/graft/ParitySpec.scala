@@ -60,6 +60,29 @@ class ParitySpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("MapReduceJob supports reducers returning a LAZY iterator over vs") {
+    val lines = spark.createDataset(Seq("k1 k2 k1", "k2 k1 k3"))
+    val job = MapReduceJob[String, Long, (String, Long)](
+      mappers = 2, reducers = 2,
+      mapper = l => l.split(' ').iterator.map(t => (t, 1L)),
+      // lazy: the output iterator pulls from vs only as it is consumed
+      reducer = (k, vs) => vs.map(v => (k, v * 10L)))
+    val got = job.run(spark, lines).collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    assert(got == Map(
+      "k1" -> Seq(10L, 10L, 10L), "k2" -> Seq(10L, 10L), "k3" -> Seq(10L)))
+  }
+
+  test("solve: interior adjacent pair can carry the max LCP (no false None)") {
+    // max LCP (9) comes from an interior pair and exceeds both partition-edge
+    // line lengths — a first/last-only `full` would falsely return None.
+    val lines = Seq("b", "caaaaaaaax", "caaaaaaaay", "d")
+    val ds = spark.createDataset(lines)
+    assert(UniquePrefix.solve(spark, ds, partitions = 1) === Some(10))
+    assert(UniquePrefix.solve(spark, ds, partitions = 3) === Some(10))
+    assert(UniquePrefix.bruteForce(lines) === Some(10))
+  }
+
   test("MapReduceJob reducer sees each key's values grouped and complete") {
     val lines = spark.createDataset(Seq("k1 k2 k1", "k2 k1 k3"))
     val job = MapReduceJob[String, Long, (String, Long)](

@@ -129,6 +129,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup ops tolerate documents with fewer than 3 tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one"), (2L, "two words"), (3L, ""),
+      (4L, "a b c d e f g"), (5L, "a b c d e f g")).toDF("doc_id", "text")
+    // short docs simply produce no shingles (matches the oracle's range(1,
+    // len-1) empty-list behavior) — must not throw element_at(toks, 0)
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text").collect()
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((4L, 5L)))
+    val jac = Dedup.ngramJaccard(docs, "doc_id", "text").collect()
+    assert(jac.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Set((4L, 5L, 1.0)))
+  }
+
+  test("ngramJaccard df-cap drops frequent shingles from the join fan-out") {
+    import spark.implicits._
+    // 'x y z' appears in every doc (boilerplate); each doc also has a unique
+    // tail. With maxDf=2 the boilerplate shingle is excluded from index and
+    // sizes, so no pair reaches J >= 0.5 through it.
+    val docs = (1L to 6L).map(i => (i, s"x y z u$i v$i w$i")).toDF("doc_id", "text")
+    val guarded = Dedup.ngramJaccard(docs, "doc_id", "text", minJ = 0.1, maxDf = 2)
+    assert(guarded.count() == 0, "frequent shingle must not generate pairs")
+    val unguarded = Dedup.ngramJaccard(docs, "doc_id", "text", minJ = 0.1, maxDf = 1000)
+    assert(unguarded.count() == 6L * 5 / 2, "default cap keeps exact semantics")
+  }
+
   test("exact dedup keeper: keeper_id <= doc_id and keepers are fixpoints") {
     val rows = Dedup.queries("q50_exact_dedup")(spark, sf0001).collect()
     val keeper = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
