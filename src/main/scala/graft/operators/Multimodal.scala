@@ -71,7 +71,15 @@ object Multimodal {
         val img = decoder.decode(bytes)
         Row(id, img.width, img.height, img.features, decoder.resize(bytes, 32))
       }
-    }(enc).orderBy(col("doc_id"))
+    }(enc)
+      // Canonicalize the array/binary columns to strings so the driver's
+      // rows check (pandas-based, cannot hash arrays) can consume the dump;
+      // the typed shape above is what a downstream pipeline would consume.
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("array_join(transform(features, x -> cast(cast(x as decimal(12,6)) as string)), ',')")
+          .as("features"),
+        hex(col("thumb")).as("thumb"))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -315,12 +315,17 @@ object Relational {
         round(max(col("o_totalprice")), 2).as("top_price"))
       .orderBy(col("o_orderstatus"))
 
-  /** Ordered array_agg with array slicing: first 3 orders per customer. */
+  /** Ordered array_agg with array slicing: first 3 orders per customer.
+    * The array is canonicalized to a comma-joined string on output (both
+    * engines) so the driver's hash compare — which cannot hash array
+    * columns — consumes it. */
   private val q28: Q = (s, d) =>
     Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(expr(
-        "slice(transform(sort_array(collect_list(struct(o_orderdate, o_orderkey))), x -> x.o_orderkey), 1, 3)")
+        """array_join(transform(
+             slice(transform(sort_array(collect_list(struct(o_orderdate, o_orderkey))), x -> x.o_orderkey), 1, 3),
+             x -> cast(x as string)), ',')""")
         .as("first_orders"))
       .orderBy(col("o_custkey"))
 
@@ -527,7 +532,7 @@ object Relational {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q28_array_agg" -> """
       SELECT o_custkey,
-             (list(o_orderkey ORDER BY o_orderdate, o_orderkey))[1:3] AS first_orders
+             array_to_string((list(o_orderkey ORDER BY o_orderdate, o_orderkey))[1:3], ',') AS first_orders
       FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,

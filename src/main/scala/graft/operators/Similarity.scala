@@ -174,10 +174,16 @@ object Similarity {
     "q61_embedding_neardup" -> ((s, d) =>
       topPairs(Tables.embeddings(s, d), "vec_id", "embedding")),
     "q62_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    // Centroid canonicalized to a comma-joined fixed-scale-decimal string
+    // (both engines) so the driver's hash compare — which cannot hash array
+    // columns — consumes it; decimal(12,5) renders identically in Spark
+    // (BigDecimal.toPlainString) and DuckDB (fixed-scale varchar).
     "q63_label_centroids" -> ((s, d) =>
       centroids(Tables.embeddings(s, d), "label", "embedding")
         .select(col("label"),
-          expr("transform(centroid, x -> round(cast(x as double), 5))").as("centroid"))
+          expr("""array_join(transform(centroid,
+                    x -> cast(cast(round(cast(x as double), 5) as decimal(12,5)) as string)), ',')""")
+            .as("centroid"))
         .orderBy(col("label"))),
     "q64_ann_ivf" -> ((s, d) =>
       ivfSearch(Tables.embeddings(s, d), "vec_id", "label", "embedding",
@@ -223,7 +229,8 @@ object Similarity {
       p AS (SELECT label, CAST(z[1] AS INT) AS pos, CAST(z[2] AS DOUBLE) AS v
             FROM ex),
       a AS (SELECT label, pos, avg(v) AS av FROM p GROUP BY label, pos)
-      SELECT label, list(round(CAST(CAST(av AS FLOAT) AS DOUBLE), 5) ORDER BY pos) AS centroid
+      SELECT label,
+             array_to_string(list(CAST(round(CAST(CAST(av AS FLOAT) AS DOUBLE), 5) AS DECIMAL(12,5)) ORDER BY pos), ',') AS centroid
       FROM a GROUP BY label ORDER BY label""",
   )
 }

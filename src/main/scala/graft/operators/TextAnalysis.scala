@@ -176,8 +176,15 @@ object TextAnalysis {
       expr(s"graft_winnow($textCol, $k, $w)").as("fingerprints"))
   }
 
+  /** Fingerprint set canonicalized to a comma-joined string (both engines)
+    * so the driver's hash compare — which cannot hash array columns —
+    * consumes it; the library API [[winnow]] keeps the typed array. */
   private val q46: Q = (s, d) =>
-    winnow(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
+    winnow(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"),
+        expr("array_join(transform(fingerprints, x -> cast(x as string)), ',')")
+          .as("fingerprints"))
+      .orderBy(col("doc_id"))
 
   val queries: Map[String, Q] = Map(
     "q45_regex_tokens" -> q45,
@@ -201,9 +208,9 @@ object TextAnalysis {
                         (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
         FROM documents)
       SELECT doc_id,
-             list_sort(list_distinct(
+             array_to_string(list_sort(list_distinct(
                list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
-                 j -> list_min(hs[CAST(j AS INT):CAST(j AS INT) + 3])))) AS fingerprints
+                 j -> list_min(hs[CAST(j AS INT):CAST(j AS INT) + 3])))), ',') AS fingerprints
       FROM h ORDER BY doc_id""",
     "q45_regex_tokens" -> """
       SELECT doc_id,

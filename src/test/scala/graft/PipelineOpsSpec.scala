@@ -121,11 +121,13 @@ class PipelineOpsSpec extends SparkSpec {
     val rows = df.collect()
     assert(rows.length == 500)
     rows.foreach { r =>
-      val f = r.getAs[scala.collection.Seq[Float]]("features")
+      // features/thumb are canonicalized to strings for the driver dump:
+      // comma-joined decimal(12,6) histogram bins, hex-encoded thumb bytes.
+      val f = r.getAs[String]("features").split(',').map(_.toFloat)
       assert(f.length == 8)
-      assert(math.abs(f.sum - 1.0f) < 1e-3, s"histogram not normalized: $f")
+      assert(math.abs(f.sum - 1.0f) < 1e-3, s"histogram not normalized: ${f.toSeq}")
       assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("height") >= 1)
-      assert(r.getAs[Array[Byte]]("thumb").length == 32, "resize stub shape")
+      assert(r.getAs[String]("thumb").length == 64, "resize stub shape (32 bytes hex)")
     }
   }
 
