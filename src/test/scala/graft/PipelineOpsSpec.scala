@@ -21,6 +21,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall > 0.05, "LSH found nothing from the exact top-k at all")
   }
 
+  test("topPairs: equals exact ranking restricted to LSH candidate pairs") {
+    // Independent driver-side replay: same 9-decimal plane literals, same
+    // sign rule, exact cosine over candidate pairs only.
+    val vecs = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+    val planes = (0 until 32).map(p => Similarity.planeLits(p, 64).map(_.toDouble))
+    def buckets(v: Array[Float]): Set[(Int, Int)] = (0 until 8).map { t =>
+      t -> (0 until 4).map { i =>
+        val pl = planes(t * 4 + i)
+        var dot = 0.0
+        for (j <- v.indices) dot += v(j).toDouble * pl(j)
+        if (dot >= 0) 1 << i else 0
+      }.sum
+    }.toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bmap = vecs.map { case (id, v) => id -> buckets(v) }.toMap
+    val expected = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs
+      if i < j && (bmap(i) intersect bmap(j)).nonEmpty
+    } yield (cos(vi, vj), i, j))
+      .sortBy { case (c, i, j) => (-c, i, j) }.take(20)
+      .map { case (c, i, j) =>
+        (i, j, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+    val got = Similarity.queries("q61_embedding_neardup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected,
+      s"LSH-candidate top-pairs drift; got=${got.take(3)} exp=${expected.take(3)}")
+  }
+
   test("simhash: identical texts collide, near-dup pair is hamming-close") {
     val sh = Dedup.queries("q52_simhash")(spark, sf001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
