@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Reference-parity layer (SURVEY §2.1, §7.2).
@@ -26,26 +25,62 @@ import graft.Tables
 object Parity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Longest-common-prefix of columns a and b as a codegen-friendly SQL
-    * expression (no UDF): prefix-equality is monotone in n, so the LCP is
-    * the count of n ∈ [1, min(len)] with equal prefixes. */
-  private val lcpExpr =
-    """CASE WHEN b IS NULL OR least(length(a), length(b)) < 1 THEN 0
-       ELSE size(filter(sequence(1, int(least(length(a), length(b)))),
-                        n -> substring(a, 1, n) = substring(b, 1, n))) END"""
-
-  /** Single-pass unique-prefix over customer names, window form: sort, LCP of
-    * each adjacent pair via lead(), answer = max(LCP)+1. One job vs the
-    * reference's L jobs (`main.cpp:30-68`). The oracle-facing query; the
-    * cluster-scale form is [[UniquePrefix.solve]]. */
-  private val q90: Q = (s, d) =>
-    Tables.customer(s, d)
-      .select(col("c_name").as("a"))
-      .withColumn("b", lead(col("a"), 1).over(Window.orderBy(col("a"))))
-      .select(expr(lcpExpr).as("lcp"), (col("a") === col("b")).as("dup"))
-      .agg(
-        (max(col("lcp")) + 1).cast("int").as("minimal_prefix_len"),
-        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_pairs"))
+  /** Single-pass unique-prefix over customer names, scale form: the answer
+    * only depends on *adjacent* pairs in sorted order, so range-repartition,
+    * sort within partitions, fold each partition to (max adjacent LCP,
+    * adjacent-dup count, first, last), then fold the ≤ numPartitions stat
+    * rows — including the partition-boundary pairs — in one tiny task.
+    * One shuffle, no global Window, O(numPartitions) final stage. One job vs
+    * the reference's L jobs (`main.cpp:30-68`); same mechanics as
+    * [[UniquePrefix.solve]] but expressed as a DataFrame for the oracle. */
+  private val q90: Q = (s, d) => {
+    import s.implicits._
+    val n = s.sessionState.conf.numShufflePartitions
+    val stats = Tables.customer(s, d)
+      .select(col("c_name").as("value")).as[String]
+      .repartitionByRange(n, col("value"))
+      .sortWithinPartitions(col("value"))
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          var first: String = null; var prev: String = null
+          var maxLcp = 0; var dups = 0L
+          while (it.hasNext) {
+            val cur = it.next()
+            if (first == null) first = cur
+            else {
+              if (cur == prev) dups += 1
+              maxLcp = math.max(maxLcp, UniquePrefix.lcp(prev, cur))
+            }
+            prev = cur
+          }
+          Iterator.single((maxLcp, dups, first, prev))
+        }
+      }
+      // pid tags each stat row with its physical partition index — range
+      // partition k holds the k-th value range, so sorting the (≤ n) stat
+      // rows by pid restores global value order for the boundary pairs.
+      .toDF("max_lcp", "n_dup", "first", "last")
+      .withColumn("pid", spark_partition_id())
+    stats
+      .coalesce(1).sortWithinPartitions(col("pid"))
+      .select(col("max_lcp"), col("n_dup"), col("first"), col("last"))
+      .as[(Int, Long, String, String)]
+      .mapPartitions { it =>
+        // O(numPartitions) boundary fold: last of range k vs first of k+1.
+        var maxLcp = 0; var dups = 0L; var prevLast: String = null
+        while (it.hasNext) {
+          val (lcpK, dupK, firstK, lastK) = it.next()
+          if (prevLast != null) {
+            if (prevLast == firstK) dups += 1
+            maxLcp = math.max(maxLcp, UniquePrefix.lcp(prevLast, firstK))
+          }
+          maxLcp = math.max(maxLcp, lcpK); dups += dupK; prevLast = lastK
+        }
+        Iterator.single((maxLcp + 1, dups))
+      }
+      .toDF("minimal_prefix_len", "n_dup_pairs")
+  }
 
   /** Word count through the MapReduceJob facade — the canonical MapReduce
     * workload, exercising mapper UDF + shuffle + ordered reducer fold

@@ -77,6 +77,20 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q61 near-dup pairs: LSH bucket equality join, never all-pairs") {
+    val p = Similarity.queries("q61_embedding_neardup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q61 degenerated to an all-pairs product:\n$p")
+  }
+
+  test("q90 unique-prefix: range-partitioned fold, no global Window") {
+    val p = graft.operators.Parity.queries("q90_unique_prefix")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"q90 pulls data through a global window:\n$p")
+    assert(p.contains("rangepartitioning"), s"q90 lost its range repartition:\n$p")
+  }
+
   test("q06/q07: semi/anti joins plan as semi/anti (no row explosion)") {
     assert(plan("q06_semi_join").contains("LeftSemi"), plan("q06_semi_join"))
     assert(plan("q07_anti_join").contains("LeftAnti"), plan("q07_anti_join"))
