@@ -49,8 +49,9 @@ object Multimodal {
 
   /** Decode + feature-extract through the batched partition path (the
     * mapInPandas-shaped plumbing): binary payload → DecodeStub → fixed-width
-    * feature vector. Rows-only check (the features are stub-defined), but the
-    * pipeline — BinaryType in, ArrayType(FloatType) out, batched per
+    * feature vector. The stub is deterministic integer/float32 arithmetic
+    * over the payload bytes, so even this path carries a full DuckDB oracle;
+    * the pipeline — BinaryType in, ArrayType(FloatType) out, batched per
     * partition — is the real thing. */
   private val q71: Q = (s, d) => {
     val src = withPayload(s, d).select(col("doc_id"), col("payload"))
@@ -76,7 +77,7 @@ object Multimodal {
       // rows check (pandas-based, cannot hash arrays) can consume the dump;
       // the typed shape above is what a downstream pipeline would consume.
       .select(col("doc_id"), col("width"), col("height"),
-        expr("array_join(transform(features, x -> cast(cast(x as decimal(12,6)) as string)), ',')")
+        expr("array_join(transform(features, x -> cast(cast(round(cast(x as double), 6) as decimal(12,6)) as string)), ',')")
           .as("features"),
         hex(col("thumb")).as("thumb"))
       .orderBy(col("doc_id"))
@@ -104,7 +105,31 @@ object Multimodal {
                     i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))) AS BIGINT)
                AS frame_sum
       FROM c ORDER BY doc_id""",
-    // q71_decode_features intentionally oracle-free: output is stub-defined.
+    // Replays DecodeStub byte-for-byte over the ASCII payload: byte-sum
+    // dims (sum % 640/480 + 1), 8-bin byte histogram (code >> 5) divided in
+    // float32 then fixed at decimal(12,6), and the nearest-neighbor 32-byte
+    // thumb sample (i*n/32 integer index) hex-encoded.
+    "q71_decode_features" -> """
+      WITH c AS (SELECT doc_id, text, length(text) AS n,
+                        list_transform(range(1, length(text) + 1),
+                          i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+                 FROM documents),
+      f AS (SELECT doc_id, text, n,
+                   COALESCE(list_sum(codes), 0) AS s,
+                   list_transform(range(0, 8),
+                     b -> len(list_filter(codes, x -> x // 32 = b))) AS cnts
+            FROM c)
+      SELECT doc_id,
+             CAST(s % 640 + 1 AS INT) AS width,
+             CAST(s % 480 + 1 AS INT) AS height,
+             array_to_string(list_transform(cnts,
+               k -> CAST(CAST(round(CAST(CAST(k AS FLOAT) / CAST(greatest(n, 1) AS FLOAT)
+                         AS DOUBLE), 6) AS DECIMAL(12,6)) AS VARCHAR)), ',') AS features,
+             CASE WHEN n = 0 THEN '' ELSE
+               array_to_string(list_transform(range(0, 32),
+                 i -> lpad(upper(to_hex(ascii(substr(text, CAST(i * n // 32 AS INT) + 1, 1)))), 2, '0')), '')
+             END AS thumb
+      FROM f ORDER BY doc_id""",
   )
 }
 

@@ -93,12 +93,14 @@ object TextAnalysis {
   private val q43: Q = (s, d) =>
     fingerprint(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
 
-  /** Language ID by trigram-profile scoring (rows-only check: float log-score
-    * argmax is not stably hashable cross-engine). Builds per-lang trigram
+  /** Language ID by trigram-profile scoring. Builds per-lang trigram
     * frequency profiles from the corpus, broadcasts them, scores each doc by
     * sum of log-frequencies of its trigrams under each profile, predicts the
-    * argmax lang. At 100 TB the profile side stays tiny (langs × trigrams) —
-    * broadcast join — while the doc side streams. */
+    * argmax lang. Scores are rounded to 6 dp (HALF_UP — DuckDB's round rule)
+    * *before* the argmax, which absorbs summation-order and libm-ln ulp noise
+    * and makes the prediction + score hash-checkable cross-engine. At 100 TB
+    * the profile side stays tiny (langs × trigrams) — broadcast — while the
+    * doc side streams map-side. */
   def langId(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
     val s = docs.sparkSession
@@ -138,13 +140,19 @@ object TextAnalysis {
         }
         i += 1
       }
-      // argmax, ties broken by lang name ascending (ls is sorted)
+      // Round before comparing: a lang pair whose float sums differ only in
+      // accumulation order must tie, and ties break by lang name ascending
+      // (ls is sorted) — the exact rule the oracle's window replays.
+      val rounded = scores.map(sc =>
+        BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       var best = 0; var j = 1
-      while (j < ls.length) { if (scores(j) > scores(best)) best = j; j += 1 }
-      ls(best)
+      while (j < ls.length) { if (rounded(j) > rounded(best)) best = j; j += 1 }
+      (ls(best), rounded(best))
     }
     docs.select(col(idCol), col(labelCol).as("true_lang"),
-        predict(col(textCol)).as("predicted_lang"))
+        predict(col(textCol)).as("p"))
+      .select(col(idCol), col("true_lang"),
+        col("p._1").as("predicted_lang"), col("p._2").as("score"))
   }
 
   private val q44: Q = (s, d) =>
@@ -270,6 +278,39 @@ object TextAnalysis {
                                 i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
                (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
       FROM documents ORDER BY doc_id""",
-    // q44_lang_id intentionally has no oracle: float log-likelihood argmax.
+    // Replays langId: same profile build (add-one smoothing over corpus
+    // trigrams), same scoring (sum of logp over doc trigram *occurrences*,
+    // absent (lang, trigram) combos contribute 0, a lang with no overlap
+    // scores 0), same round-to-6dp-then-argmax with lang-ascending ties.
+    "q44_lang_id" -> """
+      WITH tri AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                 i -> substr(text, CAST(i AS INT), 3))) AS trigram
+        FROM documents),
+      tri3 AS (SELECT doc_id, lang, trigram FROM tri WHERE length(trigram) = 3),
+      langn AS (SELECT lang, count(*) AS lang_n FROM tri3 GROUP BY lang),
+      prof AS (
+        SELECT c.lang, c.trigram, ln((c.tn + 1.0) / (n.lang_n + 1000.0)) AS logp
+        FROM (SELECT lang, trigram, count(*) AS tn FROM tri3 GROUP BY lang, trigram) c
+        JOIN langn n ON c.lang = n.lang),
+      matched AS (
+        SELECT d.doc_id, p.lang, sum(p.logp) AS s
+        FROM tri3 d JOIN prof p ON d.trigram = p.trigram
+        GROUP BY d.doc_id, p.lang),
+      allscores AS (
+        SELECT doc.doc_id, l.lang, COALESCE(m.s, 0) AS s
+        FROM (SELECT doc_id FROM documents) doc
+        CROSS JOIN (SELECT DISTINCT lang FROM tri3) l
+        LEFT JOIN matched m ON m.doc_id = doc.doc_id AND m.lang = l.lang),
+      ranked AS (
+        SELECT doc_id, lang, round(s, 6) AS rs,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY round(s, 6) DESC, lang) AS rn
+        FROM allscores)
+      SELECT r.doc_id, d.lang AS true_lang, r.lang AS predicted_lang,
+             r.rs AS score
+      FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+      WHERE r.rn = 1 ORDER BY r.doc_id""",
   )
 }
