@@ -43,15 +43,21 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> exec(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal (ms) precision keeps the whole line ~1.6 KB: the consumer
+    // retains only a 2000-char tail of stdout, and an sbt "[success]" trailer
+    // (~80 chars) follows — a fatter line gets its head truncated (the
+    // r01/r02 "parsed": null failure mode).
+    def fmt(v: Double) = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Backstop for log-noise-sensitive parsers: the same single line, alone
     // in a file, so a consumer can read it without filtering sbt output.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))
-    spark.stop()
+    spark.stop() // stop BEFORE printing so no shutdown log lands after the line
+    println(json)
+    System.out.flush()
   }
 }

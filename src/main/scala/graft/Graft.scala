@@ -22,7 +22,8 @@ object Graft {
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.simHash(df, idCol, textCol)
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      minJ: Double = 0.5): DataFrame = Dedup.ngramJaccard(df, idCol, textCol, minJ)
+      minJ: Double = 0.5, maxDf: Int = 1000): DataFrame =
+    Dedup.ngramJaccard(df, idCol, textCol, minJ, maxDf)
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 20): DataFrame = Dedup.connectedComponents(edges, src, dst, maxIter)
   def dedupNearDup(df: DataFrame, idCol: String, textCol: String,
@@ -31,8 +32,17 @@ object Graft {
   // similarity search
   def knn(df: DataFrame, idCol: String, vecCol: String, isQuery: Column,
       k: Int = 10): DataFrame = Similarity.knnBruteForce(df, idCol, vecCol, isQuery, k)
+  /** `dim` ≤ 0 (the default) infers the vector dimension from the first row
+    * — hyperplanes must span the full vector, or every projection nulls out
+    * and LSH degenerates to all-pairs (the round-2 facade bug: `topN` bound
+    * positionally to `topPairs`'s `dim`). */
   def similarPairs(df: DataFrame, idCol: String, vecCol: String,
-      topN: Int = 20): DataFrame = Similarity.topPairs(df, idCol, vecCol, topN)
+      topN: Int = 20, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+      else df.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col(vecCol))).head().getInt(0)
+    Similarity.topPairs(df, idCol, vecCol, d, topN)
+  }
   def annLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       isQuery: Column, k: Int): DataFrame =
     Similarity.annLsh(df, idCol, vecCol, dim, isQuery, k)

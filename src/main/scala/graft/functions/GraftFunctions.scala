@@ -179,6 +179,91 @@ object WinnowImpl {
   }
 }
 
+/** Multi-table random-hyperplane LSH bucketization, native and codegen'd:
+  * returns the `numTables`-element int array of bucket ids (bit i of table
+  * t's bucket = sign of the projection onto plane t·m+i). Replaces an
+  * interpreted HOF formulation that carried 2,048 literal AST nodes per call
+  * and evaluated `zip_with`/`aggregate` lambdas per element — the planes
+  * here live in ONE reference object handed to generated code, and the dot
+  * products are a tight Java loop inside the stage.
+  *
+  * Parity contract (the q61/q62/q64 oracles depend on it): plane component
+  * (p, j) is the double parsed from the 9-decimal string
+  * [[HyperplaneBucketsImpl.planeStrings]] — the same strings are injected
+  * into the DuckDB oracle SQL — and the dot product is the same
+  * index-ascending double fold as both the old HOF form and the oracle, so
+  * signs (hence buckets, hence candidate sets) are bit-identical.
+  */
+case class HyperplaneBuckets(child: Expression, numTables: Int,
+    planesPerTable: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hp_buckets"
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    HyperplaneBucketsImpl.planes(numTables, planesPerTable, dim)
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBucketsImpl.buckets(
+      input.asInstanceOf[ArrayData], planes, numTables, planesPerTable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneBucketsImpl.buckets($c, $planesRef, $numTables, $planesPerTable)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBucketsImpl {
+  /** Deterministic pseudo-random hyperplane component strings: (p, j) is
+    * md5("plane_p_j") → signed int → [-1, 1] double, fixed at 9 decimals.
+    * These STRINGS are the cross-engine contract: Spark parses them here,
+    * the DuckDB oracles embed them as literals — both sides get the
+    * identical IEEE double. */
+  private[graft] def planeStrings(p: Int, dim: Int): Array[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { j =>
+      val h = md.digest(s"plane_${p}_$j".getBytes("UTF-8"))
+      val v = java.nio.ByteBuffer.wrap(h, 0, 4).getInt
+      f"${v.toDouble / Int.MaxValue.toDouble}%.9f"
+    }
+  }
+
+  private[graft] def planes(numTables: Int, planesPerTable: Int,
+      dim: Int): Array[Array[Double]] =
+    Array.tabulate(numTables * planesPerTable)(p => planeStrings(p, dim).map(_.toDouble))
+
+  /** Called from generated code. Index-ascending double fold per plane —
+    * the oracle-parity summation order. */
+  def buckets(v: ArrayData, planes: Array[Array[Double]],
+      numTables: Int, planesPerTable: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var b = 0
+      var i = 0
+      while (i < planesPerTable) {
+        val plane = planes(t * planesPerTable + i)
+        val n = math.min(plane.length, v.numElements())
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += v.getFloat(j).toDouble * plane(j); j += 1 }
+        if (dot >= 0) b |= 1 << i
+        i += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object GraftFunctions {
   /** Idempotent per-session registration; afterwards the functions are
     * available to SQL and `expr(...)`. */
@@ -198,5 +283,10 @@ object GraftFunctions {
       "graft_winnow", exprs => WinnowFingerprint(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hp_buckets", exprs => HyperplaneBuckets(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

@@ -61,6 +61,15 @@ class PlanSpec extends SparkSpec {
     assert(cosLine.contains("*("), s"cosine_sim outside codegen:\n$p")
   }
 
+  test("q62: hyperplane bucketization runs inside WholeStageCodegen") {
+    val df = Similarity.queries("q62_ann_lsh")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("hp_buckets")).getOrElse("")
+    assert(line.nonEmpty, s"no hp_buckets in plan:\n$p")
+    assert(line.contains("*("), s"hp_buckets outside codegen:\n$line")
+  }
+
   test("q31 as-of join: no cross/nested-loop join — window composition only") {
     val p = graft.operators.AsOf.queries("q31_asof_join")(spark, sf0001)
       .queryExecution.executedPlan.toString
