@@ -148,8 +148,12 @@ object Dedup {
     * plan is garbage-collected, so repeated calls in a long session don't
     * accumulate cache. (On a multi-executor cluster you'd use a reliable
     * `checkpoint` dir instead; local blocks die with an executor.) */
+  /** Default document-frequency cap — shared with the q53/q54 oracle SQL so
+    * the gate checks the *capped* semantics, not just fixture luck. */
+  private[graft] val MaxDf = 1000
+
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      minJ: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+      minJ: Double = 0.5, maxDf: Int = MaxDf): DataFrame = {
     val postings = df.withColumn("toks", expr(toksExpr(textCol)))
       .select(col(idCol), explode(expr(
         """CASE WHEN size(toks) < 3 THEN array()
@@ -196,10 +200,14 @@ object Dedup {
     * `checkpoint` dir (local blocks die with their executor). */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col(src).as("a"), col(dst).as("b"))
-      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+    // Materialize the (possibly expensive — LSH, inverted-index join) edge
+    // lineage ONCE before symmetrizing: a plain union would execute it per
+    // branch.
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
+    unpersistBlocks(e0) // und is materialized; the one-sided copy is dead
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
@@ -213,11 +221,28 @@ object Dedup {
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       converged = upd.where(col("lbl") < col("prev")).isEmpty
+      // upd is materialized and the convergence probe has run — release the
+      // previous iteration's blocks now instead of waiting for a driver GC
+      // (up to maxIter label snapshots otherwise pile up in the block store).
+      unpersistBlocks(labels)
       labels = upd.select(col("id"), col("lbl"))
       iter += 1
     }
+    unpersistBlocks(und)
     labels.select(col("id"), col("lbl").as("component"))
   }
+
+  /** Deterministically release a localCheckpoint'ed DataFrame's cached
+    * blocks: the checkpointed RDD sits behind the plan's LogicalRDD leaf.
+    * (Dataset.unpersist only covers CacheManager entries, and relying on the
+    * ContextCleaner means blocks survive until a driver GC.) No-op for
+    * non-checkpoint plans. */
+  private def unpersistBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** The end-to-end near-dup dedup pipeline, composed: MinHash-LSH candidate
     * pairs → connected components → keeper per document (component minimum;
@@ -277,6 +302,21 @@ object Dedup {
                       i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2]))) AS s
              FROM toks)"""
 
+  /** Per-doc shingle sets with the df > MaxDf skew cap replayed — the same
+    * retained-set semantics as [[ngramJaccard]]'s inverted-index guard, so
+    * the q53/q54 gate would catch a divergence on any corpus, not only on
+    * fixtures that happen to stay under the cap. */
+  private val duckCappedSets = s"""
+      toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+               FROM documents),
+      shx AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2]))) AS s
+              FROM toks),
+      kept AS (SELECT s FROM shx GROUP BY s HAVING count(*) <= $MaxDf),
+      sets AS (SELECT shx.doc_id, list(shx.s) AS sh
+               FROM shx JOIN kept ON shx.s = kept.s GROUP BY shx.doc_id)"""
+
   /** The MinHash CTE chain shared by the q51 and q55 oracles. */
   private val duckMinhashCtes = s"""$duckShingles,
       h AS (SELECT doc_id, (${duckH60("s")}) % $P AS hv FROM sh),
@@ -334,12 +374,7 @@ object Dedup {
              CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id ORDER BY doc_id""",
     "q53_ngram_jaccard" -> s"""
-      WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-                    FROM documents),
-      sets AS (SELECT doc_id,
-                      list_distinct(list_transform(range(1, len(tk) - 1),
-                        i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2])) AS sh
-               FROM toks)
+      WITH $duckCappedSets
       SELECT x.doc_id AS id1, y.doc_id AS id2,
              round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                    / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
@@ -347,14 +382,8 @@ object Dedup {
       WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(x.sh, y.sh))), 4) >= 0.5
       ORDER BY id1, id2""",
-    "q54_neardup_components" -> """
-      WITH RECURSIVE
-      toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-               FROM documents),
-      sets AS (SELECT doc_id,
-                      list_distinct(list_transform(range(1, len(tk) - 1),
-                        i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2])) AS sh
-               FROM toks),
+    "q54_neardup_components" -> s"""
+      WITH RECURSIVE $duckCappedSets,
       edges AS (
         SELECT x.doc_id AS id1, y.doc_id AS id2
         FROM sets x JOIN sets y ON x.doc_id < y.doc_id

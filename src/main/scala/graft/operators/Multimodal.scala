@@ -144,16 +144,20 @@ final class DecodeStub {
   def decode(payload: Array[Byte]): Decoded = {
     // ??? ← a real implementation would parse the container format here.
     var sum = 0L
-    val hist = new Array[Float](8)
+    // Exact integer bin counts; float only at the final divide — a float
+    // accumulator saturates at ~2^24 increments per bin on large payloads
+    // and would drift from the oracle's exact-count-then-divide arithmetic.
+    val counts = new Array[Long](8)
     var i = 0
     while (i < payload.length) {
       sum += payload(i) & 0xff
-      hist(((payload(i) & 0xff) >> 5)) += 1f
+      counts((payload(i) & 0xff) >> 5) += 1L
       i += 1
     }
     val n = math.max(payload.length, 1)
+    val hist = new Array[Float](8)
     var j = 0
-    while (j < 8) { hist(j) /= n.toFloat; j += 1 }
+    while (j < 8) { hist(j) = counts(j).toFloat / n.toFloat; j += 1 }
     Decoded(width = (sum % 640).toInt + 1, height = (sum % 480).toInt + 1, features = hist)
   }
 
