@@ -418,7 +418,36 @@ object Relational {
     """)
   }
 
+  /** CSV scan under the oracle gate: part → CSV files (temp dir) → read back
+    * with the parquet schema → brand rollup. The oracle aggregates the
+    * ORIGINAL parquet, so any CSV write/parse lossiness (type coercion,
+    * quoting, null handling, double formatting) breaks the hash — this is
+    * the non-parquet reader path certified end-to-end, not just
+    * round-trip-tested. */
+  private val q29: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    graft.sources.Sources.roundTrip(s, Tables.part(s, d), "csv", tmp)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("p_retailprice")), 2).as("sum_price"),
+        round(avg(col("p_size")), 4).as("avg_size"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** JSON-lines scan under the gate, same certification shape as [[q29]]:
+    * supplier → json → read back → nation rollup vs a parquet oracle. */
+  private val q30: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+    graft.sources.Sources.roundTrip(s, Tables.supplier(s, d), "json", tmp)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("s_nationkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q29_csv_scan" -> q29,
+    "q30_json_scan" -> q30,
     "q33_from_json" -> q33,
     "q34_range_frame" -> q34,
     "q35_unpivot" -> q35,
@@ -463,6 +492,17 @@ object Relational {
   // for timestamp-valued outputs.
 
   val oracles: Map[String, String] = Map(
+    // q29/q30 oracles read the ORIGINAL parquet: the Spark side must survive
+    // its CSV/JSON round-trip losslessly to match.
+    "q29_csv_scan" -> """
+      SELECT p_brand, count(*) AS n,
+             round(sum(p_retailprice), 2) AS sum_price,
+             round(avg(p_size), 4) AS avg_size
+      FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q30_json_scan" -> """
+      SELECT s_nationkey, count(*) AS n,
+             round(sum(s_acctbal), 2) AS sum_bal
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q38_listagg" -> """
       SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
       FROM customer WHERE c_custkey < 200
