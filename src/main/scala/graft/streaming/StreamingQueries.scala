@@ -172,6 +172,41 @@ object StreamingQueries {
       ORDER BY user_id, session_start""",
   )
 
+  /** Streaming ingestion from a *generator* source — the Kafka-shaped path
+    * (unbounded readStream, not a file listing) without a broker in the
+    * container: `rate-micro-batch` emits exactly `rowsPerBatch` rows per
+    * trigger with `value` = 0,1,2,…, so the drained result has a closed-form
+    * oracle. The query rolls the value stream up into `buckets` residue
+    * classes (complete mode), is polled until at least `minRows` ingested,
+    * then stopped; because the memory sink commits whole micro-batches, the
+    * snapshot covers value ∈ [0, M) with M an exact multiple of
+    * `rowsPerBatch` — RateIngestSpec asserts every per-bucket count and sum
+    * against arithmetic. Swapping the source line for `format("kafka")` is
+    * the production path; nothing downstream changes. */
+  def rateIngest(spark: SparkSession, rowsPerBatch: Int = 1000,
+      buckets: Int = 10, minRows: Long = 2000): DataFrame = {
+    val raw = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toString)
+      .option("numPartitions", "4")
+      .load()
+    val agg = raw
+      .select(pmod(col("value"), lit(buckets.toLong)).as("bucket"), col("value"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val name = s"graft_rate_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try {
+      // rate-micro-batch can always produce a next batch, so
+      // processAllAvailable() would never return — poll the committed
+      // snapshot until enough rows have flowed through instead.
+      def drained(): Long = spark.table(name).agg(coalesce(sum(col("n")), lit(0L)))
+        .head().getLong(0)
+      while (drained() < minRows) Thread.sleep(50)
+    } finally { q.stop(); q.awaitTermination() }
+    spark.table(name).orderBy(col("bucket"))
+  }
+
   // ------------------------------------------------------------- stateful
 
   /** Event time as epoch *micros* end-to-end — java.sql.Timestamp.getTime is
