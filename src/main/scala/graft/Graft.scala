@@ -51,6 +51,9 @@ object Graft {
     Similarity.ivfSearch(df, idCol, partCol, vecCol, isQuery, k, nprobe)
   def centroids(df: DataFrame, partCol: String, vecCol: String): DataFrame =
     Similarity.centroids(df, partCol, vecCol)
+  def semanticDedup(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, minCos: Double = 0.35): DataFrame =
+    Similarity.semanticDedup(df, idCol, labelCol, vecCol, minCos)
 
   // text analysis
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -86,9 +86,16 @@ object Dedup {
       min((col("hv") * a + b) % P).as(s"m$pid")
     }
     val sigArr = (0 until NumPerms).map(i => s"m$i").mkString("array(", ", ", ")")
+    // Materialize the signature stage ONCE: three plan branches read it (the
+    // banding explode plus both sides of the estimate join) and Spark would
+    // otherwise re-run the shingle→hash→32-min aggregation per branch.
+    // localCheckpoint (eager) over persist: truncated lineage, and blocks are
+    // ContextCleaner-released when the plan is GC'd (same stance as
+    // ngramJaccard's inverted index).
     val sig = hashed.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol), expr(sigArr).as("sg"))
+      .localCheckpoint()
     val bandExpr = (0 until NumPerms / BandSize).map { bi =>
       val parts = (0 until BandSize).map(j => s"string(sg[${bi * BandSize + j}])")
       s"concat('$bi', '_', ${parts.mkString(", '_', ")})"

@@ -18,11 +18,18 @@ import graft.Tables
 object Skew {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Row-varying salt in [0, salts): the salt must differ *within* one key's
+    * rows (hashing the key would put the hot key in a single salt and defeat
+    * the spread), and any assignment is result-correct — phase 2 merges all
+    * salts — so uniformity, not stability under AQE re-partitioning, is the
+    * only requirement. Explicit hash+pmod keeps that reasoning visible. */
+  private def rowSalt(salts: Int): Column =
+    pmod(hash(spark_partition_id(), monotonically_increasing_id()), lit(salts))
+
   /** Two-phase salted sum/count aggregation over `keyCol`. */
   def saltedAggregate(df: DataFrame, keyCol: String, sumCol: String,
       salts: Int): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(spark_partition_id()
-      + monotonically_increasing_id(), lit(salts)))
+    val salted = df.withColumn("_salt", rowSalt(salts))
     salted
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(col(sumCol)).as("_s"))
@@ -45,10 +52,9 @@ object Skew {
     * visible in map-output sizes); result-identical to the plain join. */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, salts: Int): DataFrame = {
-    val saltedLeft = left.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val saltedLeft = left.withColumn("_salt", rowSalt(salts))
     val explodedRight = right.withColumn("_salt",
-      explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
+      explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(explodedRight,
         saltedLeft(leftKey) === explodedRight(rightKey) &&
           saltedLeft("_salt") === explodedRight("_salt"))

@@ -93,6 +93,18 @@ class PlanSpec extends SparkSpec {
       s"q61 degenerated to an all-pairs product:\n$p")
   }
 
+  test("q65 semantic dedup: pair comparison is cluster-equality-joined") {
+    val p = Similarity.queries("q65_semantic_dedup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // The centroid assignment is a *deliberate* broadcast cross join
+    // (tiny centroid table); the quadratic risk is the pair stage, which
+    // must be an equality join on the cluster id — never a global product.
+    assert(!p.contains("CartesianProduct"),
+      s"q65 pair stage degenerated to a global product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equality join in q65 plan:\n$p")
+  }
+
   test("q90 unique-prefix: range-partitioned fold, no global Window") {
     val p = graft.operators.Parity.queries("q90_unique_prefix")(spark, sf0001)
       .queryExecution.executedPlan.toString
