@@ -68,6 +68,8 @@ object Graft {
       labelCol: String): DataFrame = TextAnalysis.langId(df, idCol, textCol, labelCol)
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     TextAnalysis.tokenCounts(df, idCol, textCol)
+  def curate(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.curate(df, idCol, textCol)
 
   // joins / aggregation helpers
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,

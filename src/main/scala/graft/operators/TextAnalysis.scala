@@ -194,7 +194,30 @@ object TextAnalysis {
           .as("fingerprints"))
       .orderBy(col("doc_id"))
 
+  /** The per-document curation decision a training-data pipeline actually
+    * emits: exact-duplicate check (keeper = min id per identical text) and
+    * quality gate composed, duplicate taking precedence, plus the token
+    * count the budget accounting needs. `retained` is the final verdict.
+    *
+    * At 100 TB the only shuffle is the dedup key grouping — and the key
+    * would be `md5(text)` rather than the raw text (shuffling a 60-bit
+    * digest, not document bodies); the fixture query keeps raw text so the
+    * oracle stays byte-transparent. Quality scoring is map-side. */
+  def curate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val q = qualityScore(df, idCol, textCol)
+    val dup = Dedup.exactDedup(df, idCol, textCol)
+      .select(col(idCol), col("is_dup"))
+    q.join(dup, Seq(idCol))
+      .select(col(idCol), col("n_tokens"),
+        when(col("is_dup"), "duplicate").otherwise(col("quality")).as("reason"),
+        (!col("is_dup") && col("quality") === "ok").as("retained"))
+  }
+
+  private val q47: Q = (s, d) =>
+    curate(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
+    "q47_curation" -> q47,
     "q45_regex_tokens" -> q45,
     "q46_winnowing" -> q46,
     "q40_token_stats" -> q40,
@@ -205,6 +228,31 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_curation" -> s"""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                 FROM documents),
+      m AS (SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   round(CAST(len(list_filter(toks, t -> t IN $stopwordsSql)) AS DOUBLE)
+                         / len(toks), 4) AS stop_ratio,
+                   round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+                     AS diversity
+            FROM t),
+      q AS (SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens < 30 THEN 'short'
+                        WHEN stop_ratio > 0.15 THEN 'stopword_heavy'
+                        WHEN diversity < 0.3 THEN 'repetitive'
+                        ELSE 'ok' END AS quality
+            FROM m),
+      dup AS (SELECT doc_id,
+                     doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+              FROM documents)
+      SELECT q.doc_id, q.n_tokens,
+             CASE WHEN dup.is_dup THEN 'duplicate' ELSE q.quality END AS reason,
+             (NOT dup.is_dup AND q.quality = 'ok') AS retained
+      FROM q JOIN dup ON q.doc_id = dup.doc_id
+      ORDER BY q.doc_id""",
     "q46_winnowing" -> """
       WITH h AS (
         SELECT doc_id,
