@@ -107,23 +107,26 @@ object TextAnalysis {
     val tri = docs.select(col(idCol), col(labelCol).as("lang"),
         explode(expr(trigramsOf(textCol))).as("trigram"))
       .filter(length(col("trigram")) === 3)
-    // Profile: P(trigram | lang) with add-one smoothing — built distributed,
-    // then collected + broadcast as the scoring model. The model side is
-    // tiny at any corpus scale (langs × trigram vocab), so scoring becomes a
-    // map-side pass over documents — no doc×lang join row amplification.
-    val langTotals = tri.groupBy(col("lang")).agg(count(lit(1)).as("lang_n"))
-    val profileRows = tri.groupBy(col("lang"), col("trigram")).agg(count(lit(1)).as("tn"))
-      .join(langTotals, "lang")
-      .select(col("lang"), col("trigram"),
-        log((col("tn") + 1.0) / (col("lang_n") + 1000.0)).as("logp"))
-      .collect()
-    val langs: Array[String] = profileRows.map(_.getString(0)).distinct.sorted
+    // Profile: P(trigram | lang) with add-one smoothing — ONE distributed
+    // aggregation pass over the trigram explode; the per-lang totals and the
+    // log-probabilities derive from the collected (lang, trigram, tn) counts
+    // driver-side (lang_n = Σ tn — same Math.log the Spark expression used,
+    // so the model is bit-identical to the former two-job build). The model
+    // side is tiny at any corpus scale (langs × trigram vocab), so scoring
+    // becomes a map-side pass over documents — no doc×lang join row
+    // amplification.
+    val countRows = tri.groupBy(col("lang"), col("trigram"))
+      .agg(count(lit(1)).as("tn")).collect()
+    val langN: Map[String, Long] = countRows.groupBy(_.getString(0))
+      .map { case (l, rows) => l -> rows.map(_.getLong(2)).sum }
+    val langs: Array[String] = langN.keys.toArray.sorted
     val langIdx = langs.zipWithIndex.toMap
-    val model: Map[String, Array[Double]] = profileRows
+    val model: Map[String, Array[Double]] = countRows
       .groupBy(_.getString(1))
       .map { case (tg, rows) =>
         val arr = new Array[Double](langs.length)
-        rows.foreach(r => arr(langIdx(r.getString(0))) = r.getDouble(2))
+        rows.foreach(r => arr(langIdx(r.getString(0))) =
+          math.log((r.getLong(2) + 1.0) / (langN(r.getString(0)) + 1000.0)))
         tg -> arr
       }
     val bModel = s.sparkContext.broadcast(model)
