@@ -65,6 +65,28 @@ object StreamingQueries {
     s.table(name).orderBy(col("window_start"), col("event_type"))
   }
 
+  /** The q83 sliding-window aggregation executed by the *streaming* engine
+    * (same drain pattern as [[q82]]): every event expands into two
+    * overlapping 2-hour windows under micro-batch execution; oracle =
+    * identical SQL to q83. */
+  private val q85: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.readStream
+      .schema(Tables.load(s, d, "events").schema)
+      .parquet(streamDir(d, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = raw
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+    val name = s"graft_stream_slide_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Spark's streaming file source requires a *directory*; the fixtures are
     * single parquet files. Stage a per-table symlink dir under java.io.tmpdir
     * (idempotent, no copy). */
@@ -113,7 +135,19 @@ object StreamingQueries {
     "q82_stream_tumbling" -> q82,
     "q83_sliding_window" -> q83,
     "q84_gap_fill" -> q84,
+    "q85_stream_sliding" -> q85,
   )
+
+  private val slidingOracle = """
+      SELECT ws AS window_start, event_type, count(*) AS n,
+             round(sum(value), 2) AS total
+      FROM (SELECT unnest([time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                           time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                             - INTERVAL '1 hour']) AS ws,
+                   event_type, value
+            FROM events)
+      GROUP BY ws, event_type
+      ORDER BY window_start, event_type"""
 
   private val tumblingOracle = """
       SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
@@ -138,16 +172,8 @@ object StreamingQueries {
              coalesce(c.n, 0) AS n, coalesce(c.total, 0.0) AS total
       FROM grid g LEFT JOIN c ON g.user_id = c.user_id AND g.h = c.h
       ORDER BY g.user_id, hour""",
-    "q83_sliding_window" -> """
-      SELECT ws AS window_start, event_type, count(*) AS n,
-             round(sum(value), 2) AS total
-      FROM (SELECT unnest([time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
-                           time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
-                             - INTERVAL '1 hour']) AS ws,
-                   event_type, value
-            FROM events)
-      GROUP BY ws, event_type
-      ORDER BY window_start, event_type""",
+    "q83_sliding_window" -> slidingOracle,
+    "q85_stream_sliding" -> slidingOracle,
     // Sessionization via the SQL-standard lag + cumulative-flag pattern —
     // independent formulation of Spark's session_window semantics.
     "q81_session_window" -> """
