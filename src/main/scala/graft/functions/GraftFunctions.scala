@@ -179,6 +179,66 @@ object WinnowImpl {
   }
 }
 
+/** All full character n-grams of a string column, native and codegen'd —
+  * replaces `transform(sequence(1, length-n+1), i -> substring(text, i, n))`,
+  * whose lambda Spark interprets once per character position (the dominant
+  * cost of trigram profiling / language-ID over a corpus).
+  *
+  * Semantics match the HOF form it replaced for full grams: code-point
+  * n-grams (`substring` counts code points), one per start position,
+  * left-to-right; inputs shorter than n yield an empty array (the HOF form
+  * yielded one short gram that every caller then filtered on length — the
+  * filter stays in place and is now a no-op). One incremental boundary walk,
+  * O(len · n) bytes, no per-gram lambda dispatch.
+  */
+case class CharNgrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    CharNgramsImpl.ngrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CharNgramsImpl.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharNgramsImpl {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** One pass over the bytes: record every code-point start offset, then
+    * slice [off(i), off(i+n)) per gram — byte-identical to per-position
+    * code-point substring without re-scanning from 0 each time. */
+  def ngrams(u: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = u.getBytes
+    val len = bytes.length
+    // code-point start offsets (+ end sentinel)
+    var count = 0
+    var i = 0
+    while (i < len) { i += UTF8String.numBytesForFirstByte(bytes(i)); count += 1 }
+    val off = new Array[Int](count + 1)
+    i = 0; var c = 0
+    while (i < len) { off(c) = i; i += UTF8String.numBytesForFirstByte(bytes(i)); c += 1 }
+    off(count) = len
+    val m = math.max(count - n + 1, 0)
+    val out = new Array[AnyRef](m)
+    var g = 0
+    while (g < m) {
+      out(g) = UTF8String.fromBytes(bytes, off(g), off(g + n) - off(g))
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Multi-table random-hyperplane LSH bucketization, native and codegen'd:
   * returns the `numTables`-element int array of bucket ids (bit i of table
   * t's bucket = sign of the projection onto plane t·m+i). Replaces an
@@ -283,6 +343,9 @@ object GraftFunctions {
       "graft_winnow", exprs => WinnowFingerprint(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_ngrams", exprs => CharNgrams(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_hp_buckets", exprs => HyperplaneBuckets(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),

@@ -44,13 +44,18 @@ object TextAnalysis {
   private val q40: Q = (s, d) =>
     tokenStats(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
 
+  /** Native codegen'd [[graft.functions.CharNgrams]] — the HOF form
+    * (`transform(sequence(...), i -> substring(...))`) interpreted its
+    * lambda once per character position, the dominant cost of q41/q44.
+    * Requires [[graft.functions.GraftFunctions.register]]. */
   private def trigramsOf(textCol: String) =
-    s"transform(sequence(1, greatest(length($textCol) - 2, 1)), i -> substring($textCol, i, 3))"
+    s"graft_ngrams($textCol, 3)"
 
   /** Per-group character-trigram profile, top-k trigrams per group — the
     * model a n-gram language identifier scores against. */
   def trigramProfile(df: DataFrame, groupCol: String, textCol: String,
       topK: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val tri = df.select(col(groupCol), explode(expr(trigramsOf(textCol))).as("trigram"))
       .filter(length(col("trigram")) === 3)
     val w = Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col("trigram"))
@@ -104,6 +109,7 @@ object TextAnalysis {
   def langId(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
     val s = docs.sparkSession
+    graft.functions.GraftFunctions.register(s)
     val tri = docs.select(col(idCol), col(labelCol).as("lang"),
         explode(expr(trigramsOf(textCol))).as("trigram"))
       .filter(length(col("trigram")) === 3)
