@@ -11,7 +11,8 @@ object Graft {
   import operators._
 
   /** Register graft's native SQL functions (cosine_sim, graft_fingerprint,
-    * graft_checksum997, graft_frame_sum16, graft_winnow) on the session. */
+    * graft_checksum997, graft_frame_sum16, graft_winnow, graft_ngrams,
+    * graft_hp_buckets) on the session. */
   def init(spark: SparkSession): Unit = functions.GraftFunctions.register(spark)
 
   // dedup
