@@ -239,6 +239,86 @@ object CharNgramsImpl {
   }
 }
 
+/** Distinct token n-gram shingles of a string, native and codegen'd —
+  * replaces `array_distinct(transform(sequence(1, size(toks) - 2), i ->
+  * concat(toks[i], '_', toks[i+1], '_', toks[i+2])))` over
+  * whitespace-tokenized text, whose lambda Spark interprets once per
+  * shingle (the map-side cost of the MinHash and n-gram-Jaccard paths).
+  *
+  * Parity contract: tokens are the non-empty single-space splits (exactly
+  * `filter(split(text, ' '), t -> t != '')`), shingles are the n
+  * consecutive tokens joined by '_', de-duplicated keeping first
+  * occurrence; fewer than n tokens yields an empty array (the CASE guard
+  * the HOF form needed). Byte-identical strings ⇒ identical md5/xxhash64
+  * downstream ⇒ the q51/q53/q54/q55 oracles replay unchanged.
+  */
+case class TokenShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenShinglesImpl.shingles(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenShinglesImpl.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenShinglesImpl {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def shingles(u: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = u.getBytes
+    // Token boundaries: split on the single byte ' ' (0x20 cannot occur
+    // inside a UTF-8 multi-byte sequence), dropping empty tokens — the same
+    // set as filter(split(text, ' '), t -> t != '').
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var tokStart = -1
+    while (i <= bytes.length) {
+      val isSep = i == bytes.length || bytes(i) == ' '.toByte
+      if (isSep) {
+        if (tokStart >= 0 && i > tokStart) { starts.add(tokStart); ends.add(i) }
+        tokStart = -1
+      } else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    val nTok = starts.size()
+    if (nTok < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[AnyRef](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var g = 0
+    while (g <= nTok - n) {
+      // gram = tokens g .. g+n-1 joined by '_'
+      var len = n - 1
+      var t = g
+      while (t < g + n) { len += ends.get(t) - starts.get(t); t += 1 }
+      val out = new Array[Byte](len)
+      var pos = 0
+      t = g
+      while (t < g + n) {
+        val l = ends.get(t) - starts.get(t)
+        System.arraycopy(bytes, starts.get(t), out, pos, l)
+        pos += l
+        if (t < g + n - 1) { out(pos) = '_'.toByte; pos += 1 }
+        t += 1
+      }
+      seen.add(UTF8String.fromBytes(out))
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(new Array[AnyRef](seen.size())))
+  }
+}
+
 /** Multi-table random-hyperplane LSH bucketization, native and codegen'd:
   * returns the `numTables`-element int array of bucket ids (bit i of table
   * t's bucket = sign of the projection onto plane t·m+i). Replaces an
@@ -345,6 +425,9 @@ object GraftFunctions {
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_ngrams", exprs => CharNgrams(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_token_shingles", exprs => TokenShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_hp_buckets", exprs => HyperplaneBuckets(exprs(0),

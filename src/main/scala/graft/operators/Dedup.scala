@@ -49,18 +49,18 @@ object Dedup {
   private def toksExpr(textCol: String) =
     s"filter(split($textCol, ' '), t -> t != '')"
 
-  /** Distinct token 3-gram shingles of `textCol`. Documents with fewer than
-    * 3 tokens yield no shingles (empty array → explode drops them) — the same
-    * empty-set behavior as DuckDB's `range(1, len-1)`; an unguarded
-    * `sequence(1, size-2)` would auto-step -1 and index element 0 (ANSI
-    * error) on short docs. */
-  private def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.withColumn("toks", expr(toksExpr(textCol)))
-      .select(col(idCol), explode(expr(
-        """CASE WHEN size(toks) < 3 THEN array()
-           ELSE array_distinct(transform(sequence(1, size(toks) - 2),
-             i -> concat(element_at(toks, i), '_', element_at(toks, i + 1), '_', element_at(toks, i + 2)))) END"""))
-        .as("sh"))
+  /** Distinct token 3-gram shingles of `textCol` via the native codegen'd
+    * [[graft.functions.TokenShingles]] expression (the HOF form interpreted
+    * its lambda per shingle). Documents with fewer than 3 tokens yield no
+    * shingles (empty array → explode drops them) — the same empty-set
+    * behavior as DuckDB's `range(1, len-1)`. Byte-identical gram strings,
+    * so the md5-based oracles replay unchanged (NgramExpressionSpec asserts
+    * parity with the HOF form per fixture doc). */
+  private def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      explode(expr(s"graft_token_shingles($textCol, 3)")).as("sh"))
+  }
 
   // ------------------------------------------------------------ library API
 
@@ -137,8 +137,10 @@ object Dedup {
     * Never materializes all-pairs (a pair with J > 0 must share a shingle)
     * and never touches quadratic array ops — linear in index postings.
     *
-    * Shingle identity = xxhash64 of the token triple (no concat string);
-    * collisions are ~|V|²/2⁶⁵ — negligible at any vocabulary.
+    * Shingle identity = xxhash64 of the native-built gram string (only the
+    * 64-bit hash is shuffled, never the string); collisions are ~|V|²/2⁶⁵ —
+    * negligible at any vocabulary, and identity-only use means the Jaccard
+    * values are hash-choice-independent.
     *
     * Skew guard: a shingle occurring in f documents contributes f² join rows,
     * so one boilerplate shingle across a 100 TB corpus is a fatal hot key.
@@ -161,12 +163,8 @@ object Dedup {
 
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       minJ: Double = 0.5, maxDf: Int = MaxDf): DataFrame = {
-    val postings = df.withColumn("toks", expr(toksExpr(textCol)))
-      .select(col(idCol), explode(expr(
-        """CASE WHEN size(toks) < 3 THEN array()
-           ELSE array_distinct(transform(sequence(1, size(toks) - 2),
-             i -> xxhash64(element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))) END"""))
-        .as("s"))
+    val postings = shingled(df, idCol, textCol)
+      .select(col(idCol), expr("xxhash64(sh)").as("s"))
     val inv = postings
       .withColumn("df_", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df_") <= maxDf)
