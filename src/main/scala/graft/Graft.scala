@@ -71,6 +71,8 @@ object Graft {
     TextAnalysis.tokenCounts(df, idCol, textCol)
   def curate(df: DataFrame, idCol: String, textCol: String): DataFrame =
     TextAnalysis.curate(df, idCol, textCol)
+  def hashSplit(df: DataFrame, idCol: String, validPct: Int = 10): DataFrame =
+    TextAnalysis.hashSplit(df, idCol, validPct)
 
   // joins / aggregation helpers
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,

@@ -445,9 +445,24 @@ object Relational {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Window distribution functions — ntile / percent_rank / cume_dist —
+    * over a deterministic (value, key) order; rounds the rational-valued
+    * ranks so both engines hash identically. */
+  private val q49: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_csv_scan" -> q29,
     "q30_json_scan" -> q30,
+    "q49_window_distribution" -> q49,
     "q33_from_json" -> q33,
     "q34_range_frame" -> q34,
     "q35_unpivot" -> q35,
@@ -503,6 +518,14 @@ object Relational {
       SELECT s_nationkey, count(*) AS n,
              round(sum(s_acctbal), 2) AS sum_bal
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q49_window_distribution" -> """
+      SELECT c_nationkey, c_custkey,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_nationkey, c_custkey""",
     "q38_listagg" -> """
       SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
       FROM customer WHERE c_custkey < 200

@@ -225,8 +225,25 @@ object TextAnalysis {
   private val q47: Q = (s, d) =>
     curate(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
 
+  /** Deterministic hash-based dataset splitting — the reproducible
+    * train/validation assignment a pipeline needs (a seeded `df.sample` is
+    * not stable across partitionings or engines): bucket = md5-derived
+    * 60-bit integer of the id, mod 100; split by bucket threshold. Pure
+    * map-side, no shuffle, and any engine that can md5 reproduces the exact
+    * membership — which is what the DuckDB oracle does. */
+  def hashSplit(df: DataFrame, idCol: String, validPct: Int = 10): DataFrame =
+    df.select(col(idCol),
+        (expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)") % 100)
+          .cast("int").as("bucket"))
+      .select(col(idCol), col("bucket"),
+        when(col("bucket") < validPct, "valid").otherwise("train").as("split"))
+
+  private val q48: Q = (s, d) =>
+    hashSplit(Tables.documents(s, d), "doc_id").orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "q47_curation" -> q47,
+    "q48_hash_split" -> q48,
     "q45_regex_tokens" -> q45,
     "q46_winnowing" -> q46,
     "q40_token_stats" -> q40,
@@ -237,6 +254,20 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays hashSplit's md5-derived bucket with the same nibble fold used
+    // by the dedup oracles (bit-identical 60-bit integer in both engines).
+    "q48_hash_split" -> """
+      WITH b AS (
+        SELECT doc_id,
+               CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+                 list_transform(range(1, 16),
+                   i -> CAST(strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+                 (acc, c) -> acc * 16 + c) % 100 AS INT) AS bucket
+        FROM documents)
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < 10 THEN 'valid' ELSE 'train' END AS split
+      FROM b ORDER BY doc_id""",
     "q47_curation" -> s"""
       WITH t AS (SELECT doc_id,
                         list_filter(string_split(text, ' '), t -> t <> '') AS toks
