@@ -225,10 +225,19 @@ object StreamingQueries {
     try {
       // rate-micro-batch can always produce a next batch, so
       // processAllAvailable() would never return — poll the committed
-      // snapshot until enough rows have flowed through instead.
+      // snapshot until enough rows have flowed through instead. Bail out
+      // (never hang the caller) if the stream dies or stalls.
       def drained(): Long = spark.table(name).agg(coalesce(sum(col("n")), lit(0L)))
         .head().getLong(0)
-      while (drained() < minRows) Thread.sleep(50)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (drained() < minRows) {
+        if (!q.isActive)
+          throw q.exception.getOrElse(
+            new IllegalStateException("rate stream terminated before draining"))
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(s"rate stream stalled below $minRows rows")
+        Thread.sleep(50)
+      }
     } finally { q.stop(); q.awaitTermination() }
     spark.table(name).orderBy(col("bucket"))
   }
