@@ -95,9 +95,27 @@ object Parity {
     job.run(s, lines).toDF("tok", "n").orderBy(col("tok"))
   }
 
+  /** The reference's native I/O model under the hash gate: documents.text →
+    * newline-delimited files ([[graft.sources.Sources.textRoundTrip]] — the
+    * O1 text source / O11 concat sink pair) → re-read → word count. The
+    * oracle counts words over the ORIGINAL table, so any line-level loss,
+    * duplication or encoding drift in the text sink/source breaks the hash
+    * (line *order* is irrelevant to the aggregate, as in the reference's
+    * sort-based pipeline; FixtureInvariantSpec guards the no-embedded-
+    * newline assumption a line sink needs). */
+  private val q92: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_text_").toString
+    val lines = Tables.documents(s, d).select(col("text"))
+    graft.sources.Sources.textRoundTrip(s, lines, tmp)
+      .select(explode(expr("filter(split(value, ' '), t -> t != '')")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("tok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q90_unique_prefix" -> q90,
     "q91_mapreduce_wordcount" -> q91,
+    "q92_text_scan" -> q92,
   )
 
   val oracles: Map[String, String] = Map(
@@ -115,13 +133,16 @@ object Parity {
       SELECT CAST(max(lcp) + 1 AS INT) AS minimal_prefix_len,
              CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs
       FROM lcps""",
-    "q91_mapreduce_wordcount" -> """
+    "q91_mapreduce_wordcount" -> wordCountOracle,
+    "q92_text_scan" -> wordCountOracle,
+  )
+
+  private lazy val wordCountOracle = """
       SELECT tok, count(*) AS n
       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       WHERE tok <> ''
       GROUP BY tok
-      ORDER BY tok""",
-  )
+      ORDER BY tok"""
 }
 
 /** Typed MapReduce facade — the reference's public API re-expressed on Spark.

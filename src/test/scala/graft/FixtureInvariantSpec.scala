@@ -26,6 +26,15 @@ class FixtureInvariantSpec extends SparkSpec {
     }
   }
 
+  test("documents.text has no embedded newlines (line-sink assumption, q92)") {
+    Seq(sf0001, sf001).foreach { d =>
+      val bad = Tables.documents(spark, d)
+        .filter(col("text").contains("\n") || col("text").contains("\r"))
+      assert(bad.isEmpty, s"newline inside document text in $d — " +
+        "a newline-delimited text sink would split the row")
+    }
+  }
+
   test("documents.text has no doc where byte length != char length") {
     Seq(sf0001, sf001).foreach { d =>
       val bad = Tables.documents(spark, d)
