@@ -83,12 +83,52 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame-table extraction — the video-pipeline shape q70/q71 don't cover:
+    * one payload row explodes into one row PER sampled frame (here: 16-byte
+    * "frames" of the stand-in payload), each carrying its own bytes-length
+    * and checksum. At 100 TB this is the map-side row expansion feeding a
+    * per-frame feature extractor; frame count rides the metadata so the
+    * explode needs no second scan. */
+  private val q72: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    withPayload(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, cast(ceil(length(text) / 16.0) as int) - 1)"))
+          .as("frame_no"),
+        col("text"))
+      .select(col("doc_id"), col("frame_no"),
+        expr("substring(text, frame_no * 16 + 1, 16)").as("frame"))
+      .select(col("doc_id"), col("frame_no"),
+        length(col("frame")).as("n_bytes"),
+        expr("graft_checksum997(frame)").as("checksum"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q70_binary_meta" -> q70,
     "q71_decode_features" -> q71,
+    "q72_frame_table" -> q72,
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays q72: same 16-byte frame slicing, same additive mod-997
+    // checksum over the frame's ascii codes.
+    "q72_frame_table" -> """
+      WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) AS frame_no
+        FROM documents WHERE length(text) > 0),
+      fr AS (SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+                    substr(text, CAST(frame_no * 16 + 1 AS INT), 16) AS frame
+             FROM f)
+      SELECT doc_id, frame_no,
+             CAST(length(frame) AS INT) AS n_bytes,
+             list_reduce(list_concat([CAST(0 AS BIGINT)],
+               list_transform(range(1, length(frame) + 1),
+                 i -> CAST(ascii(substr(frame, CAST(i AS INT), 1)) AS BIGINT))),
+               (acc, x) -> (acc + x) % 997) AS checksum
+      FROM fr ORDER BY doc_id, frame_no""",
     "q70_binary_meta" -> """
       WITH c AS (SELECT doc_id, text,
                         list_transform(range(1, length(text) + 1),
