@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{BytePolyImpl, CharNgramsImpl, HyperplaneBucketsImpl, TokenShinglesImpl, WinnowImpl}
+
+/** Property tests pinning every native expression's JVM impl against a
+  * naive, obviously-correct reference model — no Spark session, hundreds of
+  * deterministic random cases per law (seeded ScalaCheck generators). These
+  * guard the byte-level fast paths (incremental code-point walks,
+  * single-pass folds) against off-by-one regressions that fixture-parity
+  * tests might not reach.
+  */
+class NativeImplPropertySpec extends AnyFunSuite {
+
+  private def cases[A](gen: Gen[A], n: Int = 300): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.choose(33.toChar, 126.toChar), 3 -> Gen.const(' '))).map(_.mkString)
+
+  private val anyText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.choose(33.toChar, 126.toChar), 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('é', 'ß', '中', '日'), 1 -> Gen.const('€'))).map(_.mkString)
+
+  test("CharNgrams == naive code-point sliding window") {
+    cases(Gen.zip(anyText, Gen.choose(1, 5))).foreach { case (s, n) =>
+      val got = CharNgramsImpl.ngrams(UTF8String.fromString(s), n)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val cps = s.codePoints().toArray
+      val expect =
+        if (cps.length < n) Seq.empty
+        else (0 to cps.length - n).map(i => new String(cps, i, n))
+      assert(got == expect, s"input='$s' n=$n")
+    }
+  }
+
+  test("TokenShingles == naive split-filter-slide-distinct") {
+    cases(Gen.zip(anyText, Gen.choose(2, 4))).foreach { case (s, n) =>
+      val got = TokenShinglesImpl.shingles(UTF8String.fromString(s), n)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val toks = s.split(' ').filter(_.nonEmpty).toSeq
+      val expect =
+        if (toks.length < n) Seq.empty
+        else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString("_")).distinct
+      assert(got == expect, s"input='$s' n=$n")
+    }
+  }
+
+  test("BytePoly == BigInt polynomial fold") {
+    val gen = Gen.zip(asciiText, Gen.oneOf(1L, 31L),
+      Gen.oneOf(997L, 1000000007L), Gen.choose(1, 16))
+    cases(gen).foreach { case (s, mult, mod, step) =>
+      val bytes = s.getBytes("UTF-8")
+      val got = BytePolyImpl.fold(bytes, mult, mod, step)
+      var acc = BigInt(0)
+      var i = 0
+      while (i < bytes.length) {
+        acc = (acc * mult + (bytes(i) & 0xff)) % mod
+        i += step
+      }
+      assert(got == acc.toLong, s"input='$s' mult=$mult mod=$mod step=$step")
+    }
+  }
+
+  test("Winnow == naive gram-hash + window-min + distinct-sorted") {
+    cases(Gen.zip(asciiText, Gen.choose(2, 8), Gen.choose(1, 5))).foreach {
+      case (s, k, w) =>
+        val bytes = s.getBytes("UTF-8")
+        val got = WinnowImpl.winnow(bytes, k, w).toLongArray().toSeq
+        val m = math.max(bytes.length - k + 1, 1)
+        val hs = (0 until m).map { i =>
+          bytes.slice(i, math.min(i + k, bytes.length))
+            .foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xffL)) % 1000000007L)
+        }
+        val numW = math.max(m - w + 1, 1)
+        val expect = (0 until numW).map(j => hs.slice(j, math.min(j + w, m)).min)
+          .distinct.sorted
+        assert(got == expect, s"input='$s' k=$k w=$w")
+    }
+  }
+
+  test("HyperplaneBuckets == naive per-plane double dot") {
+    val planes = HyperplaneBucketsImpl.planes(4, 3, 8)
+    val vecGen = Gen.listOfN(8, Gen.choose(-5.0f, 5.0f)).map(_.toArray)
+    cases(vecGen).foreach { v =>
+      val got = HyperplaneBucketsImpl.buckets(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), planes, 4, 3)
+        .toIntArray().toSeq
+      val expect = (0 until 4).map { t =>
+        (0 until 3).map { i =>
+          val p = planes(t * 3 + i)
+          val dot = (0 until 8).map(j => v(j).toDouble * p(j)).sum
+          if (dot >= 0) 1 << i else 0
+        }.sum
+      }
+      assert(got == expect)
+    }
+  }
+}
