@@ -242,6 +242,49 @@ object StreamingQueries {
     spark.table(name).orderBy(col("bucket"))
   }
 
+  /** Exactly-once-style `foreachBatch` parquet writer: each micro-batch
+    * lands in its own subdirectory gated by a commit marker, so a
+    * *redelivered* batch id (micro-batch retry after a sink-side failure —
+    * Spark's foreachBatch contract is at-least-once) is skipped instead of
+    * appended twice. This is the standard idempotent-sink recipe for
+    * end-to-end exactly-once on top of a replayable source + checkpointed
+    * offsets; at scale the marker check is one metadata read per batch.
+    * Returns the writer closure so tests can also invoke it directly to
+    * simulate redelivery. */
+  def idempotentBatchWriter(outDir: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      import java.nio.file.{Files, Paths}
+      val dir = Paths.get(outDir, s"batch_$batchId")
+      val marker = Paths.get(outDir, s"batch_$batchId._COMMITTED")
+      if (!Files.exists(marker)) {
+        batch.write.mode("overwrite").parquet(dir.toString)
+        Files.createDirectories(Paths.get(outDir))
+        Files.write(marker, Array.emptyByteArray)
+      }
+    }
+  }
+
+  /** Drain the q80 tumbling aggregation through the idempotent parquet sink
+    * (complete mode; with the single-file fixture source there is exactly
+    * one batch, holding the full result). */
+  def sinkTumblingToParquet(s: SparkSession, d: String, outDir: String): Unit = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.readStream
+      .schema(Tables.load(s, d, "events").schema)
+      .parquet(streamDir(d, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = raw
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch(idempotentBatchWriter(outDir))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   // ------------------------------------------------------------- stateful
 
   /** Event time as epoch *micros* end-to-end — java.sql.Timestamp.getTime is
