@@ -35,6 +35,18 @@ class FixtureInvariantSpec extends SparkSpec {
     }
   }
 
+  test("every document has at least one token (ratio-denominator assumption)") {
+    // q40/q42/q45/q47 divide by token counts; a zero-token doc would yield
+    // NaN on the Spark side vs engine-specific null/NaN in DuckDB. Enforce
+    // the assumption instead of relying on it (fixtures currently bottom
+    // out at 10 tokens/doc).
+    Seq(sf0001, sf001).foreach { d =>
+      val empty = Tables.documents(spark, d)
+        .filter(size(expr("filter(split(text, ' '), t -> t != '')")) === 0)
+      assert(empty.isEmpty, s"zero-token document in $d")
+    }
+  }
+
   test("documents.text has no doc where byte length != char length") {
     Seq(sf0001, sf001).foreach { d =>
       val bad = Tables.documents(spark, d)
