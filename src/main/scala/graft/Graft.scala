@@ -76,8 +76,10 @@ object Graft {
 
   // joins / aggregation helpers
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      timeCol: String, valueCols: Seq[String]): DataFrame =
-    AsOf.asofJoin(left, right, keyCol, timeCol, valueCols)
+      timeCol: String, valueCols: Seq[String],
+      direction: String = "backward",
+      toleranceSec: Option[Double] = None): DataFrame =
+    AsOf.asofJoin(left, right, keyCol, timeCol, valueCols, direction, toleranceSec)
   def saltedAggregate(df: DataFrame, keyCol: String, sumCol: String,
       salts: Int): DataFrame = Skew.saltedAggregate(df, keyCol, sumCol, salts)
 

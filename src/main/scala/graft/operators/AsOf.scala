@@ -22,10 +22,27 @@ import graft.Tables
 object AsOf {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Generic as-of join: for each row of `left`, attach the latest `right`
-    * row (its `valueCols`) with right.timeCol <= left.timeCol, per keyCol. */
+  /** Generic as-of join — pandas `merge_asof` surface: for each row of
+    * `left`, attach the `valueCols` of the matching `right` row per `keyCol`:
+    *
+    *  - `direction = "backward"` (default): latest right with
+    *    right.time <= left.time (inclusive ties — DuckDB ASOF semantics);
+    *  - `"forward"`: earliest right with right.time >= left.time;
+    *  - `"nearest"`: whichever of the two is closer in time (tie →
+    *    backward, pandas' rule);
+    *  - `toleranceSec`: matches farther than this many seconds away are
+    *    nulled (applied per direction before the nearest tie-break).
+    *
+    * Scale shape is unchanged from the single-direction form: ONE shuffle
+    * on the key; the forward pass is the same carry under the reversed sort
+    * order, so `nearest` costs one extra in-partition sort, never a second
+    * exchange and never a range product. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      timeCol: String, valueCols: Seq[String]): DataFrame = {
+      timeCol: String, valueCols: Seq[String],
+      direction: String = "backward",
+      toleranceSec: Option[Double] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val lTagged = left.withColumn("_tag", lit(1))
       .withColumns(valueCols.map(v => s"_r_$v" -> lit(null).cast(
         right.schema(v).dataType)).toMap)
@@ -35,16 +52,60 @@ object AsOf {
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(v => col(v).as(s"_r_$v"))): _*)
     val unioned = lTagged.unionByName(rTagged)
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol), col("_tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(s"_asof_$v",
-        last(when(col("_tag") === 0, col(s"_r_$v")), ignoreNulls = true).over(w))
+
+    // Backward carry: ascending (time, tag) puts an equal-time right row
+    // BEFORE its left row → inclusive. Forward carry: the same frame under
+    // the reversed sort (time desc, tag asc) — "preceding" rows then hold
+    // larger times, and last() picks the smallest right time >= left time.
+    def carry(df: DataFrame, forward: Boolean, prefix: String): DataFrame = {
+      val ord = if (forward) Seq(col(timeCol).desc, col("_tag"))
+        else Seq(col(timeCol), col("_tag"))
+      val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withVals = valueCols.foldLeft(df) { (d, v) =>
+        d.withColumn(s"$prefix$v",
+          last(when(col("_tag") === 0, col(s"_r_$v")), ignoreNulls = true).over(w))
+      }
+      withVals.withColumn(s"${prefix}t",
+        last(when(col("_tag") === 0, col(timeCol)), ignoreNulls = true).over(w))
     }
-    carried.filter(col("_tag") === 1)
-      .select((left.columns.map(col) ++
-        valueCols.map(v => col(s"_asof_$v").as(s"asof_$v"))): _*)
+
+    /** Seconds from a to b (b - a), for timestamp or numeric time columns. */
+    def secsFrom(a: Column, b: Column): Column =
+      left.schema(timeCol).dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          (unix_micros(b) - unix_micros(a)).cast("double") / 1e6
+        case _ => b.cast("double") - a.cast("double")
+      }
+    def withinTol(dist: Column): Column =
+      toleranceSec.map(t => dist <= t).getOrElse(lit(true))
+
+    val needB = direction != "forward"
+    val needF = direction != "backward"
+    val carried0 = if (needB) carry(unioned, forward = false, "_b_") else unioned
+    val carried = if (needF) carry(carried0, forward = true, "_f_") else carried0
+    val lRows = carried.filter(col("_tag") === 1)
+
+    def pick(v: String): Column = {
+      val bOk = if (needB)
+        col("_b_t").isNotNull && withinTol(secsFrom(col("_b_t"), col(timeCol)))
+      else lit(false)
+      val fOk = if (needF)
+        col("_f_t").isNotNull && withinTol(secsFrom(col(timeCol), col("_f_t")))
+      else lit(false)
+      direction match {
+        case "backward" => when(bOk, col(s"_b_$v"))
+        case "forward" => when(fOk, col(s"_f_$v"))
+        case "nearest" =>
+          val bDist = secsFrom(col("_b_t"), col(timeCol))
+          val fDist = secsFrom(col(timeCol), col("_f_t"))
+          when(bOk && (!fOk || bDist <= fDist), col(s"_b_$v"))
+            .when(fOk, col(s"_f_$v"))
+      }
+    }
+
+    lRows.select((left.columns.map(col) ++
+      valueCols.map(v => pick(v).as(s"asof_$v"))): _*)
   }
 
   /** For every purchase event: the user's most recent click at/before it. */

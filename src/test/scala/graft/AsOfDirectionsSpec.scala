@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.AsOf
+
+/** Mechanism contracts for the directional as-of join against a brute-force
+  * reference: backward / forward / nearest × tolerance, on synthetic data
+  * with numeric times (the timestamp path is covered by the q31 oracle).
+  */
+class AsOfDirectionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left: (k, t, lid); right: (k, t, rv) — right times unique per key.
+  private val leftRows = Seq(
+    (1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"),
+    (2L, 5L, "d"), (2L, 100L, "e"),
+    (3L, 50L, "f")) // key with no right rows at all
+  private val rightRows = Seq(
+    (1L, 8L, "r8"), (1L, 20L, "r20"), (1L, 30L, "r30"), (1L, 90L, "r90"),
+    (2L, 40L, "r40"))
+
+  private def run(direction: String, tol: Option[Double]): Map[(Long, Long), Option[String]] =
+    AsOf.asofJoin(leftRows.toDF("k", "t", "lid"), rightRows.toDF("k", "t", "rv"),
+        "k", "t", Seq("rv"), direction, tol)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(3)))
+      .toMap
+
+  private def brute(direction: String, tol: Option[Double]): Map[(Long, Long), Option[String]] =
+    leftRows.map { case (k, t, _) =>
+      val rs = rightRows.filter(_._1 == k)
+      val back = rs.filter(_._2 <= t).sortBy(_._2).lastOption
+        .filter(r => tol.forall(x => t - r._2 <= x))
+      val fwd = rs.filter(_._2 >= t).sortBy(_._2).headOption
+        .filter(r => tol.forall(x => r._2 - t <= x))
+      val chosen = direction match {
+        case "backward" => back
+        case "forward" => fwd
+        case "nearest" => (back, fwd) match {
+          case (Some(b), Some(f)) => if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+      }
+      (k, t) -> chosen.map(_._3)
+    }.toMap
+
+  for (direction <- Seq("backward", "forward", "nearest");
+       tol <- Seq(None, Some(10.0), Some(0.0))) {
+    test(s"direction=$direction tolerance=$tol matches brute force") {
+      assert(run(direction, tol) == brute(direction, tol))
+    }
+  }
+
+  test("backward default is unchanged: inclusive ties, null when no prior") {
+    val m = run("backward", None)
+    assert(m((1L, 20L)) == Some("r20")) // equal-time right matches
+    assert(m((2L, 5L)) == None) // no right at/before
+    assert(m((3L, 50L)) == None) // key absent from right
+  }
+}
