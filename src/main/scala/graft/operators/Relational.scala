@@ -220,7 +220,9 @@ object Relational {
         substring(col("p_name"), 1, 8).as("name8"),
         length(col("p_name")).as("name_len"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
-        regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"))
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"),
+        levenshtein(col("p_brand"), col("p_type")).as("edit_dist"),
+        translate(col("p_brand"), "#", "-").as("brand_tr"))
       .orderBy(col("p_partkey"))
 
   /** Date/time functions: truncation + part extraction + grouping. */
@@ -455,7 +457,9 @@ object Relational {
       .select(col("c_nationkey"), col("c_custkey"),
         ntile(4).over(w).as("quartile"),
         round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        round(cume_dist().over(w), 6).as("cume"),
+        first_value(col("c_custkey")).over(w).as("first_k"),
+        nth_value(col("c_custkey"), 2).over(w).as("second_k"))
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }
 
@@ -522,7 +526,9 @@ object Relational {
       SELECT c_nationkey, c_custkey,
              CAST(ntile(4) OVER w AS INT) AS quartile,
              round(percent_rank() OVER w, 6) AS pct_rank,
-             round(cume_dist() OVER w, 6) AS cume
+             round(cume_dist() OVER w, 6) AS cume,
+             first_value(c_custkey) OVER w AS first_k,
+             nth_value(c_custkey, 2) OVER w AS second_k
       FROM customer
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
       ORDER BY c_nationkey, c_custkey""",
@@ -727,7 +733,9 @@ object Relational {
              substring(p_name, 1, 8) AS name8,
              CAST(length(p_name) AS INT) AS name_len,
              concat_ws('|', p_brand, p_type) AS brand_type,
-             CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INT) AS brand_num
+             CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INT) AS brand_num,
+             CAST(levenshtein(p_brand, p_type) AS INT) AS edit_dist,
+             translate(p_brand, '#', '-') AS brand_tr
       FROM part
       ORDER BY p_partkey""",
     "q19_date_funcs" -> """
