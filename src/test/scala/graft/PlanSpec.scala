@@ -112,6 +112,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), s"q90 lost its range repartition:\n$p")
   }
 
+  test("q48 hash split: map-side only — no hash-partition exchange") {
+    val df = graft.operators.TextAnalysis.queries("q48_hash_split")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the output ORDER BY's range partitioning
+    assert(!p.contains("hashpartitioning"),
+      s"hash split introduced a shuffle beyond the output sort:\n$p")
+  }
+
+  test("q47 curation: no cross product; single dedup-key aggregation shuffle") {
+    val df = graft.operators.TextAnalysis.queries("q47_curation")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"curation degenerated to a product:\n$p")
+  }
+
+  test("q29/q30: non-parquet scans actually read csv/json sources") {
+    val pCsv = Relational.queries("q29_csv_scan")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(pCsv.toLowerCase.contains("csv"), s"q29 does not scan csv:\n$pCsv")
+    val pJson = Relational.queries("q30_json_scan")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(pJson.toLowerCase.contains("json"), s"q30 does not scan json:\n$pJson")
+  }
+
   test("q06/q07: semi/anti joins plan as semi/anti (no row explosion)") {
     assert(plan("q06_semi_join").contains("LeftSemi"), plan("q06_semi_join"))
     assert(plan("q07_anti_join").contains("LeftAnti"), plan("q07_anti_join"))
