@@ -221,9 +221,21 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val neighborMin = und.join(labels, und("b") === labels("id"))
         .groupBy(und("a").as("nid")).agg(min(col("lbl")).as("nlbl"))
-      val upd = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+      val hop = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
         .select(col("id"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl1"))
+      // Pointer-jumping (path halving): also adopt the label OF the current
+      // label. Plain neighbor-min moves a component's minimum one hop per
+      // round — a path of length D needs D rounds and silently returns
+      // unconverged labels past maxIter. With the jump the frontier doubles
+      // per round: O(log D) rounds, so maxIter=20 covers ~2^20-diameter
+      // graphs instead of 20-hop ones. One extra equality join per round on
+      // the same key partitioning.
+      val upd = hop.join(
+          labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
+          hop("lbl1") === col("jid"), "left")
+        .select(col("id"), col("prev"),
+          least(col("lbl1"), coalesce(col("jlbl"), col("lbl1"))).as("lbl"))
         .localCheckpoint()
       converged = upd.where(col("lbl") < col("prev")).isEmpty
       // upd is materialized and the convergence probe has run — release the

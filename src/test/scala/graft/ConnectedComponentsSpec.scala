@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Adversarial-topology contracts for connectedComponents: shapes where
+  * one-hop min-propagation alone would exceed maxIter (long paths) — the
+  * pointer-jumping step must converge in O(log diameter) rounds — plus
+  * cycles, stars and disconnected pieces.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("60-node path converges well within maxIter=20 (needs pointer jumping)") {
+    val path = (0L until 59L).map(i => (i, i + 1))
+    val comp = components(path)
+    assert(comp.size == 60)
+    assert(comp.values.forall(_ == 0L), s"unconverged labels: ${comp.filter(_._2 != 0L)}")
+  }
+
+  test("cycle + star + disconnected pair each collapse to their minimum") {
+    val cycle = (0L until 10L).map(i => (i, (i + 1) % 10))
+    val star = (101L to 110L).map(s => (100L, s))
+    val pair = Seq((500L, 501L))
+    val comp = components(cycle ++ star ++ pair)
+    assert((0L until 10L).forall(comp(_) == 0L))
+    assert((100L to 110L).forall(comp(_) == 100L))
+    assert(comp(500L) == 500L && comp(501L) == 500L)
+  }
+
+  test("two paths merged by one bridge edge form a single component") {
+    val p1 = (0L until 20L).map(i => (i, i + 1))
+    val p2 = (100L until 120L).map(i => (i, i + 1))
+    val comp = components(p1 ++ p2 :+ (20L, 100L))
+    assert(comp.values.toSet == Set(0L))
+  }
+}
