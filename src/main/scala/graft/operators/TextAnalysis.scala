@@ -139,6 +139,19 @@ object TextAnalysis {
     val bLangs = s.sparkContext.broadcast(langs)
     val predict = udf { (text: String) =>
       val m = bModel.value; val ls = bLangs.value
+      // Degenerate corpus (no document long enough to yield a trigram) →
+      // empty model; answer "unknown" instead of indexing an empty array.
+      if (ls.isEmpty) ("unknown", 0.0)
+      else predictNonEmpty(text, m, ls)
+    }
+    docs.select(col(idCol), col(labelCol).as("true_lang"),
+        predict(col(textCol)).as("p"))
+      .select(col(idCol), col("true_lang"),
+        col("p._1").as("predicted_lang"), col("p._2").as("score"))
+  }
+
+  private def predictNonEmpty(text: String, m: Map[String, Array[Double]],
+      ls: Array[String]): (String, Double) = {
       val scores = new Array[Double](ls.length)
       var i = 0
       while (i + 3 <= text.length) {
@@ -157,11 +170,6 @@ object TextAnalysis {
       var best = 0; var j = 1
       while (j < ls.length) { if (rounded(j) > rounded(best)) best = j; j += 1 }
       (ls(best), rounded(best))
-    }
-    docs.select(col(idCol), col(labelCol).as("true_lang"),
-        predict(col(textCol)).as("p"))
-      .select(col(idCol), col("true_lang"),
-        col("p._1").as("predicted_lang"), col("p._2").as("score"))
   }
 
   private val q44: Q = (s, d) =>

@@ -25,6 +25,13 @@ class FacadeSpec extends SparkSpec {
       s"facade similarPairs degenerated to all-pairs:\n$p")
   }
 
+  test("langId on a corpus with no trigrams answers 'unknown' instead of crashing") {
+    import spark.implicits._
+    val tiny = Seq((1L, "ab", "en"), (2L, "x", "de")).toDF("doc_id", "text", "lang")
+    val out = Graft.langId(tiny, "doc_id", "text", "lang").collect()
+    assert(out.length == 2 && out.forall(_.getString(2) == "unknown"))
+  }
+
   test("ngramJaccard threads maxDf: a df-cap of 0 excludes every shingle") {
     val docs = Tables.documents(spark, sf0001)
     assert(Graft.ngramJaccard(docs, "doc_id", "text", maxDf = 0).isEmpty)
