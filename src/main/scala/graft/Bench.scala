@@ -43,11 +43,12 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> exec(n))
-    // 3-decimal (ms) precision keeps the whole line ~1.6 KB: the consumer
-    // retains only a 2000-char tail of stdout, and an sbt "[success]" trailer
-    // (~80 chars) follows — a fatter line gets its head truncated (the
-    // r01/r02 "parsed": null failure mode).
-    def fmt(v: Double) = f"$v%.3f"
+    // 2-decimal precision keeps the whole line under ~1.9 KB at 75 queries:
+    // the consumer retains only a 2000-char tail of stdout, and an sbt
+    // "[success]" trailer (~80 chars) follows — a fatter line gets its head
+    // truncated (the r01/r02 "parsed": null failure mode). Locale.ROOT so a
+    // comma-decimal default locale can't corrupt the JSON.
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

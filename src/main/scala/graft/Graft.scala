@@ -19,7 +19,8 @@ object Graft {
   def exactDedup(df: DataFrame, idCol: String, keyCol: String): DataFrame =
     Dedup.exactDedup(df, idCol, keyCol)
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
-      minEst: Double = 0.35): DataFrame = Dedup.minHashLsh(df, idCol, textCol, minEst)
+      minEst: Double = 0.35, maxBandDf: Int = 1000): DataFrame =
+    Dedup.minHashLsh(df, idCol, textCol, minEst, maxBandDf)
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.simHash(df, idCol, textCol)
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
@@ -40,8 +41,17 @@ object Graft {
   def similarPairs(df: DataFrame, idCol: String, vecCol: String,
       topN: Int = 20, dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim
-      else df.select(org.apache.spark.sql.functions.size(
-        org.apache.spark.sql.functions.col(vecCol))).head().getInt(0)
+      else {
+        // headOption (not head): an empty frame or a null first vector gets a
+        // clear error instead of NoSuchElementException / NPE. Costs one
+        // small job; pass `dim` explicitly to skip it.
+        val first = df.filter(org.apache.spark.sql.functions.col(vecCol).isNotNull)
+          .select(org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.col(vecCol)))
+          .head(1).headOption
+        first.map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
+          s"similarPairs: cannot infer dim — no non-null '$vecCol' row; pass dim explicitly"))
+      }
     Similarity.topPairs(df, idCol, vecCol, d, topN)
   }
   def annLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,

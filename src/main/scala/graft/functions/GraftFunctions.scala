@@ -127,6 +127,9 @@ object BytePolyImpl {
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
+  // SQL-reachable (graft_winnow) — fail bad arguments at analysis time with
+  // a clear message, not with an array-size exception mid-task.
+  require(k >= 1 && w >= 1, s"graft_winnow: k and w must be >= 1, got k=$k w=$w")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -194,6 +197,7 @@ object WinnowImpl {
 case class CharNgrams(child: Expression, n: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
+  require(n >= 1, s"graft_ngrams: n must be >= 1, got $n")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -255,6 +259,7 @@ object CharNgramsImpl {
 case class TokenShingles(child: Expression, n: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
+  require(n >= 1, s"graft_token_shingles: n must be >= 1, got $n")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -338,6 +343,9 @@ case class HyperplaneBuckets(child: Expression, numTables: Int,
     planesPerTable: Int, dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
+  require(numTables >= 1 && planesPerTable >= 1 && planesPerTable <= 30 && dim >= 1,
+    s"graft_hp_buckets: need numTables>=1, 1<=planesPerTable<=30, dim>=1; " +
+      s"got ($numTables, $planesPerTable, $dim)")
 
   override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -371,7 +379,10 @@ object HyperplaneBucketsImpl {
     Array.tabulate(dim) { j =>
       val h = md.digest(s"plane_${p}_$j".getBytes("UTF-8"))
       val v = java.nio.ByteBuffer.wrap(h, 0, 4).getInt
-      f"${v.toDouble / Int.MaxValue.toDouble}%.9f"
+      // Locale.ROOT: under a comma-decimal default locale, "%.9f" would emit
+      // "0,123..." and the .toDouble parse (and the oracle literals) break.
+      String.format(java.util.Locale.ROOT, "%.9f",
+        Double.box(v.toDouble / Int.MaxValue.toDouble))
     }
   }
 

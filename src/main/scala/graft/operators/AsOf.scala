@@ -57,17 +57,24 @@ object AsOf {
     // BEFORE its left row → inclusive. Forward carry: the same frame under
     // the reversed sort (time desc, tag asc) — "preceding" rows then hold
     // larger times, and last() picks the smallest right time >= left time.
+    //
+    // ONE carried struct per direction: the matched right row's time and its
+    // values travel together, so the tolerance/nearest checks and the
+    // attached values always come from the SAME right row. (Carrying values
+    // individually with last(_r_v, ignoreNulls) skips null right values back
+    // to an older row — possibly outside the tolerance — while the carried
+    // time stays at the nearest row; merge_asof attaches the nearest row's
+    // value, null included.)
     def carry(df: DataFrame, forward: Boolean, prefix: String): DataFrame = {
       val ord = if (forward) Seq(col(timeCol).desc, col("_tag"))
         else Seq(col(timeCol), col("_tag"))
       val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val withVals = valueCols.foldLeft(df) { (d, v) =>
-        d.withColumn(s"$prefix$v",
-          last(when(col("_tag") === 0, col(s"_r_$v")), ignoreNulls = true).over(w))
-      }
-      withVals.withColumn(s"${prefix}t",
-        last(when(col("_tag") === 0, col(timeCol)), ignoreNulls = true).over(w))
+      df.withColumn(s"${prefix}s",
+        last(when(col("_tag") === 0,
+            struct((col(timeCol).as("_t") +:
+              valueCols.map(v => col(s"_r_$v").as(s"_r_$v"))): _*)),
+          ignoreNulls = true).over(w))
     }
 
     /** Seconds from a to b (b - a), for timestamp or numeric time columns. */
@@ -88,19 +95,19 @@ object AsOf {
 
     def pick(v: String): Column = {
       val bOk = if (needB)
-        col("_b_t").isNotNull && withinTol(secsFrom(col("_b_t"), col(timeCol)))
+        col("_b_s").isNotNull && withinTol(secsFrom(col("_b_s._t"), col(timeCol)))
       else lit(false)
       val fOk = if (needF)
-        col("_f_t").isNotNull && withinTol(secsFrom(col(timeCol), col("_f_t")))
+        col("_f_s").isNotNull && withinTol(secsFrom(col(timeCol), col("_f_s._t")))
       else lit(false)
       direction match {
-        case "backward" => when(bOk, col(s"_b_$v"))
-        case "forward" => when(fOk, col(s"_f_$v"))
+        case "backward" => when(bOk, col(s"_b_s._r_$v"))
+        case "forward" => when(fOk, col(s"_f_s._r_$v"))
         case "nearest" =>
-          val bDist = secsFrom(col("_b_t"), col(timeCol))
-          val fDist = secsFrom(col(timeCol), col("_f_t"))
-          when(bOk && (!fOk || bDist <= fDist), col(s"_b_$v"))
-            .when(fOk, col(s"_f_$v"))
+          val bDist = secsFrom(col("_b_s._t"), col(timeCol))
+          val fDist = secsFrom(col(timeCol), col("_f_s._t"))
+          when(bOk && (!fOk || bDist <= fDist), col(s"_b_s._r_$v"))
+            .when(fOk, col(s"_f_s._r_$v"))
       }
     }
 

@@ -66,20 +66,42 @@ object Dedup {
 
   /** Exact dedup by `keyCol`: keeper assignment (group min of `idCol`) and
     * an is_dup audit flag. `dropDuplicates(keyCol)` is the destructive
-    * one-liner; this form keeps the mapping. */
+    * one-liner; this form keeps the mapping.
+    *
+    * The shuffle key is `md5(keyCol)` — a 32-char digest — NOT the raw
+    * value: at 100 TB `keyCol` is a document body, and partitioning the
+    * window by it would shuffle every body byte. Grouping by the digest is
+    * equivalent up to md5 collision (~2⁻¹²⁸, negligible against any corpus),
+    * and the oracle replays the same digest grouping. */
   def exactDedup(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol))
+    val w = Window.partitionBy(md5(col(keyCol).cast("string")))
     df.withColumn("keeper_id", min(col(idCol)).over(w))
       .select(col(idCol), col("keeper_id"),
         (col(idCol) =!= col("keeper_id")).as("is_dup"))
   }
 
+  /** Default band-signature document-frequency cap — shared with the q51/q55
+    * oracle SQL (like [[MaxDf]] for the shingle index) so the gate checks the
+    * capped semantics. */
+  private[graft] val MaxBandDf = 1000
+
   /** MinHash + LSH near-dup candidate pairs with estimated Jaccard ≥
     * `minEst`. shingle → 60-bit hash → 32 permutation min-hashes (aggregate
     * columns, one HashAggregate) → 8 bands of 4 → band-signature equality
-    * join → signature-overlap estimate. */
+    * join → signature-overlap estimate.
+    *
+    * Skew guard (`maxBandDf`): a band signature shared by f documents emits
+    * f² candidate rows — and crawl corpora are FULL of exact-duplicate /
+    * boilerplate clusters whose members share all 8 band signatures, so one
+    * hot cluster makes the band join quadratic. Band signatures with
+    * document frequency > `maxBandDf` are dropped from candidate generation
+    * (the same guard topology as [[ngramJaccard]]'s `maxDf`; the df count
+    * rides a window over the partitioning the self-join needs anyway).
+    * Members of a capped cluster are near-dups by construction — handle
+    * them with [[exactDedup]] first, which is exactly what [[dedupNearDup]]
+    * does, so the composed pipeline loses nothing. */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
-      minEst: Double = 0.35): DataFrame = {
+      minEst: Double = 0.35, maxBandDf: Int = MaxBandDf): DataFrame = {
     val hashed = shingled(df, idCol, textCol)
       .select(col(idCol), (expr(h60("sh")) % P).as("hv"))
     val minCols = perms.map { case (pid, a, b) =>
@@ -100,7 +122,12 @@ object Dedup {
       val parts = (0 until BandSize).map(j => s"string(sg[${bi * BandSize + j}])")
       s"concat('$bi', '_', ${parts.mkString(", '_', ")})"
     }.mkString("array(", ", ", ")")
+    // bsig embeds the band index, so partitioning by bsig alone is the same
+    // key the self-join shuffles on — the df guard adds no extra exchange.
     val bands = sig.select(col(idCol), explode(expr(bandExpr)).as("bsig"))
+      .withColumn("df_", count(lit(1)).over(Window.partitionBy(col("bsig"))))
+      .filter(col("df_") <= maxBandDf)
+      .drop("df_")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bsig") === col("y.bsig") && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2")).distinct()
@@ -209,6 +236,14 @@ object Dedup {
     // lineage ONCE before symmetrizing: a plain union would execute it per
     // branch.
     val e0 = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    // Short-circuit an edgeless graph: no components to label, and the probe
+    // runs over already-materialized blocks (no recompute of the edge
+    // lineage). Saves the per-round actions when a dedup pass finds nothing.
+    if (e0.isEmpty) {
+      val empty = e0.select(col("a").as("id"), col("b").as("component")).limit(0)
+      unpersistBlocks(e0)
+      return empty
+    }
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
@@ -253,7 +288,13 @@ object Dedup {
     * blocks: the checkpointed RDD sits behind the plan's LogicalRDD leaf.
     * (Dataset.unpersist only covers CacheManager entries, and relying on the
     * ContextCleaner means blocks survive until a driver GC.) No-op for
-    * non-checkpoint plans. */
+    * non-checkpoint plans.
+    *
+    * ONLY call this once nothing will read the plan again: checkpoint
+    * lineage is truncated, so released blocks cannot be recomputed — a
+    * subsequent read fails rather than recovers. (Same reason the cluster
+    * path should use a reliable `checkpoint` dir: local blocks also die
+    * with their executor.) */
   private def unpersistBlocks(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
@@ -261,19 +302,38 @@ object Dedup {
       case _ => ()
     }
 
-  /** The end-to-end near-dup dedup pipeline, composed: MinHash-LSH candidate
-    * pairs → connected components → keeper per document (component minimum;
-    * documents with no near-dup keep themselves). This is the operator a
-    * training-data pipeline actually runs: one pass of map-side hashing, one
-    * banding join, O(diameter) label rounds — no quadratic stage anywhere. */
+  /** The end-to-end near-dup dedup pipeline, composed: exact-dedup collapse
+    * → MinHash-LSH candidate pairs over distinct texts → connected
+    * components → keeper per document (component minimum; documents with no
+    * near-dup keep themselves). This is the operator a training-data
+    * pipeline actually runs: one pass of map-side hashing, one banding join,
+    * O(diameter) label rounds — no quadratic stage anywhere.
+    *
+    * Exact duplicates collapse to one representative (the copy-group's min
+    * id) BEFORE the band join: identical texts share every band signature,
+    * so a cluster of f copies would emit f² candidate rows per band — the
+    * hot-key blowup `maxBandDf` guards against. The collapse is
+    * OUTPUT-PRESERVING, not an approximation: a copy has the identical
+    * signature as its representative, so every component the copy would have
+    * joined, the representative joins, and component minima are unchanged
+    * (each representative is already its group's minimum). The q55 oracle —
+    * which runs the uncollapsed formulation — verifies that equivalence. */
   def dedupNearDup(df: DataFrame, idCol: String, textCol: String,
       minEst: Double = 0.35): DataFrame = {
-    val pairs = minHashLsh(df, idCol, textCol, minEst)
+    val withRep = df
+      .select(col(idCol), col(textCol),
+        min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))).as("_rep"))
+      .localCheckpoint() // read by the LSH leg and the final mapping
+    val reps = withRep.filter(col(idCol) === col("_rep"))
+      .select(col(idCol), col(textCol))
+    val pairs = minHashLsh(reps, idCol, textCol, minEst)
     val comp = connectedComponents(pairs, "id1", "id2")
-    df.select(col(idCol))
-      .join(comp, df(idCol) === comp("id"), "left")
+    // withRep's blocks are still read by the returned (lazy) plan — they are
+    // released by the ContextCleaner when the plan is GC'd, never eagerly.
+    withRep
+      .join(comp, withRep("_rep") === comp("id"), "left")
       .select(col(idCol),
-        coalesce(col("component"), col(idCol)).as("keeper_id"))
+        coalesce(col("component"), col("_rep")).as("keeper_id"))
   }
 
   // ------------------------------------------------- fixture-bound queries
@@ -341,9 +401,13 @@ object Dedup {
       mh AS (SELECT doc_id, pid, min((a * hv + b) % $P) AS m
              FROM h CROSS JOIN perms GROUP BY doc_id, pid),
       sig AS (SELECT doc_id, list(m ORDER BY pid) AS sg FROM mh GROUP BY doc_id),
-      bands AS (SELECT doc_id, pid // $BandSize AS band,
-                       array_to_string(list(m ORDER BY pid), '_') AS bsig
-                FROM mh GROUP BY doc_id, pid // $BandSize),
+      bands0 AS (SELECT doc_id, pid // $BandSize AS band,
+                        array_to_string(list(m ORDER BY pid), '_') AS bsig
+                 FROM mh GROUP BY doc_id, pid // $BandSize),
+      keptb AS (SELECT band, bsig FROM bands0
+                GROUP BY band, bsig HAVING count(*) <= $MaxBandDf),
+      bands AS (SELECT bands0.* FROM bands0
+                JOIN keptb ON bands0.band = keptb.band AND bands0.bsig = keptb.bsig),
       cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
                FROM bands x JOIN bands y
                  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
@@ -355,9 +419,10 @@ object Dedup {
               JOIN sig s2 ON s2.doc_id = id2)"""
 
   val oracles: Map[String, String] = Map(
+    // Replays the digest grouping: keeper per md5(text), not per raw text.
     "q50_exact_dedup" -> """
-      SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper_id,
-             doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+             doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
       FROM documents ORDER BY doc_id""",
     "q51_minhash_lsh" -> s"""
       WITH $duckMinhashCtes

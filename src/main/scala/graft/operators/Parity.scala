@@ -104,7 +104,7 @@ object Parity {
     * sort-based pipeline; FixtureInvariantSpec guards the no-embedded-
     * newline assumption a line sink needs). */
   private val q92: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_text_").toString
+    val tmp = graft.sources.Sources.staging("text_q92")
     val lines = Tables.documents(s, d).select(col("text"))
     graft.sources.Sources.textRoundTrip(s, lines, tmp)
       .select(explode(expr("filter(split(value, ' '), t -> t != '')")).as("tok"))

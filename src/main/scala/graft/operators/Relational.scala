@@ -427,7 +427,7 @@ object Relational {
     * the non-parquet reader path certified end-to-end, not just
     * round-trip-tested. */
   private val q29: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    val tmp = graft.sources.Sources.staging("csv_q29")
     graft.sources.Sources.roundTrip(s, Tables.part(s, d), "csv", tmp)
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n"),
@@ -439,12 +439,39 @@ object Relational {
   /** JSON-lines scan under the gate, same certification shape as [[q29]]:
     * supplier → json → read back → nation rollup vs a parquet oracle. */
   private val q30: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+    val tmp = graft.sources.Sources.staging("json_q30")
     graft.sources.Sources.roundTrip(s, Tables.supplier(s, d), "json", tmp)
       .groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("s_acctbal")), 2).as("sum_bal"))
       .orderBy(col("s_nationkey"))
+  }
+
+  /** ORC scan under the gate, same certification shape as [[q29]]/[[q30]]:
+    * customer → ORC → read back → market-segment rollup vs a parquet oracle,
+    * closing the one §2.2 source format that was round-trip-tested but not
+    * oracle-gated. */
+  private val q93: Q = (s, d) => {
+    val tmp = graft.sources.Sources.staging("orc_q93")
+    graft.sources.Sources.roundTrip(s, Tables.customer(s, d), "orc", tmp)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** The typed-UDAF surface under the gate: geometric mean per brand through
+    * `udaf(GeoMeanAggregator)` — a merge-associative (Σ ln x, n) buffer, so
+    * partial aggregation applies exactly as for built-ins. The oracle is
+    * DuckDB's `exp(avg(ln(x)))`; both sides round to 4 dp to absorb
+    * summation-order ulp. */
+  private val q94: Q = (s, d) => {
+    val gm = udaf(graft.functions.GeoMeanAggregator)
+    Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(round(gm(col("p_retailprice")), 4).as("geo_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
   }
 
   /** Window distribution functions — ntile / percent_rank / cume_dist —
@@ -466,6 +493,8 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q29_csv_scan" -> q29,
     "q30_json_scan" -> q30,
+    "q93_orc_scan" -> q93,
+    "q94_geomean" -> q94,
     "q49_window_distribution" -> q49,
     "q33_from_json" -> q33,
     "q34_range_frame" -> q34,
@@ -522,6 +551,14 @@ object Relational {
       SELECT s_nationkey, count(*) AS n,
              round(sum(s_acctbal), 2) AS sum_bal
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q93_orc_scan" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             round(sum(c_acctbal), 2) AS sum_bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q94_geomean" -> """
+      SELECT p_brand, round(exp(avg(ln(p_retailprice))), 4) AS geo_price,
+             count(*) AS n
+      FROM part GROUP BY p_brand ORDER BY p_brand""",
     "q49_window_distribution" -> """
       SELECT c_nationkey, c_custkey,
              CAST(ntile(4) OVER w AS INT) AS quartile,

@@ -216,10 +216,10 @@ object TextAnalysis {
     * quality gate composed, duplicate taking precedence, plus the token
     * count the budget accounting needs. `retained` is the final verdict.
     *
-    * At 100 TB the only shuffle is the dedup key grouping — and the key
-    * would be `md5(text)` rather than the raw text (shuffling a 60-bit
-    * digest, not document bodies); the fixture query keeps raw text so the
-    * oracle stays byte-transparent. Quality scoring is map-side. */
+    * At 100 TB the only shuffle is the dedup key grouping, and
+    * [[Dedup.exactDedup]] keys it on `md5(text)` — a 32-char digest, not
+    * document bodies — which the oracle replays. Quality scoring is
+    * map-side. */
   def curate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val q = qualityScore(df, idCol, textCol)
     val dup = Dedup.exactDedup(df, idCol, textCol)
@@ -294,7 +294,7 @@ object TextAnalysis {
                         ELSE 'ok' END AS quality
             FROM m),
       dup AS (SELECT doc_id,
-                     doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+                     doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
               FROM documents)
       SELECT q.doc_id, q.n_tokens,
              CASE WHEN dup.is_dup THEN 'duplicate' ELSE q.quality END AS reason,

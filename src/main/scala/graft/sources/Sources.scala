@@ -10,6 +10,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Sources {
 
+  /** Per-JVM staging root for sink round-trips: subdirectories are REUSED
+    * across invocations (every write is SaveMode.Overwrite) and the whole
+    * root is recursively deleted on JVM exit — so repeated Verify/Bench runs
+    * don't accumulate one orphan /tmp/graft_* dir per query invocation. */
+  private lazy val stagingRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_staging_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  /** A stable per-JVM staging path for the named round-trip. */
+  def staging(sub: String): String = stagingRoot.resolve(sub).toString
+
   /** Write `df` as `format` under `path`, read it back with the original
     * schema (CSV/JSON are schemaless-on-read; forcing the schema keeps types
     * lossless). */

@@ -14,9 +14,11 @@ class AsOfDirectionsSpec extends SparkSpec {
     (1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"),
     (2L, 5L, "d"), (2L, 100L, "e"),
     (3L, 50L, "f")) // key with no right rows at all
+  // (1, 33, null): a right row whose VALUE is null — merge_asof semantics
+  // attach the nearest row's value (null), never skip back to an older row.
   private val rightRows = Seq(
-    (1L, 8L, "r8"), (1L, 20L, "r20"), (1L, 30L, "r30"), (1L, 90L, "r90"),
-    (2L, 40L, "r40"))
+    (1L, 8L, "r8"), (1L, 20L, "r20"), (1L, 30L, "r30"), (1L, 33L, null),
+    (1L, 90L, "r90"), (2L, 40L, "r40"))
 
   private def run(direction: String, tol: Option[Double]): Map[(Long, Long), Option[String]] =
     AsOf.asofJoin(leftRows.toDF("k", "t", "lid"), rightRows.toDF("k", "t", "rv"),
@@ -40,7 +42,9 @@ class AsOfDirectionsSpec extends SparkSpec {
           case (b, f) => b.orElse(f)
         }
       }
-      (k, t) -> chosen.map(_._3)
+      // flatMap: a matched row with a null value and "no match" both surface
+      // as None — the same observable output the join produces.
+      (k, t) -> chosen.flatMap(r => Option(r._3))
     }.toMap
 
   for (direction <- Seq("backward", "forward", "nearest");
@@ -55,5 +59,13 @@ class AsOfDirectionsSpec extends SparkSpec {
     assert(m((1L, 20L)) == Some("r20")) // equal-time right matches
     assert(m((2L, 5L)) == None) // no right at/before
     assert(m((3L, 50L)) == None) // key absent from right
+  }
+
+  test("null right value: the nearest row's null is attached, not an older value") {
+    // left (1, 35): the as-of right row is (33, null) — the round-3 per-value
+    // last(ignoreNulls) carry skipped it back to (30, "r30"), pairing the
+    // tolerance time from one row with the value of another.
+    assert(run("backward", None)((1L, 35L)) == None)
+    assert(run("nearest", Some(10.0))((1L, 35L)) == None)
   }
 }

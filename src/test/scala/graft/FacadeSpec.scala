@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{AsOf, Dedup, Similarity, Skew, TextAnalysis}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Contracts for the public [[Graft]] facade — specifically the delegation
@@ -30,6 +31,73 @@ class FacadeSpec extends SparkSpec {
     val tiny = Seq((1L, "ab", "en"), (2L, "x", "de")).toDF("doc_id", "text", "lang")
     val out = Graft.langId(tiny, "doc_id", "text", "lang").collect()
     assert(out.length == 2 && out.forall(_.getString(2) == "unknown"))
+  }
+
+  test("facade delegation sweep: plans identical to the direct operator calls") {
+    // The round-2 bug class (a facade default binding positionally to the
+    // wrong operator parameter) changes the logical plan — so plan identity
+    // modulo expression ids locks EVERY checkpoint-free facade entry at once.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val left = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "lid")
+    val right = Seq((1L, 8L, 1.5), (2L, 25L, 2.5)).toDF("k", "t", "v")
+    def norm(df: DataFrame): String =
+      df.queryExecution.logical.toString.replaceAll("#\\d+", "#")
+    val pairs: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("exactDedup", Graft.exactDedup(docs, "doc_id", "text"),
+        Dedup.exactDedup(docs, "doc_id", "text")),
+      ("simHash", Graft.simHash(docs, "doc_id", "text"),
+        Dedup.simHash(docs, "doc_id", "text")),
+      ("knn", Graft.knn(emb, "vec_id", "embedding", col("vec_id") < 5),
+        Similarity.knnBruteForce(emb, "vec_id", "embedding", col("vec_id") < 5)),
+      ("annLsh", Graft.annLsh(emb, "vec_id", "embedding", 64, col("vec_id") < 5, 10),
+        Similarity.annLsh(emb, "vec_id", "embedding", 64, col("vec_id") < 5, 10)),
+      ("annIvf", Graft.annIvf(emb, "vec_id", "label", "embedding", col("vec_id") < 5),
+        Similarity.ivfSearch(emb, "vec_id", "label", "embedding", col("vec_id") < 5)),
+      ("centroids", Graft.centroids(emb, "label", "embedding"),
+        Similarity.centroids(emb, "label", "embedding")),
+      ("tokenStats", Graft.tokenStats(docs, "doc_id", "text"),
+        TextAnalysis.tokenStats(docs, "doc_id", "text")),
+      ("qualityScore", Graft.qualityScore(docs, "doc_id", "text"),
+        TextAnalysis.qualityScore(docs, "doc_id", "text")),
+      ("fingerprint", Graft.fingerprint(docs, "doc_id", "text"),
+        TextAnalysis.fingerprint(docs, "doc_id", "text")),
+      ("winnow", Graft.winnow(docs, "doc_id", "text"),
+        TextAnalysis.winnow(docs, "doc_id", "text")),
+      ("tokenCounts", Graft.tokenCounts(docs, "doc_id", "text"),
+        TextAnalysis.tokenCounts(docs, "doc_id", "text")),
+      ("curate", Graft.curate(docs, "doc_id", "text"),
+        TextAnalysis.curate(docs, "doc_id", "text")),
+      ("hashSplit", Graft.hashSplit(docs, "doc_id"),
+        TextAnalysis.hashSplit(docs, "doc_id")),
+      ("asofJoin", Graft.asofJoin(left, right, "k", "t", Seq("v"), "nearest", Some(5.0)),
+        AsOf.asofJoin(left, right, "k", "t", Seq("v"), "nearest", Some(5.0))),
+      ("saltedAggregate", Graft.saltedAggregate(docs, "lang", "doc_id", 4),
+        Skew.saltedAggregate(docs, "lang", "doc_id", 4)),
+    )
+    pairs.foreach { case (n, f, d) =>
+      assert(norm(f) == norm(d), s"facade.$n plan drifted from the operator's:\n${norm(f)}")
+    }
+  }
+
+  test("facade delegation sweep: checkpoint-based ops produce identical rows") {
+    // localCheckpoint embeds fresh RDD ids in the plan, so for these entries
+    // compare produced rows instead of plan strings.
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    def rows(df: DataFrame): Set[String] = df.collect().map(_.toString).toSet
+    assert(rows(Graft.minHashLsh(docs, "doc_id", "text")) ==
+      rows(Dedup.minHashLsh(docs, "doc_id", "text")))
+    assert(rows(Graft.ngramJaccard(docs, "doc_id", "text")) ==
+      rows(Dedup.ngramJaccard(docs, "doc_id", "text")))
+    assert(rows(Graft.dedupNearDup(docs, "doc_id", "text")) ==
+      rows(Dedup.dedupNearDup(docs, "doc_id", "text")))
+    assert(rows(Graft.semanticDedup(emb, "vec_id", "label", "embedding")) ==
+      rows(Similarity.semanticDedup(emb, "vec_id", "label", "embedding")))
+    val edges = Dedup.ngramJaccard(docs, "doc_id", "text")
+    assert(rows(Graft.connectedComponents(edges, "id1", "id2")) ==
+      rows(Dedup.connectedComponents(edges, "id1", "id2")))
   }
 
   test("ngramJaccard threads maxDf: a df-cap of 0 excludes every shingle") {

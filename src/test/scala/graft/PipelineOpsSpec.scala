@@ -195,6 +195,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(unguarded.count() == 6L * 5 / 2, "default cap keeps exact semantics")
   }
 
+  test("minhash band-df cap: a hot exact-duplicate cluster cannot go quadratic") {
+    import spark.implicits._
+    // 300 identical docs share all 8 band signatures — uncapped, that is
+    // 300²/2 candidate rows PER BAND (the crawl-corpus boilerplate blowup).
+    val hot = (1L to 300L).map(i => (i, "the same boilerplate page text repeated verbatim"))
+    val docs = (hot ++ Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta eta"),
+      (1002L, "totally different content with no overlap at all"))).toDF("doc_id", "text")
+    val capped = Dedup.minHashLsh(docs, "doc_id", "text", maxBandDf = 100)
+    assert(capped.filter(col("id1") <= 300L).isEmpty,
+      "capped band must not emit candidates from the hot cluster")
+    // The composed pipeline still dedups the cluster: the exact-first
+    // collapse sends ONE representative into the band join.
+    val keepers = Dedup.dedupNearDup(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 300L).foreach(i => assert(keepers(i) == 1L,
+      s"copy $i must keep the cluster minimum, got ${keepers(i)}"))
+    assert(keepers(1001L) == 1001L && keepers(1002L) == 1002L)
+  }
+
+  test("dedupNearDup: exact-first collapse is output-preserving vs the uncollapsed form") {
+    val docs = Tables.documents(spark, sf0001)
+    val composed = Dedup.dedupNearDup(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Reference: the round-3 formulation — LSH over ALL docs, then CC.
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text")
+    val comp = Dedup.connectedComponents(pairs, "id1", "id2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => id -> comp.getOrElse(id, id)).toMap
+    assert(composed == expected)
+  }
+
+  test("dedupNearDup: no candidate pairs short-circuits to identity keepers") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh"), (3L, "ii jj kk ll"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupNearDup(docs, "doc_id", "text").collect()
+    assert(out.length == 3 && out.forall(r => r.getLong(1) == r.getLong(0)))
+  }
+
   test("exact dedup keeper: keeper_id <= doc_id and keepers are fixpoints") {
     val rows = Dedup.queries("q50_exact_dedup")(spark, sf0001).collect()
     val keeper = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -70,6 +70,30 @@ class PlanSpec extends SparkSpec {
     assert(line.contains("*("), s"hp_buckets outside codegen:\n$line")
   }
 
+  test("q62 ann-lsh: the exact-rank broadcast side is query-bounded, not the corpus") {
+    val p = plan("q62_ann_lsh")
+    // The query predicate (vec_id < 5) must reach TWO parquet scans: the
+    // candidate-generation query side AND the exact-rank broadcast build side
+    // (the round-3 defect broadcast the UNFILTERED embeddings table there —
+    // correct at fixture scale, OOM at corpus scale).
+    val n = "LessThan\\(vec_id,5\\)".r.findAllIn(p).size
+    assert(n >= 2,
+      s"q62's exact-rank broadcast side lost the query predicate (pushed on $n scans):\n$p")
+  }
+
+  test("q50 exact dedup: the window shuffles an md5 digest, not document bodies") {
+    val p = graft.operators.Dedup.queries("q50_exact_dedup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // The digest is projected to an alias (_w0) BELOW the exchange, so the
+    // shuffle carries (doc_id, 32-char md5) — assert the projection exists
+    // and the hash partitioning keys on the alias, not on raw text.
+    assert(p.contains("md5(cast(text"),
+      s"dedup window lost the digest projection:\n$p")
+    val part = p.linesIterator.find(_.contains("hashpartitioning")).getOrElse("")
+    assert(part.contains("_w") && !part.contains("text#"),
+      s"dedup window partitions by raw text (shuffles full bodies at scale):\n$part")
+  }
+
   test("q31 as-of join: no cross/nested-loop join — window composition only") {
     val p = graft.operators.AsOf.queries("q31_asof_join")(spark, sf0001)
       .queryExecution.executedPlan.toString
