@@ -41,7 +41,12 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_ONLY=q52_simhash,q90_unique_prefix — time a subset in an
+    // otherwise-identical fresh session (isolates per-query numbers from
+    // same-JVM ordering effects; see PERF.md).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> exec(n))
     // 2-decimal precision keeps the whole line under ~1.9 KB at 75 queries:
     // the consumer retains only a 2000-char tail of stdout, and an sbt
