@@ -460,6 +460,20 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** JDBC source/sink under the gate (embedded Derby — the one database in
+    * this container): customer → JDBC table → PARTITIONED jdbc scan back
+    * (4 range queries on c_custkey, the cluster-parallel read form) →
+    * nation rollup vs a parquet oracle. Certifies type fidelity through
+    * Spark's JDBC writer/dialect/reader end-to-end. */
+  private val q95: Q = (s, d) => {
+    graft.sources.Sources.jdbcRoundTrip(s, Tables.customer(s, d),
+        "derby_q95", "customer_rt", "c_custkey", 4)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** The typed-UDAF surface under the gate: geometric mean per brand through
     * `udaf(GeoMeanAggregator)` — a merge-associative (Σ ln x, n) buffer, so
     * partial aggregation applies exactly as for built-ins. The oracle is
@@ -495,6 +509,7 @@ object Relational {
     "q30_json_scan" -> q30,
     "q93_orc_scan" -> q93,
     "q94_geomean" -> q94,
+    "q95_jdbc_scan" -> q95,
     "q49_window_distribution" -> q49,
     "q33_from_json" -> q33,
     "q34_range_frame" -> q34,
@@ -559,6 +574,10 @@ object Relational {
       SELECT p_brand, round(exp(avg(ln(p_retailprice))), 4) AS geo_price,
              count(*) AS n
       FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q95_jdbc_scan" -> """
+      SELECT c_nationkey, count(*) AS n,
+             round(sum(c_acctbal), 2) AS sum_bal
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q49_window_distribution" -> """
       SELECT c_nationkey, c_custkey,
              CAST(ntile(4) OVER w AS INT) AS quartile,

@@ -39,6 +39,35 @@ object Sources {
     spark.read.format(format).schema(df.schema).load(path)
   }
 
+  /** JDBC sink/source round-trip against the embedded Derby engine that
+    * ships with Spark (the only database reachable in this container — the
+    * point is certifying Spark's JDBC write/read path itself, which is
+    * driver-URL-agnostic). The read back is a PARTITIONED JDBC scan
+    * (`partitionColumn`/`numPartitions`), i.e. the form that parallelizes
+    * on a cluster — `numPartitions` concurrent range queries — rather than
+    * the single-connection default that serializes a large table through
+    * one executor. */
+  def jdbcRoundTrip(spark: SparkSession, df: DataFrame, dbName: String,
+      table: String, partitionCol: String, numPartitions: Int): DataFrame = {
+    // Keep derby.log (and the database) inside the shutdown-cleaned staging
+    // root instead of polluting the working directory.
+    System.setProperty("derby.system.home", stagingRoot.toString)
+    val url = s"jdbc:derby:${staging(dbName)};create=true"
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .mode(SaveMode.Overwrite).save()
+    val bounds = df.agg(
+      org.apache.spark.sql.functions.min(partitionCol),
+      org.apache.spark.sql.functions.max(partitionCol)).head()
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("partitionColumn", partitionCol)
+      .option("lowerBound", bounds.getLong(0))
+      .option("upperBound", bounds.getLong(1))
+      .option("numPartitions", numPartitions)
+      .load()
+  }
+
   /** Text sink/source parity with the reference's line-file model
     * (MapReduce.h:219-245): one string column ⇆ newline-delimited files. */
   def textRoundTrip(spark: SparkSession, lines: DataFrame, path: String): DataFrame = {

@@ -61,6 +61,43 @@ class AsOfDirectionsSpec extends SparkSpec {
     assert(m((3L, 50L)) == None) // key absent from right
   }
 
+  test("randomized matrix with null values matches brute force (seed 42)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val lRows = Seq.tabulate(150)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(400).toLong, s"l$i"))
+    // Right times deduped per key: equal-time right rows have no defined
+    // winner in either the window carry or the brute force.
+    val rRows = Seq.tabulate(150)(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(400).toLong,
+          if (rnd.nextInt(4) == 0) null else s"r$i"))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val lDf = lRows.toDF("k", "t", "lid")
+    val rDf = rRows.toDF("k", "t", "rv")
+    for (direction <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(25.0))) {
+      val got = AsOf.asofJoin(lDf, rDf, "k", "t", Seq("rv"), direction, tol)
+        .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+      val exp = lRows.map { case (k, t, lid) =>
+        val rs = rRows.filter(_._1 == k)
+        val back = rs.filter(_._2 <= t).sortBy(_._2).lastOption
+          .filter(r => tol.forall(x => t - r._2 <= x))
+        val fwd = rs.filter(_._2 >= t).sortBy(_._2).headOption
+          .filter(r => tol.forall(x => r._2 - t <= x))
+        val chosen = direction match {
+          case "backward" => back
+          case "forward" => fwd
+          case "nearest" => (back, fwd) match {
+            case (Some(b), Some(f)) => if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        lid -> chosen.flatMap(r => Option(r._3))
+      }.toMap
+      assert(got == exp, s"direction=$direction tol=$tol")
+    }
+  }
+
   test("null right value: the nearest row's null is attached, not an older value") {
     // left (1, 35): the as-of right row is (33, null) — the round-3 per-value
     // last(ignoreNulls) carry skipped it back to (30, "r30"), pairing the
