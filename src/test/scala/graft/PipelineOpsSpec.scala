@@ -215,6 +215,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(keepers(1001L) == 1001L && keepers(1002L) == 1002L)
   }
 
+  test("topPairs bucket-df cap: a degenerate embedding cluster cannot go quadratic") {
+    import spark.implicits._
+    // 300 identical vectors land in the same bucket of every table — 300²/2
+    // candidate rows per table uncapped. With the cap they are excluded.
+    val v = Array.fill(8)(0.5f)
+    val rows = (1L to 300L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val capped = Similarity.topPairs(rows, "vec_id", "embedding", 8,
+      topN = 50, maxBucketDf = 100)
+    assert(capped.isEmpty, "capped bucket must not emit candidate pairs")
+  }
+
   test("dedupNearDup: exact-first collapse is output-preserving vs the uncollapsed form") {
     val docs = Tables.documents(spark, sf0001)
     val composed = Dedup.dedupNearDup(docs, "doc_id", "text").collect()
