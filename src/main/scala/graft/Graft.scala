@@ -83,6 +83,8 @@ object Graft {
     TextAnalysis.curate(df, idCol, textCol)
   def hashSplit(df: DataFrame, idCol: String, validPct: Int = 10): DataFrame =
     TextAnalysis.hashSplit(df, idCol, validPct)
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = TextAnalysis.tfidf(df, idCol, textCol, topK)
 
   // joins / aggregation helpers
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,

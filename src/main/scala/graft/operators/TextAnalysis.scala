@@ -233,6 +233,41 @@ object TextAnalysis {
   private val q47: Q = (s, d) =>
     curate(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
 
+  /** TF-IDF term scoring — the relevance/topicality signal a curation
+    * pipeline ranks and filters documents by: per (doc, term) frequency ×
+    * smoothed inverse document frequency `ln((N+1)/(df+1)) + 1`, top
+    * `topK` terms per document (score desc, term asc — equal (tf, df)
+    * pairs produce bit-identical scores in both engines, so the tie-break
+    * makes ranks deterministic).
+    *
+    * Scale shape: both aggregations shuffle on bounded keys ((doc, term)
+    * and term — never document bodies), the corpus size N joins in as a
+    * broadcast single row (no driver-side count action), and the top-k is
+    * a per-document window — the same partial/final WindowGroupLimit plan
+    * as q09. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    val terms = df.select(col(idCol), explode(expr(toksOf(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = terms.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df_"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("nd"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (log((col("nd") + 1.0) / (col("df_") + 1.0)) + 1.0))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col(idCol), col("term"), col("rk"),
+        round(col("score"), 6).as("tfidf"))
+  }
+
+  private val q56: Q = (s, d) =>
+    tfidf(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"), col("rk"))
+
   /** Deterministic hash-based dataset splitting — the reproducible
     * train/validation assignment a pipeline needs (a seeded `df.sample` is
     * not stable across partitionings or engines): bucket = md5-derived
@@ -252,6 +287,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "q47_curation" -> q47,
     "q48_hash_split" -> q48,
+    "q56_tfidf" -> q56,
     "q45_regex_tokens" -> q45,
     "q46_winnowing" -> q46,
     "q40_token_stats" -> q40,
@@ -262,6 +298,25 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays tfidf: same smoothed idf formula; equal (tf, df) pairs give
+    // bit-identical doubles in both engines, so the (score desc, term asc)
+    // rank is deterministic and the 6-dp rounding hash-stable.
+    "q56_tfidf" -> """
+      WITH t AS (SELECT doc_id,
+                        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+                 FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM t GROUP BY term),
+      nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      s AS (SELECT tf.doc_id, tf.term,
+                   tf.tf * (ln((nd.n + 1.0) / (dfq.dfc + 1.0)) + 1.0) AS score
+            FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+      r AS (SELECT doc_id, term, score,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term) AS rk
+            FROM s)
+      SELECT doc_id, term, CAST(rk AS INT) AS rk, round(score, 6) AS tfidf
+      FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
     // Replays hashSplit's md5-derived bucket with the same nibble fold used
     // by the dedup oracles (bit-identical 60-bit integer in both engines).
     "q48_hash_split" -> """

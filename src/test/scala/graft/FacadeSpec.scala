@@ -71,6 +71,8 @@ class FacadeSpec extends SparkSpec {
         TextAnalysis.curate(docs, "doc_id", "text")),
       ("hashSplit", Graft.hashSplit(docs, "doc_id"),
         TextAnalysis.hashSplit(docs, "doc_id")),
+      ("tfidf", Graft.tfidf(docs, "doc_id", "text"),
+        TextAnalysis.tfidf(docs, "doc_id", "text")),
       ("asofJoin", Graft.asofJoin(left, right, "k", "t", Seq("v"), "nearest", Some(5.0)),
         AsOf.asofJoin(left, right, "k", "t", Seq("v"), "nearest", Some(5.0))),
       ("saltedAggregate", Graft.saltedAggregate(docs, "lang", "doc_id", 4),
