@@ -162,6 +162,22 @@ class PlanSpec extends SparkSpec {
     assert(pJson.toLowerCase.contains("json"), s"q30 does not scan json:\n$pJson")
   }
 
+  test("q95 jdbc scan is partitioned (4 range queries), not single-connection") {
+    val p = Relational.queries("q95_jdbc_scan")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("numPartitions=4"),
+      s"JDBC read lost its partitioning (serializes through one task at scale):\n$p")
+  }
+
+  test("q56 tfidf: per-doc top-k runs as WindowGroupLimit, corpus count broadcasts") {
+    val p = graft.operators.TextAnalysis.queries("q56_tfidf")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed into the window (full sort per doc at scale):\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus count is not broadcast:\n$p")
+  }
+
   test("q06/q07: semi/anti joins plan as semi/anti (no row explosion)") {
     assert(plan("q06_semi_join").contains("LeftSemi"), plan("q06_semi_join"))
     assert(plan("q07_anti_join").contains("LeftAnti"), plan("q07_anti_join"))
