@@ -266,11 +266,16 @@ object Dedup {
       // per round: O(log D) rounds, so maxIter=20 covers ~2^20-diameter
       // graphs instead of 20-hop ones. One extra equality join per round on
       // the same key partitioning.
-      val upd = hop.join(
-          labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
-          hop("lbl1") === col("jid"), "left")
-        .select(col("id"), col("prev"),
-          least(col("lbl1"), coalesce(col("jlbl"), col("lbl1"))).as("lbl"))
+      // Round 0 skips the jump: labels are still the identity map there, so
+      // label-of-label ≡ label and the join would be a provable no-op — one
+      // equality join (and its shuffle) saved per CC invocation.
+      val upd = (if (iter == 0)
+          hop.select(col("id"), col("prev"), col("lbl1").as("lbl"))
+        else hop.join(
+            labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
+            hop("lbl1") === col("jid"), "left")
+          .select(col("id"), col("prev"),
+            least(col("lbl1"), coalesce(col("jlbl"), col("lbl1"))).as("lbl")))
         .localCheckpoint()
       converged = upd.where(col("lbl") < col("prev")).isEmpty
       // upd is materialized and the convergence probe has run — release the
