@@ -324,6 +324,87 @@ object TokenShinglesImpl {
   }
 }
 
+/** Whole-document SimHash-60 in ONE pass, native and codegen'd: tokenize on
+  * the space byte, md5 each token (first 15 hex chars → 60-bit integer, the
+  * engine-neutral base hash shared with the oracles), ±1 vote per bit
+  * weighted by occurrence, sign → bit. Replaces the explode →
+  * shuffle-on-(doc, token-hash) → 60-aggregate-column formulation: the
+  * fingerprint becomes a pure map-side projection — no row expansion and NO
+  * shuffle at any corpus size. Bit-identical to the aggregate form
+  * (SimHashParity tests + the unchanged q52 oracle).
+  *
+  * Returns 0 for a token-less input; [[graft.operators.Dedup.simHash]]
+  * filters those rows to preserve the aggregate form's no-row behavior.
+  */
+case class SimHash60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash60Impl.simhash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash60Impl.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash60Impl {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  // MessageDigest is stateful and not thread-safe; one instance per executor
+  // task thread, reset per token.
+  private val mdTl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit integer from an md5 digest's first 15 hex chars — digest bytes
+    * b0..b6 in full plus the high nibble of b7, identical to
+    * `conv(substring(md5(x), 1, 15), 16, 10)`. */
+  private def h60(d: Array[Byte]): Long = {
+    var v = 0L
+    var k = 0
+    while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Called from generated code. */
+  def simhash(u: UTF8String): Long = {
+    val bytes = u.getBytes
+    val votes = new Array[Int](60)
+    val md = mdTl.get()
+    var i = 0
+    var tokStart = -1
+    while (i <= bytes.length) {
+      val isSep = i == bytes.length || bytes(i) == ' '.toByte
+      if (isSep) {
+        if (tokStart >= 0 && i > tokStart) {
+          md.reset()
+          md.update(bytes, tokStart, i - tokStart)
+          val v = h60(md.digest())
+          var j = 0
+          while (j < 60) {
+            if (((v >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+        tokStart = -1
+      } else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+}
+
 /** Multi-table random-hyperplane LSH bucketization, native and codegen'd:
   * returns the `numTables`-element int array of bucket ids (bit i of table
   * t's bucket = sign of the projection onto plane t·m+i). Replaces an
@@ -440,6 +521,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_token_shingles", exprs => TokenShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash60", exprs => SimHash60(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_hp_buckets", exprs => HyperplaneBuckets(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),

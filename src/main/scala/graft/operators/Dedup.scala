@@ -142,9 +142,23 @@ object Dedup {
   }
 
   /** SimHash-60 fingerprint per row: per-token 60-bit hash, per-bit ±1 vote
-    * weighted by occurrence, sign → bit. 60 parallel aggregate columns over
-    * the token stream (one shuffle, no 60× row expansion). */
+    * weighted by occurrence, sign → bit — computed by the native one-pass
+    * [[graft.functions.SimHash60]] expression, so the whole fingerprint is a
+    * MAP-SIDE projection: no token row-expansion, no shuffle, at any corpus
+    * size. The filter reproduces the aggregate form's behavior of emitting
+    * no row for token-less documents (text empty or all spaces).
+    * [[simHashAgg]] is the shuffle-based formulation it replaced, kept for
+    * the parity contract (PipelineOpsSpec asserts bit-identical output). */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.filter(expr(s"trim($textCol)") =!= "")
+      .select(col(idCol), expr(s"graft_simhash60($textCol)").as("simhash"))
+  }
+
+  /** Pre-round-4 aggregate formulation of [[simHash]] (explode → shuffle on
+    * (doc, token hash) → 60 aggregate columns) — the obviously-SQL-shaped
+    * reference model the native expression is parity-tested against. */
+  private[graft] def simHashAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(expr(toksExpr(textCol))).as("t"))
       .select(col(idCol), expr(h60("t")).as("hv"))
     val votes = (0 until 60).map(j =>

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{BytePolyImpl, CharNgramsImpl, HyperplaneBucketsImpl, TokenShinglesImpl, WinnowImpl}
+import graft.functions.{BytePolyImpl, CharNgramsImpl, HyperplaneBucketsImpl, SimHash60Impl, TokenShinglesImpl, WinnowImpl}
 
 /** Property tests pinning every native expression's JVM impl against a
   * naive, obviously-correct reference model — no Spark session, hundreds of
@@ -48,6 +48,21 @@ class NativeImplPropertySpec extends AnyFunSuite {
         if (toks.length < n) Seq.empty
         else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString("_")).distinct
       assert(got == expect, s"input='$s' n=$n")
+    }
+  }
+
+  test("SimHash60 == naive per-token md5-vote model") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    cases(anyText).foreach { s =>
+      val got = SimHash60Impl.simhash(UTF8String.fromString(s))
+      val votes = new Array[Int](60)
+      s.split(' ').filter(_.nonEmpty).foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+        val v = java.lang.Long.parseLong(hex, 16)
+        for (j <- 0 until 60) if (((v >> j) & 1) == 1) votes(j) += 1 else votes(j) -= 1
+      }
+      val expect = (0 until 60).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+      assert(got == expect, s"input='$s'")
     }
   }
 

@@ -78,6 +78,21 @@ class PipelineOpsSpec extends SparkSpec {
       "near-duplicate documents should have closer simhashes than random pairs")
   }
 
+  test("simhash native expression == aggregate formulation (incl. token-less docs)") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val edge = Seq((9001L, ""), (9002L, "   "), (9003L, "solo"))
+      .toDF("doc_id", "text")
+    val docs = base.union(edge)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = m(Dedup.simHash(docs, "doc_id", "text"))
+    val agg = m(Dedup.simHashAgg(docs, "doc_id", "text"))
+    assert(native == agg, "native one-pass simhash drifted from the aggregate model")
+    assert(!native.contains(9001L) && !native.contains(9002L),
+      "token-less docs must produce no row (aggregate-form behavior)")
+  }
+
   test("minhash estimate correlates with exact jaccard on found pairs") {
     val est = Dedup.queries("q51_minhash_lsh")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

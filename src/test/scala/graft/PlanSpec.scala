@@ -136,6 +136,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), s"q90 lost its range repartition:\n$p")
   }
 
+  test("q52 simhash: map-side projection — no hash-partition exchange") {
+    val df = graft.operators.Dedup.queries("q52_simhash")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      s"simhash reintroduced a shuffle (must be a pure projection):\n$p")
+    val line = p.linesIterator.find(_.contains("simhash60")).getOrElse("")
+    assert(line.contains("*("), s"simhash60 outside codegen:\n$p")
+  }
+
   test("q48 hash split: map-side only — no hash-partition exchange") {
     val df = graft.operators.TextAnalysis.queries("q48_hash_split")(spark, sf0001)
     df.collect()
