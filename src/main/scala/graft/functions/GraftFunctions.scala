@@ -405,6 +405,90 @@ object SimHash60Impl {
   }
 }
 
+/** Whole-document 32-permutation MinHash signature in ONE pass, native and
+  * codegen'd: distinct token 3-gram shingles (byte-identical to
+  * [[TokenShingles]]), md5 → 60-bit base hash mod P per shingle (the
+  * engine-neutral hash the oracles replay), 32 permutation minima
+  * `min((a·h + b) mod P)`. Replaces the explode → shuffle-on-(doc, hash) →
+  * 32-min-column aggregation: signatures become a MAP-SIDE projection, so
+  * the only shuffle left in MinHash-LSH is the banding join itself.
+  * Returns an empty array for documents with no shingles (< 3 tokens) —
+  * callers filter those, matching the aggregate form's no-row behavior.
+  *
+  * All arithmetic stays under 2^62 (h < P < 2^31, a < P), the same bound
+  * that keeps the SQL form ANSI-safe. Permutation constants live in
+  * [[MinHashSigImpl.PermA]]/[[PermB]] — the single source the Spark plan,
+  * this expression, and the DuckDB oracle VALUES list all derive from.
+  */
+case class MinHashSig(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigImpl.sig(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSigImpl.sig($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigImpl {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val P = 2147483647L // 2^31 - 1
+  val NumPerms = 32
+  val ShingleN = 3
+
+  /** Deterministic permutation constants (i → (a, b)) — the same formula the
+    * round-1 SQL formulation fixed; the q51/q55 oracle VALUES list renders
+    * these exact numbers. */
+  val PermA: Array[Long] =
+    Array.tabulate(NumPerms)(i => (1103515245L * (i + 1)) % P)
+  val PermB: Array[Long] =
+    Array.tabulate(NumPerms)(i => (12345L + 2654435761L * i) % P)
+
+  private val mdTl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Called from generated code. */
+  def sig(u: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val shingles = TokenShinglesImpl.shingles(u, ShingleN)
+    val n = shingles.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
+    val mins = Array.fill(NumPerms)(Long.MaxValue)
+    val md = mdTl.get()
+    var s = 0
+    while (s < n) {
+      val sh = shingles.getUTF8String(s)
+      md.reset()
+      md.update(sh.getBytes)
+      val d = md.digest()
+      // first 15 hex chars → 60-bit int (same fold as SimHash60Impl), mod P
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      v = ((v << 4) | ((d(7) & 0xf0L) >>> 4)) % P
+      var i = 0
+      while (i < NumPerms) {
+        val h = (v * PermA(i) + PermB(i)) % P
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
 /** Multi-table random-hyperplane LSH bucketization, native and codegen'd:
   * returns the `numTables`-element int array of bucket ids (bit i of table
   * t's bucket = sign of the projection onto plane t·m+i). Replaces an
@@ -523,6 +607,8 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash60", exprs => SimHash60(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_hp_buckets", exprs => HyperplaneBuckets(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),

@@ -34,11 +34,14 @@ object Dedup {
   private val NumPerms = 32
   private val BandSize = 4 // → 8 bands of 4 rows
 
-  /** Deterministic permutation constants (i → (a, b)), shared verbatim by the
-    * Spark plan and the DuckDB oracle below. */
+  /** Deterministic permutation constants (i → (a, b)) — read from
+    * [[graft.functions.MinHashSigImpl]], the single source of truth shared
+    * by the native signature expression, the aggregate parity formulation,
+    * and the DuckDB oracle VALUES list below. */
   private val perms: Seq[(Int, Long, Long)] =
     (0 until NumPerms).map { i =>
-      (i, (1103515245L * (i + 1)) % P, (12345L + 2654435761L * i) % P)
+      (i, graft.functions.MinHashSigImpl.PermA(i),
+        graft.functions.MinHashSigImpl.PermB(i))
     }
 
   /** 60-bit integer from the first 15 hex chars of md5 — the engine-neutral
@@ -102,22 +105,18 @@ object Dedup {
     * does, so the composed pipeline loses nothing. */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
       minEst: Double = 0.35, maxBandDf: Int = MaxBandDf): DataFrame = {
-    val hashed = shingled(df, idCol, textCol)
-      .select(col(idCol), (expr(h60("sh")) % P).as("hv"))
-    val minCols = perms.map { case (pid, a, b) =>
-      min((col("hv") * a + b) % P).as(s"m$pid")
-    }
-    val sigArr = (0 until NumPerms).map(i => s"m$i").mkString("array(", ", ", ")")
-    // Materialize the signature stage ONCE: three plan branches read it (the
-    // banding explode plus both sides of the estimate join) and Spark would
-    // otherwise re-run the shingle→hash→32-min aggregation per branch.
-    // localCheckpoint (eager) over persist: truncated lineage, and blocks are
-    // ContextCleaner-released when the plan is GC'd (same stance as
-    // ngramJaccard's inverted index).
-    val sig = hashed.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol), expr(sigArr).as("sg"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // Signatures are a MAP-SIDE projection (native one-pass MinHashSig —
+    // no shingle explode, no shuffle; the only exchange in the whole
+    // operator is the banding join). localCheckpoint still materializes the
+    // stage ONCE for the three branches that read it (banding explode plus
+    // both sides of the estimate join), and the shingle-less-doc filter runs
+    // over the materialized rows, so predicate pushdown cannot re-evaluate
+    // the expression per branch.
+    val sig = df
+      .select(col(idCol), expr(s"graft_minhash_sig($textCol)").as("sg"))
       .localCheckpoint()
+      .filter(size(col("sg")) === NumPerms)
     val bandExpr = (0 until NumPerms / BandSize).map { bi =>
       val parts = (0 until BandSize).map(j => s"string(sg[${bi * BandSize + j}])")
       s"concat('$bi', '_', ${parts.mkString(", '_', ")})"
@@ -153,6 +152,23 @@ object Dedup {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.filter(expr(s"trim($textCol)") =!= "")
       .select(col(idCol), expr(s"graft_simhash60($textCol)").as("simhash"))
+  }
+
+  /** Pre-round-4 aggregate formulation of the MinHash signature stage
+    * (shingle explode → shuffle on (doc, hash) → 32 min columns) — the
+    * SQL-shaped reference model the native [[graft.functions.MinHashSig]]
+    * expression is parity-tested against (PipelineOpsSpec). */
+  private[graft] def minHashSigAgg(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val hashed = shingled(df, idCol, textCol)
+      .select(col(idCol), (expr(h60("sh")) % P).as("hv"))
+    val minCols = perms.map { case (pid, a, b) =>
+      min((col("hv") * a + b) % P).as(s"m$pid")
+    }
+    val sigArr = (0 until NumPerms).map(i => s"m$i").mkString("array(", ", ", ")")
+    hashed.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol), expr(sigArr).as("sg"))
   }
 
   /** Pre-round-4 aggregate formulation of [[simHash]] (explode → shuffle on

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{BytePolyImpl, CharNgramsImpl, HyperplaneBucketsImpl, SimHash60Impl, TokenShinglesImpl, WinnowImpl}
+import graft.functions.{BytePolyImpl, CharNgramsImpl, HyperplaneBucketsImpl, MinHashSigImpl, SimHash60Impl, TokenShinglesImpl, WinnowImpl}
 
 /** Property tests pinning every native expression's JVM impl against a
   * naive, obviously-correct reference model — no Spark session, hundreds of
@@ -62,6 +62,28 @@ class NativeImplPropertySpec extends AnyFunSuite {
         for (j <- 0 until 60) if (((v >> j) & 1) == 1) votes(j) += 1 else votes(j) -= 1
       }
       val expect = (0 until 60).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+      assert(got == expect, s"input='$s'")
+    }
+  }
+
+  test("MinHashSig == naive distinct-shingle permutation-min model") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val P = MinHashSigImpl.P
+    cases(anyText).foreach { s =>
+      val got = MinHashSigImpl.sig(UTF8String.fromString(s)).toLongArray().toSeq
+      val toks = s.split(' ').filter(_.nonEmpty).toSeq
+      val shingles =
+        if (toks.length < 3) Seq.empty
+        else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString("_")).distinct
+      val expect =
+        if (shingles.isEmpty) Seq.empty
+        else (0 until 32).map { i =>
+          shingles.map { sh =>
+            val hex = md.digest(sh.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+            val h = java.lang.Long.parseLong(hex, 16) % P
+            (h * MinHashSigImpl.PermA(i) + MinHashSigImpl.PermB(i)) % P
+          }.min
+        }
       assert(got == expect, s"input='$s'")
     }
   }

@@ -93,6 +93,23 @@ class PipelineOpsSpec extends SparkSpec {
       "token-less docs must produce no row (aggregate-form behavior)")
   }
 
+  test("minhash native signature == aggregate formulation on the fixture") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val edge = Seq((9001L, "two words"), (9002L, "a b c")).toDF("doc_id", "text")
+    val docs = base.union(edge)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getLong(0) -> r.getAs[scala.collection.Seq[Long]](1).toSeq).toMap
+    graft.functions.GraftFunctions.register(spark)
+    val native = m(docs
+      .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sg"))
+      .filter(size(col("sg")) > 0))
+    val agg = m(Dedup.minHashSigAgg(docs, "doc_id", "text"))
+    assert(native == agg, "native one-pass signature drifted from the aggregate model")
+    assert(!native.contains(9001L) && native.contains(9002L))
+  }
+
   test("minhash estimate correlates with exact jaccard on found pairs") {
     val est = Dedup.queries("q51_minhash_lsh")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
