@@ -87,6 +87,39 @@ object StreamingQueries {
     s.table(name).orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Stream-stream inner join under the REAL streaming runtime: clicks and
+    * purchases (two watermarked readStream branches over the same source)
+    * joined per user with the event-time interval condition "purchase within
+    * one hour after the click". Inner joins emit as matches arrive; the
+    * watermarks + time bound let the engine EVICT join state older than the
+    * interval — the property that makes stream-stream joins feasible at all
+    * at scale (unbounded state otherwise). The drained pair stream is rolled
+    * up per user in batch; oracle = the identical interval join in DuckDB. */
+  private val q86: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = s.readStream
+      .schema(Tables.load(s, d, "events").schema)
+      .parquet(streamDir(d, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases, expr(
+      "c_uid = p_uid AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"))
+    val name = s"graft_stream_join_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("c_uid").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Spark's streaming file source requires a *directory*; the fixtures are
     * single parquet files. Stage a per-table symlink dir under java.io.tmpdir
     * (idempotent, no copy). */
@@ -136,6 +169,7 @@ object StreamingQueries {
     "q83_sliding_window" -> q83,
     "q84_gap_fill" -> q84,
     "q85_stream_sliding" -> q85,
+    "q86_stream_join" -> q86,
   )
 
   private val slidingOracle = """
@@ -174,6 +208,15 @@ object StreamingQueries {
       ORDER BY g.user_id, hour""",
     "q83_sliding_window" -> slidingOracle,
     "q85_stream_sliding" -> slidingOracle,
+    "q86_stream_join" -> """
+      SELECT c.user_id, count(*) AS n_pairs, round(sum(p.value), 2) AS total_value
+      FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts FROM events
+            WHERE event_type = 'click') c
+      JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, value FROM events
+            WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL '1 hour'
+      GROUP BY c.user_id ORDER BY c.user_id""",
     // Sessionization via the SQL-standard lag + cumulative-flag pattern —
     // independent formulation of Spark's session_window semantics.
     "q81_session_window" -> """
