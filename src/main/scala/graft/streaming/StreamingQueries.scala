@@ -97,7 +97,10 @@ object StreamingQueries {
     * up per user in batch; oracle = the identical interval join in DuckDB. */
   private val q86: Q = (s, d) => {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src = s.readStream
+    // ONE streaming source, two filter branches (a streaming self-join):
+    // the engine still keys two state stores, but source listing/scan
+    // bookkeeping isn't duplicated per branch.
+    val src = s.readStream
       .schema(Tables.load(s, d, "events").schema)
       .parquet(streamDir(d, "events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
