@@ -48,16 +48,19 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> exec(n))
-    // 2-decimal precision keeps the whole line under ~1.9 KB at 75 queries:
-    // the consumer retains only a 2000-char tail of stdout, and an sbt
+    // Precision keeps the whole line under ~1.9 KB at 81 queries: the
+    // consumer retains only a 2000-char tail of stdout, and an sbt
     // "[success]" trailer (~80 chars) follows — a fatter line gets its head
-    // truncated (the r01/r02 "parsed": null failure mode). Locale.ROOT so a
+    // truncated (the r01/r02 "parsed": null failure mode). Per-query values
+    // are 1-decimal (sub-2s numbers are JIT noise anyway — PERF.md keeps the
+    // full-precision history), the total 2-decimal. Locale.ROOT so a
     // comma-decimal default locale can't corrupt the JSON.
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def fmt(d: String, v: Double) =
+      String.format(java.util.Locale.ROOT, "%." + d + "f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt("1", v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Backstop for log-noise-sensitive parsers: the same single line, alone
     // in a file, so a consumer can read it without filtering sbt output.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

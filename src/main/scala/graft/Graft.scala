@@ -85,6 +85,14 @@ object Graft {
     TextAnalysis.hashSplit(df, idCol, validPct)
   def tfidf(df: DataFrame, idCol: String, textCol: String,
       topK: Int = 3): DataFrame = TextAnalysis.tfidf(df, idCol, textCol, topK)
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.repetitionSignals(df, idCol, textCol)
+  def scrub(df: DataFrame, idCol: String, textCol: String,
+      pattern: String, replacement: String): DataFrame =
+    TextAnalysis.scrub(df, idCol, textCol, pattern, replacement)
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int = 5): DataFrame =
+    TextAnalysis.stratifiedSample(df, strataCol, idCol, k)
 
   // joins / aggregation helpers
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,

@@ -284,10 +284,97 @@ object TextAnalysis {
   private val q48: Q = (s, d) =>
     hashSplit(Tables.documents(s, d), "doc_id").orderBy(col("doc_id"))
 
+  /** Intra-document repetition signals — the Gopher-style quality-filter
+    * family (Rae et al. 2021, §A1.1) a pretraining curation pass applies:
+    * fraction of word occurrences taken by the most frequent word, by the
+    * most frequent word bigram, and the overall duplicate-occurrence
+    * fraction, plus the hard keep/drop verdict from their thresholds.
+    *
+    * Distributed shape: two aggregations shuffling bounded (doc, token)
+    * keys — never document bodies — joined per doc id. All fractions are
+    * single IEEE divisions of exact integer counts rounded to 4 dp, and
+    * the verdict compares the *rounded* values, so signal and verdict are
+    * bit-identical cross-engine. Docs with zero tokens have no defined
+    * repetition and are absent from the output; a one-token doc has no
+    * bigrams → `top_bigram_frac` 0.0 (left join + coalesce). */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), expr(toksOf(textCol)).as("toks"))
+    val words = toks.select(col(idCol), explode(col("toks")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum("n").as("nw"), count(lit(1)).as("nd"), max("n").as("topw"))
+    // sequence(1, 0) steps DOWNWARD in Spark — guard the n_tokens < 2 case
+    // explicitly rather than produce [1, 0] index probes.
+    val bigrams = toks.select(col(idCol), explode(expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(1, size(toks) - 1),
+                    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+             ELSE array() END""")).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol)).agg(sum("n").as("nb"), max("n").as("topb"))
+    words.join(bigrams, Seq(idCol), "left")
+      .withColumn("top_word_frac", round(col("topw").cast("double") / col("nw"), 4))
+      .withColumn("top_bigram_frac",
+        coalesce(round(col("topb").cast("double") / col("nb"), 4), lit(0.0)))
+      .withColumn("dup_frac",
+        round(lit(1.0) - col("nd").cast("double") / col("nw"), 4))
+      .select(col(idCol), col("nw").cast("int").as("n_words"),
+        col("top_word_frac"), col("top_bigram_frac"), col("dup_frac"),
+        (col("nw") >= 50 && col("nw") <= 100000 &&
+          col("top_word_frac") <= 0.2 && col("top_bigram_frac") <= 0.18 &&
+          col("dup_frac") <= 0.6).as("keep"))
+  }
+
+  private val q57: Q = (s, d) =>
+    repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** PII-style scrubbing: replace every match of `pattern` with
+    * `replacement` and count the redactions. Pure map-side codegen'd
+    * regexp work (`regexp_replace` + `regexp_count`) — the shape an
+    * email/phone/ID masking pass takes at corpus scale: no shuffle, no
+    * UDF, any engine with RE2/PCRE reproduces the masked text exactly. */
+  def scrub(df: DataFrame, idCol: String, textCol: String,
+      pattern: String, replacement: String): DataFrame =
+    df.select(col(idCol),
+      regexp_count(col(textCol), lit(pattern)).as("n_masked"),
+      regexp_replace(col(textCol), pattern, replacement).as("scrubbed"))
+
+  /** The fixture has no real PII, so the gated binding masks an email
+    * pattern OR the (present) literal word `customer` — the alternation
+    * exercises the real PII regex path on data that actually fires. */
+  private val scrubPattern =
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}|\\bcustomer\\b"
+
+  private val q58: Q = (s, d) =>
+    scrub(Tables.documents(s, d), "doc_id", "text", scrubPattern, "<PII>")
+      .orderBy(col("doc_id"))
+
+  /** Deterministic stratified sampling: exactly `k` rows per stratum,
+    * selected by md5-order of the id — reproducible across engines,
+    * partitionings and runs, which a seeded `df.sample` is not. The
+    * `row_number <= k` filter compiles to WindowGroupLimit, so each map
+    * task keeps only its local top-k per stratum *before* the exchange —
+    * the shuffle carries O(k × strata) rows, not the corpus. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(idCol), col(strataCol), col("rk"))
+  }
+
+  private val q59: Q = (s, d) =>
+    stratifiedSample(Tables.documents(s, d), "source", "doc_id")
+      .orderBy(col("source"), col("rk"))
+
   val queries: Map[String, Q] = Map(
     "q47_curation" -> q47,
     "q48_hash_split" -> q48,
     "q56_tfidf" -> q56,
+    "q57_repetition" -> q57,
+    "q58_scrub" -> q58,
+    "q59_strat_sample" -> q59,
     "q45_regex_tokens" -> q45,
     "q46_winnowing" -> q46,
     "q40_token_stats" -> q40,
@@ -298,6 +385,55 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays repetitionSignals: same integer counts, same single IEEE
+    // division + 4-dp round, verdict over the rounded values.
+    "q57_repetition" -> """
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents),
+      wc AS (SELECT doc_id, word, count(*) AS n
+             FROM (SELECT doc_id, unnest(toks) AS word FROM t) GROUP BY doc_id, word),
+      wa AS (SELECT doc_id, sum(n) AS nw, count(*) AS nd, max(n) AS topw
+             FROM wc GROUP BY doc_id),
+      bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, len(toks)),
+                      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])
+               ELSE [] END) AS b FROM t),
+      bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+      ba AS (SELECT doc_id, sum(n) AS nb, max(n) AS topb FROM bc GROUP BY doc_id),
+      m AS (SELECT wa.doc_id, wa.nw,
+                   round(CAST(wa.topw AS DOUBLE) / wa.nw, 4) AS top_word_frac,
+                   coalesce(round(CAST(ba.topb AS DOUBLE) / ba.nb, 4), 0.0)
+                     AS top_bigram_frac,
+                   round(1.0 - CAST(wa.nd AS DOUBLE) / wa.nw, 4) AS dup_frac
+            FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id)
+      SELECT doc_id, CAST(nw AS INT) AS n_words, top_word_frac,
+             top_bigram_frac, dup_frac,
+             (nw >= 50 AND nw <= 100000 AND top_word_frac <= 0.2
+              AND top_bigram_frac <= 0.18 AND dup_frac <= 0.6) AS keep
+      FROM m ORDER BY doc_id""",
+    // Replays scrub: RE2 and Java regex agree on this pattern class
+    // (char classes, bounded repetition, alternation, \b) — the masked
+    // text itself is under the hash, not just the counts.
+    "q58_scrub" -> """
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|\bcustomer\b')) AS INT)
+               AS n_masked,
+             regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|\bcustomer\b',
+               '<PII>', 'g') AS scrubbed
+      FROM documents ORDER BY doc_id""",
+    // Replays stratifiedSample's md5-order rank exactly (hex strings
+    // compare identically in both engines).
+    "q59_strat_sample" -> """
+      WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      SELECT doc_id, source, CAST(rk AS INT) AS rk
+      FROM r WHERE rk <= 5 ORDER BY source, rk""",
     // Replays tfidf: same smoothed idf formula; equal (tf, df) pairs give
     // bit-identical doubles in both engines, so the (score desc, term asc)
     // rank is deterministic and the 6-dp rounding hash-stable.

@@ -73,6 +73,12 @@ class FacadeSpec extends SparkSpec {
         TextAnalysis.hashSplit(docs, "doc_id")),
       ("tfidf", Graft.tfidf(docs, "doc_id", "text"),
         TextAnalysis.tfidf(docs, "doc_id", "text")),
+      ("repetitionSignals", Graft.repetitionSignals(docs, "doc_id", "text"),
+        TextAnalysis.repetitionSignals(docs, "doc_id", "text")),
+      ("scrub", Graft.scrub(docs, "doc_id", "text", "\\bcustomer\\b", "<PII>"),
+        TextAnalysis.scrub(docs, "doc_id", "text", "\\bcustomer\\b", "<PII>")),
+      ("stratifiedSample", Graft.stratifiedSample(docs, "source", "doc_id"),
+        TextAnalysis.stratifiedSample(docs, "source", "doc_id")),
       ("asofJoin", Graft.asofJoin(left, right, "k", "t", Seq("v"), "nearest", Some(5.0)),
         AsOf.asofJoin(left, right, "k", "t", Seq("v"), "nearest", Some(5.0))),
       ("saltedAggregate", Graft.saltedAggregate(docs, "lang", "doc_id", 4),

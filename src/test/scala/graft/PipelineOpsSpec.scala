@@ -279,6 +279,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.length == 3 && out.forall(r => r.getLong(1) == r.getLong(0)))
   }
 
+  test("scrub masks every match and counts the redactions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob@mail.com or alice@corp.io today"),
+      (2L, "no pii here at all"),
+      (3L, "customer data for customer x")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrub(docs, "doc_id", "text",
+        "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}|\\bcustomer\\b", "<PII>")
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 2 &&
+      out(0).getString(2) == "contact <PII> or <PII> today")
+    assert(out(1).getInt(1) == 0 && out(1).getString(2) == "no pii here at all")
+    assert(out(2).getInt(1) == 2 &&
+      out(2).getString(2) == "<PII> data for <PII> x")
+  }
+
+  test("stratified sample: exactly k per stratum, stable under repartitioning") {
+    val docs = Tables.documents(spark, sf001)
+    val s1 = TextAnalysis.stratifiedSample(docs, "source", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val perStratum = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perStratum.values.forall(_ == 3), s"uneven strata: $perStratum")
+    // Determinism claim: membership is a pure function of the ids, not of
+    // the physical layout — a 7-way repartition must select the same rows.
+    val s2 = TextAnalysis.stratifiedSample(docs.repartition(7), "source",
+        "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(s1 == s2, "sample membership changed with physical partitioning")
+  }
+
+  test("repetition signals on crafted docs match hand-computed fractions") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: words [a,a,a,b] → top word 3/4; bigrams [a a, a a, a b] → 2/3;
+    // dup fraction 1 - 2/4.
+    assert(out(0).getInt(1) == 4)
+    assert(out(0).getDouble(2) == 0.75)
+    assert(out(0).getDouble(3) == 0.6667)
+    assert(out(0).getDouble(4) == 0.5)
+    assert(!out(0).getBoolean(5), "4-word doc must fail the n_words gate")
+    // doc 2: one token — no bigrams, left join must coalesce to 0.0.
+    assert(out(1).getInt(1) == 1 && out(1).getDouble(3) == 0.0)
+  }
+
   test("exact dedup keeper: keeper_id <= doc_id and keepers are fixpoints") {
     val rows = Dedup.queries("q50_exact_dedup")(spark, sf0001).collect()
     val keeper = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -188,6 +188,24 @@ class PlanSpec extends SparkSpec {
       s"corpus count is not broadcast:\n$p")
   }
 
+  test("q58 scrub: map-side only — codegen'd regexp, no exchange") {
+    val df = graft.operators.TextAnalysis.queries("q58_scrub")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      s"scrub introduced a shuffle (must be a pure projection):\n$p")
+    val line = p.linesIterator.find(_.contains("regexp_replace")).getOrElse("")
+    assert(line.contains("*("), s"scrub regexp outside codegen:\n$p")
+  }
+
+  test("q59 stratified sample: rank filter runs as WindowGroupLimit") {
+    val p = graft.operators.TextAnalysis.queries("q59_strat_sample")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k not pushed into the window — the exchange would carry the " +
+        s"whole corpus instead of O(k × strata) rows:\n$p")
+  }
+
   test("q06/q07: semi/anti joins plan as semi/anti (no row explosion)") {
     assert(plan("q06_semi_join").contains("LeftSemi"), plan("q06_semi_join"))
     assert(plan("q07_anti_join").contains("LeftAnti"), plan("q07_anti_join"))
