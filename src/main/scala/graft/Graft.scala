@@ -93,6 +93,9 @@ object Graft {
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       k: Int = 5): DataFrame =
     TextAnalysis.stratifiedSample(df, strataCol, idCol, k)
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+      evalPct: Int = 10, n: Int = 3, minFrac: Double = 0.6): DataFrame =
+    TextAnalysis.contamination(df, idCol, textCol, evalPct, n, minFrac)
 
   // joins / aggregation helpers
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,

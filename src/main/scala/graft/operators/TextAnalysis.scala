@@ -368,6 +368,41 @@ object TextAnalysis {
     stratifiedSample(Tables.documents(s, d), "source", "doc_id")
       .orderBy(col("source"), col("rk"))
 
+  /** Benchmark-contamination detection: for each document in the held-out
+    * split, the fraction of its distinct `n`-token shingles that appear
+    * anywhere in the training split — the n-gram-overlap check an eval-set
+    * hygiene pass runs before trusting benchmark numbers. Split membership
+    * is the same deterministic md5 bucket as [[hashSplit]] (computed inline,
+    * map-side — no join against a split table).
+    *
+    * Scale shape: the train side collapses to DISTINCT shingles (so a hot
+    * shingle occurs once — no f² fan-out), the containment probe is a
+    * bounded-string equality join, and the per-doc roll-up shuffles doc ids.
+    * Documents with fewer than `n` tokens have no shingles and are absent.
+    * `flagged` compares the 4-dp-rounded fraction, bit-identical
+    * cross-engine. */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+      evalPct: Int = 10, n: Int = 3, minFrac: Double = 0.6): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sh = df.select(col(idCol),
+        (expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)") % 100 < evalPct)
+          .as("is_eval"),
+        explode(expr(s"graft_token_shingles($textCol, $n)")).as("sh"))
+    val trainSh = sh.filter(!col("is_eval")).select(col("sh")).distinct()
+    sh.filter(col("is_eval"))
+      .join(trainSh.withColumn("hit", lit(1)), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hit"))
+      .withColumn("contam_frac",
+        round(col("n_hit").cast("double") / col("n_shingles"), 4))
+      .withColumn("flagged", col("contam_frac") >= minFrac)
+  }
+
+  private val q66: Q = (s, d) =>
+    contamination(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "q47_curation" -> q47,
     "q48_hash_split" -> q48,
@@ -375,6 +410,7 @@ object TextAnalysis {
     "q57_repetition" -> q57,
     "q58_scrub" -> q58,
     "q59_strat_sample" -> q59,
+    "q66_contam" -> q66,
     "q45_regex_tokens" -> q45,
     "q46_winnowing" -> q46,
     "q40_token_stats" -> q40,
@@ -424,6 +460,37 @@ object TextAnalysis {
                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|\bcustomer\b',
                '<PII>', 'g') AS scrubbed
       FROM documents ORDER BY doc_id""",
+    // Replays contamination: identical md5 split buckets (the q48 nibble
+    // fold), '_'-joined distinct trigram shingles, train-side DISTINCT
+    // collapse, 4-dp-rounded fraction and threshold.
+    "q66_contam" -> """
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+                        CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+                          list_transform(range(1, 16),
+                            i -> CAST(strpos('0123456789abcdef',
+                                   substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+                          (acc, c) -> acc * 16 + c) % 100 AS INT) AS bucket
+                 FROM documents),
+      sh AS (SELECT doc_id, bucket,
+                    unnest(list_distinct(CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(1, len(toks) - 1),
+                             i -> toks[CAST(i AS INT)] || '_' ||
+                                  toks[CAST(i AS INT) + 1] || '_' ||
+                                  toks[CAST(i AS INT) + 2])
+                      ELSE [] END)) AS sh
+             FROM t),
+      train AS (SELECT DISTINCT sh FROM sh WHERE bucket >= 10),
+      ev AS (SELECT s.doc_id, (tr.sh IS NOT NULL) AS hit
+             FROM sh s LEFT JOIN train tr ON s.sh = tr.sh
+             WHERE s.bucket < 10),
+      agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_shingles,
+                     CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS INT) AS n_hit
+              FROM ev GROUP BY doc_id)
+      SELECT doc_id, n_shingles, n_hit,
+             round(CAST(n_hit AS DOUBLE) / n_shingles, 4) AS contam_frac,
+             (round(CAST(n_hit AS DOUBLE) / n_shingles, 4) >= 0.6) AS flagged
+      FROM agg ORDER BY doc_id""",
     // Replays stratifiedSample's md5-order rank exactly (hex strings
     // compare identically in both engines).
     "q59_strat_sample" -> """

@@ -79,6 +79,8 @@ class FacadeSpec extends SparkSpec {
         TextAnalysis.scrub(docs, "doc_id", "text", "\\bcustomer\\b", "<PII>")),
       ("stratifiedSample", Graft.stratifiedSample(docs, "source", "doc_id"),
         TextAnalysis.stratifiedSample(docs, "source", "doc_id")),
+      ("contamination", Graft.contamination(docs, "doc_id", "text"),
+        TextAnalysis.contamination(docs, "doc_id", "text")),
       ("asofJoin", Graft.asofJoin(left, right, "k", "t", Seq("v"), "nearest", Some(5.0)),
         AsOf.asofJoin(left, right, "k", "t", Seq("v"), "nearest", Some(5.0))),
       ("saltedAggregate", Graft.saltedAggregate(docs, "lang", "doc_id", 4),

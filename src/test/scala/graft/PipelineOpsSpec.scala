@@ -325,6 +325,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1).getInt(1) == 1 && out(1).getDouble(3) == 0.0)
   }
 
+  test("contamination: eval population is exactly hashSplit's valid docs") {
+    val docs = Tables.documents(spark, sf001)
+    val contam = TextAnalysis.contamination(docs, "doc_id", "text").collect()
+    val valid = TextAnalysis.hashSplit(docs, "doc_id")
+      .filter(col("split") === "valid").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // every fixture doc has >= 3 tokens, so no eval doc is shingle-less
+    assert(contam.map(_.getLong(0)).toSet == valid,
+      "contamination's inline md5 split diverged from hashSplit's")
+    contam.foreach { r =>
+      val frac = r.getDouble(3)
+      assert(frac >= 0.0 && frac <= 1.0 && r.getInt(2) <= r.getInt(1))
+      assert(r.getBoolean(4) == (frac >= 0.6), "flag must follow the rounded frac")
+    }
+  }
+
   test("exact dedup keeper: keeper_id <= doc_id and keepers are fixpoints") {
     val rows = Dedup.queries("q50_exact_dedup")(spark, sf0001).collect()
     val keeper = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
