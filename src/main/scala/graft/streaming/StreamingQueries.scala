@@ -59,9 +59,11 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
     val name = s"graft_stream_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name).orderBy(col("window_start"), col("event_type"))
   }
 
@@ -81,9 +83,11 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
     val name = s"graft_stream_slide_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name).orderBy(col("window_start"), col("event_type"))
   }
 
@@ -114,13 +118,29 @@ object StreamingQueries {
     val joined = clicks.join(purchases, expr(
       "c_uid = p_uid AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"))
     val name = s"graft_stream_join_${System.nanoTime()}"
-    val q = joined.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .groupBy(col("c_uid").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"), round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("user_id"))
+  }
+
+  /** A stateful streaming query's state partition count is fixed at query
+    * start from `spark.sql.shuffle.partitions`, and EVERY state partition
+    * pays a store open/commit per micro-batch regardless of content — so
+    * it must be sized to the keyed state volume, not to the session's
+    * batch-shuffle width. On a real cluster the same knob is sized upward
+    * for state throughput. Planning happens on the stream thread at the
+    * first trigger, so the conf is restored only after `body` (which must
+    * drain the stream) completes. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Spark's streaming file source requires a *directory*; the fixtures are
