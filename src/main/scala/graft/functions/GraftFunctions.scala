@@ -581,38 +581,35 @@ object HyperplaneBucketsImpl {
 }
 
 object GraftFunctions {
+  /** One (name, builder) row per native expression — the single source for
+    * both per-session registration ([[register]]) and cluster-wide install
+    * via `spark.sql.extensions` ([[graft.GraftExtensions]]). */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "graft_fingerprint" -> (exprs => BytePoly(exprs.head, 31L, 1000000007L, 1)),
+    "graft_checksum997" -> (exprs => BytePoly(exprs.head, 1L, 997L, 1)),
+    "graft_frame_sum16" -> (exprs => BytePoly(exprs.head, 1L, Long.MaxValue, 16)),
+    "graft_winnow" -> (exprs => WinnowFingerprint(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].intValue())),
+    "graft_ngrams" -> (exprs => CharNgrams(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue())),
+    "graft_token_shingles" -> (exprs => TokenShingles(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue())),
+    "graft_simhash60" -> (exprs => SimHash60(exprs.head)),
+    "graft_minhash_sig" -> (exprs => MinHashSig(exprs.head)),
+    "graft_hp_buckets" -> (exprs => HyperplaneBuckets(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].intValue(),
+      exprs(3).eval().asInstanceOf[Number].intValue())),
+  )
+
   /** Idempotent per-session registration; afterwards the functions are
     * available to SQL and `expr(...)`. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_fingerprint", exprs => BytePoly(exprs.head, 31L, 1000000007L, 1),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_checksum997", exprs => BytePoly(exprs.head, 1L, 997L, 1), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_frame_sum16", exprs => BytePoly(exprs.head, 1L, Long.MaxValue, 16),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_winnow", exprs => WinnowFingerprint(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_ngrams", exprs => CharNgrams(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_token_shingles", exprs => TokenShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_simhash60", exprs => SimHash60(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_hp_buckets", exprs => HyperplaneBuckets(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue(),
-        exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }

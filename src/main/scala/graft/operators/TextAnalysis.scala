@@ -376,11 +376,13 @@ object TextAnalysis {
     * map-side — no join against a split table).
     *
     * Scale shape: the train side collapses to DISTINCT shingles (so a hot
-    * shingle occurs once — no f² fan-out), the containment probe is a
-    * bounded-string equality join, and the per-doc roll-up shuffles doc ids.
-    * Documents with fewer than `n` tokens have no shingles and are absent.
-    * `flagged` compares the 4-dp-rounded fraction, bit-identical
-    * cross-engine. */
+    * shingle occurs once — no f² fan-out), and the containment probe joins
+    * on the md5-derived 60-bit integer of each shingle — an 8-byte shuffle
+    * key instead of the shingle string (~4× fewer exchange bytes at corpus
+    * scale, collision odds ~|shingles|²/2⁶¹), reproducible in any engine
+    * with md5. The per-doc roll-up shuffles doc ids. Documents with fewer
+    * than `n` tokens have no shingles and are absent. `flagged` compares
+    * the 4-dp-rounded fraction, bit-identical cross-engine. */
   def contamination(df: DataFrame, idCol: String, textCol: String,
       evalPct: Int = 10, n: Int = 3, minFrac: Double = 0.6): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -388,9 +390,11 @@ object TextAnalysis {
         (expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)") % 100 < evalPct)
           .as("is_eval"),
         explode(expr(s"graft_token_shingles($textCol, $n)")).as("sh"))
-    val trainSh = sh.filter(!col("is_eval")).select(col("sh")).distinct()
+      .select(col(idCol), col("is_eval"),
+        expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)").as("shk"))
+    val trainSh = sh.filter(!col("is_eval")).select(col("shk")).distinct()
     sh.filter(col("is_eval"))
-      .join(trainSh.withColumn("hit", lit(1)), Seq("sh"), "left")
+      .join(trainSh.withColumn("hit", lit(1)), Seq("shk"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_shingles"),
         sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hit"))
@@ -461,7 +465,8 @@ object TextAnalysis {
                '<PII>', 'g') AS scrubbed
       FROM documents ORDER BY doc_id""",
     // Replays contamination: identical md5 split buckets (the q48 nibble
-    // fold), '_'-joined distinct trigram shingles, train-side DISTINCT
+    // fold), '_'-joined distinct trigram shingles each folded to the same
+    // 60-bit md5 integer key the Spark side joins on, train-side DISTINCT
     // collapse, 4-dp-rounded fraction and threshold.
     "q66_contam" -> """
       WITH t AS (SELECT doc_id,
@@ -473,16 +478,22 @@ object TextAnalysis {
                           (acc, c) -> acc * 16 + c) % 100 AS INT) AS bucket
                  FROM documents),
       sh AS (SELECT doc_id, bucket,
-                    unnest(list_distinct(CASE WHEN len(toks) >= 3
-                      THEN list_transform(range(1, len(toks) - 1),
-                             i -> toks[CAST(i AS INT)] || '_' ||
-                                  toks[CAST(i AS INT) + 1] || '_' ||
-                                  toks[CAST(i AS INT) + 2])
-                      ELSE [] END)) AS sh
-             FROM t),
-      train AS (SELECT DISTINCT sh FROM sh WHERE bucket >= 10),
-      ev AS (SELECT s.doc_id, (tr.sh IS NOT NULL) AS hit
-             FROM sh s LEFT JOIN train tr ON s.sh = tr.sh
+                    list_reduce(list_concat([CAST(0 AS BIGINT)],
+                      list_transform(range(1, 16),
+                        i -> CAST(strpos('0123456789abcdef',
+                               substr(md5(sh), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+                      (acc, c) -> acc * 16 + c) AS shk
+             FROM (SELECT doc_id, bucket,
+                          unnest(list_distinct(CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                   i -> toks[CAST(i AS INT)] || '_' ||
+                                        toks[CAST(i AS INT) + 1] || '_' ||
+                                        toks[CAST(i AS INT) + 2])
+                            ELSE [] END)) AS sh
+                   FROM t)),
+      train AS (SELECT DISTINCT shk FROM sh WHERE bucket >= 10),
+      ev AS (SELECT s.doc_id, (tr.shk IS NOT NULL) AS hit
+             FROM sh s LEFT JOIN train tr ON s.shk = tr.shk
              WHERE s.bucket < 10),
       agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_shingles,
                      CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS INT) AS n_hit
