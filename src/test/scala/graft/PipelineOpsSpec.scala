@@ -325,6 +325,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1).getInt(1) == 1 && out(1).getDouble(3) == 0.0)
   }
 
+  test("repetition signals == naive per-doc model over seeded random word bags") {
+    import spark.implicits._
+    // Tiny vocabulary forces heavy repetition — the regime the thresholds
+    // discriminate in, which the near-uniform fixture docs barely reach.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff")
+    val docs = (1L to 150L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val out = TextAnalysis.repetitionSignals(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def rnd4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, text) =>
+      val w = text.split(' ').filter(_.nonEmpty).toSeq
+      val counts = w.groupBy(identity).view.mapValues(_.size)
+      val bgs = w.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val r = out(id)
+      assert(r.getInt(1) == w.size, s"doc $id n_words")
+      assert(r.getDouble(2) == rnd4(counts.values.max.toDouble / w.size),
+        s"doc $id top_word_frac ('$text')")
+      val expTb = if (bgs.isEmpty) 0.0
+        else rnd4(bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size)
+      assert(r.getDouble(3) == expTb, s"doc $id top_bigram_frac ('$text')")
+      assert(r.getDouble(4) == rnd4(1.0 - counts.size.toDouble / w.size),
+        s"doc $id dup_frac ('$text')")
+    }
+  }
+
   test("contamination: eval population is exactly hashSplit's valid docs") {
     val docs = Tables.documents(spark, sf001)
     val contam = TextAnalysis.contamination(docs, "doc_id", "text").collect()
