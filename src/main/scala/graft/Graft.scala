@@ -96,6 +96,8 @@ object Graft {
   def contamination(df: DataFrame, idCol: String, textCol: String,
       evalPct: Int = 10, n: Int = 3, minFrac: Double = 0.6): DataFrame =
     TextAnalysis.contamination(df, idCol, textCol, evalPct, n, minFrac)
+  def corpusDecision(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.corpusDecision(df, idCol, textCol)
 
   // joins / aggregation helpers
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,

@@ -392,6 +392,11 @@ object TextAnalysis {
         explode(expr(s"graft_token_shingles($textCol, $n)")).as("sh"))
       .select(col(idCol), col("is_eval"),
         expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)").as("shk"))
+      // Read by BOTH the train-distinct branch and the eval probe side —
+      // materialize once or the explode + 60-bit fold lineage runs twice
+      // (blocks are released by the ContextCleaner; the returned plan still
+      // reads them, so no eager unpersist here).
+      .localCheckpoint()
     val trainSh = sh.filter(!col("is_eval")).select(col("shk")).distinct()
     sh.filter(col("is_eval"))
       .join(trainSh.withColumn("hit", lit(1)), Seq("shk"), "left")
@@ -407,6 +412,32 @@ object TextAnalysis {
     contamination(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** The end-to-end per-document corpus decision — [[curate]] (quality ∘
+    * exact-dup verdict), [[hashSplit]] (train/valid routing) and
+    * [[contamination]] (eval-hygiene flag) composed into the one row a
+    * pretraining data-prep run emits per document: keep?, why not, which
+    * split. A train-split doc keeps iff curation retains it; a valid-split
+    * doc additionally must not be contaminated from train. (Near-dup
+    * collapse is the separately-gated [[Dedup.dedupNearDup]] / q55 — exact
+    * dups are already folded into `retained` here.)
+    *
+    * Every leg is individually scale-shaped (q47/q48/q66); the composition
+    * adds only doc-id equi-joins. */
+  def corpusDecision(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cur = curate(df, idCol, textCol)
+    val spl = hashSplit(df, idCol).select(col(idCol), col("split"))
+    val cont = contamination(df, idCol, textCol)
+      .select(col(idCol), col("flagged"))
+    cur.join(spl, Seq(idCol))
+      .join(cont, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("reason"), col("split"),
+        (col("retained") && !coalesce(col("flagged"), lit(false))).as("keep"))
+  }
+
+  private val q67: Q = (s, d) =>
+    corpusDecision(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "q47_curation" -> q47,
     "q48_hash_split" -> q48,
@@ -415,6 +446,7 @@ object TextAnalysis {
     "q58_scrub" -> q58,
     "q59_strat_sample" -> q59,
     "q66_contam" -> q66,
+    "q67_corpus" -> q67,
     "q45_regex_tokens" -> q45,
     "q46_winnowing" -> q46,
     "q40_token_stats" -> q40,
@@ -502,6 +534,64 @@ object TextAnalysis {
              round(CAST(n_hit AS DOUBLE) / n_shingles, 4) AS contam_frac,
              (round(CAST(n_hit AS DOUBLE) / n_shingles, 4) >= 0.6) AS flagged
       FROM agg ORDER BY doc_id""",
+    // Replays corpusDecision: the q47 quality∘dup legs, the q48 split
+    // bucket and the q66 contamination flag composed per doc id.
+    "q67_corpus" -> s"""
+      WITH t AS (SELECT doc_id, text,
+                        list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+                        CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+                          list_transform(range(1, 16),
+                            i -> CAST(strpos('0123456789abcdef',
+                                   substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+                          (acc, c) -> acc * 16 + c) % 100 AS INT) AS bucket
+                 FROM documents),
+      m AS (SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   round(CAST(len(list_filter(toks, t -> t IN $stopwordsSql)) AS DOUBLE)
+                         / len(toks), 4) AS stop_ratio,
+                   round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+                     AS diversity
+            FROM t),
+      q AS (SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens < 30 THEN 'short'
+                        WHEN stop_ratio > 0.15 THEN 'stopword_heavy'
+                        WHEN diversity < 0.3 THEN 'repetitive'
+                        ELSE 'ok' END AS quality
+            FROM m),
+      dup AS (SELECT doc_id,
+                     doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+              FROM documents),
+      sh AS (SELECT doc_id, bucket,
+                    list_reduce(list_concat([CAST(0 AS BIGINT)],
+                      list_transform(range(1, 16),
+                        i -> CAST(strpos('0123456789abcdef',
+                               substr(md5(sh), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+                      (acc, c) -> acc * 16 + c) AS shk
+             FROM (SELECT doc_id, bucket,
+                          unnest(list_distinct(CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                   i -> toks[CAST(i AS INT)] || '_' ||
+                                        toks[CAST(i AS INT) + 1] || '_' ||
+                                        toks[CAST(i AS INT) + 2])
+                            ELSE [] END)) AS sh
+                   FROM t)),
+      train AS (SELECT DISTINCT shk FROM sh WHERE bucket >= 10),
+      flag AS (SELECT s.doc_id,
+                      (round(CAST(sum(CASE WHEN tr.shk IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                             / count(*), 4) >= 0.6) AS flagged
+               FROM sh s LEFT JOIN train tr ON s.shk = tr.shk
+               WHERE s.bucket < 10
+               GROUP BY s.doc_id)
+      SELECT q.doc_id, q.n_tokens,
+             CASE WHEN dup.is_dup THEN 'duplicate' ELSE q.quality END AS reason,
+             CASE WHEN t.bucket < 10 THEN 'valid' ELSE 'train' END AS split,
+             ((NOT dup.is_dup AND q.quality = 'ok')
+              AND NOT coalesce(f.flagged, FALSE)) AS keep
+      FROM q
+      JOIN dup ON q.doc_id = dup.doc_id
+      JOIN t ON q.doc_id = t.doc_id
+      LEFT JOIN flag f ON q.doc_id = f.doc_id
+      ORDER BY q.doc_id""",
     // Replays stratifiedSample's md5-order rank exactly (hex strings
     // compare identically in both engines).
     "q59_strat_sample" -> """

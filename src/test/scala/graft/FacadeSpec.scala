@@ -79,8 +79,6 @@ class FacadeSpec extends SparkSpec {
         TextAnalysis.scrub(docs, "doc_id", "text", "\\bcustomer\\b", "<PII>")),
       ("stratifiedSample", Graft.stratifiedSample(docs, "source", "doc_id"),
         TextAnalysis.stratifiedSample(docs, "source", "doc_id")),
-      ("contamination", Graft.contamination(docs, "doc_id", "text"),
-        TextAnalysis.contamination(docs, "doc_id", "text")),
       ("asofJoin", Graft.asofJoin(left, right, "k", "t", Seq("v"), "nearest", Some(5.0)),
         AsOf.asofJoin(left, right, "k", "t", Seq("v"), "nearest", Some(5.0))),
       ("saltedAggregate", Graft.saltedAggregate(docs, "lang", "doc_id", 4),
@@ -108,6 +106,10 @@ class FacadeSpec extends SparkSpec {
     val edges = Dedup.ngramJaccard(docs, "doc_id", "text")
     assert(rows(Graft.connectedComponents(edges, "id1", "id2")) ==
       rows(Dedup.connectedComponents(edges, "id1", "id2")))
+    assert(rows(Graft.contamination(docs, "doc_id", "text")) ==
+      rows(TextAnalysis.contamination(docs, "doc_id", "text")))
+    assert(rows(Graft.corpusDecision(docs, "doc_id", "text")) ==
+      rows(TextAnalysis.corpusDecision(docs, "doc_id", "text")))
   }
 
   test("ngramJaccard threads maxDf: a df-cap of 0 excludes every shingle") {
