@@ -45,6 +45,13 @@ object Bench {
     // otherwise-identical fresh session (isolates per-query numbers from
     // same-JVM ordering effects; see PERF.md).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    // Fail loudly on a typo'd subset — a silent empty filter would emit a
+    // normal-looking 0.00-total line a consumer records as success.
+    only.foreach { req =>
+      val unknown = req -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> exec(n))

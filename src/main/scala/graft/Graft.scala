@@ -19,7 +19,7 @@ object Graft {
   def exactDedup(df: DataFrame, idCol: String, keyCol: String): DataFrame =
     Dedup.exactDedup(df, idCol, keyCol)
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
-      minEst: Double = 0.35, maxBandDf: Int = 1000): DataFrame =
+      minEst: Double = 0.35, maxBandDf: Int = Dedup.MaxBandDf): DataFrame =
     Dedup.minHashLsh(df, idCol, textCol, minEst, maxBandDf)
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.simHash(df, idCol, textCol)

@@ -270,9 +270,19 @@ object Dedup {
     // runs over already-materialized blocks (no recompute of the edge
     // lineage). Saves the per-round actions when a dedup pass finds nothing.
     if (e0.isEmpty) {
-      val empty = e0.select(col("a").as("id"), col("b").as("component")).limit(0)
+      // Build the empty result from the schema alone — a limit(0) over e0
+      // would still reference the checkpoint blocks released below (today
+      // OptimizeLimitZero rewrites it away, but that's an optimizer detail,
+      // not a contract).
+      val s = edges.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          e0.schema("a").dataType, nullable = true),
+        org.apache.spark.sql.types.StructField("component",
+          e0.schema("b").dataType, nullable = true)))
       unpersistBlocks(e0)
-      return empty
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -347,12 +357,18 @@ object Dedup {
     * Exact duplicates collapse to one representative (the copy-group's min
     * id) BEFORE the band join: identical texts share every band signature,
     * so a cluster of f copies would emit f² candidate rows per band — the
-    * hot-key blowup `maxBandDf` guards against. The collapse is
-    * OUTPUT-PRESERVING, not an approximation: a copy has the identical
-    * signature as its representative, so every component the copy would have
-    * joined, the representative joins, and component minima are unchanged
-    * (each representative is already its group's minimum). The q55 oracle —
-    * which runs the uncollapsed formulation — verifies that equivalence. */
+    * hot-key blowup `maxBandDf` guards against. For any duplicated text
+    * long enough to shingle, the collapse is output-preserving vs the
+    * uncollapsed formulation: a copy has the identical signature as its
+    * representative, so every component the copy would have joined, the
+    * representative joins, and component minima are unchanged (each
+    * representative is already its group's minimum). For duplicated texts
+    * with FEWER than [[graft.functions.MinHashSigImpl.ShingleN]] tokens
+    * (empty signature —
+    * the uncollapsed form would leave each copy to itself) and for NULL
+    * texts (one shared md5-NULL group), the collapsed form is deliberately
+    * STRONGER: exact duplicates always fold, signature or not. The q55
+    * oracle replays the collapse, so the gate is exact for all corpora. */
   def dedupNearDup(df: DataFrame, idCol: String, textCol: String,
       minEst: Double = 0.35): DataFrame = {
     val withRep = df
@@ -406,9 +422,9 @@ object Dedup {
   private val permsValues =
     perms.map { case (pid, a, b) => s"($pid, $a, $b)" }.mkString(", ")
 
-  private val duckShingles = """
+  private def duckShingles(src: String = "documents") = s"""
       toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-               FROM documents),
+               FROM $src),
       sh AS (SELECT DISTINCT doc_id,
                     unnest(list_distinct(list_transform(range(1, len(tk) - 1),
                       i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2]))) AS s
@@ -429,8 +445,9 @@ object Dedup {
       sets AS (SELECT shx.doc_id, list(shx.s) AS sh
                FROM shx JOIN kept ON shx.s = kept.s GROUP BY shx.doc_id)"""
 
-  /** The MinHash CTE chain shared by the q51 and q55 oracles. */
-  private val duckMinhashCtes = s"""$duckShingles,
+  /** The MinHash CTE chain shared by the q51 and q55 oracles; `src` is the
+    * corpus relation (q55 feeds the exact-collapse representatives in). */
+  private def duckMinhashCtes(src: String = "documents") = s"""${duckShingles(src)},
       h AS (SELECT doc_id, (${duckH60("s")}) % $P AS hv FROM sh),
       perms(pid, a, b) AS (VALUES $permsValues),
       mh AS (SELECT doc_id, pid, min((a * hv + b) % $P) AS m
@@ -460,11 +477,19 @@ object Dedup {
              doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
       FROM documents ORDER BY doc_id""",
     "q51_minhash_lsh" -> s"""
-      WITH $duckMinhashCtes
+      WITH ${duckMinhashCtes()}
       SELECT id1, id2, est_jaccard FROM est
       WHERE est_jaccard >= 0.35 ORDER BY id1, id2""",
+    // Replays the exact-collapse: LSH runs over one representative per
+    // md5(text) group (as the Spark side does), so the gate is exact even
+    // for corpora with duplicated too-short-to-shingle or NULL texts.
     "q55_dedup_pipeline" -> s"""
-      WITH RECURSIVE $duckMinhashCtes,
+      WITH RECURSIVE
+      rep AS (SELECT doc_id, text,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+              FROM documents),
+      reps AS (SELECT doc_id, text FROM rep WHERE doc_id = rep),
+      ${duckMinhashCtes("reps")},
       pairs AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.35),
       und AS (SELECT id1 AS a, id2 AS b FROM pairs
               UNION SELECT id2 AS a, id1 AS b FROM pairs),
@@ -474,8 +499,8 @@ object Dedup {
         SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
       comp AS (SELECT a AS id, CAST(least(a, min(b)) AS BIGINT) AS component
                FROM reach GROUP BY a)
-      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS keeper_id
-      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+      SELECT d.doc_id, coalesce(c.component, d.rep) AS keeper_id
+      FROM rep d LEFT JOIN comp c ON d.rep = c.id
       ORDER BY d.doc_id""",
     "q52_simhash" -> s"""
       WITH tok AS (

@@ -240,17 +240,20 @@ object TextAnalysis {
     * pairs produce bit-identical scores in both engines, so the tie-break
     * makes ranks deterministic).
     *
-    * Scale shape: both aggregations shuffle on bounded keys ((doc, term)
-    * and term — never document bodies), the corpus size N joins in as a
-    * broadcast single row (no driver-side count action), and the top-k is
-    * a per-document window — the same partial/final WindowGroupLimit plan
-    * as q09. */
+    * Scale shape: the tokenize+explode lineage runs ONCE — the (doc, term)
+    * aggregate is materialized and the document frequency derives from it
+    * (df(term) = rows per term in tf), so both aggregations shuffle on
+    * bounded keys (never document bodies) over a single pass. The corpus
+    * size N joins in as a broadcast single row (no driver-side count
+    * action), and the top-k is a per-document window — the same
+    * partial/final WindowGroupLimit plan as q09. */
   def tfidf(df: DataFrame, idCol: String, textCol: String,
       topK: Int = 3): DataFrame = {
     val terms = df.select(col(idCol), explode(expr(toksOf(textCol))).as("term"))
+    // Read by the join side AND the doc-frequency roll-up — materialize once.
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val docFreq = terms.distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df_"))
+      .localCheckpoint()
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("nd"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
@@ -329,16 +332,22 @@ object TextAnalysis {
     repetitionSignals(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  /** PII-style scrubbing: replace every match of `pattern` with
-    * `replacement` and count the redactions. Pure map-side codegen'd
-    * regexp work (`regexp_replace` + `regexp_count`) — the shape an
-    * email/phone/ID masking pass takes at corpus scale: no shuffle, no
-    * UDF, any engine with RE2/PCRE reproduces the masked text exactly. */
+  /** PII-style scrubbing: replace every match of `pattern` with the
+    * LITERAL `replacement` and count the redactions. Pure map-side
+    * codegen'd regexp work (`regexp_replace` + `regexp_count`) — the shape
+    * an email/phone/ID masking pass takes at corpus scale: no shuffle, no
+    * UDF, any engine with RE2/PCRE reproduces the masked text exactly.
+    *
+    * The replacement is quoted (`Matcher.quoteReplacement`) before reaching
+    * the Java regex engine: a mask like `"$$$"` or `"\\x"` must be inserted
+    * verbatim, not parsed as a group reference (which would either throw or
+    * — for `$0` — silently re-insert the PII it was meant to mask). */
   def scrub(df: DataFrame, idCol: String, textCol: String,
       pattern: String, replacement: String): DataFrame =
     df.select(col(idCol),
       regexp_count(col(textCol), lit(pattern)).as("n_masked"),
-      regexp_replace(col(textCol), pattern, replacement).as("scrubbed"))
+      regexp_replace(col(textCol), pattern,
+        java.util.regex.Matcher.quoteReplacement(replacement)).as("scrubbed"))
 
   /** The fixture has no real PII, so the gated binding masks an email
     * pattern OR the (present) literal word `customer` — the alternation

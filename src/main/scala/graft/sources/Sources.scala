@@ -59,11 +59,16 @@ object Sources {
     val bounds = df.agg(
       org.apache.spark.sql.functions.min(partitionCol),
       org.apache.spark.sql.functions.max(partitionCol)).head()
+    // getAs[Number] (not getLong): the partition column may be any integral
+    // type, and an empty frame yields NULL bounds — fail with a message
+    // instead of an NPE from a primitive getter.
+    require(!bounds.isNullAt(0),
+      s"jdbcRoundTrip: input is empty — no $partitionCol bounds to partition by")
     spark.read.format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("partitionColumn", partitionCol)
-      .option("lowerBound", bounds.getLong(0))
-      .option("upperBound", bounds.getLong(1))
+      .option("lowerBound", bounds.getAs[Number](0).longValue())
+      .option("upperBound", bounds.getAs[Number](1).longValue())
       .option("numPartitions", numPartitions)
       .load()
   }

@@ -71,8 +71,6 @@ class FacadeSpec extends SparkSpec {
         TextAnalysis.curate(docs, "doc_id", "text")),
       ("hashSplit", Graft.hashSplit(docs, "doc_id"),
         TextAnalysis.hashSplit(docs, "doc_id")),
-      ("tfidf", Graft.tfidf(docs, "doc_id", "text"),
-        TextAnalysis.tfidf(docs, "doc_id", "text")),
       ("repetitionSignals", Graft.repetitionSignals(docs, "doc_id", "text"),
         TextAnalysis.repetitionSignals(docs, "doc_id", "text")),
       ("scrub", Graft.scrub(docs, "doc_id", "text", "\\bcustomer\\b", "<PII>"),
@@ -108,6 +106,8 @@ class FacadeSpec extends SparkSpec {
       rows(Dedup.connectedComponents(edges, "id1", "id2")))
     assert(rows(Graft.contamination(docs, "doc_id", "text")) ==
       rows(TextAnalysis.contamination(docs, "doc_id", "text")))
+    assert(rows(Graft.tfidf(docs, "doc_id", "text")) ==
+      rows(TextAnalysis.tfidf(docs, "doc_id", "text")))
     assert(rows(Graft.corpusDecision(docs, "doc_id", "text")) ==
       rows(TextAnalysis.corpusDecision(docs, "doc_id", "text")))
   }

@@ -271,6 +271,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(composed == expected)
   }
 
+  test("dedupNearDup folds exact duplicates even when too short to shingle") {
+    import spark.implicits._
+    // 2-token texts yield no MinHash signature, so the uncollapsed LSH form
+    // would leave every copy to itself; the exact-collapse must still fold
+    // them (and the q55 oracle replays exactly this).
+    val docs = Seq((1L, "hi there"), (2L, "hi there"), (3L, "bye now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupNearDup(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("dedupNearDup: no candidate pairs short-circuits to identity keepers") {
     import spark.implicits._
     val docs = Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh"), (3L, "ii jj kk ll"))
@@ -293,6 +305,11 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1).getInt(1) == 0 && out(1).getString(2) == "no pii here at all")
     assert(out(2).getInt(1) == 2 &&
       out(2).getString(2) == "<PII> data for <PII> x")
+    // Metacharacter masks are inserted literally, never parsed as group
+    // references ("$0" would re-insert the PII; "$" alone would throw).
+    val dollar = TextAnalysis.scrub(docs, "doc_id", "text",
+        "\\bcustomer\\b", "$0\\").orderBy("doc_id").collect()
+    assert(dollar(2).getString(2) == "$0\\ data for $0\\ x")
   }
 
   test("stratified sample: exactly k per stratum, stable under repartitioning") {
