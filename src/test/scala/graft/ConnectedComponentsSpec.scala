@@ -37,4 +37,28 @@ class ConnectedComponentsSpec extends SparkSpec {
     val comp = components(p1 ++ p2 :+ (20L, 100L))
     assert(comp.values.toSet == Set(0L))
   }
+
+  test("seeded random graph: labels equal a union-find reference exactly") {
+    // 200 nodes / 150 random edges — dozens of components of varied shapes
+    // in ONE invocation, checked against an independent union-find.
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val ra = find(a.toInt); val rb = find(b.toInt)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = (0 until n).map(find)
+    // The operator labels edge endpoints only, so the expectation is
+    // restricted to that population (isolated ids never appear).
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val endpointMin = nodes.groupBy(x => roots(x.toInt))
+      .map { case (r, ns) => r -> ns.min }
+    val expected = nodes.map(x => x -> endpointMin(roots(x.toInt))).toMap
+    assert(components(edges) == expected)
+  }
 }
