@@ -388,6 +388,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("operator outputs are invariant to the shuffle-partition count") {
+    // The knob a cluster deployment actually turns: every operator's rows
+    // must be a pure function of the data, not of how many partitions the
+    // exchanges use. One shuffle-heavy representative per family.
+    val docs = Tables.documents(spark, sf0001)
+    def run(): Seq[Set[String]] = Seq(
+      Dedup.minHashLsh(docs, "doc_id", "text"),
+      TextAnalysis.tfidf(docs, "doc_id", "text"),
+      TextAnalysis.contamination(docs, "doc_id", "text"),
+      TextAnalysis.repetitionSignals(docs, "doc_id", "text"),
+    ).map(_.collect().map(_.toString).toSet)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val wide = run()
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try {
+      val narrow = run()
+      wide.zip(narrow).zipWithIndex.foreach { case ((w, n), i) =>
+        assert(w == n, s"operator #$i changed output with partition count")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("exact dedup keeper: keeper_id <= doc_id and keepers are fixpoints") {
     val rows = Dedup.queries("q50_exact_dedup")(spark, sf0001).collect()
     val keeper = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
