@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Scale-smoke harness: times the dedup/curation family on the fixture
+  * corpus and on a K×-duplicated blow-up of it (ids offset per copy, text
+  * identical — 100k docs at K=20 over sf0.1). The blow-up is the
+  * adversarial regime the scale guards exist for: every document becomes a
+  * K-sized exact-duplicate cluster, which un-collapsed/un-capped LSH
+  * banding would turn quadratic (K² candidate rows per band per doc).
+  * Near-linear wall-clock from 1× to K× is the evidence the guards work.
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ScaleSmoke"`
+  * Results are recorded in PERF.md; this is a measurement tool, not part of
+  * the driver contract.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "20").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale-smoke")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val n = base.count()
+    // K copies with disjoint id ranges; identical texts → K-sized exact-dup
+    // clusters everywhere.
+    val blown = (0 until k).map { c =>
+      base.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"), col("text"))
+    }.reduce(_ union _).localCheckpoint()
+    val bn = blown.count()
+
+    def time(label: String, df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-34s ${dt}%8.2fs  ($rows rows)")
+    }
+
+    println(s"[scale] corpus 1x = $n docs, ${k}x = $bn docs")
+    time("dedupNearDup 1x", Dedup.dedupNearDup(base, "doc_id", "text"))
+    time(s"dedupNearDup ${k}x", Dedup.dedupNearDup(blown, "doc_id", "text"))
+    time("minHashLsh 1x", Dedup.minHashLsh(base, "doc_id", "text"))
+    time(s"minHashLsh ${k}x (capped bands)", Dedup.minHashLsh(blown, "doc_id", "text"))
+    time("contamination 1x", TextAnalysis.contamination(base, "doc_id", "text"))
+    time(s"contamination ${k}x", TextAnalysis.contamination(blown, "doc_id", "text"))
+    time("corpusDecision 1x", TextAnalysis.corpusDecision(base, "doc_id", "text"))
+    time(s"corpusDecision ${k}x", TextAnalysis.corpusDecision(blown, "doc_id", "text"))
+    spark.stop()
+  }
+}
