@@ -222,7 +222,13 @@ object Relational {
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"),
         levenshtein(col("p_brand"), col("p_type")).as("edit_dist"),
-        translate(col("p_brand"), "#", "-").as("brand_tr"))
+        translate(col("p_brand"), "#", "-").as("brand_tr"),
+        split_part(col("p_brand"), lit("#"), lit(2)).cast("int").as("brand_no"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        reverse(substring(col("p_name"), 1, 8)).as("name8_rev"),
+        ascii(col("p_name")).as("first_code"),
+        instr(col("p_name"), "a").as("a_pos"),
+        col("p_type").startsWith("STANDARD").as("is_std"))
       .orderBy(col("p_partkey"))
 
   /** Date/time functions: truncation + part extraction + grouping. */
@@ -231,7 +237,10 @@ object Relational {
       .groupBy(
         year(col("o_orderdate")).as("y"),
         quarter(col("o_orderdate")).as("q"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"),
+        max(weekofyear(col("o_orderdate"))).as("max_week"),
+        max(dayofyear(col("o_orderdate"))).as("max_doy"),
+        max(last_day(col("o_orderdate"))).as("last_d"))
       .orderBy(col("y"), col("q"))
 
   /** CASE WHEN buckets + math functions. */
@@ -243,7 +252,10 @@ object Relational {
           .otherwise("high").as("bal_bucket"),
         round(abs(col("c_acctbal")), 2).as("abs_bal"),
         floor(col("c_acctbal") / 1000).cast("long").as("bal_k"),
-        round(sqrt(abs(col("c_acctbal"))), 4).as("sqrt_bal"))
+        round(sqrt(abs(col("c_acctbal"))), 4).as("sqrt_bal"),
+        signum(col("c_acctbal")).cast("int").as("bal_sign"),
+        round(greatest(col("c_acctbal"), lit(0.0)), 2).as("bal_pos"),
+        (floor(col("c_acctbal") / 1000).cast("long") % 7).as("bal_mod7"))
       .orderBy(col("c_custkey"))
 
   /** JSON-ish extraction from the events.props string column. */
@@ -791,13 +803,22 @@ object Relational {
              concat_ws('|', p_brand, p_type) AS brand_type,
              CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INT) AS brand_num,
              CAST(levenshtein(p_brand, p_type) AS INT) AS edit_dist,
-             translate(p_brand, '#', '-') AS brand_tr
+             translate(p_brand, '#', '-') AS brand_tr,
+             CAST(split_part(p_brand, '#', 2) AS INT) AS brand_no,
+             lpad(p_brand, 12, '*') AS brand_pad,
+             reverse(substring(p_name, 1, 8)) AS name8_rev,
+             CAST(ascii(p_name) AS INT) AS first_code,
+             CAST(strpos(p_name, 'a') AS INT) AS a_pos,
+             starts_with(p_type, 'STANDARD') AS is_std
       FROM part
       ORDER BY p_partkey""",
     "q19_date_funcs" -> """
       SELECT CAST(year(o_orderdate) AS INT) AS y,
              CAST(quarter(o_orderdate) AS INT) AS q,
-             count(*) AS n, round(sum(o_totalprice), 2) AS total
+             count(*) AS n, round(sum(o_totalprice), 2) AS total,
+             CAST(max(weekofyear(o_orderdate)) AS INT) AS max_week,
+             CAST(max(dayofyear(o_orderdate)) AS INT) AS max_doy,
+             max(last_day(o_orderdate)) AS last_d
       FROM orders
       GROUP BY 1, 2
       ORDER BY y, q""",
@@ -808,7 +829,10 @@ object Relational {
                   ELSE 'high' END AS bal_bucket,
              round(abs(c_acctbal), 2) AS abs_bal,
              CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
-             round(sqrt(abs(c_acctbal)), 4) AS sqrt_bal
+             round(sqrt(abs(c_acctbal)), 4) AS sqrt_bal,
+             CAST(sign(c_acctbal) AS INT) AS bal_sign,
+             round(greatest(c_acctbal, 0.0), 2) AS bal_pos,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) % 7 AS bal_mod7
       FROM customer
       ORDER BY c_custkey""",
     "q21_json_extract" -> """
