@@ -258,13 +258,23 @@ object Relational {
         (floor(col("c_acctbal") / 1000).cast("long") % 7).as("bal_mod7"))
       .orderBy(col("c_custkey"))
 
-  /** JSON-ish extraction from the events.props string column. */
-  private val q21: Q = (s, d) =>
+  /** JSON extraction from the events.props string column, two ways: the
+    * typed `from_json` parser (schema-projected struct field) drives the
+    * grouping, and a regexp extraction rides along — `n_agree == n` in
+    * every group certifies both paths against DuckDB's native JSON
+    * extension. */
+  private val q21: Q = (s, d) => {
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
     Tables.events(s, d)
-      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int"))
-      .groupBy((col("k") % 10).as("k_mod"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .withColumn("k_re", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int"))
+      .withColumn("k_js", from_json(col("props"), sch).getField("k"))
+      .groupBy((col("k_js") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"),
+        sum(when(col("k_re") === col("k_js"), 1).otherwise(0)).as("n_agree"))
       .orderBy(col("k_mod"))
+  }
 
   /** Correlated EXISTS subquery via SQL. */
   private val q22: Q = (s, d) => {
@@ -836,8 +846,11 @@ object Relational {
       FROM customer
       ORDER BY c_custkey""",
     "q21_json_extract" -> """
-      SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) % 10 AS k_mod,
-             count(*) AS n, round(avg(value), 4) AS avg_value
+      SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+             count(*) AS n, round(avg(value), 4) AS avg_value,
+             sum(CASE WHEN CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)
+                       = CAST(json_extract_string(props, '$.k') AS INT)
+                 THEN 1 ELSE 0 END) AS n_agree
       FROM events
       GROUP BY 1
       ORDER BY k_mod""",
