@@ -848,9 +848,9 @@ object Relational {
     "q21_json_extract" -> """
       SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
              count(*) AS n, round(avg(value), 4) AS avg_value,
-             sum(CASE WHEN CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)
-                       = CAST(json_extract_string(props, '$.k') AS INT)
-                 THEN 1 ELSE 0 END) AS n_agree
+             CAST(sum(CASE WHEN CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)
+                            = CAST(json_extract_string(props, '$.k') AS INT)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
       FROM events
       GROUP BY 1
       ORDER BY k_mod""",

@@ -9,6 +9,7 @@ compares row-by-row after sorting columns by name and rows by value (mirrors
 the driver: sorted-column value hash).
 """
 import json
+import decimal
 import math
 import sys
 
@@ -25,6 +26,11 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
+    if isinstance(v, decimal.Decimal):
+        # Keep Decimal distinct from int/float: the driver hashes typed
+        # values, so a DuckDB HUGEINT (sum(INT) without CAST ... AS BIGINT)
+        # must FAIL here too, not compare equal via Python's Decimal == int.
+        return "dec:" + str(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, list):
