@@ -64,8 +64,13 @@ object Bench {
     // comma-decimal default locale can't corrupt the JSON.
     def fmt(d: String, v: Double) =
       String.format(java.util.Locale.ROOT, "%." + d + "f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt("1", v) }
-      .mkString("{", ",", "}")
+    // Short keys ("q01", not "q01_pricing_summary") keep the line far under
+    // the tail cap as the query count grows; the qNN prefix is unique and
+    // stable, and full names live in CORRECTNESS_r{N}/README. Keys stay
+    // sorted, so the mapping to full names is positional too.
+    val qs = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + fmt("1", v)
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Backstop for log-noise-sensitive parsers: the same single line, alone

@@ -20,6 +20,8 @@ object SparkEntry {
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Parity.queries, operators.Parity.oracles),
       (operators.AsOf.queries, operators.AsOf.oracles),
+      (operators.Analytics.queries, operators.Analytics.oracles),
+      (operators.Packing.queries, operators.Packing.oracles),
       (operators.Skew.queries, operators.Skew.oracles),
       (streaming.StreamingQueries.queries, streaming.StreamingQueries.oracles),
     )

@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-analytics and data-management operators beyond the reference's
+  * surface (SURVEY §2.3 north-star extensions): a mergeable distinct-count
+  * sketch, ordered funnel analysis, CDC latest-wins merge, and fixed-bin
+  * histograms. All four are oracle-gated — the sketch included, because its
+  * estimator is a deterministic function of md5, which both engines compute
+  * bit-identically.
+  *
+  * Scale notes are per-operator; none of these materializes per-key state
+  * wider than (key, constant) and none shuffles a payload column it does
+  * not need.
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- KMV --
+
+  /** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002): keep
+    * the k smallest 60-bit hashes per group; estimate = (k-1) * 2^60 /
+    * kth_min. Mergeable by construction (union → re-take k smallest), which
+    * is what makes it the 100 TB shape: partial min-k runs map-side.
+    *
+    * In Spark the `row_number() <= k` filter compiles to WindowGroupLimit,
+    * which pushes a per-partition partial top-k BEFORE the shuffle — the
+    * engine derives the mergeable-sketch plan from the declarative form
+    * (same optimization q59 plan-locks). The estimator is exact-replayable:
+    * md5 is bit-identical cross-engine, and 31.0 * 2^60 is an EXACT double
+    * (5 significant bits), so the single IEEE division matches to the bit.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 32): DataFrame = {
+    require(k >= 2, s"kmvDistinct: k must be >= 2, got $k")
+    val du = df.select(col(groupCol), col(valueCol)).distinct()
+    val h = du.withColumn("hv", expr(
+      s"cast(conv(substring(md5(cast($valueCol as string)), 1, 15), 16, 10) as bigint)"))
+    val rn = row_number().over(Window.partitionBy(groupCol).orderBy(col("hv")))
+    val kmins = h.withColumn("rn", rn).filter(col("rn") <= k)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).cast("int").as("k_used"), max(col("hv")).as("kth_min"))
+    val exact = du.groupBy(groupCol).agg(count(lit(1)).as("n_exact"))
+    // Both sides of this join are one row per group — broadcast, no shuffle.
+    exact.join(broadcast(kmins), groupCol)
+      .withColumn("kmv_est", round(
+        when(col("k_used") < k, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+            / col("kth_min").cast("double")), 2))
+      .select(col(groupCol), col("n_exact"), col("k_used"), col("kth_min"),
+        col("kmv_est"))
+  }
+
+  /** Distinct users per event type, exact vs KMV(32) estimate. */
+  private val q68: Q = (s, d) =>
+    kmvDistinct(Tables.events(s, d), "event_type", "user_id")
+      .orderBy(col("event_type"))
+
+  // ------------------------------------------------------------- funnel --
+
+  /** Ordered-funnel analysis: for each key, the furthest stage reached where
+    * stage i+1 only counts if it occurs at-or-after the first completion of
+    * stage i (strictly ordered conversion, the product-analytics semantics).
+    *
+    * One window spec — partition by key, order by (time, rowId) — carries
+    * all stage flags: `r_{i+1} = running_max(step_{i+1} AND r_i = 1)`.
+    * Spark stacks the four Window operators over the SAME sort order, so
+    * the whole funnel costs ONE shuffle + ONE sort regardless of the number
+    * of stages; per-row state is four ints. The naive per-stage self-join
+    * formulation is stages× shuffles of the full event table.
+    */
+  def funnel(events: DataFrame, keyCols: Seq[String], timeCol: String,
+      rowIdCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel: stages must be non-empty")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol), col(rowIdCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def step(flag: Column): Column = max(when(flag, 1).otherwise(0)).over(w)
+    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (st, i)) =>
+      val gate = if (i == 0) lit(true) else col(s"r$i") === 1
+      df.withColumn(s"r${i + 1}", step(col(typeCol) === st && gate))
+    }
+    val stageSum = stages.indices
+      .map(i => max(col(s"r${i + 1}")))
+      .reduce(_ + _)
+    staged.groupBy(keyCols.map(col): _*).agg(stageSum.cast("int").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** signup → view → click → purchase conversion per (user, day) — the
+    * daily-conversion grain, which actually distributes keys across all
+    * five stages (per-user over all time, every fixture user converts). */
+  private val q69: Q = (s, d) =>
+    funnel(Tables.events(s, d).withColumn("day", to_date(col("ts"))),
+      Seq("user_id", "day"), "ts", "event_id", "event_type",
+      Seq("signup", "view", "click", "purchase"))
+      .orderBy(col("stage"))
+
+  // ------------------------------------------------------------- upsert --
+
+  /** CDC latest-wins merge (MERGE INTO compaction semantics without a
+    * lakehouse format): one row per key from `base ∪ updates`, the winner
+    * being the greatest `versionCols` tuple, updates beating base on exact
+    * ties. The union never materializes twice and the dedup is a single
+    * `row_number() = 1` window — one shuffle on the key, the same plan a
+    * Delta/Iceberg MERGE compacts to. At 100 TB the key shuffle carries
+    * only (keys ++ versionCols ++ payload actually selected).
+    */
+  def mergeLatest(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      versionCols: Seq[String]): DataFrame = {
+    val tagged = base.withColumn("_src", lit(0))
+      .unionByName(updates.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((versionCols.map(col(_).desc) :+ col("_src").desc): _*)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Latest event per (user, type), merging a 2/3 "base" with a 1/3
+    * "updates" stream split on event_id — the split is arbitrary; the
+    * contract is that the merged result equals latest-wins over the union. */
+  private val q73: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("value"))
+    val base = ev.filter(col("event_id") % 3 =!= 0)
+    val updates = ev.filter(col("event_id") % 3 === 0)
+    mergeLatest(base, updates, Seq("user_id", "event_type"),
+      Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"),
+        round(col("value"), 2).as("last_value"),
+        col("_src").cast("int").as("from_update"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  // ---------------------------------------------------------- histogram --
+
+  /** Fixed-bin histogram: constant bin edges (no data-dependent min/max
+    * pass), so the whole operator is one map-side projection + one
+    * aggregation — the bin expression stays inside whole-stage codegen and
+    * the scan prunes to the single binned column. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, width: Double,
+      nBins: Int): DataFrame =
+    df.withColumn("bin",
+        least(greatest(floor((col(valueCol) - lo) / width), lit(0L)),
+          lit(nBins - 1L)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol)), 2).as("sum_val"),
+        round(avg(col(valueCol)), 4).as("avg_val"))
+
+  /** 20-bin price histogram over lineitem. */
+  private val q75: Q = (s, d) =>
+    histogram(Tables.lineitem(s, d), "l_extendedprice", 0.0, 5000.0, 20)
+      .orderBy(col("bin"))
+
+  val queries: Map[String, Q] = Map(
+    "q68_kmv_distinct" -> q68,
+    "q69_funnel" -> q69,
+    "q73_merge_upsert" -> q73,
+    "q75_histogram" -> q75,
+  )
+
+  /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
+    * (same formulation the dedup/contamination oracles replay). */
+  private def h60(e: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
+          list_transform(range(1, 16),
+            i -> CAST(strpos('0123456789abcdef',
+                   substr(md5($e), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+          (acc, c) -> acc * 16 + c)"""
+
+  val oracles: Map[String, String] = Map(
+    "q68_kmv_distinct" -> s"""
+      WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      h AS (SELECT event_type, ${h60("CAST(user_id AS VARCHAR)")} AS hv FROM du),
+      r AS (SELECT event_type, hv,
+                   row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+            FROM h),
+      k AS (SELECT event_type, CAST(count(*) AS INT) AS k_used,
+                   max(hv) AS kth_min
+            FROM r WHERE rn <= 32 GROUP BY event_type),
+      x AS (SELECT event_type, count(*) AS n_exact FROM du GROUP BY event_type)
+      SELECT x.event_type, n_exact, k_used, kth_min,
+             round(CASE WHEN k_used < 32 THEN CAST(n_exact AS DOUBLE)
+                   ELSE 31.0 * 1152921504606846976.0 / CAST(kth_min AS DOUBLE)
+                   END, 2) AS kmv_est
+      FROM x JOIN k USING (event_type)
+      ORDER BY event_type""",
+    // CAST(ts AS TIMESTAMP) truncates DuckDB's ns reads to the µs Spark
+    // carries, so ordering ties resolve identically (then event_id).
+    "q69_funnel" -> """
+      WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                        CAST(ts AS TIMESTAMP) AS ts, event_id,
+                        event_type FROM events),
+      a AS (SELECT *, max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1
+            FROM e),
+      b AS (SELECT *, max(CASE WHEN event_type = 'view' AND r1 = 1
+                          THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+            FROM a),
+      c AS (SELECT *, max(CASE WHEN event_type = 'click' AND r2 = 1
+                          THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r3
+            FROM b),
+      f AS (SELECT *, max(CASE WHEN event_type = 'purchase' AND r3 = 1
+                          THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r4
+            FROM c),
+      u AS (SELECT user_id, day,
+                   CAST(max(r1) + max(r2) + max(r3) + max(r4) AS INT) AS stage
+            FROM f GROUP BY user_id, day)
+      SELECT stage, count(*) AS n_users FROM u
+      GROUP BY stage ORDER BY stage""",
+    "q73_merge_upsert" -> """
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                        event_id, value,
+                        CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS src
+                 FROM events),
+      r AS (SELECT *, row_number()
+              OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC, src DESC) AS rn
+            FROM e)
+      SELECT user_id, event_type, event_id AS last_event_id,
+             round(value, 2) AS last_value, CAST(src AS INT) AS from_update
+      FROM r WHERE rn = 1
+      ORDER BY user_id, event_type""",
+    "q75_histogram" -> """
+      SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 19)
+                  AS INT) AS bin,
+             count(*) AS n,
+             round(sum(l_extendedprice), 2) AS sum_val,
+             round(avg(l_extendedprice), 4) AS avg_val
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY bin""",
+  )
+}
