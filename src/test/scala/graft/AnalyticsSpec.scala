@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Contracts for the analytics operators (funnel / CDC merge / KMV /
+  * histogram) beyond what the DuckDB hash gate proves: semantics on
+  * adversarial hand-built fixtures, estimator error bounds, and the plan
+  * shapes that make them 100 TB-safe. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- funnel --
+
+  test("funnel: strictly-ordered semantics on a hand-built fixture") {
+    // u1 completes in order; u2 has the purchase BEFORE the click (stage 3);
+    // u3 never signs up but does everything else (stage 0); u4 converts with
+    // every step at the SAME timestamp — row-id tie-break applies, and the
+    // ascending event_id order happens to run signup->purchase (stage 4).
+    val ev = Seq(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "view"),
+      (1L, 30L, 3L, "click"), (1L, 40L, 4L, "purchase"),
+      (2L, 10L, 5L, "signup"), (2L, 20L, 6L, "view"),
+      (2L, 25L, 7L, "purchase"), (2L, 30L, 8L, "click"),
+      (3L, 10L, 9L, "view"), (3L, 20L, 10L, "click"),
+      (3L, 30L, 11L, "purchase"),
+      (4L, 10L, 12L, "signup"), (4L, 10L, 13L, "view"),
+      (4L, 10L, 14L, "click"), (4L, 10L, 15L, "purchase"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.funnel(ev, Seq("user_id"), "ts", "event_id",
+        "event_type", Seq("signup", "view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 1L, 3 -> 1L, 4 -> 2L), s"got $got")
+  }
+
+  test("funnel: all four stage windows share one exchange and one sort") {
+    val df = Analytics.queries("q69_funnel")(spark, sf0001)
+    df.collect()
+    // AQE prints Final AND Initial plans — count only the final one.
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // Chained running-max flags must not re-shuffle or re-sort per stage:
+    // one hashpartitioning(user_id, day) exchange and one Sort beneath the
+    // Window stack (the other exchanges belong to the two downstream aggs).
+    val windowSorts = "Sort \\[user_id".r.findAllIn(p).size
+    assert(windowSorts == 1, s"expected 1 window sort, got $windowSorts:\n$p")
+    val partExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(partExchanges == 1,
+      s"expected 1 key exchange for the funnel windows, got $partExchanges:\n$p")
+  }
+
+  // ------------------------------------------------------------- upsert --
+
+  test("mergeLatest: latest version wins; updates beat base on exact ties") {
+    val base = Seq((1L, 10L, 100L, "b1"), (2L, 10L, 101L, "b2"),
+      (3L, 30L, 102L, "b3")).toDF("k", "v", "seq", "payload")
+    val upd = Seq((1L, 10L, 100L, "u1"), (2L, 20L, 103L, "u2"),
+      (3L, 10L, 104L, "u3"), (4L, 5L, 105L, "u4"))
+      .toDF("k", "v", "seq", "payload")
+    // k=1: identical (v, seq) → update wins; k=2: update is newer; k=3:
+    // base is newer; k=4: insert (update only).
+    val got = Analytics.mergeLatest(base, upd, Seq("k"), Seq("v", "seq"))
+      .select("k", "payload").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "u1", 2L -> "u2", 3L -> "b3", 4L -> "u4"),
+      s"got $got")
+  }
+
+  test("mergeLatest: exactly one row per key, schema = input + _src") {
+    val out = Analytics.queries("q73_merge_upsert")(spark, sf001)
+    val keys = out.select("user_id", "event_type")
+    assert(keys.count() == keys.distinct().count())
+  }
+
+  // ---------------------------------------------------------------- KMV --
+
+  test("kmvDistinct: estimator within 3 standard errors; exact when n <= k") {
+    val ev = Tables.events(spark, sf001)
+    val k = 32
+    val rows = Analytics.kmvDistinct(ev, "event_type", "user_id", k)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("n_exact").toDouble,
+        r.getAs[Double]("kmv_est"))
+      if (r.getAs[Int]("k_used") < k) assert(est == exact)
+      else {
+        // KMV relative std error ≈ 1/sqrt(k-2); 3σ bound.
+        val relErr = math.abs(est - exact) / exact
+        assert(relErr < 3.0 / math.sqrt(k - 2.0),
+          s"${r.getString(0)}: est $est vs exact $exact (relErr $relErr)")
+      }
+    }
+  }
+
+  test("kmvDistinct: sketch is mergeable — union re-sketch == whole sketch") {
+    val ev = Tables.events(spark, sf001)
+    // Split the input arbitrarily, sketch halves, merge by re-taking min-k
+    // over the union of survivors: kth_min must equal the whole-input kth_min
+    // (survivor sets contain each side's k smallest, so the union holds the
+    // global k smallest — the KMV merge invariant).
+    val k = 32
+    val halves = Seq(ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    val partials = halves.map { h =>
+      val du = h.select(col("event_type"), col("user_id")).distinct()
+        .withColumn("hv", expr(
+          "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"))
+      du.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("hv")))
+        .filter(col("rn") <= k).select("event_type", "hv")
+    }
+    val merged = partials.reduce(_ unionByName _).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("hv")))
+      .filter(col("rn") <= k)
+      .groupBy("event_type").agg(max("hv").as("kth_min"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = Analytics.kmvDistinct(ev, "event_type", "user_id", k)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("kth_min")).toMap
+    assert(merged == whole, s"merged $merged vs whole $whole")
+  }
+
+  test("q68 plan: row_number <= k compiles to a WindowGroupLimit partial") {
+    val p = Analytics.queries("q68_kmv_distinct")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"no partial top-k pushdown:\n$p")
+  }
+
+  // ---------------------------------------------------------- histogram --
+
+  test("histogram: bins partition the input; out-of-range values clamp") {
+    val df = Seq(-5.0, 0.0, 4.9, 5.0, 14.9, 99.0, 1e9)
+      .toDF("x")
+    val got = Analytics.histogram(df, "x", 0.0, 5.0, 4)
+      .select("bin", "n").as[(Int, Long)].collect().toMap
+    // -5 clamps into bin 0; 1e9 and 99 clamp into the last bin (3).
+    assert(got == Map(0 -> 3L, 1 -> 1L, 2 -> 1L, 3 -> 2L), s"got $got")
+    val total = Analytics.histogram(Tables.lineitem(spark, sf001),
+      "l_extendedprice", 0.0, 5000.0, 20).agg(sum("n")).head().getLong(0)
+    assert(total == Tables.lineitem(spark, sf001).count())
+  }
+}
