@@ -496,6 +496,48 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Partitioned parquet sink under the gate: orders → Hive-style
+    * `partitionBy(o_orderstatus)` layout → read back; the status filter then
+    * prunes whole partition directories at planning time (PartitionFilters
+    * in the scan — PlanSpec locks it). The oracle filters the ORIGINAL
+    * table, so any value lost or mangled by the directory-key encode/decode
+    * (the column is round-tripped through file paths!) breaks the hash. */
+  private val q96: Q = (s, d) => {
+    val tmp = graft.sources.Sources.staging("part_q96")
+    graft.sources.Sources.partitionedRoundTrip(s, Tables.orders(s, d),
+        Seq("o_orderstatus"), tmp)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Spark 4's VariantType semi-structured path under the gate:
+    * `parse_json` shreds events.props into a variant, `variant_get`
+    * projects a typed field — the open-format answer to schema-on-read
+    * JSON at scale (binary-encoded, field-prunable). The oracle is
+    * DuckDB's native JSON extraction; q21 certifies the regexp and
+    * `from_json` paths, this one the variant encode/decode. */
+  private val q97: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k_var", expr("variant_get(parse_json(props), '$.k', 'int')"))
+      .groupBy((col("k_var") % 7).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k_var")).as("k_min"), max(col("k_var")).as("k_max"))
+      .orderBy(col("k_mod"))
+
+  /** Small-files compaction under the gate: documents parquet → compact to
+    * ~256 KiB target files → re-read → rollup. The oracle reads the
+    * ORIGINAL table — compaction must be exactly row-preserving. */
+  private val q98: Q = (s, d) => {
+    val tmp = graft.sources.Sources.staging("compact_q98")
+    graft.sources.Sources.compact(s, s"$d/documents.parquet", tmp, 256 * 1024)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   /** The typed-UDAF surface under the gate: geometric mean per brand through
     * `udaf(GeoMeanAggregator)` — a merge-associative (Σ ln x, n) buffer, so
     * partial aggregation applies exactly as for built-ins. The oracle is
@@ -532,6 +574,9 @@ object Relational {
     "q93_orc_scan" -> q93,
     "q94_geomean" -> q94,
     "q95_jdbc_scan" -> q95,
+    "q96_partitioned_sink" -> q96,
+    "q97_variant" -> q97,
+    "q98_compaction" -> q98,
     "q49_window_distribution" -> q49,
     "q33_from_json" -> q33,
     "q34_range_frame" -> q34,
@@ -600,6 +645,20 @@ object Relational {
       SELECT c_nationkey, count(*) AS n,
              round(sum(c_acctbal), 2) AS sum_bal
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q96_partitioned_sink" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS sum_price
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q97_variant" -> """
+      SELECT CAST(json_extract_string(props, '$.k') AS INT) % 7 AS k_mod,
+             count(*) AS n,
+             min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+             max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+      FROM events GROUP BY 1 ORDER BY k_mod""",
+    "q98_compaction" -> """
+      SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY source ORDER BY source""",
     "q49_window_distribution" -> """
       SELECT c_nationkey, c_custkey,
              CAST(ntile(4) OVER w AS INT) AS quartile,

@@ -73,6 +73,32 @@ object Sources {
       .load()
   }
 
+  /** Hive-style partitioned parquet sink + read-back: the 100 TB layout
+    * primitive — directory keys become partition columns, and a filter on
+    * them prunes whole directories at planning time (PartitionFilters in
+    * the scan, asserted in PlanSpec). */
+  def partitionedRoundTrip(spark: SparkSession, df: DataFrame,
+      partCols: Seq[String], path: String): DataFrame = {
+    df.write.partitionBy(partCols: _*).mode(SaveMode.Overwrite).parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Small-files compaction: rewrite a directory of many files into
+    * ⌈bytes / targetFileBytes⌉ similarly-sized ones (round-robin
+    * repartition — even output sizes, no skew by input file). The table
+    * contents are unchanged — q98 certifies that under the oracle hash.
+    * This is the maintenance op a streaming sink's output needs at scale;
+    * on a lakehouse table the same rewrite runs under its transaction log. */
+  def compact(spark: SparkSession, inputPath: String, outputPath: String,
+      targetFileBytes: Long): DataFrame = {
+    require(targetFileBytes >= 1, s"compact: bad target $targetFileBytes")
+    val in = spark.read.parquet(inputPath)
+    val bytes = in.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1L, (bytes / targetFileBytes).toLong + 1L).toInt
+    in.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(outputPath)
+    spark.read.parquet(outputPath)
+  }
+
   /** Text sink/source parity with the reference's line-file model
     * (MapReduce.h:219-245): one string column ⇆ newline-delimited files. */
   def textRoundTrip(spark: SparkSession, lines: DataFrame, path: String): DataFrame = {

@@ -210,4 +210,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("q06_semi_join").contains("LeftSemi"), plan("q06_semi_join"))
     assert(plan("q07_anti_join").contains("LeftAnti"), plan("q07_anti_join"))
   }
+
+  test("q96: status filter prunes partition directories, not rows") {
+    val p = plan("q96_partitioned_sink")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("part_q96"))
+      .getOrElse(fail(s"no partitioned scan in:\n$p"))
+    assert(scanLine.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"status filter not applied at partition level:\n$scanLine")
+    // And it must NOT degrade into a row-level pushed filter.
+    assert(!scanLine.contains("PushedFilters: [IsNotNull(o_orderstatus"),
+      s"filter fell through to row level:\n$scanLine")
+  }
 }

@@ -44,4 +44,26 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == orig.count())
     assert(sortedRows(back).sameElements(sortedRows(orig.toDF("value"))))
   }
+
+  test("partitioned sink: directory-keyed column survives the round trip") {
+    val orig = Tables.orders(spark, sf0001)
+    val back = Sources.partitionedRoundTrip(spark, orig,
+      Seq("o_orderstatus"), s"$tmp/orders_part")
+    // partitionBy moves the key column to the end — compare column-sorted.
+    val cols = orig.columns.sorted.toIndexedSeq
+    assert(sortedRows(back.select(cols.map(c => back(c)): _*))
+      .sameElements(sortedRows(orig.select(cols.map(c => orig(c)): _*))))
+  }
+
+  test("compaction: many small files → few, rows exactly preserved") {
+    val orig = Tables.lineitem(spark, sf0001)
+    val fragmented = s"$tmp/lineitem_fragmented"
+    orig.repartition(40).write.mode("overwrite").parquet(fragmented)
+    val out = s"$tmp/lineitem_compacted"
+    val back = Sources.compact(spark, fragmented, out, 8 * 1024 * 1024)
+    val nOut = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nOut < 40, s"compaction kept $nOut files")
+    assert(sortedRows(back).sameElements(sortedRows(orig)))
+  }
 }
