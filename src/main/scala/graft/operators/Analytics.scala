@@ -138,6 +138,53 @@ object Analytics {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  // --------------------------------------------------------- table diff --
+
+  /** Table reconciliation: classify every key in `a ∪ b` as
+    * added / removed / changed / unchanged between two versions of a table
+    * (the audit step after any CDC merge or backfill). ONE full-outer
+    * shuffle join on the key — never a per-column subquery; the change
+    * predicate is a null-safe comparison over the requested columns, so it
+    * runs inside the join's codegen stage. */
+  def tableDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val aSel = a.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("_in_a", lit(1))
+    val bSel = b.select((keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"_b_$c"))): _*)
+      .withColumn("_in_b", lit(1))
+    val joined = aSel.join(bSel, keyCols, "full_outer")
+    val anyChanged = compareCols
+      .map(c => !(col(c) <=> col(s"_b_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined.withColumn("change",
+      when(col("_in_a").isNull, lit("added"))
+        .when(col("_in_b").isNull, lit("removed"))
+        .when(anyChanged, lit("changed"))
+        .otherwise(lit("unchanged")))
+  }
+
+  /** Diff two deterministic "versions" of orders: v2 drops every 13th key
+    * (removes), shifts price by +1000.0 on every 7th (changes — an exact
+    * double add, so the cross-engine equality compare is bit-safe), and
+    * appends every 17th key re-keyed past the id space (adds). */
+  private val q76: Q = (s, d) => {
+    val v1 = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = v1.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(v1.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+    tableDiff(v1, v2, Seq("o_orderkey"), Seq("o_totalprice"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(coalesce(col("_b_o_totalprice"), col("o_totalprice"))), 2)
+          .as("price_mass"))
+      .orderBy(col("change"))
+  }
+
   // ---------------------------------------------------------- histogram --
 
   /** Fixed-bin histogram: constant bin edges (no data-dependent min/max
@@ -164,6 +211,7 @@ object Analytics {
     "q69_funnel" -> q69,
     "q73_merge_upsert" -> q73,
     "q75_histogram" -> q75,
+    "q76_table_diff" -> q76,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -235,6 +283,29 @@ object Analytics {
              round(value, 2) AS last_value, CAST(src AS INT) AS from_update
       FROM r WHERE rn = 1
       ORDER BY user_id, event_type""",
+    "q76_table_diff" -> """
+      WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+      v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM v1 WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice
+        FROM v1 WHERE o_orderkey % 17 = 0),
+      j AS (SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS k,
+                   v1.o_totalprice AS pa, v2.o_totalprice AS pb,
+                   v1.o_orderkey IS NULL AS only_b,
+                   v2.o_orderkey IS NULL AS only_a
+            FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey),
+      c AS (SELECT CASE WHEN only_b THEN 'added'
+                        WHEN only_a THEN 'removed'
+                        WHEN pa IS DISTINCT FROM pb THEN 'changed'
+                        ELSE 'unchanged' END AS change,
+                   coalesce(pb, pa) AS price
+            FROM j)
+      SELECT change, count(*) AS n, round(sum(price), 2) AS price_mass
+      FROM c GROUP BY change ORDER BY change""",
     "q75_histogram" -> """
       SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 19)
                   AS INT) AS bin,

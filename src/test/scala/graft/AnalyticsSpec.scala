@@ -126,6 +126,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"no partial top-k pushdown:\n$p")
   }
 
+  // --------------------------------------------------------- table diff --
+
+  test("tableDiff: added/removed/changed/unchanged, null-safe comparison") {
+    val a = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None),
+      (4L, Some(40.0))).toDF("k", "v")
+    val b = Seq((1L, Some(10.0)), (2L, Some(21.0)), (3L, None),
+      (5L, Some(50.0))).toDF("k", "v")
+    // k=1 unchanged; k=2 changed; k=3 unchanged (null <=> null must NOT
+    // classify as changed); k=4 removed; k=5 added.
+    val got = Analytics.tableDiff(a, b, Seq("k"), Seq("v"))
+      .select("k", "change").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added"), s"got $got")
+  }
+
+  test("tableDiff plan: one join, no subquery-per-column") {
+    val df = Analytics.queries("q76_table_diff")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val joins = "Join (FullOuter|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).size +
+      "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(joins >= 1 && "FullOuter".r.findAllIn(p).size == 1,
+      s"expected exactly one full-outer join:\n$p")
+  }
+
   // ---------------------------------------------------------- histogram --
 
   test("histogram: bins partition the input; out-of-range values clamp") {
