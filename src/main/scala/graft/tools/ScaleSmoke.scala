@@ -55,6 +55,28 @@ object ScaleSmoke {
     time(s"contamination ${k}x", TextAnalysis.contamination(blown, "doc_id", "text"))
     time("corpusDecision 1x", TextAnalysis.corpusDecision(base, "doc_id", "text"))
     time(s"corpusDecision ${k}x", TextAnalysis.corpusDecision(blown, "doc_id", "text"))
+
+    // Round-5 operators with scale-sensitive shapes: the packing prefix sum
+    // (global-order dependency decomposed into bucket windows) and the
+    // funnel's single-sort window stack. Near-linear 1x→Kx is the check.
+    import graft.operators.{Analytics, Packing}
+    def withTok(df: DataFrame) = df.select(col("doc_id"),
+      expr("cast(size(filter(split(text, ' '), t -> t != '')) as bigint)")
+        .as("n_tok"))
+    time("packShards 1x", Packing.packShards(withTok(base), "doc_id", "n_tok", 2048L))
+    time(s"packShards ${k}x", Packing.packShards(withTok(blown), "doc_id", "n_tok", 2048L))
+    val ev = Tables.events(spark, sfDir)
+    val evBlown = (0 until k).map { c =>
+      ev.select((col("user_id") + lit(c * 1000000L)).as("user_id"), col("ts"),
+        (col("event_id") + lit(c * 100000000L)).as("event_id"), col("event_type"))
+    }.reduce(_ union _).localCheckpoint()
+    val stages = Seq("signup", "view", "click", "purchase")
+    time("funnel 1x", Analytics.funnel(ev.select("user_id", "ts", "event_id",
+      "event_type"), Seq("user_id"), "ts", "event_id", "event_type", stages))
+    time(s"funnel ${k}x", Analytics.funnel(evBlown, Seq("user_id"), "ts",
+      "event_id", "event_type", stages))
+    time("kmv 1x", Analytics.kmvDistinct(ev, "event_type", "user_id"))
+    time(s"kmv ${k}x", Analytics.kmvDistinct(evBlown, "event_type", "user_id"))
     spark.stop()
   }
 }
