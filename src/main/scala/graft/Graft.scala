@@ -108,6 +108,26 @@ object Graft {
   def saltedAggregate(df: DataFrame, keyCol: String, sumCol: String,
       salts: Int): DataFrame = Skew.saltedAggregate(df, keyCol, sumCol, salts)
 
+  // analytics / data management
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 32): DataFrame = Analytics.kmvDistinct(df, groupCol, valueCol, k)
+  def funnel(events: DataFrame, keyCols: Seq[String], timeCol: String,
+      rowIdCol: String, typeCol: String, stages: Seq[String]): DataFrame =
+    Analytics.funnel(events, keyCols, timeCol, rowIdCol, typeCol, stages)
+  def mergeLatest(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      versionCols: Seq[String]): DataFrame =
+    Analytics.mergeLatest(base, updates, keyCols, versionCols)
+  def tableDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame =
+    Analytics.tableDiff(a, b, keyCols, compareCols)
+  def histogram(df: DataFrame, valueCol: String, lo: Double, width: Double,
+      nBins: Int): DataFrame = Analytics.histogram(df, valueCol, lo, width, nBins)
+  def packShards(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long): DataFrame = Packing.packShards(df, idCol, tokenCol, budget)
+  def compact(spark: SparkSession, inputPath: String, outputPath: String,
+      targetFileBytes: Long): DataFrame =
+    sources.Sources.compact(spark, inputPath, outputPath, targetFileBytes)
+
   // reference-parity
   def mapReduce[K, V, O](mappers: Int, reducers: Int,
       mapper: String => IterableOnce[(K, V)],

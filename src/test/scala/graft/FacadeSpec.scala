@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{AsOf, Dedup, Similarity, Skew, TextAnalysis}
+import graft.operators
+import graft.operators.{Analytics, AsOf, Dedup, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -81,6 +82,20 @@ class FacadeSpec extends SparkSpec {
         AsOf.asofJoin(left, right, "k", "t", Seq("v"), "nearest", Some(5.0))),
       ("saltedAggregate", Graft.saltedAggregate(docs, "lang", "doc_id", 4),
         Skew.saltedAggregate(docs, "lang", "doc_id", 4)),
+      ("kmvDistinct", Graft.kmvDistinct(docs, "lang", "doc_id", 8),
+        Analytics.kmvDistinct(docs, "lang", "doc_id", 8)),
+      ("funnel", Graft.funnel(left.toDF("user_id", "ts", "event_type"),
+          Seq("user_id"), "ts", "ts", "event_type", Seq("a", "b")),
+        Analytics.funnel(left.toDF("user_id", "ts", "event_type"),
+          Seq("user_id"), "ts", "ts", "event_type", Seq("a", "b"))),
+      ("mergeLatest", Graft.mergeLatest(right, right, Seq("k"), Seq("t")),
+        Analytics.mergeLatest(right, right, Seq("k"), Seq("t"))),
+      ("tableDiff", Graft.tableDiff(right, right, Seq("k"), Seq("v")),
+        Analytics.tableDiff(right, right, Seq("k"), Seq("v"))),
+      ("histogram", Graft.histogram(right, "v", 0.0, 1.0, 4),
+        Analytics.histogram(right, "v", 0.0, 1.0, 4)),
+      ("packShards", Graft.packShards(right, "k", "t", 100L),
+        operators.Packing.packShards(right, "k", "t", 100L)),
     )
     pairs.foreach { case (n, f, d) =>
       assert(norm(f) == norm(d), s"facade.$n plan drifted from the operator's:\n${norm(f)}")
