@@ -185,6 +185,66 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("hour"))
   }
 
+  /** Stage the events table as N deterministic parquet chunk files so the
+    * file source replays it as N micro-batches (`maxFilesPerTrigger=1`).
+    * Chunk membership is `event_id`-range-based; the downstream merge is
+    * order- and split-insensitive, so the final state never depends on
+    * file arrival order. Idempotent per (sfDir, n). */
+  private[graft] def chunkedStreamDir(s: SparkSession, d: String, n: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_chunks_$safe$n")
+    val marker = dir.resolve("_STAGED")
+    if (!Files.exists(marker)) {
+      Tables.events(s, d)
+        .repartitionByRange(n, col("event_id"))
+        .write.mode("overwrite").parquet(dir.toString)
+      Files.write(marker, Array.emptyByteArray)
+    }
+    dir.toString
+  }
+
+  /** Streaming CDC upsert — an incrementally-maintained latest-wins view
+    * (the foreachBatch MERGE pattern a lakehouse streaming sink compacts
+    * to): the events table replays as 4 micro-batches; each batch folds
+    * into checkpointed state via [[graft.operators.Analytics.mergeLatest]]
+    * (state ∪ batch → row_number=1 per key). State stays bounded by the
+    * number of distinct keys — per-batch cost is one merge of
+    * (state + batch), never a reread of the stream. The final view must
+    * equal batch latest-wins over the whole table (the merge is
+    * split-insensitive under a total version order), which the oracle
+    * replays. */
+  private val q87: Q = (s, d) => {
+    val stage = chunkedStreamDir(s, d, 4)
+    val schema = s.read.parquet(stage).schema
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("value"))
+    var state: DataFrame = null
+    val q = raw.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val base = if (state != null) state
+          else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.schema)
+        // Materialize BEFORE the micro-batch ends (its frame is not
+        // re-executable later); eager localCheckpoint also caps the
+        // state lineage at O(1) per batch instead of O(batches).
+        state = graft.operators.Analytics
+          .mergeLatest(base, batch, Seq("user_id", "event_type"),
+            Seq("ts", "event_id"))
+          .drop("_src").localCheckpoint(true)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    state
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q80_tumbling_window" -> q80,
     "q81_session_window" -> q81,
@@ -193,6 +253,7 @@ object StreamingQueries {
     "q84_gap_fill" -> q84,
     "q85_stream_sliding" -> q85,
     "q86_stream_join" -> q86,
+    "q87_stream_upsert" -> q87,
   )
 
   private val slidingOracle = """
@@ -217,6 +278,17 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     "q80_tumbling_window" -> tumblingOracle,
     "q82_stream_tumbling" -> tumblingOracle,
+    "q87_stream_upsert" -> """
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                        event_id, value FROM events),
+      r AS (SELECT *, row_number()
+              OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e)
+      SELECT user_id, event_type, event_id AS last_event_id,
+             round(value, 2) AS last_value
+      FROM r WHERE rn = 1
+      ORDER BY user_id, event_type""",
     "q84_gap_fill" -> """
       WITH ev AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
                   FROM events WHERE user_id < 5),
