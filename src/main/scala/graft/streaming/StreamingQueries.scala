@@ -245,6 +245,19 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** The [[sessionize]] typed state machine (`groupByKey.flatMapGroups`
+    * per-user ordered fold — the reference's O8 reducer shape with real
+    * state) under the hash gate: its sessions must match the SAME lag-based
+    * SQL oracle that certifies the declarative `session_window` form (q81).
+    * Session membership is invariant to equal-timestamp order, and the
+    * per-session double sum is rounded, so the typed fold hashes exactly. */
+  private val q88: Q = (s, d) =>
+    sessionize(s, d)
+      .select(col("user_id"), col("session_start"),
+        col("n_events").cast("long").as("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   val queries: Map[String, Q] = Map(
     "q80_tumbling_window" -> q80,
     "q81_session_window" -> q81,
@@ -254,6 +267,7 @@ object StreamingQueries {
     "q85_stream_sliding" -> q85,
     "q86_stream_join" -> q86,
     "q87_stream_upsert" -> q87,
+    "q88_typed_sessions" -> q88,
   )
 
   private val slidingOracle = """
@@ -274,6 +288,27 @@ object StreamingQueries {
       FROM events
       GROUP BY 1, 2
       ORDER BY window_start, event_type"""
+
+  private val sessionOracle = """
+      WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP) - CAST(lag(ts) OVER w AS TIMESTAMP)
+                            >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id,
+             CAST(min(CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS session_start,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM sessions
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""
 
   val oracles: Map[String, String] = Map(
     "q80_tumbling_window" -> tumblingOracle,
@@ -314,26 +349,8 @@ object StreamingQueries {
       GROUP BY c.user_id ORDER BY c.user_id""",
     // Sessionization via the SQL-standard lag + cumulative-flag pattern —
     // independent formulation of Spark's session_window semantics.
-    "q81_session_window" -> """
-      WITH marked AS (
-        SELECT user_id, ts, value,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR CAST(ts AS TIMESTAMP) - CAST(lag(ts) OVER w AS TIMESTAMP)
-                            >= INTERVAL '30 minutes'
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-      sessions AS (
-        SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        FROM marked)
-      SELECT user_id,
-             CAST(min(CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS session_start,
-             count(*) AS n_events, round(sum(value), 2) AS total_value
-      FROM sessions
-      GROUP BY user_id, sid
-      ORDER BY user_id, session_start""",
+    "q81_session_window" -> sessionOracle,
+    "q88_typed_sessions" -> sessionOracle,
   )
 
   /** Streaming ingestion from a *generator* source — the Kafka-shaped path
