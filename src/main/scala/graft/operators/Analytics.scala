@@ -36,7 +36,12 @@ object Analytics {
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 32): DataFrame = {
     require(k >= 2, s"kmvDistinct: k must be >= 2, got $k")
-    val du = df.select(col(groupCol), col(valueCol)).distinct()
+    // NULL values are excluded (SQL count-distinct convention) — and they
+    // must be: a NULL hash sorts first under Spark's asc ordering but last
+    // under DuckDB's, which would poison the min-k set differently per
+    // engine on nullable columns.
+    val du = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull).distinct()
     val h = du.withColumn("hv", expr(
       s"cast(conv(substring(md5(cast($valueCol as string)), 1, 15), 16, 10) as bigint)"))
     val rn = row_number().over(Window.partitionBy(groupCol).orderBy(col("hv")))

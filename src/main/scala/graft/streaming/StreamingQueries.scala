@@ -193,7 +193,12 @@ object StreamingQueries {
   private[graft] def chunkedStreamDir(s: SparkSession, d: String, n: Int): String = {
     import java.nio.file.{Files, Paths}
     val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_chunks_$safe$n")
+    // Unlike streamDir's live symlink, this stages a materialized COPY — so
+    // the cache key must include the source file's (size, mtime), or a
+    // regenerated fixture at the same path would keep serving stale chunks.
+    val srcFile = Paths.get(d, "events.parquet")
+    val fp = s"${Files.size(srcFile)}_${Files.getLastModifiedTime(srcFile).toMillis}"
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_chunks_$safe${n}_$fp")
     val marker = dir.resolve("_STAGED")
     if (!Files.exists(marker)) {
       Tables.events(s, d)

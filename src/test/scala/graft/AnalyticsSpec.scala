@@ -120,6 +120,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(merged == whole, s"merged $merged vs whole $whole")
   }
 
+  test("kmvDistinct: NULL values are excluded, not hashed into the min-k") {
+    val df = Seq((Some("a"), Some(1L)), (Some("a"), None),
+      (Some("a"), Some(2L)), (Some("a"), Some(3L))).toDF("g", "v")
+    val r = Analytics.kmvDistinct(df, "g", "v", k = 8).head()
+    // 3 non-null distinct values; a hashed NULL would make it 4 (or poison
+    // kth_min with a null-first sort artifact).
+    assert(r.getAs[Long]("n_exact") == 3L && r.getAs[Int]("k_used") == 3)
+    assert(r.getAs[Double]("kmv_est") == 3.0)
+  }
+
   test("q68 plan: row_number <= k compiles to a WindowGroupLimit partial") {
     val p = Analytics.queries("q68_kmv_distinct")(spark, sf0001)
       .queryExecution.executedPlan.toString
