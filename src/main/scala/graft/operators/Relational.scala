@@ -496,6 +496,38 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Statistical aggregate surface: sample stddev/variance, correlation,
+    * covariance. Definitions are engine-independent; summation-order ulp is
+    * absorbed by rounding (the established sum(double) discipline). */
+  private val q77: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("covar_qp"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Time-typed RANGE frame: rolling 1-hour per-user event stats — the
+    * frame boundary is an event-time interval, not a row count, so peers
+    * and frame membership are value-determined (identical cross-engine by
+    * definition). */
+  private val q78: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("events")
+    s.sql("""
+      SELECT user_id, ts, event_id,
+             count(*) OVER w AS n_1h,
+             round(sum(value) OVER w, 2) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts, event_id
+    """)
+  }
+
   /** Partitioned parquet sink under the gate: orders → Hive-style
     * `partitionBy(o_orderstatus)` layout → read back; the status filter then
     * prunes whole partition directories at planning time (PartitionFilters
@@ -573,6 +605,8 @@ object Relational {
     "q30_json_scan" -> q30,
     "q93_orc_scan" -> q93,
     "q94_geomean" -> q94,
+    "q77_stats_agg" -> q77,
+    "q78_time_range_frame" -> q78,
     "q95_jdbc_scan" -> q95,
     "q96_partitioned_sink" -> q96,
     "q97_variant" -> q97,
@@ -645,6 +679,26 @@ object Relational {
       SELECT c_nationkey, count(*) AS n,
              round(sum(c_acctbal), 2) AS sum_bal
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q77_stats_agg" -> """
+      SELECT l_returnflag,
+             round(stddev_samp(l_quantity), 4) AS sd_qty,
+             round(var_samp(l_quantity), 4) AS var_qty,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+             round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    "q78_time_range_frame" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+                 FROM events)
+      SELECT user_id, ts, event_id,
+             count(*) OVER w AS n_1h,
+             round(sum(value) OVER w, 2) AS sum_1h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts, event_id""",
     "q96_partitioned_sink" -> """
       SELECT o_orderpriority, count(*) AS n,
              round(sum(o_totalprice), 2) AS sum_price
