@@ -511,6 +511,18 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Boolean / conditional aggregate surface: bool_and, bool_or, count_if
+    * — exact, order-independent aggregates (no rounding needed). */
+  private val q79: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        bool_and(col("o_totalprice") > 1000.0).as("all_above_1k"),
+        bool_or(col("o_orderstatus") === "F").as("any_f"),
+        count_if(col("o_custkey") % 2 === 0).as("n_even_cust"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   /** Time-typed RANGE frame: rolling 1-hour per-user event stats — the
     * frame boundary is an event-time interval, not a row count, so peers
     * and frame membership are value-determined (identical cross-engine by
@@ -607,6 +619,7 @@ object Relational {
     "q94_geomean" -> q94,
     "q77_stats_agg" -> q77,
     "q78_time_range_frame" -> q78,
+    "q79_bool_agg" -> q79,
     "q95_jdbc_scan" -> q95,
     "q96_partitioned_sink" -> q96,
     "q97_variant" -> q97,
@@ -689,6 +702,15 @@ object Relational {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+    "q79_bool_agg" -> """
+      SELECT o_orderpriority,
+             bool_and(o_totalprice > 1000.0) AS all_above_1k,
+             bool_or(o_orderstatus = 'F') AS any_f,
+             CAST(count_if(o_custkey % 2 = 0) AS BIGINT) AS n_even_cust,
+             count(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
     "q78_time_range_frame" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
                  FROM events)
