@@ -511,6 +511,26 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Bucketed co-located fact-fact join under the gate: both facts are
+    * written `bucketBy(8, orderkey)` and joined from the bucketed tables —
+    * the pre-shuffled layout that lets repeated same-key joins skip the
+    * exchange entirely at 100 TB (BucketingSpec locks the no-Exchange
+    * plan; this query certifies data fidelity through the bucketed
+    * write/read round trip — the oracle joins the ORIGINAL tables). */
+  private val q89: Q = (s, d) => {
+    Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_li_bucketed")
+    Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_o_bucketed")
+    s.table("graft_li_bucketed")
+      .join(s.table("graft_o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(rev), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Boolean / conditional aggregate surface: bool_and, bool_or, count_if
     * — exact, order-independent aggregates (no rounding needed). */
   private val q79: Q = (s, d) =>
@@ -620,6 +640,7 @@ object Relational {
     "q77_stats_agg" -> q77,
     "q78_time_range_frame" -> q78,
     "q79_bool_agg" -> q79,
+    "q89_bucketed_join" -> q89,
     "q95_jdbc_scan" -> q95,
     "q96_partitioned_sink" -> q96,
     "q97_variant" -> q97,
@@ -702,6 +723,12 @@ object Relational {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+    "q89_bucketed_join" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
     "q79_bool_agg" -> """
       SELECT o_orderpriority,
              bool_and(o_totalprice > 1000.0) AS all_above_1k,
