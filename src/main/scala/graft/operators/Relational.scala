@@ -511,6 +511,28 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Recursive CTE (new SQL surface in Spark 4): transitive ancestor
+    * closure over the implicit binary-tree hierarchy key → key div 2 —
+    * ~log2(maxKey) iterations, each a bounded self-union the engine
+    * executes as repeated plan expansion. The iterative-driver analog
+    * (reference O12) expressed declaratively in one statement. */
+  private val q99: Q = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql("""
+      WITH RECURSIVE anc(key, ancestor, depth) AS (
+        SELECT p_partkey, p_partkey DIV 2, 1 FROM part
+        UNION ALL
+        SELECT key, ancestor DIV 2, depth + 1 FROM anc WHERE ancestor > 0
+      )
+      SELECT CAST(depth AS INT) AS depth, count(*) AS n,
+             CAST(sum(key) AS BIGINT) AS key_mass,
+             CAST(min(ancestor) AS BIGINT) AS min_anc
+      FROM anc
+      GROUP BY depth
+      ORDER BY depth
+    """)
+  }
+
   /** Bucketed co-located fact-fact join under the gate: both facts are
     * written `bucketBy(8, orderkey)` and joined from the bucketed tables —
     * the pre-shuffled layout that lets repeated same-key joins skip the
@@ -641,6 +663,7 @@ object Relational {
     "q78_time_range_frame" -> q78,
     "q79_bool_agg" -> q79,
     "q89_bucketed_join" -> q89,
+    "q99_recursive_cte" -> q99,
     "q95_jdbc_scan" -> q95,
     "q96_partitioned_sink" -> q96,
     "q97_variant" -> q97,
@@ -723,6 +746,18 @@ object Relational {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+    "q99_recursive_cte" -> """
+      WITH RECURSIVE anc(key, ancestor, depth) AS (
+        SELECT p_partkey, p_partkey // 2, 1 FROM part
+        UNION ALL
+        SELECT key, ancestor // 2, depth + 1 FROM anc WHERE ancestor > 0
+      )
+      SELECT CAST(depth AS INT) AS depth, count(*) AS n,
+             CAST(sum(key) AS BIGINT) AS key_mass,
+             CAST(min(ancestor) AS BIGINT) AS min_anc
+      FROM anc
+      GROUP BY depth
+      ORDER BY depth""",
     "q89_bucketed_join" -> """
       SELECT o_orderpriority, count(*) AS n,
              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
