@@ -69,9 +69,12 @@ object Bench {
     def fmt(d: String, v: Double) =
       String.format(java.util.Locale.ROOT, "%." + d + "f", Double.box(v))
     // Short keys ("q01", not "q01_pricing_summary") keep the line far under
-    // the tail cap as the query count grows; the qNN prefix is unique and
-    // stable, and full names live in CORRECTNESS_r{N}/README. Keys stay
-    // sorted, so the mapping to full names is positional too.
+    // the tail cap as the query count grows; full names live in
+    // CORRECTNESS_r{N}/README. Uniqueness is enforced, not assumed — a
+    // duplicate prefix would silently emit duplicate JSON keys.
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    require(prefixes.distinct.size == prefixes.size,
+      s"duplicate short query keys: ${prefixes.diff(prefixes.distinct).mkString(",")}")
     val qs = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + fmt("1", v)
       }.mkString("{", ",", "}")

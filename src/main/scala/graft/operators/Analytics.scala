@@ -42,8 +42,7 @@ object Analytics {
     // engine on nullable columns.
     val du = df.select(col(groupCol), col(valueCol))
       .filter(col(valueCol).isNotNull).distinct()
-    val h = du.withColumn("hv", expr(
-      s"cast(conv(substring(md5(cast($valueCol as string)), 1, 15), 16, 10) as bigint)"))
+    val h = du.withColumn("hv", expr(CrossHash.h60Expr(valueCol)))
     val rn = row_number().over(Window.partitionBy(groupCol).orderBy(col("hv")))
     val kmins = h.withColumn("rn", rn).filter(col("rn") <= k)
       .groupBy(groupCol)
@@ -80,6 +79,10 @@ object Analytics {
   def funnel(events: DataFrame, keyCols: Seq[String], timeCol: String,
       rowIdCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel: stages must be non-empty")
+    // A repeated stage name would let ONE event satisfy two consecutive
+    // gates in the same window pass (r_i includes the current row),
+    // silently breaking the strictly-ordered semantics.
+    require(stages == stages.distinct, s"funnel: duplicate stages in $stages")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol), col(rowIdCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -116,6 +119,8 @@ object Analytics {
     */
   def mergeLatest(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
       versionCols: Seq[String]): DataFrame = {
+    require(!(base.columns ++ updates.columns).exists(Set("_src", "_rn")),
+      "mergeLatest: inputs must not carry reserved columns _src/_rn")
     val tagged = base.withColumn("_src", lit(0))
       .unionByName(updates.withColumn("_src", lit(1)))
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -153,6 +158,9 @@ object Analytics {
     * runs inside the join's codegen stage. */
   def tableDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String]): DataFrame = {
+    val reserved = Set("_in_a", "_in_b", "change") ++ compareCols.map("_b_" + _)
+    require(!(a.columns ++ b.columns).exists(reserved),
+      s"tableDiff: inputs must not carry reserved columns $reserved")
     val aSel = a.select((keyCols ++ compareCols).map(col): _*)
       .withColumn("_in_a", lit(1))
     val bSel = b.select((keyCols.map(col) ++
@@ -197,7 +205,9 @@ object Analytics {
     * aggregation — the bin expression stays inside whole-stage codegen and
     * the scan prunes to the single binned column. */
   def histogram(df: DataFrame, valueCol: String, lo: Double, width: Double,
-      nBins: Int): DataFrame =
+      nBins: Int): DataFrame = {
+    require(nBins >= 1 && width > 0.0,
+      s"histogram: need nBins >= 1 and width > 0, got nBins=$nBins width=$width")
     df.withColumn("bin",
         least(greatest(floor((col(valueCol) - lo) / width), lit(0L)),
           lit(nBins - 1L)).cast("int"))
@@ -205,6 +215,7 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         round(sum(col(valueCol)), 2).as("sum_val"),
         round(avg(col(valueCol)), 4).as("avg_val"))
+  }
 
   /** 20-bin price histogram over lineitem. */
   private val q75: Q = (s, d) =>
@@ -221,12 +232,7 @@ object Analytics {
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
     * (same formulation the dedup/contamination oracles replay). */
-  private def h60(e: String): String =
-    s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
-          list_transform(range(1, 16),
-            i -> CAST(strpos('0123456789abcdef',
-                   substr(md5($e), CAST(i AS INT), 1)) - 1 AS BIGINT))),
-          (acc, c) -> acc * 16 + c)"""
+  private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
     "q68_kmv_distinct" -> s"""

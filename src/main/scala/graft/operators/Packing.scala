@@ -37,9 +37,11 @@ object Packing {
   def packShards(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long): DataFrame = {
     require(budget >= 1, s"packShards: budget must be >= 1, got $budget")
+    require(!df.columns.exists(
+        Set("_h", "_bucket", "_cum_in", "_btot", "_offset", "_cum", "shard")),
+      "packShards: input must not carry reserved _h/_bucket/_cum*/shard columns")
     val hashed = df
-      .withColumn("_h", expr(
-        s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("_h", expr(CrossHash.h60Expr(idCol)))
       .withColumn("_bucket", (col("_h") % Buckets).cast("int"))
     val wIn = Window.partitionBy(col("_bucket"))
       .orderBy(col("_h"), col(idCol))

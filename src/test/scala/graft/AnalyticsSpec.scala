@@ -155,10 +155,8 @@ class AnalyticsSpec extends SparkSpec {
     val df = Analytics.queries("q76_table_diff")(spark, sf0001)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    val joins = "Join (FullOuter|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).size +
-      "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
-    assert(joins >= 1 && "FullOuter".r.findAllIn(p).size == 1,
-      s"expected exactly one full-outer join:\n$p")
+    assert("FullOuter".r.findAllIn(p).size == 1,
+      s"expected exactly one full-outer join (no per-column subqueries):\n$p")
   }
 
   // ---------------------------------------------------------- histogram --
