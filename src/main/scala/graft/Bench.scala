@@ -8,13 +8,21 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is forced end-to-end with a noop-format write (materializes
   * every output column — `count()` would let Catalyst prune the plan).
-  * One warm-up query first so JVM/codegen startup isn't billed to the first
-  * timed query.
+  *
+  * Regression-proofing (round 6): each query is timed SPARK_GRAFT_RUNS
+  * times back-to-back (default 3) and reported as `"qNN":[median,min]` —
+  * single-shot numbers on this container carry JIT/GC/session-ordering
+  * noise that twice produced phantom regressions (r2's 13-query cluster,
+  * r5's q66 "4.7×" that a fresh-JVM solo run measured at 1.5 s; PERF.md).
+  * The median absorbs one-off stalls, the min shows the steady-state
+  * floor; `value` is the sum of medians. Full 3-decimal per-run samples
+  * go to bench_out.json (no stdout-tail size cap there).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -29,16 +37,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String): Double = {
+    def execOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $dt%8.2fs")
-      dt
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    /** `runs` back-to-back samples; stops at the first failure. */
+    def exec(name: String): Seq[Double] = {
+      val samples = Iterator.continually(execOnce(name))
+        .take(runs).takeWhile(_ >= 0).toSeq
+      if (samples.size < runs) return Seq(-1.0)
+      System.err.println(f"[bench] $name%-28s ${samples.map(s => f"$s%7.2fs").mkString(" ")}")
+      samples
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
 
     // Warm-up: JVM + codegen + parquet footer caches (not reported).
@@ -59,13 +78,12 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> exec(n))
-    // Precision keeps the whole line under ~1.9 KB at 81 queries: the
-    // consumer retains only a 2000-char tail of stdout, and an sbt
-    // "[success]" trailer (~80 chars) follows — a fatter line gets its head
-    // truncated (the r01/r02 "parsed": null failure mode). Per-query values
-    // are 1-decimal (sub-2s numbers are JIT noise anyway — PERF.md keeps the
-    // full-precision history), the total 2-decimal. Locale.ROOT so a
-    // comma-decimal default locale can't corrupt the JSON.
+    // Precision keeps the whole line under ~1.9 KB: the consumer retains
+    // only a 2000-char tail of stdout, and an sbt "[success]" trailer
+    // (~80 chars) follows — a fatter line gets its head truncated (the
+    // r01/r02 "parsed": null failure mode). Per-query values are
+    // [median,min] at 1-decimal (~16 chars/query), the total 2-decimal.
+    // Locale.ROOT so a comma-decimal default locale can't corrupt the JSON.
     def fmt(d: String, v: Double) =
       String.format(java.util.Locale.ROOT, "%." + d + "f", Double.box(v))
     // Short keys ("q01", not "q01_pricing_summary") keep the line far under
@@ -76,14 +94,22 @@ object Bench {
     require(prefixes.distinct.size == prefixes.size,
       s"duplicate short query keys: ${prefixes.diff(prefixes.distinct).mkString(",")}")
     val qs = results.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + fmt("1", v)
+        "\"" + k.takeWhile(_ != '_') + "\":[" + fmt("1", median(v)) + "," + fmt("1", v.min) + "]"
       }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Backstop for log-noise-sensitive parsers: the same single line, alone
-    // in a file, so a consumer can read it without filtering sbt output.
+    val total = results.map(r => median(r._2)).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    // Full-precision per-run samples, alone in a file — no tail cap, so a
+    // consumer (and PERF.md) can read exact numbers without parsing sbt
+    // output. The stdout line is the contract; this is the evidence.
+    val detail = results.map { case (k, v) =>
+        "\"" + k + "\":[" + v.map(fmt("3", _)).mkString(",") + "]"
+      }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (json + "\n" + s"""{"metric":"samples","runs":$runs,"queries":$detail}""" + "\n").getBytes("UTF-8"))
+    // The consumer keeps only a ~2000-char stdout tail (minus the ~80-char
+    // sbt trailer); warn loudly before the head-truncation failure mode hits.
+    if (json.length > 1900)
+      System.err.println(s"[bench] WARNING: JSON line ${json.length} chars — nearing the 2000-char tail cap; shrink keys/precision")
     spark.stop() // stop BEFORE printing so no shutdown log lands after the line
     println(json)
     System.out.flush()

@@ -109,6 +109,8 @@ object Graft {
       salts: Int): DataFrame = Skew.saltedAggregate(df, keyCol, sumCol, salts)
 
   // analytics / data management
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 32): DataFrame = Analytics.kmvSketch(df, groupCol, valueCol, k)
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 32): DataFrame = Analytics.kmvDistinct(df, groupCol, valueCol, k)
   def funnel(events: DataFrame, keyCols: Seq[String], timeCol: String,

@@ -33,27 +33,57 @@ object Analytics {
     * md5 is bit-identical cross-engine, and 31.0 * 2^60 is an EXACT double
     * (5 significant bits), so the single IEEE division matches to the bit.
     */
-  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+  /** Shared min-k + estimator over an ALREADY-distinct (group, value)
+    * frame — both public forms delegate here so q68's comparison and the
+    * production sketch are the same code path. */
+  private def kmvFromDistinct(du: DataFrame, groupCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    val h = du.withColumn("hv", expr(CrossHash.h60Expr(valueCol)))
+    val rn = row_number().over(Window.partitionBy(groupCol).orderBy(col("hv")))
+    h.withColumn("rn", rn).filter(col("rn") <= k)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).cast("int").as("k_used"), max(col("hv")).as("kth_min"))
+      // When a group holds fewer than k distinct values the min-k set IS
+      // the full distinct set, so k_used is itself the exact count (modulo
+      // 60-bit collisions, ~n²/2⁶¹) — no exact-count leg is needed for the
+      // small-group case either.
+      .withColumn("kmv_est", round(
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+            / col("kth_min").cast("double")), 2))
+  }
+
+  /** Sketch-ONLY distinct-count estimate: one row per group,
+    * (groupCol, k_used, kth_min, kmv_est). This is the operator a 100 TB
+    * run calls — total cost is the deduplicating exchange plus a
+    * WindowGroupLimit partial min-k; per-group state is k longs and the
+    * full distinct set is never counted, held, or shuffled anywhere.
+    * For sketch-vs-exact verification use [[kmvDistinct]] (q68). */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 32): DataFrame = {
-    require(k >= 2, s"kmvDistinct: k must be >= 2, got $k")
+    require(k >= 2, s"kmvSketch: k must be >= 2, got $k")
     // NULL values are excluded (SQL count-distinct convention) — and they
     // must be: a NULL hash sorts first under Spark's asc ordering but last
     // under DuckDB's, which would poison the min-k set differently per
     // engine on nullable columns.
     val du = df.select(col(groupCol), col(valueCol))
       .filter(col(valueCol).isNotNull).distinct()
-    val h = du.withColumn("hv", expr(CrossHash.h60Expr(valueCol)))
-    val rn = row_number().over(Window.partitionBy(groupCol).orderBy(col("hv")))
-    val kmins = h.withColumn("rn", rn).filter(col("rn") <= k)
-      .groupBy(groupCol)
-      .agg(count(lit(1)).cast("int").as("k_used"), max(col("hv")).as("kth_min"))
+    kmvFromDistinct(du, groupCol, valueCol, k)
+  }
+
+  /** Sketch-vs-exact comparison harness: [[kmvSketch]]'s columns joined
+    * with the true distinct count (`n_exact`). The exact leg is a full
+    * distinct count — deliberately NOT part of the reusable sketch (it is
+    * precisely the cost a sketch exists to avoid); this form exists to
+    * verify the estimator (q68 gates it bit-exactly against DuckDB). */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 32): DataFrame = {
+    require(k >= 2, s"kmvDistinct: k must be >= 2, got $k")
+    val du = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull).distinct()
     val exact = du.groupBy(groupCol).agg(count(lit(1)).as("n_exact"))
     // Both sides of this join are one row per group — broadcast, no shuffle.
-    exact.join(broadcast(kmins), groupCol)
-      .withColumn("kmv_est", round(
-        when(col("k_used") < k, col("n_exact").cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
-            / col("kth_min").cast("double")), 2))
+    exact.join(broadcast(kmvFromDistinct(du, groupCol, valueCol, k)), groupCol)
       .select(col(groupCol), col("n_exact"), col("k_used"), col("kth_min"),
         col("kmv_est"))
   }
@@ -246,7 +276,7 @@ object Analytics {
             FROM r WHERE rn <= 32 GROUP BY event_type),
       x AS (SELECT event_type, count(*) AS n_exact FROM du GROUP BY event_type)
       SELECT x.event_type, n_exact, k_used, kth_min,
-             round(CASE WHEN k_used < 32 THEN CAST(n_exact AS DOUBLE)
+             round(CASE WHEN k_used < 32 THEN CAST(k_used AS DOUBLE)
                    ELSE 31.0 * 1152921504606846976.0 / CAST(kth_min AS DOUBLE)
                    END, 2) AS kmv_est
       FROM x JOIN k USING (event_type)

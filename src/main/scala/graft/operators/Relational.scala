@@ -539,18 +539,60 @@ object Relational {
     * exchange entirely at 100 TB (BucketingSpec locks the no-Exchange
     * plan; this query certifies data fidelity through the bucketed
     * write/read round trip — the oracle joins the ORIGINAL tables). */
+  /** Stages the bucketed lineitem/orders tables ONCE per (catalog, source
+    * dir) and returns their names: table names carry a digest of the source
+    * dir (so sf0.001 tests and an sf0.1 bench in one JVM never read each
+    * other's data — the prior fixed names were session-global mutable
+    * state), and an existing table with the expected row count is reused
+    * (idempotent, like Sources.staging). Repeated bucketed-join queries
+    * then cost only the exchange-free join — the write is a one-time
+    * layout investment, which is the actual 100 TB economics of bucketing. */
+  private[graft] def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    def stage(name: String, df: DataFrame, key: String): String = {
+      val full = s"${name}_$suf"
+      val expected = df.count()
+      val ok = s.catalog.tableExists(full) &&
+        // Guard against a half-written or stale table (count() on the
+        // bucketed parquet is footer-metadata only — no row scan).
+        s.table(full).count() == expected
+      if (!ok) df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
+        .saveAsTable(full)
+      full
+    }
+    (stage("graft_li_bucketed",
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey"),
+      stage("graft_o_bucketed",
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        "o_orderkey"))
+  }
+
   private val q89: Q = (s, d) => {
-    Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
-      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_li_bucketed")
-    Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
-      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_o_bucketed")
-    s.table("graft_li_bucketed")
-      .join(s.table("graft_o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+    val (li, o) = bucketedTables(s, d)
+    s.table(li)
+      .join(s.table(o), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), round(sum(rev), 2).as("revenue"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** Bucket-pruned point lookup: an equality predicate on the bucketing
+    * key lets the scan read ONE of the 8 buckets — `SelectedBucketsCount:
+    * 1 out of 8` in the plan (PlanSpec locks it). At 100 TB this is the
+    * difference between touching 1/8th of a fact table and all of it for
+    * key-targeted reads; the oracle runs the same lookup on the original
+    * (unbucketed) parquet, so the gate also certifies that pruning loses
+    * no rows. */
+  private val q100: Q = (s, d) => {
+    val (li, _) = bucketedTables(s, d)
+    s.table(li).filter(col("l_orderkey") === 1)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(min(col("l_discount")), 2).as("min_disc"))
+      .orderBy(col("l_orderkey"))
   }
 
   /** Boolean / conditional aggregate surface: bool_and, bool_or, count_if
@@ -663,6 +705,7 @@ object Relational {
     "q78_time_range_frame" -> q78,
     "q79_bool_agg" -> q79,
     "q89_bucketed_join" -> q89,
+    "q100_bucket_pruning" -> q100,
     "q99_recursive_cte" -> q99,
     "q95_jdbc_scan" -> q95,
     "q96_partitioned_sink" -> q96,
@@ -764,6 +807,13 @@ object Relational {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    "q100_bucket_pruning" -> """
+      SELECT l_orderkey, count(*) AS n,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(min(l_discount), 2) AS min_disc
+      FROM lineitem WHERE l_orderkey = 1
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey""",
     "q79_bool_agg" -> """
       SELECT o_orderpriority,
              bool_and(o_totalprice > 1000.0) AS all_above_1k,

@@ -77,6 +77,10 @@ object ScaleSmoke {
       "event_id", "event_type", stages))
     time("kmv 1x", Analytics.kmvDistinct(ev, "event_type", "user_id"))
     time(s"kmv ${k}x", Analytics.kmvDistinct(evBlown, "event_type", "user_id"))
+    // The production sketch-only form (no exact-count leg) — this is the
+    // one whose flat scaling matters at 100 TB.
+    time("kmvSketch 1x", Analytics.kmvSketch(ev, "event_type", "user_id"))
+    time(s"kmvSketch ${k}x", Analytics.kmvSketch(evBlown, "event_type", "user_id"))
     spark.stop()
   }
 }

@@ -120,6 +120,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(merged == whole, s"merged $merged vs whole $whole")
   }
 
+  test("kmvSketch: sketch-only columns agree with the comparison harness") {
+    val ev = Tables.events(spark, sf001)
+    val k = 32
+    // The production operator must carry NO exact-count leg…
+    val sk = Analytics.kmvSketch(ev, "event_type", "user_id", k)
+    assert(sk.columns.toSeq == Seq("event_type", "k_used", "kth_min", "kmv_est"))
+    // …and its plan must not aggregate the full distinct set: exactly one
+    // count-style aggregate family (over the ≤k survivors), no second
+    // per-group count of `du`.
+    val skRows = sk.collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    val cmp = Analytics.kmvDistinct(ev, "event_type", "user_id", k).collect()
+      .map(r => r.getString(0) -> (r.getAs[Int]("k_used"),
+        r.getAs[Long]("kth_min"), r.getAs[Double]("kmv_est"))).toMap
+    assert(skRows == cmp)
+  }
+
+  test("kmvSketch: exact (== k_used) below k, no n_exact dependency") {
+    val df = Seq.tabulate(5)(i => ("g", i.toLong)).toDF("g", "v")
+    val r = Analytics.kmvSketch(df, "g", "v", k = 8).head()
+    assert(r.getAs[Int]("k_used") == 5 && r.getAs[Double]("kmv_est") == 5.0)
+  }
+
   test("kmvDistinct: NULL values are excluded, not hashed into the min-k") {
     val df = Seq((Some("a"), Some(1L)), (Some("a"), None),
       (Some("a"), Some(2L)), (Some("a"), Some(3L))).toDF("g", "v")

@@ -28,4 +28,35 @@ class BucketingSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("q100 point lookup on the bucket key prunes to 1 of 8 buckets") {
+    val df = operators.Relational.queries("q100_bucket_pruning")(spark, sf0001)
+    assert(df.count() == 1) // l_orderkey = 1 exists at every SF
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+      s"bucket pruning missing from scan:\n$p")
+  }
+
+  test("bucketed staging is memoized per (catalog, source dir)") {
+    val (li1, o1) = operators.Relational.bucketedTables(spark, sf0001)
+    def fileState(table: String): Map[String, Long] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location
+      new java.io.File(loc).listFiles()
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val before = fileState(li1)
+    assert(before.nonEmpty)
+    // Second staging call for the same dir must be a pure catalog probe —
+    // no rewrite (the r5 form re-wrote both tables on every q89 run).
+    val (li2, o2) = operators.Relational.bucketedTables(spark, sf0001)
+    assert((li2, o2) == (li1, o1))
+    assert(fileState(li1) == before, "memoized staging re-wrote the table")
+    // A different source dir gets DIFFERENT table names — sf0.001 tests and
+    // an sf0.1 bench sharing a JVM must never read each other's buckets.
+    val (li3, _) = operators.Relational.bucketedTables(spark, sf001)
+    assert(li3 != li1)
+  }
 }

@@ -84,6 +84,8 @@ class FacadeSpec extends SparkSpec {
         Skew.saltedAggregate(docs, "lang", "doc_id", 4)),
       ("kmvDistinct", Graft.kmvDistinct(docs, "lang", "doc_id", 8),
         Analytics.kmvDistinct(docs, "lang", "doc_id", 8)),
+      ("kmvSketch", Graft.kmvSketch(docs, "lang", "doc_id", 8),
+        Analytics.kmvSketch(docs, "lang", "doc_id", 8)),
       ("funnel", Graft.funnel(left.toDF("user_id", "ts", "event_type"),
           Seq("user_id"), "ts", "ts", "event_type", Seq("a", "b")),
         Analytics.funnel(left.toDF("user_id", "ts", "event_type"),
