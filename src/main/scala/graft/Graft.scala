@@ -114,8 +114,10 @@ object Graft {
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 32): DataFrame = Analytics.kmvDistinct(df, groupCol, valueCol, k)
   def funnel(events: DataFrame, keyCols: Seq[String], timeCol: String,
-      rowIdCol: String, typeCol: String, stages: Seq[String]): DataFrame =
-    Analytics.funnel(events, keyCols, timeCol, rowIdCol, typeCol, stages)
+      rowIdCol: String, typeCol: String, stages: Seq[String],
+      maxGapSec: Option[Long] = None): DataFrame =
+    Analytics.funnel(events, keyCols, timeCol, rowIdCol, typeCol, stages,
+      maxGapSec)
   def mergeLatest(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
       versionCols: Seq[String]): DataFrame =
     Analytics.mergeLatest(base, updates, keyCols, versionCols)

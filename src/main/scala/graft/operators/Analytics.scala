@@ -32,8 +32,8 @@ object Analytics {
     * (same optimization q59 plan-locks). The estimator is exact-replayable:
     * md5 is bit-identical cross-engine, and 31.0 * 2^60 is an EXACT double
     * (5 significant bits), so the single IEEE division matches to the bit.
-    */
-  /** Shared min-k + estimator over an ALREADY-distinct (group, value)
+    *
+    * Shared min-k + estimator over an ALREADY-distinct (group, value)
     * frame — both public forms delegate here so q68's comparison and the
     * production sketch are the same code path. */
   private def kmvFromDistinct(du: DataFrame, groupCol: String,
@@ -98,31 +98,55 @@ object Analytics {
   /** Ordered-funnel analysis: for each key, the furthest stage reached where
     * stage i+1 only counts if it occurs at-or-after the first completion of
     * stage i (strictly ordered conversion, the product-analytics semantics).
+    * With `maxGapSec` set, stage i+1 must additionally land within that many
+    * seconds of stage i's first completion (the sliding conversion window
+    * real product funnels bound by — a purchase a month after the click is
+    * not a conversion).
     *
     * One window spec — partition by key, order by (time, rowId) — carries
-    * all stage flags: `r_{i+1} = running_max(step_{i+1} AND r_i = 1)`.
-    * Spark stacks the four Window operators over the SAME sort order, so
-    * the whole funnel costs ONE shuffle + ONE sort regardless of the number
-    * of stages; per-row state is four ints. The naive per-stage self-join
+    * every stage's state: `t_{i+1} = running_min(time WHERE stage_{i+1}
+    * AND time <= t_i + gap)`, with times as integer epoch micros (exact
+    * cross-engine arithmetic; a NULL t_i nulls the comparison, so the gate
+    * needs no separate reached-check). Spark stacks the Window operators
+    * over the SAME sort order, so the whole funnel — gap-bounded or not —
+    * costs ONE shuffle + ONE sort regardless of the number of stages;
+    * per-row state is one long per stage. The naive per-stage self-join
     * formulation is stages× shuffles of the full event table.
     */
   def funnel(events: DataFrame, keyCols: Seq[String], timeCol: String,
-      rowIdCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
+      rowIdCol: String, typeCol: String, stages: Seq[String],
+      maxGapSec: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel: stages must be non-empty")
     // A repeated stage name would let ONE event satisfy two consecutive
-    // gates in the same window pass (r_i includes the current row),
-    // silently breaking the strictly-ordered semantics.
+    // gates in the same window pass (the running state includes the current
+    // row), silently breaking the strictly-ordered semantics.
     require(stages == stages.distinct, s"funnel: duplicate stages in $stages")
+    maxGapSec.foreach(g => require(g > 0, s"funnel: maxGapSec must be > 0, got $g"))
+    val reserved = (1 to stages.size).map(i => s"t$i").toSet
+    require(!events.columns.exists(reserved),
+      s"funnel: inputs must not carry reserved columns ${reserved.mkString("/")}")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol), col(rowIdCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def step(flag: Column): Column = max(when(flag, 1).otherwise(0)).over(w)
+    // Timestamps become integer epoch micros (exact arithmetic, and what
+    // the DuckDB oracle replays via epoch_us); a numeric time column is
+    // used as-is, with maxGapSec read in the column's own units.
+    val isTs = events.schema(timeCol).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    val tUs = if (isTs) unix_micros(col(timeCol)) else col(timeCol).cast("long")
+    val gapUnits = maxGapSec.map(g => if (isTs) g * 1000000L else g)
     val staged = stages.zipWithIndex.foldLeft(events) { case (df, (st, i)) =>
-      val gate = if (i == 0) lit(true) else col(s"r$i") === 1
-      df.withColumn(s"r${i + 1}", step(col(typeCol) === st && gate))
+      val hit = col(typeCol) === st
+      val valid =
+        if (i == 0) hit
+        else gapUnits match {
+          case Some(g) => hit && tUs <= col(s"t$i") + lit(g)
+          case None => hit && col(s"t$i").isNotNull
+        }
+      df.withColumn(s"t${i + 1}", min(when(valid, tUs)).over(w))
     }
     val stageSum = stages.indices
-      .map(i => max(col(s"r${i + 1}")))
+      .map(i => when(max(col(s"t${i + 1}")).isNotNull, 1).otherwise(0))
       .reduce(_ + _)
     staged.groupBy(keyCols.map(col): _*).agg(stageSum.cast("int").as("stage"))
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
@@ -137,6 +161,16 @@ object Analytics {
       Seq("signup", "view", "click", "purchase"))
       .orderBy(col("stage"))
 
+  /** The same funnel bounded to 1-hour conversion windows: each stage must
+    * land within an hour of the PREVIOUS stage's first completion — still
+    * the single (key, time) sort (the gap predicate rides the same window
+    * pass), so the bound costs nothing at scale. */
+  private val q101: Q = (s, d) =>
+    funnel(Tables.events(s, d).withColumn("day", to_date(col("ts"))),
+      Seq("user_id", "day"), "ts", "event_id", "event_type",
+      Seq("signup", "view", "click", "purchase"), maxGapSec = Some(3600L))
+      .orderBy(col("stage"))
+
   // ------------------------------------------------------------- upsert --
 
   /** CDC latest-wins merge (MERGE INTO compaction semantics without a
@@ -146,6 +180,14 @@ object Analytics {
     * `row_number() = 1` window — one shuffle on the key, the same plan a
     * Delta/Iceberg MERGE compacts to. At 100 TB the key shuffle carries
     * only (keys ++ versionCols ++ payload actually selected).
+    *
+    * Determinism contract: `versionCols` must totally order rows within
+    * each key PER INPUT — if two rows of the same input tie on the full
+    * version tuple, `row_number` over the tie picks an arbitrary survivor
+    * (nondeterministic across runs/partitionings; `_src` only breaks
+    * base-vs-updates ties). Callers with non-unique version tuples should
+    * append a unique id as the last version column, exactly as q73/q87 do
+    * with `event_id`.
     */
   def mergeLatest(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
       versionCols: Seq[String]): DataFrame = {
@@ -255,6 +297,7 @@ object Analytics {
   val queries: Map[String, Q] = Map(
     "q68_kmv_distinct" -> q68,
     "q69_funnel" -> q69,
+    "q101_funnel_gap" -> q101,
     "q73_merge_upsert" -> q73,
     "q75_histogram" -> q75,
     "q76_table_diff" -> q76,
@@ -308,6 +351,40 @@ object Analytics {
             FROM c),
       u AS (SELECT user_id, day,
                    CAST(max(r1) + max(r2) + max(r3) + max(r4) AS INT) AS stage
+            FROM f GROUP BY user_id, day)
+      SELECT stage, count(*) AS n_users FROM u
+      GROUP BY stage ORDER BY stage""",
+    // Gap-bounded funnel: identical window discipline, but each stage
+    // carries t_i = first valid completion time in epoch MICROS (integer —
+    // exact cross-engine; DuckDB epoch_us on the µs-truncated timestamp ==
+    // Spark unix_micros) and stage i+1 requires us <= t_i + 3600e6.
+    "q101_funnel_gap" -> """
+      WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                        CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      a AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+              OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1
+            FROM e),
+      b AS (SELECT *, min(CASE WHEN event_type = 'view'
+                               AND us <= t1 + 3600000000 THEN us END)
+              OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2
+            FROM a),
+      c AS (SELECT *, min(CASE WHEN event_type = 'click'
+                               AND us <= t2 + 3600000000 THEN us END)
+              OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t3
+            FROM b),
+      f AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                               AND us <= t3 + 3600000000 THEN us END)
+              OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t4
+            FROM c),
+      u AS (SELECT user_id, day,
+                   CAST((max(t1) IS NOT NULL)::INT + (max(t2) IS NOT NULL)::INT
+                      + (max(t3) IS NOT NULL)::INT + (max(t4) IS NOT NULL)::INT
+                      AS INT) AS stage
             FROM f GROUP BY user_id, day)
       SELECT stage, count(*) AS n_users FROM u
       GROUP BY stage ORDER BY stage""",

@@ -515,7 +515,17 @@ object Relational {
     * closure over the implicit binary-tree hierarchy key → key div 2 —
     * ~log2(maxKey) iterations, each a bounded self-union the engine
     * executes as repeated plan expansion. The iterative-driver analog
-    * (reference O12) expressed declaratively in one statement. */
+    * (reference O12) expressed declaratively in one statement.
+    *
+    * Termination posture: this closure terminates structurally (`ancestor`
+    * strictly halves each step, the `> 0` predicate bottoms out), so the
+    * engine guards are backstops, not load-bearing: Spark caps iterations
+    * at `spark.sql.cteRecursionLevelLimit` (default 100) and rows at
+    * `spark.sql.cteRecursionRowLimit`, surfacing
+    * RECURSION_LEVEL_LIMIT_EXCEEDED as a clean error on cyclic input
+    * (RelationalSpec pins that behavior). On data whose hierarchy depth can
+    * legitimately exceed 100, raise the level limit deliberately — never
+    * disable it; a cycle in 100 TB of edges is otherwise an unbounded job. */
   private val q99: Q = (s, d) => {
     Tables.part(s, d).createOrReplaceTempView("part")
     s.sql("""

@@ -93,8 +93,16 @@ object Sources {
       targetFileBytes: Long): DataFrame = {
     require(targetFileBytes >= 1, s"compact: bad target $targetFileBytes")
     val in = spark.read.parquet(inputPath)
-    val bytes = in.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = math.max(1L, (bytes / targetFileBytes).toLong + 1L).toInt
+    // Size from the actual filesystem listing, not optimizer stats —
+    // sizeInBytes is an estimate scaled by fileCompressionFactor, so the
+    // file count would drift from the real on-disk bytes. Proper ceiling
+    // division (no +1 on exact multiples), clamped so a pathological
+    // bytes/target ratio can't overflow Int into a negative partition count.
+    val p = new org.apache.hadoop.fs.Path(inputPath)
+    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    val nFiles = math.min(Int.MaxValue.toLong,
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
     in.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(outputPath)
     spark.read.parquet(outputPath)
   }

@@ -212,8 +212,13 @@ object StreamingQueries {
   /** Streaming CDC upsert — an incrementally-maintained latest-wins view
     * (the foreachBatch MERGE pattern a lakehouse streaming sink compacts
     * to): the events table replays as 4 micro-batches; each batch folds
-    * into checkpointed state via [[graft.operators.Analytics.mergeLatest]]
-    * (state ∪ batch → row_number=1 per key). State stays bounded by the
+    * into locally-checkpointed in-session state via
+    * [[graft.operators.Analytics.mergeLatest]] (state ∪ batch →
+    * row_number=1 per key). `localCheckpoint` is explicitly NOT
+    * fault-tolerant and the stream runs without a checkpointLocation —
+    * this query certifies the merge semantics (split-insensitivity), not
+    * crash recovery; durability would need a real sink plus a
+    * checkpointLocation. State stays bounded by the
     * number of distinct keys — per-batch cost is one merge of
     * (state + batch), never a reread of the stream. The final view must
     * equal batch latest-wins over the whole table (the merge is

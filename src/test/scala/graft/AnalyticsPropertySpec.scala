@@ -85,4 +85,33 @@ class AnalyticsPropertySpec extends SparkSpec {
       assert(got == expect, s"funnel diverged: got $got expect $expect")
     }
   }
+
+  test("funnel maxGap: matches a naive gap-bounded per-key replay") {
+    val evGen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(1L, 6L), Gen.choose(0L, 40L), Gen.oneOf("s", "v", "c", "p", "x")))
+    val stages = Seq("s", "v", "c", "p")
+    val gap = 7L
+    cases(evGen, 8).foreach { raw =>
+      val rows = raw.zipWithIndex.map { case ((u, t, ty), i) => (u, t, i.toLong, ty) }
+      val got = Analytics.funnel(rows.toDF("u", "t", "rid", "ty"),
+          Seq("u"), "t", "rid", "ty", stages, maxGapSec = Some(gap))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // Naive model: per key, walk events in (t, rid) order; the pointer
+      // advances on the next stage's type only within `gap` of the time the
+      // PREVIOUS stage first completed (anchors are first-completion times,
+      // never refreshed by later repeats — the operator's t_i semantics).
+      val expect = rows.groupBy(_._1).map { case (_, evs) =>
+        var stage = 0
+        var anchor = Long.MinValue
+        evs.sortBy(e => (e._2, e._3)).foreach { e =>
+          if (stage < stages.length && e._4 == stages(stage) &&
+              (stage == 0 || e._2 <= anchor + gap)) {
+            anchor = e._2; stage += 1
+          }
+        }
+        stage
+      }.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+      assert(got == expect, s"gap funnel diverged: got $got expect $expect")
+    }
+  }
 }

@@ -34,6 +34,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Map(0 -> 1L, 3 -> 1L, 4 -> 2L), s"got $got")
   }
 
+  test("funnel maxGap: a stage landing outside the window doesn't convert") {
+    // u1 converts fully with gaps of 5 (within gap 10); u2's click comes 11
+    // units after the first view — outside the bound, so it stalls at 2
+    // even though a later purchase would chain from it; u3 shows the gap is
+    // measured from the FIRST valid completion (view at t=20 sets the
+    // anchor; the t=35 click misses the 10-unit window even though a second
+    // view at t=30 would have been close enough).
+    val ev = Seq(
+      (1L, 10L, 1L, "signup"), (1L, 15L, 2L, "view"),
+      (1L, 20L, 3L, "click"), (1L, 25L, 4L, "purchase"),
+      (2L, 10L, 5L, "signup"), (2L, 15L, 6L, "view"),
+      (2L, 26L, 7L, "click"), (2L, 27L, 8L, "purchase"),
+      (3L, 10L, 9L, "signup"), (3L, 20L, 10L, "view"),
+      (3L, 30L, 11L, "view"), (3L, 35L, 12L, "click"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.funnel(ev, Seq("user_id"), "ts", "event_id",
+        "event_type", Seq("signup", "view", "click", "purchase"),
+        maxGapSec = Some(10L))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(4 -> 1L, 2 -> 2L), s"got $got")
+  }
+
   test("funnel: all four stage windows share one exchange and one sort") {
     val df = Analytics.queries("q69_funnel")(spark, sf0001)
     df.collect()

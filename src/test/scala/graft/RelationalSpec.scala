@@ -54,4 +54,35 @@ class RelationalSpec extends SparkSpec {
     assert(prices.length == 15)
     assert(prices.sameElements(prices.sortBy(-_)))
   }
+
+  test("recursive CTE cycle guard: a non-terminating recursion surfaces " +
+      "the engine's level limit as a clean error, not a hang") {
+    // A self-referencing hierarchy (parent == child) never shrinks, so the
+    // recursion only stops when spark.sql.cteRecursionLevelLimit trips —
+    // q99's closure terminates structurally (ancestor strictly halves);
+    // this pins what happens when input data violates that assumption.
+    // Limit lowered so the failure is immediate, then restored.
+    val prev = spark.conf.getOption("spark.sql.cteRecursionLevelLimit")
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", 10)
+    try {
+      val e = intercept[Exception] {
+        spark.sql("""
+          WITH RECURSIVE cyc(key) AS (
+            SELECT 1
+            UNION ALL
+            SELECT key FROM cyc WHERE key > 0
+          )
+          SELECT count(*) FROM cyc
+        """).collect()
+      }
+      assert(e.getMessage.contains("RECURSION_LEVEL_LIMIT_EXCEEDED") ||
+        e.getMessage.toLowerCase.contains("recursion"),
+        s"expected the recursion-limit error, got: ${e.getMessage}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cteRecursionLevelLimit", v)
+        case None => spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+      }
+    }
+  }
 }
