@@ -69,6 +69,9 @@ object Graft {
   // text analysis
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     TextAnalysis.tokenStats(df, idCol, textCol)
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame =
+    TextAnalysis.chunkDocuments(df, idCol, textCol, chunkTokens, overlapTokens)
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
     TextAnalysis.qualityScore(df, idCol, textCol)
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -44,6 +44,40 @@ object TextAnalysis {
   private val q40: Q = (s, d) =>
     tokenStats(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
 
+  /** Fixed-token-window chunking with overlap — the step that turns raw
+    * documents into context-window-sized training/RAG pieces. Chunk `i`
+    * covers tokens `[i*stride, i*stride + chunkTokens)` with
+    * `stride = chunkTokens - overlapTokens`; the final chunk may be short,
+    * zero-token documents yield no chunks. Entirely map-side (tokenize,
+    * chunk-count arithmetic, slice + posexplode in one projection) — at
+    * 100 TB this is embarrassingly parallel and adds no exchange; pair the
+    * output with [[graft.operators.Packing.packShards]] to bin the chunks
+    * into fixed token budgets. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkDocuments: chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"chunkDocuments: overlap must be in [0, chunkTokens), got $overlapTokens")
+    val s = chunkTokens - overlapTokens
+    df.withColumn("toks", expr(toksOf(textCol)))
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") > 0)
+      // Integer chunk count: 1 for n <= chunk, else 1 + ceil((n - chunk)/stride).
+      .withColumn("n_chunks",
+        expr(s"if(n_tok <= $chunkTokens, 1, 1 + (n_tok - $chunkTokens + ${s - 1}) DIV $s)"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, n_chunks - 1), i -> named_struct(
+           |  't', array_join(slice(toks, i * $s + 1, $chunkTokens), ' '),
+           |  'n', size(slice(toks, i * $s + 1, $chunkTokens))))""".stripMargin))
+        .as(Seq("chunk_id", "ch")))
+      .select(col(idCol), col("chunk_id").cast("int").as("chunk_id"),
+        col("ch.t").as("chunk_text"), col("ch.n").as("n_chunk_tokens"))
+  }
+
+  private val q102: Q = (s, d) =>
+    chunkDocuments(Tables.documents(s, d), "doc_id", "text", 64, 16)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Native codegen'd [[graft.functions.CharNgrams]] — the HOF form
     * (`transform(sequence(...), i -> substring(...))`) interpreted its
     * lambda once per character position, the dominant cost of q41/q44.
@@ -459,6 +493,7 @@ object TextAnalysis {
     "q45_regex_tokens" -> q45,
     "q46_winnowing" -> q46,
     "q40_token_stats" -> q40,
+    "q102_chunking" -> q102,
     "q41_trigram_profile" -> q41,
     "q42_quality_score" -> q42,
     "q43_fingerprint" -> q43,
@@ -702,6 +737,29 @@ object TextAnalysis {
                    / len(toks), 4) AS avg_token_len,
              CAST(length(text) AS INT) AS n_chars_computed
       FROM t ORDER BY doc_id""",
+    // Chunking replay: same tokenization, same integer chunk-count formula
+    // (// is DuckDB integer division, DIV in Spark), same 1-based
+    // slice-of-64 with stride 48 (DuckDB's l[a:b] is inclusive + clamped,
+    // Spark's slice(l, a, len) truncates — identical tails).
+    "q102_chunking" -> """
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents),
+      s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      c AS (SELECT doc_id, toks,
+                   CASE WHEN n <= 64 THEN 1
+                        ELSE 1 + (n - 64 + 47) // 48 END AS nch
+            FROM s),
+      u AS (SELECT doc_id, toks,
+                   unnest(generate_series(0, nch - 1)) AS chunk_id
+            FROM c)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+             array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+               AS chunk_text,
+             CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS INT)
+               AS n_chunk_tokens
+      FROM u
+      ORDER BY doc_id, chunk_id""",
     "q41_trigram_profile" -> """
       WITH tri AS (
         SELECT lang, unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),

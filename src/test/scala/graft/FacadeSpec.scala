@@ -86,6 +86,8 @@ class FacadeSpec extends SparkSpec {
         Analytics.kmvDistinct(docs, "lang", "doc_id", 8)),
       ("kmvSketch", Graft.kmvSketch(docs, "lang", "doc_id", 8),
         Analytics.kmvSketch(docs, "lang", "doc_id", 8)),
+      ("chunkDocuments", Graft.chunkDocuments(docs, "doc_id", "text", 32, 8),
+        TextAnalysis.chunkDocuments(docs, "doc_id", "text", 32, 8)),
       ("funnel", Graft.funnel(left.toDF("user_id", "ts", "event_type"),
           Seq("user_id"), "ts", "ts", "event_type", Seq("a", "b")),
         Analytics.funnel(left.toDF("user_id", "ts", "event_type"),

@@ -410,6 +410,33 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("chunkDocuments: coverage, overlap, and tail invariants") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 toks → 2 chunks @64/16
+      (2L, "a b c"),                                   // short → 1 chunk of 3
+      (3L, ""),                                        // empty → no chunks
+      (4L, (1 to 64).map(i => s"x$i").mkString(" ")),  // exactly one window
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 64, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(3L), "empty doc must yield no chunks")
+    assert(byDoc(2L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0, "a b c", 3)))
+    assert(byDoc(4L).map(_._2).toSeq == Seq(0) && byDoc(4L).head._4 == 64)
+    // 100 tokens, stride 48: n_chunks = 1 + ceil((100-64)/48) = 2, covering
+    // [0,64) and [48,100) — sizes 64 and 52, every token reached.
+    val c1 = byDoc(1L).sortBy(_._2)
+    assert(c1.map(_._2).toSeq == Seq(0, 1))
+    assert(c1.map(_._4).toSeq == Seq(64, 52))
+    // Every token index appears in at least one chunk (full coverage), and
+    // consecutive chunks share exactly the 16-token overlap.
+    val toks1 = (1 to 100).map(i => s"w$i")
+    val chunkToks = c1.map(_._3.split(' ').toSeq)
+    assert(chunkToks.flatten.toSet == toks1.toSet)
+    assert(chunkToks(0).takeRight(16) == chunkToks(1).take(16))
+  }
+
   test("exact dedup keeper: keeper_id <= doc_id and keepers are fixpoints") {
     val rows = Dedup.queries("q50_exact_dedup")(spark, sf0001).collect()
     val keeper = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap

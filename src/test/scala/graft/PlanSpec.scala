@@ -155,6 +155,17 @@ class PlanSpec extends SparkSpec {
       s"hash split introduced a shuffle beyond the output sort:\n$p")
   }
 
+  test("q102 chunking: map-side only — no hash-partition exchange") {
+    val df = graft.operators.TextAnalysis.queries("q102_chunking")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // tokenize + chunk arithmetic + slice/posexplode must all run in the
+    // scan's stage; the only exchange allowed is the output ORDER BY's
+    // range partitioning.
+    assert(!p.contains("hashpartitioning"),
+      s"chunking introduced a shuffle beyond the output sort:\n$p")
+  }
+
   test("q47 curation: no cross product; single dedup-key aggregation shuffle") {
     val df = graft.operators.TextAnalysis.queries("q47_curation")(spark, sf0001)
     df.collect()
