@@ -98,14 +98,17 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
-    // Full-precision per-run samples, alone in a file — no tail cap, so a
-    // consumer (and PERF.md) can read exact numbers without parsing sbt
-    // output. The stdout line is the contract; this is the evidence.
+    // Backstop for log-noise-sensitive parsers: the same single line, ALONE
+    // in bench_out.json (one parseable JSON document — the file's contract).
+    // Full-precision per-run samples go to a separate bench_samples.json so
+    // PERF.md analysis can read exact numbers without breaking that contract.
     val detail = results.map { case (k, v) =>
         "\"" + k + "\":[" + v.map(fmt("3", _)).mkString(",") + "]"
       }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (json + "\n" + s"""{"metric":"samples","runs":$runs,"queries":$detail}""" + "\n").getBytes("UTF-8"))
+      (json + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_samples.json"),
+      (s"""{"metric":"samples","runs":$runs,"queries":$detail}""" + "\n").getBytes("UTF-8"))
     // The consumer keeps only a ~2000-char stdout tail (minus the ~80-char
     // sbt trailer); warn loudly before the head-truncation failure mode hits.
     if (json.length > 1900)

@@ -128,22 +128,36 @@ object Analytics {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol), col(rowIdCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // Timestamps become integer epoch micros (exact arithmetic, and what
-    // the DuckDB oracle replays via epoch_us); a numeric time column is
-    // used as-is, with maxGapSec read in the column's own units.
-    val isTs = events.schema(timeCol).dataType ==
-      org.apache.spark.sql.types.TimestampType
-    val tUs = if (isTs) unix_micros(col(timeCol)) else col(timeCol).cast("long")
-    val gapUnits = maxGapSec.map(g => if (isTs) g * 1000000L else g)
+    // The gap bound needs time ARITHMETIC, not just ordering: timestamps
+    // become integer epoch micros (exact cross-engine, what the DuckDB
+    // oracle replays via epoch_us); numeric columns are used AS-IS in
+    // their native type (no cast — truncating a fractional time would
+    // corrupt the comparison), with maxGapSec read in the column's units.
+    // Other orderable types (string, date) work for the unbounded form —
+    // which never touches the value — but are rejected with a gap.
+    import org.apache.spark.sql.types.{NumericType, TimestampType}
+    val timeType = events.schema(timeCol).dataType
+    val tVal = timeType match {
+      case TimestampType => unix_micros(col(timeCol))
+      case _ => col(timeCol)
+    }
+    val gapUnits: Option[Column] = maxGapSec.map { g =>
+      timeType match {
+        case TimestampType => lit(g * 1000000L)
+        case _: NumericType => lit(g)
+        case other => throw new IllegalArgumentException(
+          s"funnel: maxGapSec needs a timestamp or numeric time column, got $other")
+      }
+    }
     val staged = stages.zipWithIndex.foldLeft(events) { case (df, (st, i)) =>
       val hit = col(typeCol) === st
       val valid =
         if (i == 0) hit
         else gapUnits match {
-          case Some(g) => hit && tUs <= col(s"t$i") + lit(g)
+          case Some(g) => hit && tVal <= col(s"t$i") + g
           case None => hit && col(s"t$i").isNotNull
         }
-      df.withColumn(s"t${i + 1}", min(when(valid, tUs)).over(w))
+      df.withColumn(s"t${i + 1}", min(when(valid, tVal)).over(w))
     }
     val stageSum = stages.indices
       .map(i => when(max(col(s"t${i + 1}")).isNotNull, 1).otherwise(0))

@@ -562,11 +562,15 @@ object Relational {
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     def stage(name: String, df: DataFrame, key: String): String = {
       val full = s"${name}_$suf"
-      val expected = df.count()
+      // Lazy &&: the source count job only runs when the table exists and
+      // the guard must compare — a first-time write pays zero count jobs.
+      // The row-count guard catches half-written/interrupted tables (both
+      // counts are parquet footer metadata, no row scan); it does NOT
+      // detect a source regenerated with identical counts — a deployment
+      // with a persistent metastore should version the table name by data
+      // snapshot instead of relying on this.
       val ok = s.catalog.tableExists(full) &&
-        // Guard against a half-written or stale table (count() on the
-        // bucketed parquet is footer-metadata only — no row scan).
-        s.table(full).count() == expected
+        s.table(full).count() == df.count()
       if (!ok) df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
         .saveAsTable(full)
       full

@@ -66,9 +66,11 @@ object TextAnalysis {
       .withColumn("n_chunks",
         expr(s"if(n_tok <= $chunkTokens, 1, 1 + (n_tok - $chunkTokens + ${s - 1}) DIV $s)"))
       .select(col(idCol), posexplode(expr(
+        // The chunk size is arithmetic (min(chunkTokens, remaining)) — no
+        // second slice materialization per chunk.
         s"""transform(sequence(0, n_chunks - 1), i -> named_struct(
            |  't', array_join(slice(toks, i * $s + 1, $chunkTokens), ' '),
-           |  'n', size(slice(toks, i * $s + 1, $chunkTokens))))""".stripMargin))
+           |  'n', cast(least($chunkTokens, n_tok - i * $s) as int)))""".stripMargin))
         .as(Seq("chunk_id", "ch")))
       .select(col(idCol), col("chunk_id").cast("int").as("chunk_id"),
         col("ch.t").as("chunk_text"), col("ch.n").as("n_chunk_tokens"))

@@ -93,14 +93,18 @@ object Sources {
       targetFileBytes: Long): DataFrame = {
     require(targetFileBytes >= 1, s"compact: bad target $targetFileBytes")
     val in = spark.read.parquet(inputPath)
-    // Size from the actual filesystem listing, not optimizer stats —
-    // sizeInBytes is an estimate scaled by fileCompressionFactor, so the
-    // file count would drift from the real on-disk bytes. Proper ceiling
-    // division (no +1 on exact multiples), clamped so a pathological
-    // bytes/target ratio can't overflow Int into a negative partition count.
-    val p = new org.apache.hadoop.fs.Path(inputPath)
-    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getContentSummary(p).getLength
+    // Size from the actual on-disk bytes of the files the scan RESOLVED
+    // (inputFiles handles globs and multi-dir paths that a raw listing of
+    // inputPath would not), not optimizer stats — sizeInBytes is an
+    // estimate scaled by fileCompressionFactor, so the file count would
+    // drift from reality. Proper ceiling division (no +1 on exact
+    // multiples), clamped so a pathological bytes/target ratio can't
+    // overflow Int into a negative partition count.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = in.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.min(Int.MaxValue.toLong,
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
     in.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(outputPath)

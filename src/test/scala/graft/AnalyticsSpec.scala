@@ -56,6 +56,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Map(4 -> 1L, 2 -> 2L), s"got $got")
   }
 
+  test("funnel maxGap: fractional numeric times are compared un-truncated") {
+    // True gap 2.95 - 1.9 = 1.05 > 1: a long-cast of the times (1 and 2)
+    // would wrongly pass the gate.
+    val ev = Seq((1L, 1.9, 1L, "a"), (1L, 2.95, 2L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.funnel(ev, Seq("user_id"), "ts", "event_id",
+        "event_type", Seq("a", "b"), maxGapSec = Some(1L))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 1L), s"got $got")
+  }
+
+  test("funnel maxGap: rejects time columns without arithmetic (string)") {
+    val ev = Seq((1L, "2024-01-01", 1L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    intercept[IllegalArgumentException] {
+      Analytics.funnel(ev, Seq("user_id"), "ts", "event_id", "event_type",
+        Seq("a", "b"), maxGapSec = Some(1L))
+    }
+    // …but the unbounded form never does time arithmetic, so any orderable
+    // column (string dates included) still works.
+    val ok = Analytics.funnel(ev, Seq("user_id"), "ts", "event_id",
+        "event_type", Seq("a", "b"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ok == Map(1 -> 1L))
+  }
+
   test("funnel: all four stage windows share one exchange and one sort") {
     val df = Analytics.queries("q69_funnel")(spark, sf0001)
     df.collect()
@@ -148,9 +174,13 @@ class AnalyticsSpec extends SparkSpec {
     // The production operator must carry NO exact-count leg…
     val sk = Analytics.kmvSketch(ev, "event_type", "user_id", k)
     assert(sk.columns.toSeq == Seq("event_type", "k_used", "kth_min", "kmv_est"))
-    // …and its plan must not aggregate the full distinct set: exactly one
-    // count-style aggregate family (over the ≤k survivors), no second
-    // per-group count of `du`.
+    // …structurally: the exact leg can only re-enter as a second aggregate
+    // over the full distinct set JOINED back to the sketch (kmvDistinct's
+    // shape) — so the sketch-only plan must be join-free.
+    sk.collect()
+    val plan = sk.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"kmvSketch grew an exact-leg join:\n$plan")
     val skRows = sk.collect()
       .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
     val cmp = Analytics.kmvDistinct(ev, "event_type", "user_id", k).collect()

@@ -18,6 +18,14 @@ class RuntimeFilterSpec extends SparkSpec {
     val s = spark
     // Force the shuffle-join path (broadcast joins get their own pruning)
     // and drop the size thresholds that gate injection at fixture scale.
+    // The session is suite-shared: save EVERY touched key and restore it
+    // exactly (no hard-coded "defaults" that drift with test ordering).
+    val touched = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = touched.map(k => k -> s.conf.getOption(k)).toMap
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     s.conf.set(
@@ -41,10 +49,10 @@ class RuntimeFilterSpec extends SparkSpec {
       assert(p.contains("bloom_filter_agg"),
         s"bloom filter not built from the creation side:\n$p")
     } finally {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      s.conf.unset(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
-      s.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
   }
 }
