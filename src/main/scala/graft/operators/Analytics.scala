@@ -308,10 +308,38 @@ object Analytics {
     histogram(Tables.lineitem(s, d), "l_extendedprice", 0.0, 5000.0, 20)
       .orderBy(col("bin"))
 
+  // ---------------------------------------------------------- retention --
+
+  /** Cohort retention: users grouped by their FIRST-activity date (the
+    * cohort), counted by how many distinct days later they come back —
+    * the companion analysis to [[funnel]] in any product/engagement stack.
+    * Output: (cohort_date, day_offset, n_users), where day_offset 0 is the
+    * cohort's own size.
+    *
+    * Two shuffles total, both on user-sized keys: a per-user min-date
+    * window rides ONE hash exchange on the user key (the cohort date is
+    * then available on every row with no join back), and the distinct
+    * (cohort, offset, user) collapse feeds the final count. Nothing
+    * carries event payloads; at 100 TB the state per user is one date. */
+  def retention(events: DataFrame, userCol: String, timeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    events.select(col(userCol), to_date(col(timeCol)).as("_day"))
+      .withColumn("cohort_date", min(col("_day")).over(w))
+      .withColumn("day_offset", datediff(col("_day"), col("cohort_date")))
+      .select(col(userCol), col("cohort_date"), col("day_offset")).distinct()
+      .groupBy(col("cohort_date"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val q103: Q = (s, d) =>
+    retention(Tables.events(s, d), "user_id", "ts")
+      .orderBy(col("cohort_date"), col("day_offset"))
+
   val queries: Map[String, Q] = Map(
     "q68_kmv_distinct" -> q68,
     "q69_funnel" -> q69,
     "q101_funnel_gap" -> q101,
+    "q103_retention" -> q103,
     "q73_merge_upsert" -> q73,
     "q75_histogram" -> q75,
     "q76_table_diff" -> q76,
