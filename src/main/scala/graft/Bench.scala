@@ -110,9 +110,12 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_samples.json"),
       (s"""{"metric":"samples","runs":$runs,"queries":$detail}""" + "\n").getBytes("UTF-8"))
     // The consumer keeps only a ~2000-char stdout tail (minus the ~80-char
-    // sbt trailer); warn loudly before the head-truncation failure mode hits.
-    if (json.length > 1900)
-      System.err.println(s"[bench] WARNING: JSON line ${json.length} chars — nearing the 2000-char tail cap; shrink keys/precision")
+    // sbt trailer); warn while there is still headroom to act (~1800, not
+    // at the brink). If more queries land, the escape hatch is dropping the
+    // min from the stdout arrays — bench_samples.json already carries every
+    // sample at full precision.
+    if (json.length > 1800)
+      System.err.println(s"[bench] WARNING: JSON line ${json.length} chars — nearing the 2000-char tail cap; drop the min element or shrink keys")
     spark.stop() // stop BEFORE printing so no shutdown log lands after the line
     println(json)
     System.out.flush()

@@ -115,6 +115,17 @@ object Analytics {
     */
   def funnel(events: DataFrame, keyCols: Seq[String], timeCol: String,
       rowIdCol: String, typeCol: String, stages: Seq[String],
+      maxGapSec: Option[Long] = None): DataFrame =
+    funnelStages(events, keyCols, timeCol, rowIdCol, typeCol, stages, maxGapSec)
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+
+  /** The per-key funnel frame [[funnel]] aggregates: one row per key tuple
+    * with the furthest `stage` reached (0..stages.size) — exposed so the
+    * stage verdict composes with other per-key analyses (q104 buckets it by
+    * retention offset) without re-running the event scan. Same cost as
+    * [[funnel]] minus the final tiny aggregation: ONE (key, time) sort. */
+  def funnelStages(events: DataFrame, keyCols: Seq[String], timeCol: String,
+      rowIdCol: String, typeCol: String, stages: Seq[String],
       maxGapSec: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel: stages must be non-empty")
     // A repeated stage name would let ONE event satisfy two consecutive
@@ -163,7 +174,6 @@ object Analytics {
       .map(i => when(max(col(s"t${i + 1}")).isNotNull, 1).otherwise(0))
       .reduce(_ + _)
     staged.groupBy(keyCols.map(col): _*).agg(stageSum.cast("int").as("stage"))
-      .groupBy("stage").agg(count(lit(1)).as("n_users"))
   }
 
   /** signup → view → click → purchase conversion per (user, day) — the
@@ -335,11 +345,43 @@ object Analytics {
     retention(Tables.events(s, d), "user_id", "ts")
       .orderBy(col("cohort_date"), col("day_offset"))
 
+  /** Funnel × retention composition — the standard growth-analytics join:
+    * the furthest funnel stage each user reaches per active day, bucketed by
+    * that user's retention offset (days since first activity). Output:
+    * (day_offset, stage, n_user_days) — does engagement depth hold up as
+    * cohorts age, in one matrix.
+    *
+    * Shape: [[funnelStages]]'s per-(user, day) frame (one event sort), then
+    * the cohort date arrives as a window over THAT aggregate — partitioned
+    * by a prefix of the frame's own grouping key, so no join back to the
+    * event table and nothing user-sized ever broadcasts. The final count
+    * collapses to offsets × stages rows. */
+  def cohortFunnel(events: DataFrame, userCol: String, timeCol: String,
+      rowIdCol: String, typeCol: String, stages: Seq[String],
+      maxGapSec: Option[Long] = None): DataFrame = {
+    val reserved = Set("_day", "cohort_date", "day_offset")
+    require(!events.columns.exists(reserved),
+      s"cohortFunnel: inputs must not carry reserved columns ${reserved.mkString("/")}")
+    val byDay = funnelStages(events.withColumn("_day", to_date(col(timeCol))),
+      Seq(userCol, "_day"), timeCol, rowIdCol, typeCol, stages, maxGapSec)
+    val w = Window.partitionBy(col(userCol))
+    byDay.withColumn("cohort_date", min(col("_day")).over(w))
+      .withColumn("day_offset", datediff(col("_day"), col("cohort_date")))
+      .groupBy(col("day_offset"), col("stage"))
+      .agg(count(lit(1)).as("n_user_days"))
+  }
+
+  private val q104: Q = (s, d) =>
+    cohortFunnel(Tables.events(s, d), "user_id", "ts", "event_id",
+      "event_type", Seq("signup", "view", "click", "purchase"))
+      .orderBy(col("day_offset"), col("stage"))
+
   val queries: Map[String, Q] = Map(
     "q68_kmv_distinct" -> q68,
     "q69_funnel" -> q69,
     "q101_funnel_gap" -> q101,
     "q103_retention" -> q103,
+    "q104_cohort_funnel" -> q104,
     "q73_merge_upsert" -> q73,
     "q75_histogram" -> q75,
     "q76_table_diff" -> q76,
@@ -430,6 +472,58 @@ object Analytics {
             FROM f GROUP BY user_id, day)
       SELECT stage, count(*) AS n_users FROM u
       GROUP BY stage ORDER BY stage""",
+    // Retention replay: per-user min(day) window (the cohort), date_diff
+    // offset, distinct (user, cohort, offset) collapse, group-count. Same
+    // µs truncation of ts as q69 before the DATE cast; date_diff returns
+    // BIGINT in DuckDB vs Spark datediff's INT, hence the CAST.
+    "q103_retention" -> """
+      WITH e AS (SELECT user_id,
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                 FROM events),
+      c AS (SELECT user_id, day,
+                   min(day) OVER (PARTITION BY user_id) AS cohort_date
+            FROM e),
+      u AS (SELECT DISTINCT user_id, cohort_date,
+                   CAST(date_diff('day', cohort_date, day) AS INT) AS day_offset
+            FROM c)
+      SELECT cohort_date, day_offset, count(*) AS n_users
+      FROM u GROUP BY cohort_date, day_offset
+      ORDER BY cohort_date, day_offset""",
+    // Funnel × retention: the q69 per-(user, day) stage frame, cohort via a
+    // window over that frame, counts per (offset, stage) cell.
+    "q104_cohort_funnel" -> """
+      WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                        CAST(ts AS TIMESTAMP) AS ts, event_id,
+                        event_type FROM events),
+      a AS (SELECT *, max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1
+            FROM e),
+      b AS (SELECT *, max(CASE WHEN event_type = 'view' AND r1 = 1
+                          THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+            FROM a),
+      c AS (SELECT *, max(CASE WHEN event_type = 'click' AND r2 = 1
+                          THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r3
+            FROM b),
+      f AS (SELECT *, max(CASE WHEN event_type = 'purchase' AND r3 = 1
+                          THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r4
+            FROM c),
+      u AS (SELECT user_id, day,
+                   CAST(max(r1) + max(r2) + max(r3) + max(r4) AS INT) AS stage
+            FROM f GROUP BY user_id, day),
+      o AS (SELECT user_id, day, stage,
+                   min(day) OVER (PARTITION BY user_id) AS cohort_date
+            FROM u)
+      SELECT CAST(date_diff('day', cohort_date, day) AS INT) AS day_offset,
+             stage, count(*) AS n_user_days
+      FROM o GROUP BY 1, 2
+      ORDER BY day_offset, stage""",
     "q73_merge_upsert" -> """
       WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
                         event_id, value,

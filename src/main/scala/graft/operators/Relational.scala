@@ -550,25 +550,32 @@ object Relational {
     * plan; this query certifies data fidelity through the bucketed
     * write/read round trip — the oracle joins the ORIGINAL tables). */
   /** Stages the bucketed lineitem/orders tables ONCE per (catalog, source
-    * dir) and returns their names: table names carry a digest of the source
-    * dir (so sf0.001 tests and an sf0.1 bench in one JVM never read each
-    * other's data — the prior fixed names were session-global mutable
-    * state), and an existing table with the expected row count is reused
-    * (idempotent, like Sources.staging). Repeated bucketed-join queries
-    * then cost only the exchange-free join — the write is a one-time
-    * layout investment, which is the actual 100 TB economics of bucketing. */
+    * snapshot) and returns their names: table names carry a digest of the
+    * source FILES (paths + lengths + mtimes, not just the dir string — a
+    * source regenerated in place with identical row counts gets a new
+    * digest, so stale buckets can never silently serve q89/q100), and an
+    * existing table with the expected row count is reused (idempotent, like
+    * Sources.staging). Repeated bucketed-join queries then cost only the
+    * exchange-free join — the write is a one-time layout investment, which
+    * is the actual 100 TB economics of bucketing. */
   private[graft] def bucketedTables(s: SparkSession, d: String): (String, String) = {
-    val suf = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fold(f: java.io.File): Unit = {
+      md.update(s"${f.getPath}:${f.length}:${f.lastModified}\n".getBytes("UTF-8"))
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getPath).foreach(fold)
+    }
+    md.update(d.getBytes("UTF-8"))
+    Seq("lineitem.parquet", "orders.parquet")
+      .foreach(n => fold(new java.io.File(d, n)))
+    val suf = md.digest().take(4).map("%02x".format(_)).mkString
     def stage(name: String, df: DataFrame, key: String): String = {
       val full = s"${name}_$suf"
       // Lazy &&: the source count job only runs when the table exists and
       // the guard must compare — a first-time write pays zero count jobs.
       // The row-count guard catches half-written/interrupted tables (both
-      // counts are parquet footer metadata, no row scan); it does NOT
-      // detect a source regenerated with identical counts — a deployment
-      // with a persistent metastore should version the table name by data
-      // snapshot instead of relying on this.
+      // counts are parquet footer metadata, no row scan); content drift is
+      // already excluded by the snapshot digest in the table name.
       val ok = s.catalog.tableExists(full) &&
         s.table(full).count() == df.count()
       if (!ok) df.write.mode("overwrite").bucketBy(8, key).sortBy(key)

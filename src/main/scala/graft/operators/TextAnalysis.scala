@@ -58,6 +58,12 @@ object TextAnalysis {
     require(chunkTokens >= 1, s"chunkDocuments: chunkTokens must be >= 1, got $chunkTokens")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"chunkDocuments: overlap must be in [0, chunkTokens), got $overlapTokens")
+    // Same discipline as funnel's t1..tN guard: withColumn would silently
+    // overwrite an input column of the same name (corrupting idCol if it
+    // collided), so reject inputs carrying the working names.
+    val reserved = Set("toks", "n_tok", "n_chunks")
+    require(!df.columns.exists(reserved),
+      s"chunkDocuments: inputs must not carry reserved columns ${reserved.mkString("/")}")
     val s = chunkTokens - overlapTokens
     df.withColumn("toks", expr(toksOf(textCol)))
       .withColumn("n_tok", size(col("toks")))
@@ -143,34 +149,13 @@ object TextAnalysis {
     * the profile side stays tiny (langs × trigrams) — broadcast — while the
     * doc side streams map-side. */
   def langId(docs: DataFrame, idCol: String, textCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String, maxTrigramsPerLang: Int = 50000): DataFrame = {
     val s = docs.sparkSession
     graft.functions.GraftFunctions.register(s)
     val tri = docs.select(col(idCol), col(labelCol).as("lang"),
         explode(expr(trigramsOf(textCol))).as("trigram"))
       .filter(length(col("trigram")) === 3)
-    // Profile: P(trigram | lang) with add-one smoothing — ONE distributed
-    // aggregation pass over the trigram explode; the per-lang totals and the
-    // log-probabilities derive from the collected (lang, trigram, tn) counts
-    // driver-side (lang_n = Σ tn — same Math.log the Spark expression used,
-    // so the model is bit-identical to the former two-job build). The model
-    // side is tiny at any corpus scale (langs × trigram vocab), so scoring
-    // becomes a map-side pass over documents — no doc×lang join row
-    // amplification.
-    val countRows = tri.groupBy(col("lang"), col("trigram"))
-      .agg(count(lit(1)).as("tn")).collect()
-    val langN: Map[String, Long] = countRows.groupBy(_.getString(0))
-      .map { case (l, rows) => l -> rows.map(_.getLong(2)).sum }
-    val langs: Array[String] = langN.keys.toArray.sorted
-    val langIdx = langs.zipWithIndex.toMap
-    val model: Map[String, Array[Double]] = countRows
-      .groupBy(_.getString(1))
-      .map { case (tg, rows) =>
-        val arr = new Array[Double](langs.length)
-        rows.foreach(r => arr(langIdx(r.getString(0))) =
-          math.log((r.getLong(2) + 1.0) / (langN(r.getString(0)) + 1000.0)))
-        tg -> arr
-      }
+    val (langs, model) = langModel(tri, maxTrigramsPerLang)
     val bModel = s.sparkContext.broadcast(model)
     val bLangs = s.sparkContext.broadcast(langs)
     val predict = udf { (text: String) =>
@@ -184,6 +169,45 @@ object TextAnalysis {
         predict(col(textCol)).as("p"))
       .select(col(idCol), col("true_lang"),
         col("p._1").as("predicted_lang"), col("p._2").as("score"))
+  }
+
+  /** The langId profile build: P(trigram | lang) with add-one smoothing,
+    * capped to the `k` most frequent trigrams per lang (tn desc, trigram asc
+    * — deterministic ties). The cap is standard n-gram-LM practice AND the
+    * 100 TB driver-safety bound: an open-vocab (CJK/unicode) corpus has an
+    * unbounded trigram vocabulary, so the collect is ≤ langs × k rows by
+    * construction, never corpus-dependent. The `row_number() <= k` filter
+    * compiles to WindowGroupLimit — each map task keeps its local top-k per
+    * lang BEFORE the exchange.
+    *
+    * The smoothing denominator (per-lang trigram totals) aggregates over ALL
+    * occurrences before the cap — one extra langs-row collect — so capping
+    * only drops tail entries (absent ⇒ 0 score contribution, same as any
+    * unseen trigram), never shifts the kept log-probabilities. */
+  private[graft] def langModel(tri: DataFrame, k: Int)
+      : (Array[String], Map[String, Array[Double]]) = {
+    val langN: Map[String, Long] = tri.groupBy(col("lang"))
+      .agg(count(lit(1)).as("ln")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wcap = Window.partitionBy(col("lang"))
+      .orderBy(col("tn").desc, col("trigram"))
+    val countRows = tri.groupBy(col("lang"), col("trigram"))
+      .agg(count(lit(1)).as("tn"))
+      .withColumn("_rk", row_number().over(wcap))
+      .filter(col("_rk") <= k)
+      .select(col("lang"), col("trigram"), col("tn"))
+      .collect()
+    val langs: Array[String] = langN.keys.toArray.sorted
+    val langIdx = langs.zipWithIndex.toMap
+    val model: Map[String, Array[Double]] = countRows
+      .groupBy(_.getString(1))
+      .map { case (tg, rows) =>
+        val arr = new Array[Double](langs.length)
+        rows.foreach(r => arr(langIdx(r.getString(0))) =
+          math.log((r.getLong(2) + 1.0) / (langN(r.getString(0)) + 1000.0)))
+        tg -> arr
+      }
+    (langs, model)
   }
 
   private def predictNonEmpty(text: String, m: Map[String, Array[Double]],
@@ -803,9 +827,12 @@ object TextAnalysis {
                (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
       FROM documents ORDER BY doc_id""",
     // Replays langId: same profile build (add-one smoothing over corpus
-    // trigrams), same scoring (sum of logp over doc trigram *occurrences*,
-    // absent (lang, trigram) combos contribute 0, a lang with no overlap
-    // scores 0), same round-to-6dp-then-argmax with lang-ascending ties.
+    // trigrams, top-50000 trigrams per lang by (tn desc, trigram asc) —
+    // the model-size cap; it never binds on the fixture vocabulary but the
+    // oracle replays it so the contract is the capped model), same scoring
+    // (sum of logp over doc trigram *occurrences*, absent (lang, trigram)
+    // combos contribute 0, a lang with no overlap scores 0), same
+    // round-to-6dp-then-argmax with lang-ascending ties.
     "q44_lang_id" -> """
       WITH tri AS (
         SELECT doc_id, lang,
@@ -815,9 +842,14 @@ object TextAnalysis {
       tri3 AS (SELECT doc_id, lang, trigram FROM tri WHERE length(trigram) = 3),
       langn AS (SELECT lang, count(*) AS lang_n FROM tri3 GROUP BY lang),
       prof AS (
-        SELECT c.lang, c.trigram, ln((c.tn + 1.0) / (n.lang_n + 1000.0)) AS logp
-        FROM (SELECT lang, trigram, count(*) AS tn FROM tri3 GROUP BY lang, trigram) c
-        JOIN langn n ON c.lang = n.lang),
+        SELECT lang, trigram, logp FROM (
+          SELECT c.lang, c.trigram,
+                 ln((c.tn + 1.0) / (n.lang_n + 1000.0)) AS logp,
+                 row_number() OVER (PARTITION BY c.lang
+                                    ORDER BY c.tn DESC, c.trigram) AS rk
+          FROM (SELECT lang, trigram, count(*) AS tn FROM tri3 GROUP BY lang, trigram) c
+          JOIN langn n ON c.lang = n.lang)
+        WHERE rk <= 50000),
       matched AS (
         SELECT d.doc_id, p.lang, sum(p.logp) AS s
         FROM tri3 d JOIN prof p ON d.trigram = p.trigram

@@ -81,6 +81,16 @@ object ScaleSmoke {
     // one whose flat scaling matters at 100 TB.
     time("kmvSketch 1x", Analytics.kmvSketch(ev, "event_type", "user_id"))
     time(s"kmvSketch ${k}x", Analytics.kmvSketch(evBlown, "event_type", "user_id"))
+    // Round-6 operators: retention (two bounded shuffles — per-user min-date
+    // window + the distinct collapse) and chunking (pure map-side slice /
+    // posexplode, no exchange at all — should scale almost exactly linearly
+    // in input rows).
+    time("retention 1x", Analytics.retention(ev, "user_id", "ts"))
+    time(s"retention ${k}x", Analytics.retention(evBlown, "user_id", "ts"))
+    time("chunkDocuments 1x",
+      TextAnalysis.chunkDocuments(base, "doc_id", "text", 64, 16))
+    time(s"chunkDocuments ${k}x",
+      TextAnalysis.chunkDocuments(blown, "doc_id", "text", 64, 16))
     spark.stop()
   }
 }

@@ -86,6 +86,55 @@ class AnalyticsPropertySpec extends SparkSpec {
     }
   }
 
+  test("retention: matches a naive per-user replay; offset-0 laws hold") {
+    val evGen = Gen.listOfN(80, Gen.zip(Gen.choose(1L, 12L), Gen.choose(0, 30)))
+    val epoch = java.time.LocalDate.of(2024, 1, 1)
+    cases(evGen, 8).foreach { raw =>
+      // DateType input (to_date is identity on it) — no timezone skew
+      // between the JVM constructing fixtures and the UTC session.
+      val rows = raw.map { case (u, d) =>
+        (u, java.sql.Date.valueOf(epoch.plusDays(d.toLong)))
+      }
+      val got = Analytics.retention(rows.toDF("u", "day"), "u", "day")
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+      // Naive model: per user, cohort = min active day; one (cohort, offset)
+      // contribution per distinct active day.
+      val byUser = raw.groupBy(_._1).map { case (u, evs) =>
+        u -> evs.map(_._2).distinct
+      }
+      val expect = byUser.values.toSeq.flatMap { days =>
+        val c = days.min
+        days.map(d => (epoch.plusDays(c.toLong).toString, d - c))
+      }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      assert(got == expect, s"retention diverged: got $got expect $expect")
+      // Verdict-demanded laws: every cohort carries an offset-0 row (each
+      // user is active on their own first day), and the offset-0 mass is
+      // exactly the distinct-user count.
+      val cohorts = got.keys.map(_._1).toSet
+      assert(cohorts.forall(c => got.contains((c, 0))),
+        "every cohort needs an offset-0 row")
+      val offset0 = got.collect { case ((_, 0), n) => n }.sum
+      assert(offset0 == byUser.size,
+        s"offset-0 mass $offset0 != ${byUser.size} distinct users")
+    }
+  }
+
+  test("cohortFunnel vs retention: per-offset user-day masses agree") {
+    // Cross-operator law: retention counts distinct (user, offset) pairs
+    // per cohort; cohortFunnel counts (user, day) frames per (offset,
+    // stage). Summed over cohorts resp. stages, both are the user-day mass
+    // at each offset — they must agree exactly on the same input.
+    val ev = Tables.events(spark, sf0001)
+    val fromRet = Analytics.retention(ev, "user_id", "ts").collect()
+      .groupBy(_.getInt(1)).map { case (o, rs) => o -> rs.map(_.getLong(2)).sum }
+    val fromCf = Analytics.cohortFunnel(ev, "user_id", "ts", "event_id",
+        "event_type", Seq("signup", "view", "click", "purchase")).collect()
+      .groupBy(_.getInt(0)).map { case (o, rs) => o -> rs.map(_.getLong(2)).sum }
+    assert(fromCf == fromRet,
+      s"masses diverged: cohortFunnel $fromCf vs retention $fromRet")
+  }
+
   test("funnel maxGap: matches a naive gap-bounded per-key replay") {
     val evGen = Gen.listOfN(60, Gen.zip(
       Gen.choose(1L, 6L), Gen.choose(0L, 40L), Gen.oneOf("s", "v", "c", "p", "x")))

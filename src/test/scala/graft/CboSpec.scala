@@ -19,8 +19,12 @@ class CboSpec extends SparkSpec {
     Seq("cbo_li", "cbo_part", "cbo_supp").foreach { t =>
       s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
     }
-    s.conf.set("spark.sql.cbo.enabled", "true")
-    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // Save-and-restore EXACT prior values (not hard-coded defaults) — the
+    // shared session means a sloppy restore leaks CBO state into whichever
+    // suite runs next (RuntimeFilterSpec's comment documents the hazard).
+    val touched = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = touched.map(k => k -> s.conf.getOption(k))
+    touched.foreach(k => s.conf.set(k, "true"))
     try {
       // ANALYZE-provided statistics must reach the optimizer as EXACT row
       // counts (size-only estimates leave rowCount undefined).
@@ -44,8 +48,7 @@ class CboSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"),
         s"star join degraded to a fact-sized shuffle join:\n$p")
     } finally {
-      s.conf.set("spark.sql.cbo.enabled", "false")
-      s.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      saved.foreach { case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
       Seq("cbo_li", "cbo_part", "cbo_supp")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     }

@@ -437,6 +437,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(chunkToks(0).takeRight(16) == chunkToks(1).take(16))
   }
 
+  test("chunkDocuments rejects inputs carrying reserved working columns") {
+    import spark.implicits._
+    val bad = Seq((1L, "a b c", 9)).toDF("doc_id", "text", "n_tok")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(bad, "doc_id", "text", 8, 2)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("langModel: driver-side model is bounded to langs×K on wide vocab") {
+    import spark.implicits._
+    // 2 langs × 500 distinct trigrams each — the open-vocab regime where an
+    // uncapped collect would scale with the corpus. Frequencies vary so the
+    // (tn desc, trigram asc) cap has real work to do.
+    val tri = (for {
+      lang <- Seq("aa", "bb")
+      i <- 1 to 500
+      _ <- 1 to (i % 7 + 1)
+    } yield (lang, f"$lang$i%04d")).toDF("lang", "trigram")
+    val k = 50
+    val (langs, model) = TextAnalysis.langModel(tri, k)
+    assert(langs.toSeq == Seq("aa", "bb"))
+    assert(model.size <= langs.length * k,
+      s"model holds ${model.size} trigrams, cap is ${langs.length * k}")
+    // Each lang keeps exactly k entries (vocab 500 ≫ k); the other lang's
+    // slot stays 0.0 because the vocabularies are disjoint.
+    val perLang = langs.indices.map(j => model.values.count(arr => arr(j) != 0.0))
+    assert(perLang.forall(_ == k), s"per-lang kept entries: $perLang != $k")
+  }
+
   test("exact dedup keeper: keeper_id <= doc_id and keepers are fixpoints") {
     val rows = Dedup.queries("q50_exact_dedup")(spark, sf0001).collect()
     val keeper = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
