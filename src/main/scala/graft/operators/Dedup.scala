@@ -154,6 +154,49 @@ object Dedup {
       .select(col(idCol), expr(s"graft_simhash60($textCol)").as("simhash"))
   }
 
+  /** SimHash near-dup pairs by banded Hamming-distance join: the 60-bit
+    * [[simHash]] fingerprint splits into 4 bands of 15 bits; by pigeonhole,
+    * any pair within Hamming distance ≤ 3 agrees exactly on at least one
+    * band, so band-equality self-join generates a candidate superset and the
+    * exact `bit_count(xor)` filter keeps true near-dups. This is the
+    * complement of [[minHashLsh]]: MinHash estimates *set* (shingle)
+    * overlap, SimHash Hamming distance tracks weighted token-frequency
+    * similarity — boilerplate with small edits lands within a few flipped
+    * bits.
+    *
+    * Scale shape: signatures are one map-side projection (native
+    * SimHash60); the only exchange is the 4-band equality join on a
+    * (band, 15-bit) key — never all-pairs. The same `maxBandDf` hot-band
+    * cap as [[minHashLsh]] applies (an f-sized identical-text cluster
+    * agrees on every band ⇒ f² candidates; collapse exact dups first, as
+    * [[dedupNearDup]] does). The Hamming filter runs inside the join's
+    * codegen stage on two longs carried through the join — no second join
+    * back to signatures. */
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBandDf: Int = MaxBandDf): DataFrame = {
+    // 4 bands of 15 bits certify recall only up to 3 flips: 4+ flips can
+    // touch all 4 bands and the pair never collides. Reject a config whose
+    // answer would silently be a subset of what it claims.
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simHashNearDup: 4x15-bit banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val sig = simHash(df, idCol, textCol).localCheckpoint()
+    val bands = sig.select(col(idCol), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), j -> shiftright(simhash, j * 15) & 32767)"))
+          .as(Seq("band", "bv")))
+      .withColumn("df_",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bv"))))
+      .filter(col("df_") <= maxBandDf)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"),
+        col("x.simhash").as("h1"), col("y.simhash").as("h2")).distinct()
+      .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** Pre-round-4 aggregate formulation of the MinHash signature stage
     * (shingle explode → shuffle on (doc, hash) → 32 min columns) — the
     * SQL-shaped reference model the native [[graft.functions.MinHashSig]]
@@ -408,6 +451,9 @@ object Dedup {
     "q55_dedup_pipeline" -> ((s, d) =>
       dedupNearDup(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q105_simhash_neardup" -> ((s, d) =>
+      simHashNearDup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id1"), col("id2"))),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -515,6 +561,36 @@ object Dedup {
       SELECT doc_id,
              CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id ORDER BY doc_id""",
+    // Replays simHashNearDup: the q52 simhash build, 4×15-bit banding with
+    // the same maxBandDf cap, exact bit_count(xor) Hamming filter. Integer
+    // algebra end-to-end — exact cross-engine.
+    "q105_simhash_neardup" -> s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        FROM documents),
+      th AS (SELECT doc_id, ${duckH60("t")} AS hv FROM tok),
+      votes AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+        GROUP BY doc_id, j),
+      sh AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+             FROM votes GROUP BY doc_id),
+      bands0 AS (SELECT doc_id, simhash, CAST(j AS INT) AS band,
+                        (simhash >> (CAST(j AS INT) * 15)) & 32767 AS bv
+                 FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+      keptb AS (SELECT band, bv FROM bands0
+                GROUP BY band, bv HAVING count(*) <= $MaxBandDf),
+      bands AS (SELECT bands0.* FROM bands0
+                JOIN keptb ON bands0.band = keptb.band AND bands0.bv = keptb.bv),
+      cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+                      x.simhash AS h1, y.simhash AS h2
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+      ORDER BY id1, id2""",
     "q53_ngram_jaccard" -> s"""
       WITH $duckCappedSets
       SELECT x.doc_id AS id1, y.doc_id AS id2,

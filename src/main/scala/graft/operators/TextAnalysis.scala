@@ -437,6 +437,41 @@ object TextAnalysis {
     stratifiedSample(Tables.documents(s, d), "source", "doc_id")
       .orderBy(col("source"), col("rk"))
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006, A-ES): each row gets key u^(1/w) with u ∈ (0,1] uniform;
+    * the k largest keys are a weighted sample — heavier rows
+    * proportionally likelier, any prefix of the ranking is itself a valid
+    * sample. Here u derives from the md5 60-bit fold of the id
+    * ((h+1)/2^60), so membership is reproducible across engines, runs and
+    * partitionings — the same reason [[hashSplit]]/[[stratifiedSample]]
+    * avoid seeded `df.sample`.
+    *
+    * Ranking uses the monotone-equivalent log key `ln(u)/w` rounded to 6 dp
+    * with the id as tie-break — the [[langId]] round-before-compare
+    * discipline that absorbs cross-engine libm-ln ulp noise. The
+    * `orderBy.limit(k)` plans as TakeOrderedAndProject: each task keeps a
+    * local top-k, the driver merges k-sized heaps — no global sort, no full
+    * shuffle, the right shape for modest k at corpus scale (for
+    * stratum-sized draws compose with a per-stratum window instead, as
+    * [[stratifiedSample]] does). Non-positive and NULL weights are
+    * excluded (u^(1/w) is undefined there — A-ES requires w > 0). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol), col(weightCol),
+        round(
+          log((expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
+            + 1.0) / lit(1152921504606846976.0))
+            / col(weightCol), 6).as("skey"))
+      .orderBy(col("skey").desc, col(idCol))
+      .limit(k)
+  }
+
+  private val q106: Q = (s, d) =>
+    weightedSample(Tables.documents(s, d), "doc_id", "n_chars", 50)
+      .orderBy(col("skey").desc, col("doc_id"))
+
   /** Benchmark-contamination detection: for each document in the held-out
     * split, the fraction of its distinct `n`-token shingles that appear
     * anywhere in the training split — the n-gram-overlap check an eval-set
@@ -514,6 +549,7 @@ object TextAnalysis {
     "q57_repetition" -> q57,
     "q58_scrub" -> q58,
     "q59_strat_sample" -> q59,
+    "q106_weighted_sample" -> q106,
     "q66_contam" -> q66,
     "q67_corpus" -> q67,
     "q45_regex_tokens" -> q45,
@@ -662,6 +698,23 @@ object TextAnalysis {
       JOIN t ON q.doc_id = t.doc_id
       LEFT JOIN flag f ON q.doc_id = f.doc_id
       ORDER BY q.doc_id""",
+    // Replays weightedSample: same md5 nibble fold to the 60-bit integer,
+    // same (h + 1.0) double promotion BEFORE the exact power-of-two
+    // division (a bigint +1 then cast could differ by one ulp near 2^60),
+    // same ln / weight / 6-dp round, same (skey DESC, doc_id) order + LIMIT.
+    "q106_weighted_sample" -> """
+      WITH h AS (
+        SELECT doc_id, n_chars,
+               round(ln((list_reduce(list_concat([CAST(0 AS BIGINT)],
+                 list_transform(range(1, 16),
+                   i -> CAST(strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+                 (acc, c) -> acc * 16 + c) + 1.0) / 1152921504606846976.0)
+                 / n_chars, 6) AS skey
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0)
+      SELECT doc_id, n_chars, skey
+      FROM h ORDER BY skey DESC, doc_id LIMIT 50""",
     // Replays stratifiedSample's md5-order rank exactly (hex strings
     // compare identically in both engines).
     "q59_strat_sample" -> """

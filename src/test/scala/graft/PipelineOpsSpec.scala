@@ -467,6 +467,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(perLang.forall(_ == k), s"per-lang kept entries: $perLang != $k")
   }
 
+  test("simHashNearDup: equals exact all-pairs Hamming<=3 on the fixture") {
+    // 4x15-bit banding is a candidate SUPERSET for Hamming <= 3 (pigeonhole)
+    // and the bit_count filter is exact, so with the band-df cap not binding
+    // (fixture df << 1000) the operator must equal the brute-force answer.
+    val docs = Tables.documents(spark, sf0001)
+    val sig = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expect = (for {
+      (i1, h1) <- sig; (i2, h2) <- sig
+      if i1 < i2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield (i1, i2, java.lang.Long.bitCount(h1 ^ h2))).toSet
+    val got = Dedup.simHashNearDup(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect,
+      s"banded join diverged from brute force: ${got.size} vs ${expect.size} pairs")
+    assert(got.nonEmpty, "fixture should contain at least one near-dup pair")
+  }
+
+  test("weightedSample: partitioning-invariant and prefix-consistent") {
+    val docs = Tables.documents(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val a = rows(TextAnalysis.weightedSample(docs, "doc_id", "n_chars", 20))
+    assert(a.size == 20)
+    // Same draw regardless of physical layout (md5-derived keys, not RNG).
+    val b = rows(TextAnalysis.weightedSample(
+      docs.repartition(7), "doc_id", "n_chars", 20))
+    assert(a == b, "sample depends on partitioning")
+    // A-ES prefix property: the top-20 of a top-40 draw IS the top-20 draw.
+    val c = rows(TextAnalysis.weightedSample(docs, "doc_id", "n_chars", 40))
+    assert(c.take(20) == a, "k=40 prefix diverged from k=20 draw")
+  }
+
   test("exact dedup keeper: keeper_id <= doc_id and keepers are fixpoints") {
     val rows = Dedup.queries("q50_exact_dedup")(spark, sf0001).collect()
     val keeper = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
