@@ -81,8 +81,10 @@ object Bench {
     // Precision keeps the whole line under ~1.9 KB: the consumer retains
     // only a 2000-char tail of stdout, and an sbt "[success]" trailer
     // (~80 chars) follows — a fatter line gets its head truncated (the
-    // r01/r02 "parsed": null failure mode). Per-query values are
-    // [median,min] at 1-decimal (~16 chars/query), the total 2-decimal.
+    // r01/r02 "parsed": null failure mode). Per-query values are the
+    // 1-decimal MEDIAN of `runs` samples (the round-6 [median,min] array
+    // form hit 1798 chars at 106 queries — the min now lives only in
+    // bench_samples.json, which carries every sample at full precision).
     // Locale.ROOT so a comma-decimal default locale can't corrupt the JSON.
     def fmt(d: String, v: Double) =
       String.format(java.util.Locale.ROOT, "%." + d + "f", Double.box(v))
@@ -94,7 +96,7 @@ object Bench {
     require(prefixes.distinct.size == prefixes.size,
       s"duplicate short query keys: ${prefixes.diff(prefixes.distinct).mkString(",")}")
     val qs = results.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":[" + fmt("1", median(v)) + "," + fmt("1", v.min) + "]"
+        "\"" + k.takeWhile(_ != '_') + "\":" + fmt("1", median(v))
       }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -186,6 +186,15 @@ object TextAnalysis {
     * unseen trigram), never shifts the kept log-probabilities. */
   private[graft] def langModel(tri: DataFrame, k: Int)
       : (Array[String], Map[String, Array[Double]]) = {
+    val (langs, model, _) = langModelWithTotals(tri, k)
+    (langs, model)
+  }
+
+  /** [[langModel]] plus the per-lang occurrence totals (the smoothing
+    * denominators) — [[lmScore]] needs the total to place its unseen-trigram
+    * floor on the same scale as the kept log-probabilities. */
+  private[graft] def langModelWithTotals(tri: DataFrame, k: Int)
+      : (Array[String], Map[String, Array[Double]], Map[String, Long]) = {
     val langN: Map[String, Long] = tri.groupBy(col("lang"))
       .agg(count(lit(1)).as("ln")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -207,7 +216,7 @@ object TextAnalysis {
           math.log((r.getLong(2) + 1.0) / (langN(r.getString(0)) + 1000.0)))
         tg -> arr
       }
-    (langs, model)
+    (langs, model, langN)
   }
 
   private def predictNonEmpty(text: String, m: Map[String, Array[Double]],
@@ -234,6 +243,51 @@ object TextAnalysis {
 
   private val q44: Q = (s, d) =>
     langId(Tables.documents(s, d), "doc_id", "text", "lang").orderBy(col("doc_id"))
+
+  /** Reference-LM quality scoring (the CCNet/Wikipedia-LM shape): train an
+    * add-one-smoothed character-trigram LM on a reference slice of the
+    * corpus (`refFilter` — e.g. a trusted high-quality subset), then score
+    * EVERY document by its mean trigram log-probability under that model.
+    * Low scores = far from the reference distribution (gibberish, heavy
+    * boilerplate, other languages) — the standard perplexity-bucket signal
+    * a pretraining curation pass sorts documents by.
+    *
+    * Same scale shape as [[langId]]: the model is ONE distributed
+    * aggregation capped to the top-`maxTrigrams` trigrams (bounded
+    * driver/broadcast size on open-vocab corpora), scoring is a map-side
+    * pass. Trigrams absent from the (capped) model score at the smoothing
+    * floor `ln(1/(N+1000))` — unseen content is penalized, not ignored
+    * (unlike [[langId]]'s argmax, where a shared 0 cancels out). The
+    * 6-dp round absorbs summation-order ulp noise so the oracle replays
+    * the score exactly; documents too short for any trigram are absent. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      refFilter: Column, maxTrigrams: Int = 50000): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val refTri = docs.filter(refFilter)
+      .select(lit("ref").as("lang"), explode(expr(trigramsOf(textCol))).as("trigram"))
+      .filter(length(col("trigram")) === 3)
+    val (langs, model, totals) = langModelWithTotals(refTri, maxTrigrams)
+    require(langs.nonEmpty, "lmScore: reference slice yields no trigrams")
+    val floorP = math.log(1.0 / (totals("ref") + 1000.0))
+    val bModel = s.sparkContext.broadcast(model.map { case (t, a) => t -> a(0) })
+    val score = udf { (text: String) =>
+      val m = bModel.value
+      var sum = 0.0; var n = 0; var i = 0
+      while (i + 3 <= text.length) {
+        sum += m.getOrElse(text.substring(i, i + 3), floorP)
+        n += 1; i += 1
+      }
+      BigDecimal(sum / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    docs.filter(length(col(textCol)) >= 3)
+      .select(col(idCol), (length(col(textCol)) - 2).as("n_tri"),
+        score(col(textCol)).as("lm_score"))
+  }
+
+  private val q107: Q = (s, d) =>
+    lmScore(Tables.documents(s, d), "doc_id", "text", col("lang") === "en")
+      .orderBy(col("doc_id"))
 
   /** Token counting two ways: whitespace split vs a BPE-ish regex lexer
     * (alpha runs / single digits / other non-space) — the sub-word-style
@@ -560,6 +614,7 @@ object TextAnalysis {
     "q42_quality_score" -> q42,
     "q43_fingerprint" -> q43,
     "q44_lang_id" -> q44,
+    "q107_lm_quality" -> q107,
   )
 
   val oracles: Map[String, String] = Map(
@@ -879,6 +934,35 @@ object TextAnalysis {
                                 i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
                (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
       FROM documents ORDER BY doc_id""",
+    // Replays lmScore: trigram LM trained on the lang='en' slice (add-one
+    // smoothing, same top-50000 cap and (tn + 1.0)/(nref + 1000.0) float
+    // promotion as the Scala model build), every document scored by mean
+    // trigram logp with unseen trigrams at the ln(1/(nref+1000)) floor,
+    // rounded 6 dp (absorbs summation-order ulps, per the q44 discipline).
+    "q107_lm_quality" -> """
+      WITH tri AS (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+          i -> substr(text, CAST(i AS INT), 3))) AS trigram
+        FROM documents),
+      tri3 AS (SELECT doc_id, trigram FROM tri WHERE length(trigram) = 3),
+      reftri AS (SELECT t.trigram FROM tri3 t
+                 JOIN documents d ON t.doc_id = d.doc_id
+                 WHERE d.lang = 'en'),
+      n AS (SELECT count(*) AS nref FROM reftri),
+      prof AS (SELECT trigram, logp FROM (
+          SELECT trigram, ln((count(*) + 1.0) / (nref + 1000.0)) AS logp,
+                 row_number() OVER (ORDER BY count(*) DESC, trigram) AS rk
+          FROM reftri CROSS JOIN n GROUP BY trigram, nref)
+        WHERE rk <= 50000),
+      fl AS (SELECT ln(1.0 / (nref + 1000.0)) AS floorp FROM n),
+      sc AS (SELECT t.doc_id, sum(coalesce(p.logp, fl.floorp)) AS s,
+                    count(*) AS n_tri
+             FROM tri3 t
+             LEFT JOIN prof p ON t.trigram = p.trigram
+             CROSS JOIN fl
+             GROUP BY t.doc_id)
+      SELECT doc_id, CAST(n_tri AS INT) AS n_tri, round(s / n_tri, 6) AS lm_score
+      FROM sc ORDER BY doc_id""",
     // Replays langId: same profile build (add-one smoothing over corpus
     // trigrams, top-50000 trigrams per lang by (tn desc, trigram asc) —
     // the model-size cap; it never binds on the fixture vocabulary but the

@@ -500,6 +500,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(c.take(20) == a, "k=40 prefix diverged from k=20 draw")
   }
 
+  test("lmScore: reference-slice docs outscore off-distribution docs") {
+    // The en-trained trigram LM must rate en documents above every other
+    // lang's mean — the discriminative property the perplexity bucketing
+    // depends on (same signal q44's argmax exploits).
+    val docs = Tables.documents(spark, sf0001)
+    val means = TextAnalysis.lmScore(docs, "doc_id", "text", col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang").agg(avg("lm_score").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(means.contains("en") && means.size > 1, s"fixture langs: ${means.keySet}")
+    means.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(means("en") > m, s"en mean ${means("en")} not above $l mean $m")
+    }
+  }
+
   test("exact dedup keeper: keeper_id <= doc_id and keepers are fixpoints") {
     val rows = Dedup.queries("q50_exact_dedup")(spark, sf0001).collect()
     val keeper = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
