@@ -28,6 +28,9 @@ object Graft {
     Dedup.ngramJaccard(df, idCol, textCol, minJ, maxDf)
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 20): DataFrame = Dedup.connectedComponents(edges, src, dst, maxIter)
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.simHashNearDup(df, idCol, textCol, maxHamming)
   def dedupNearDup(df: DataFrame, idCol: String, textCol: String,
       minEst: Double = 0.35): DataFrame = Dedup.dedupNearDup(df, idCol, textCol, minEst)
 
@@ -93,6 +96,11 @@ object Graft {
   def scrub(df: DataFrame, idCol: String, textCol: String,
       pattern: String, replacement: String): DataFrame =
     TextAnalysis.scrub(df, idCol, textCol, pattern, replacement)
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = TextAnalysis.weightedSample(df, idCol, weightCol, k)
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      refFilter: Column, maxTrigrams: Int = 50000): DataFrame =
+    TextAnalysis.lmScore(df, idCol, textCol, refFilter, maxTrigrams)
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       k: Int = 5): DataFrame =
     TextAnalysis.stratifiedSample(df, strataCol, idCol, k)
@@ -121,6 +129,18 @@ object Graft {
       maxGapSec: Option[Long] = None): DataFrame =
     Analytics.funnel(events, keyCols, timeCol, rowIdCol, typeCol, stages,
       maxGapSec)
+  def funnelStages(events: DataFrame, keyCols: Seq[String], timeCol: String,
+      rowIdCol: String, typeCol: String, stages: Seq[String],
+      maxGapSec: Option[Long] = None): DataFrame =
+    Analytics.funnelStages(events, keyCols, timeCol, rowIdCol, typeCol,
+      stages, maxGapSec)
+  def retention(events: DataFrame, userCol: String, timeCol: String): DataFrame =
+    Analytics.retention(events, userCol, timeCol)
+  def cohortFunnel(events: DataFrame, userCol: String, timeCol: String,
+      rowIdCol: String, typeCol: String, stages: Seq[String],
+      maxGapSec: Option[Long] = None): DataFrame =
+    Analytics.cohortFunnel(events, userCol, timeCol, rowIdCol, typeCol,
+      stages, maxGapSec)
   def mergeLatest(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
       versionCols: Seq[String]): DataFrame =
     Analytics.mergeLatest(base, updates, keyCols, versionCols)

@@ -43,6 +43,11 @@ class FacadeSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf0001)
     val left = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "lid")
     val right = Seq((1L, 8L, 1.5), (2L, 25L, 2.5)).toDF("k", "t", "v")
+    // Timestamp-typed events for the retention family (to_date needs a
+    // date/timestamp/string time column).
+    val ev = Seq((1L, 10L, 1L, "a"), (2L, 20L, 2L, "b"))
+      .toDF("user_id", "t", "rid", "event_type")
+      .withColumn("ts", col("t").cast("timestamp")).drop("t")
     def norm(df: DataFrame): String =
       df.queryExecution.logical.toString.replaceAll("#\\d+", "#")
     val pairs: Seq[(String, DataFrame, DataFrame)] = Seq(
@@ -100,6 +105,14 @@ class FacadeSpec extends SparkSpec {
         Analytics.histogram(right, "v", 0.0, 1.0, 4)),
       ("packShards", Graft.packShards(right, "k", "t", 100L),
         operators.Packing.packShards(right, "k", "t", 100L)),
+      ("retention", Graft.retention(ev, "user_id", "ts"),
+        Analytics.retention(ev, "user_id", "ts")),
+      ("cohortFunnel", Graft.cohortFunnel(ev, "user_id", "ts", "rid",
+          "event_type", Seq("a", "b")),
+        Analytics.cohortFunnel(ev, "user_id", "ts", "rid",
+          "event_type", Seq("a", "b"))),
+      ("weightedSample", Graft.weightedSample(docs, "doc_id", "n_chars", 5),
+        TextAnalysis.weightedSample(docs, "doc_id", "n_chars", 5)),
     )
     pairs.foreach { case (n, f, d) =>
       assert(norm(f) == norm(d), s"facade.$n plan drifted from the operator's:\n${norm(f)}")
@@ -129,6 +142,10 @@ class FacadeSpec extends SparkSpec {
       rows(TextAnalysis.tfidf(docs, "doc_id", "text")))
     assert(rows(Graft.corpusDecision(docs, "doc_id", "text")) ==
       rows(TextAnalysis.corpusDecision(docs, "doc_id", "text")))
+    assert(rows(Graft.simHashNearDup(docs, "doc_id", "text")) ==
+      rows(Dedup.simHashNearDup(docs, "doc_id", "text")))
+    assert(rows(Graft.lmScore(docs, "doc_id", "text", col("lang") === "en")) ==
+      rows(TextAnalysis.lmScore(docs, "doc_id", "text", col("lang") === "en")))
   }
 
   test("ngramJaccard threads maxDf: a df-cap of 0 excludes every shingle") {
