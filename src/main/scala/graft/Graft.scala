@@ -31,6 +31,9 @@ object Graft {
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame =
     Dedup.simHashNearDup(df, idCol, textCol, maxHamming)
+  def simHashDedup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.simHashDedup(df, idCol, textCol, maxHamming)
   def dedupNearDup(df: DataFrame, idCol: String, textCol: String,
       minEst: Double = 0.35): DataFrame = Dedup.dedupNearDup(df, idCol, textCol, minEst)
 

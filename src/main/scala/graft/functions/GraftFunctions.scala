@@ -580,6 +580,133 @@ object HyperplaneBucketsImpl {
   }
 }
 
+/** A trained character-trigram log-probability table, shipped to executors
+  * inside the expression itself (`ctx.addReferenceObj` — the plan/task-binary
+  * broadcast path, so it works identically on a real cluster where executors
+  * do not share the driver JVM). Keys are raw UTF-8 trigram bytes
+  * ([[org.apache.spark.unsafe.types.UTF8String]] has value equals/hashCode),
+  * so scoring never decodes to UTF-16.
+  *
+  * Both scorers walk CODE POINTS (byte offsets stepped by
+  * `numBytesForFirstByte`, exactly [[CharNgramsImpl.ngrams]]) — the same unit
+  * the model was trained on and the same unit DuckDB's `substr`/`length`
+  * count. The previous UDF scorers walked UTF-16 code units, which on
+  * supplementary-plane text (emoji, CJK extensions) scored surrogate-half
+  * "trigrams" that could never hit the model and divided by a different n
+  * than the reported `n_tri`.
+  *
+  * Rounding is 6-dp HALF_UP *before* any comparison — the cross-engine tie
+  * rule the q44/q107 oracles replay.
+  */
+final class TrigramLm(
+    val langs: Array[org.apache.spark.unsafe.types.UTF8String],
+    val table: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Double]],
+    val floor: Double) extends Serializable {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Code-point start offsets (+ end sentinel) — one linear byte walk. */
+  private def offsets(bytes: Array[Byte]): Array[Int] = {
+    val len = bytes.length
+    var count = 0; var i = 0
+    while (i < len) { i += UTF8String.numBytesForFirstByte(bytes(i)); count += 1 }
+    val off = new Array[Int](count + 1)
+    i = 0; var c = 0
+    while (i < len) { off(c) = i; i += UTF8String.numBytesForFirstByte(bytes(i)); c += 1 }
+    off(count) = len
+    off
+  }
+
+  /** Mean trigram log-prob under lang 0, unseen trigrams at the smoothing
+    * floor; n = codePointCount - 2 (callers filter length >= 3 first). */
+  def meanLogP(u: UTF8String): Double = {
+    val bytes = u.getBytes
+    val off = offsets(bytes)
+    val m = off.length - 3 // (codepoints + 1 sentinel) - 3 = trigram count
+    if (m <= 0) return Double.NaN
+    var sum = 0.0; var g = 0
+    while (g < m) {
+      val v = table.get(UTF8String.fromBytes(bytes, off(g), off(g + 3) - off(g)))
+      sum += (if (v == null) floor else v(0))
+      g += 1
+    }
+    round6(sum / m)
+  }
+
+  /** Per-lang summed log-probs (unseen trigrams contribute nothing — the
+    * shared 0 cancels in the argmax), rounded, argmax with ties to the
+    * lowest index (langs arrive sorted ascending). */
+  def predict(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val scores = new Array[Double](langs.length)
+    val bytes = u.getBytes
+    val off = offsets(bytes)
+    val m = off.length - 3
+    var g = 0
+    while (g < m) {
+      val v = table.get(UTF8String.fromBytes(bytes, off(g), off(g + 3) - off(g)))
+      if (v != null) {
+        var j = 0; while (j < v.length) { scores(j) += v(j); j += 1 }
+      }
+      g += 1
+    }
+    var j = 0
+    while (j < scores.length) { scores(j) = round6(scores(j)); j += 1 }
+    var best = 0; j = 1
+    while (j < langs.length) { if (scores(j) > scores(best)) best = j; j += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](langs(best), scores(best)))
+  }
+}
+
+/** Mean trigram log-probability of a string under a [[TrigramLm]] — the
+  * codegen'd replacement for the lmScore scoring UDF (one virtual call per
+  * row inside the WholeStageCodegen projection, no encoder boundary). */
+case class LmMeanLogP(child: Expression, model: TrigramLm)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "lm_mean_logp"
+
+  override def nullSafeEval(input: Any): Any =
+    model.meanLogP(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("lm", model, classOf[TrigramLm].getName)
+    defineCodeGen(ctx, ev, c => s"$m.meanLogP($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Argmax language prediction of a string under a [[TrigramLm]] — the
+  * codegen'd replacement for the langId scoring UDF. Returns a struct of
+  * (predicted_lang, score). */
+case class LmPredictLang(child: Expression, model: TrigramLm)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("predicted_lang", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+  override def prettyName: String = "lm_predict_lang"
+
+  override def nullSafeEval(input: Any): Any =
+    model.predict(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("lm", model, classOf[TrigramLm].getName)
+    defineCodeGen(ctx, ev, c => s"$m.predict($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** One (name, builder) row per native expression — the single source for
     * both per-session registration ([[register]]) and cluster-wide install
@@ -603,6 +730,17 @@ object GraftFunctions {
       exprs(2).eval().asInstanceOf[Number].intValue(),
       exprs(3).eval().asInstanceOf[Number].intValue())),
   )
+
+  /** Registers a session-scoped temp function whose builder CAPTURES a
+    * driver-side object (a trained [[TrigramLm]]) — the route for model
+    * parameters that cannot travel through SQL literal arguments. Safe to
+    * re-register the same name per model build: DataFrames analyze eagerly,
+    * so each `expr(...)` call binds the model registered at that moment and
+    * later re-registration never rebinds an existing frame. */
+  def registerCapturing(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 
   /** Idempotent per-session registration; afterwards the functions are
     * available to SQL and `expr(...)`. */

@@ -430,6 +430,36 @@ object Dedup {
         coalesce(col("component"), col("_rep")).as("keeper_id"))
   }
 
+  /** SimHash end-to-end dedup keeper mapping — [[dedupNearDup]]'s pipeline
+    * shape with the [[simHashNearDup]] banded Hamming join as the near-dup
+    * leg. This is the composed answer to the `maxBandDf` cap's dropped-pair
+    * semantics: a cluster of f EXACT duplicates shares all 4 band values, so
+    * at f > maxBandDf the raw pair operator silently drops that cluster's
+    * pairs (contract pinned by DedupSpec on a duplicated corpus); here exact
+    * duplicates collapse to one representative FIRST (keeper = md5-group
+    * min), so identical-text floods fold regardless of the cap and the band
+    * join only ever sees distinct texts. After the collapse the cap costs
+    * recall only for floods of near-identical-but-distinct texts — the
+    * honest residual every banded scheme shares, and the regime where
+    * dropping the hot band is the difference between a join and a quadratic
+    * blowup at 100 TB. */
+  def simHashDedup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withRep = df
+      .select(col(idCol), col(textCol),
+        min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))).as("_rep"))
+      .localCheckpoint() // read by the simhash leg and the final mapping
+    val reps = withRep.filter(col(idCol) === col("_rep"))
+      .select(col(idCol), col(textCol))
+    val pairs = simHashNearDup(reps, idCol, textCol, maxHamming)
+      .select(col("id1"), col("id2"))
+    val comp = connectedComponents(pairs, "id1", "id2")
+    withRep
+      .join(comp, withRep("_rep") === comp("id"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col("_rep")).as("keeper_id"))
+  }
+
   // ------------------------------------------------- fixture-bound queries
 
   val queries: Map[String, Q] = Map(
@@ -454,6 +484,9 @@ object Dedup {
     "q105_simhash_neardup" -> ((s, d) =>
       simHashNearDup(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("id1"), col("id2"))),
+    "q108_simhash_dedup" -> ((s, d) =>
+      simHashDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -490,6 +523,35 @@ object Dedup {
       kept AS (SELECT s FROM shx GROUP BY s HAVING count(*) <= $MaxDf),
       sets AS (SELECT shx.doc_id, list(shx.s) AS sh
                FROM shx JOIN kept ON shx.s = kept.s GROUP BY shx.doc_id)"""
+
+  /** The SimHash CTE chain shared by the q105 and q108 oracles: q52's vote
+    * build, 4×15-bit banding with the maxBandDf cap, candidate pairs with
+    * both fingerprints carried. `src` is the corpus relation (q108 feeds the
+    * exact-collapse representatives in). */
+  private def duckSimhashCtes(src: String = "documents") = s"""
+      tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        FROM $src),
+      th AS (SELECT doc_id, ${duckH60("t")} AS hv FROM tok),
+      votes AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+        GROUP BY doc_id, j),
+      shh AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+             FROM votes GROUP BY doc_id),
+      bands0 AS (SELECT doc_id, simhash, CAST(j AS INT) AS band,
+                        (simhash >> (CAST(j AS INT) * 15)) & 32767 AS bv
+                 FROM shh CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+      keptb AS (SELECT band, bv FROM bands0
+                GROUP BY band, bv HAVING count(*) <= $MaxBandDf),
+      bands AS (SELECT bands0.* FROM bands0
+                JOIN keptb ON bands0.band = keptb.band AND bands0.bv = keptb.bv),
+      cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+                      x.simhash AS h1, y.simhash AS h2
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)"""
 
   /** The MinHash CTE chain shared by the q51 and q55 oracles; `src` is the
     * corpus relation (q55 feeds the exact-collapse representatives in). */
@@ -565,32 +627,32 @@ object Dedup {
     // the same maxBandDf cap, exact bit_count(xor) Hamming filter. Integer
     // algebra end-to-end — exact cross-engine.
     "q105_simhash_neardup" -> s"""
-      WITH tok AS (
-        SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
-        FROM documents),
-      th AS (SELECT doc_id, ${duckH60("t")} AS hv FROM tok),
-      votes AS (
-        SELECT doc_id, j,
-               sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
-        GROUP BY doc_id, j),
-      sh AS (SELECT doc_id,
-                    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-             FROM votes GROUP BY doc_id),
-      bands0 AS (SELECT doc_id, simhash, CAST(j AS INT) AS band,
-                        (simhash >> (CAST(j AS INT) * 15)) & 32767 AS bv
-                 FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
-      keptb AS (SELECT band, bv FROM bands0
-                GROUP BY band, bv HAVING count(*) <= $MaxBandDf),
-      bands AS (SELECT bands0.* FROM bands0
-                JOIN keptb ON bands0.band = keptb.band AND bands0.bv = keptb.bv),
-      cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
-                      x.simhash AS h1, y.simhash AS h2
-               FROM bands x JOIN bands y
-                 ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      WITH ${duckSimhashCtes()}
       SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
       FROM cand WHERE bit_count(xor(h1, h2)) <= 3
       ORDER BY id1, id2""",
+    // Replays simHashDedup: exact-collapse to md5-group representatives,
+    // the q105 simhash band chain over the REPRESENTATIVES, then the q55
+    // recursive connected-components fold back onto every document.
+    "q108_simhash_dedup" -> s"""
+      WITH RECURSIVE
+      rep AS (SELECT doc_id, text,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+              FROM documents),
+      reps AS (SELECT doc_id, text FROM rep WHERE doc_id = rep),
+      ${duckSimhashCtes("reps")},
+      pairs AS (SELECT id1, id2 FROM cand WHERE bit_count(xor(h1, h2)) <= 3),
+      und AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION SELECT id2 AS a, id1 AS b FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      comp AS (SELECT a AS id, CAST(least(a, min(b)) AS BIGINT) AS component
+               FROM reach GROUP BY a)
+      SELECT d.doc_id, coalesce(c.component, d.rep) AS keeper_id
+      FROM rep d LEFT JOIN comp c ON d.rep = c.id
+      ORDER BY d.doc_id""",
     "q53_ngram_jaccard" -> s"""
       WITH $duckCappedSets
       SELECT x.doc_id AS id1, y.doc_id AS id2,

@@ -558,12 +558,26 @@ object Relational {
     * Sources.staging). Repeated bucketed-join queries then cost only the
     * exchange-free join — the write is a one-time layout investment, which
     * is the actual 100 TB economics of bucketing. */
+  /** Tables whose staging guard already passed in this JVM. The digest in
+    * the table name pins the source snapshot, so once a (name, digest) pair
+    * is verified (or freshly written) there is nothing left to re-check —
+    * repeated bucketed-join invocations pay a catalog lookup and ZERO Spark
+    * jobs. Without this, the two footer-count jobs per invocation dominated
+    * the exchange-free join itself (r7 bench: q89 warm runs slower than
+    * cold). Process-local: a new JVM re-verifies once, which is the point. */
+  private val verifiedBucketed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[graft] def bucketedTables(s: SparkSession, d: String): (String, String) = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def fold(f: java.io.File): Unit = {
+      require(f.exists, s"bucketed staging source missing: ${f.getPath}")
       md.update(s"${f.getPath}:${f.length}:${f.lastModified}\n".getBytes("UTF-8"))
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getPath).foreach(fold)
+      if (f.isDirectory) {
+        val kids = f.listFiles()
+        require(kids != null, s"bucketed staging source unreadable: ${f.getPath}")
+        kids.sortBy(_.getPath).foreach(fold)
+      }
     }
     md.update(d.getBytes("UTF-8"))
     Seq("lineitem.parquet", "orders.parquet")
@@ -571,15 +585,27 @@ object Relational {
     val suf = md.digest().take(4).map("%02x".format(_)).mkString
     def stage(name: String, df: DataFrame, key: String): String = {
       val full = s"${name}_$suf"
-      // Lazy &&: the source count job only runs when the table exists and
-      // the guard must compare — a first-time write pays zero count jobs.
-      // The row-count guard catches half-written/interrupted tables (both
-      // counts are parquet footer metadata, no row scan); content drift is
-      // already excluded by the snapshot digest in the table name.
-      val ok = s.catalog.tableExists(full) &&
-        s.table(full).count() == df.count()
-      if (!ok) df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
-        .saveAsTable(full)
+      if (!(verifiedBucketed.contains(full) && s.catalog.tableExists(full))) {
+        // Lazy &&: the source count job only runs when the table exists and
+        // the guard must compare — a first-time write pays zero count jobs.
+        // The row-count guard catches half-written/interrupted tables (both
+        // counts are parquet footer metadata, no row scan); content drift is
+        // already excluded by the snapshot digest in the table name.
+        val ok = s.catalog.tableExists(full) &&
+          s.table(full).count() == df.count()
+        if (!ok) {
+          // A regenerated source mints a new digest; superseded snapshots of
+          // the same logical table would otherwise accumulate in the
+          // warehouse forever. Drop them before writing the current one.
+          s.catalog.listTables().collect()
+            .map(_.name)
+            .filter(t => t.startsWith(s"${name}_") && t != full)
+            .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+          df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
+            .saveAsTable(full)
+        }
+        verifiedBucketed.add(full)
+      }
       full
     }
     (stage("graft_li_bucketed",

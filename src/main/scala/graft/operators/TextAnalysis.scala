@@ -156,19 +156,28 @@ object TextAnalysis {
         explode(expr(trigramsOf(textCol))).as("trigram"))
       .filter(length(col("trigram")) === 3)
     val (langs, model) = langModel(tri, maxTrigramsPerLang)
-    val bModel = s.sparkContext.broadcast(model)
-    val bLangs = s.sparkContext.broadcast(langs)
-    val predict = udf { (text: String) =>
-      val m = bModel.value; val ls = bLangs.value
-      // Degenerate corpus (no document long enough to yield a trigram) →
-      // empty model; answer "unknown" instead of indexing an empty array.
-      if (ls.isEmpty) ("unknown", 0.0)
-      else predictNonEmpty(text, m, ls)
-    }
+    // Degenerate corpus (no document long enough to yield a trigram) →
+    // empty model; answer "unknown" instead of indexing an empty array.
+    if (langs.isEmpty)
+      return docs.select(col(idCol), col(labelCol).as("true_lang"),
+        lit("unknown").as("predicted_lang"), lit(0.0).as("score"))
+    val lm = trigramLm(langs, model, floor = 0.0)
+    graft.functions.GraftFunctions.registerCapturing(s, "graft_lm_predict",
+      exprs => graft.functions.LmPredictLang(exprs.head, lm))
     docs.select(col(idCol), col(labelCol).as("true_lang"),
-        predict(col(textCol)).as("p"))
+        expr(s"graft_lm_predict($textCol)").as("p"))
       .select(col(idCol), col("true_lang"),
-        col("p._1").as("predicted_lang"), col("p._2").as("score"))
+        col("p.predicted_lang").as("predicted_lang"), col("p.score").as("score"))
+  }
+
+  /** Packs a driver-built String-keyed model into the UTF8-keyed
+    * [[graft.functions.TrigramLm]] the native scorers read. */
+  private def trigramLm(langs: Array[String], model: Map[String, Array[Double]],
+      floor: Double): graft.functions.TrigramLm = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val table = new java.util.HashMap[UTF8String, Array[Double]](model.size * 2)
+    model.foreach { case (t, a) => table.put(UTF8String.fromString(t), a) }
+    new graft.functions.TrigramLm(langs.map(UTF8String.fromString), table, floor)
   }
 
   /** The langId profile build: P(trigram | lang) with add-one smoothing,
@@ -195,17 +204,23 @@ object TextAnalysis {
     * floor on the same scale as the kept log-probabilities. */
   private[graft] def langModelWithTotals(tri: DataFrame, k: Int)
       : (Array[String], Map[String, Array[Double]], Map[String, Long]) = {
-    val langN: Map[String, Long] = tri.groupBy(col("lang"))
-      .agg(count(lit(1)).as("ln")).collect()
+    // One distributed aggregation over the exploded trigrams; BOTH driver
+    // actions (the per-lang totals and the capped top-k) read the persisted
+    // (lang, trigram, tn) frame, so the corpus-sized explode+scan runs once.
+    val agg = tri.groupBy(col("lang"), col("trigram"))
+      .agg(count(lit(1)).as("tn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val langN: Map[String, Long] = agg.groupBy(col("lang"))
+      .agg(sum(col("tn")).as("ln")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val wcap = Window.partitionBy(col("lang"))
       .orderBy(col("tn").desc, col("trigram"))
-    val countRows = tri.groupBy(col("lang"), col("trigram"))
-      .agg(count(lit(1)).as("tn"))
+    val countRows = agg
       .withColumn("_rk", row_number().over(wcap))
       .filter(col("_rk") <= k)
       .select(col("lang"), col("trigram"), col("tn"))
       .collect()
+    agg.unpersist(blocking = false)
     val langs: Array[String] = langN.keys.toArray.sorted
     val langIdx = langs.zipWithIndex.toMap
     val model: Map[String, Array[Double]] = countRows
@@ -217,28 +232,6 @@ object TextAnalysis {
         tg -> arr
       }
     (langs, model, langN)
-  }
-
-  private def predictNonEmpty(text: String, m: Map[String, Array[Double]],
-      ls: Array[String]): (String, Double) = {
-      val scores = new Array[Double](ls.length)
-      var i = 0
-      while (i + 3 <= text.length) {
-        m.get(text.substring(i, i + 3)) match {
-          case Some(arr) =>
-            var j = 0; while (j < arr.length) { scores(j) += arr(j); j += 1 }
-          case None => ()
-        }
-        i += 1
-      }
-      // Round before comparing: a lang pair whose float sums differ only in
-      // accumulation order must tie, and ties break by lang name ascending
-      // (ls is sorted) — the exact rule the oracle's window replays.
-      val rounded = scores.map(sc =>
-        BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      var best = 0; var j = 1
-      while (j < ls.length) { if (rounded(j) > rounded(best)) best = j; j += 1 }
-      (ls(best), rounded(best))
   }
 
   private val q44: Q = (s, d) =>
@@ -270,19 +263,12 @@ object TextAnalysis {
     val (langs, model, totals) = langModelWithTotals(refTri, maxTrigrams)
     require(langs.nonEmpty, "lmScore: reference slice yields no trigrams")
     val floorP = math.log(1.0 / (totals("ref") + 1000.0))
-    val bModel = s.sparkContext.broadcast(model.map { case (t, a) => t -> a(0) })
-    val score = udf { (text: String) =>
-      val m = bModel.value
-      var sum = 0.0; var n = 0; var i = 0
-      while (i + 3 <= text.length) {
-        sum += m.getOrElse(text.substring(i, i + 3), floorP)
-        n += 1; i += 1
-      }
-      BigDecimal(sum / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
+    val lm = trigramLm(langs, model, floor = floorP)
+    graft.functions.GraftFunctions.registerCapturing(s, "graft_lm_meanlogp",
+      exprs => graft.functions.LmMeanLogP(exprs.head, lm))
     docs.filter(length(col(textCol)) >= 3)
       .select(col(idCol), (length(col(textCol)) - 2).as("n_tri"),
-        score(col(textCol)).as("lm_score"))
+        expr(s"graft_lm_meanlogp($textCol)").as("lm_score"))
   }
 
   private val q107: Q = (s, d) =>

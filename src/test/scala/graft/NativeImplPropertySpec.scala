@@ -121,6 +121,57 @@ class NativeImplPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TrigramLm == naive code-point scorer (incl. supplementary plane)") {
+    // Texts mixing ASCII, BMP multibyte, and supplementary-plane code points
+    // (surrogate PAIRS in the JVM String) — the regime where a code-UNIT
+    // walk scores surrogate-half trigrams that can never hit a model trained
+    // on code-point trigrams.
+    val planeText: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.choose(33.toChar, 126.toChar).map(_.toString),
+      2 -> Gen.oneOf("é", "中", "€"),
+      2 -> Gen.oneOf("😀", "🎉", "🚀"), // 😀 🎉 🚀
+      1 -> Gen.const(" "))).map(_.mkString)
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    cases(Gen.zip(planeText, planeText), 200).foreach { case (train, text) =>
+      // Model: every code-point trigram of `train`, logp = -(rank+1)/7.
+      val cps = train.codePoints().toArray
+      val trigrams = if (cps.length < 3) Seq.empty[String]
+        else (0 to cps.length - 3).map(i => new String(cps, i, 3)).distinct
+      val langs = Array("aa", "bb")
+      val logps = trigrams.zipWithIndex
+        .map { case (t, i) => t -> Array(-(i % 7 + 1) / 7.0, -(i % 5 + 1) / 5.0) }
+        .toMap
+      val floor = -9.25
+      val table = new java.util.HashMap[UTF8String, Array[Double]]()
+      logps.foreach { case (t, a) => table.put(UTF8String.fromString(t), a) }
+      val lm = new graft.functions.TrigramLm(
+        langs.map(UTF8String.fromString), table, floor)
+      // Naive reference walks String code points.
+      val tcps = text.codePoints().toArray
+      val n = tcps.length - 2
+      if (n > 0) {
+        val grams = (0 until n).map(i => new String(tcps, i, 3))
+        val expectMean = round6(
+          grams.map(g => logps.get(g).map(_(0)).getOrElse(floor)).sum / n)
+        assert(lm.meanLogP(UTF8String.fromString(text)) == expectMean,
+          s"meanLogP diverged on train='$train' text='$text'")
+        val sums = Array(0.0, 0.0)
+        grams.foreach(g => logps.get(g).foreach { a =>
+          sums(0) += a(0); sums(1) += a(1)
+        })
+        val r = Array(round6(sums(0)), round6(sums(1)))
+        val best = if (r(1) > r(0)) 1 else 0
+        val got = lm.predict(UTF8String.fromString(text))
+        assert(got.getUTF8String(0).toString == langs(best) &&
+          got.getDouble(1) == r(best),
+          s"predict diverged on train='$train' text='$text'")
+      } else {
+        assert(lm.meanLogP(UTF8String.fromString(text)).isNaN)
+      }
+    }
+  }
+
   test("HyperplaneBuckets == naive per-plane double dot") {
     val planes = HyperplaneBucketsImpl.planes(4, 3, 8)
     val vecGen = Gen.listOfN(8, Gen.choose(-5.0f, 5.0f)).map(_.toArray)

@@ -515,6 +515,55 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("simHashNearDup cap contract: an over-cap identical-text flood drops " +
+      "its pairs; simHashDedup folds it anyway") {
+    import spark.implicits._
+    // 12 identical docs + 2 distinct: every band of the flood has df=12, so
+    // at maxBandDf=10 the raw pair operator must emit NO pairs for the flood
+    // (the documented dropped-pair semantics — identical texts are exactly
+    // the pairs the cap sacrifices to stay non-quadratic).
+    val flood = (1L to 12L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val docs = (flood ++ Seq(
+      (20L, "one two three four five six"),
+      (21L, "unrelated text entirely here now"))).toDF("doc_id", "text")
+    val rawPairs = Dedup.simHashNearDup(docs, "doc_id", "text", maxBandDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rawPairs.forall { case (a, b) => a >= 20L && b >= 20L },
+      s"capped flood leaked pairs: $rawPairs")
+    // The pipeline form collapses exact duplicates FIRST (keeper = md5-group
+    // min), so the flood folds to doc 1 regardless of the cap.
+    val keeper = Dedup.simHashDedup(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 12L).foreach(i => assert(keeper(i) == 1L, s"doc $i keeper ${keeper(i)}"))
+    assert(keeper(20L) == 20L && keeper(21L) == 21L)
+  }
+
+  test("langId + lmScore walk code points: supplementary-plane corpus scores") {
+    import spark.implicits._
+    // Emoji are surrogate PAIRS in UTF-16: a code-unit scorer would slice
+    // half-surrogate "trigrams" that never hit the model (score 0 / floor
+    // everywhere) and would report n_tri != codepoints-2.
+    val t1 = "😀🎉🚀😀🎉🚀😀" // 7 code points, 14 UTF-16 units
+    val t2 = "🎉🚀😀🎉🚀😀🎉"
+    val docs = Seq((1L, t1, "em"), (2L, t2, "em")).toDF("doc_id", "text", "lang")
+    val pred = TextAnalysis.langId(docs, "doc_id", "text", "lang").collect()
+    pred.foreach { r =>
+      assert(r.getString(2) == "em")
+      assert(r.getDouble(3) < 0.0,
+        s"doc ${r.getLong(0)} scored ${r.getDouble(3)} — model never hit (code-unit walk?)")
+    }
+    val scored = TextAnalysis.lmScore(docs, "doc_id", "text", lit(true)).collect()
+    assert(scored.length == 2)
+    scored.foreach { r =>
+      assert(r.getAs[Number]("n_tri").longValue == 5L,
+        s"n_tri ${r.getAs[Number]("n_tri")} != codepoints-2")
+      // Every trigram is in-model: mean logp must sit well above the
+      // unseen-trigram floor ln(1/(N+1000)) ~= -6.9 for this tiny corpus.
+      assert(r.getDouble(2) > -6.5,
+        s"lm_score ${r.getDouble(2)} at the floor — scored trigrams missed the model")
+    }
+  }
+
   test("exact dedup keeper: keeper_id <= doc_id and keepers are fixpoints") {
     val rows = Dedup.queries("q50_exact_dedup")(spark, sf0001).collect()
     val keeper = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
