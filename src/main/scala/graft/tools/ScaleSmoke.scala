@@ -91,6 +91,27 @@ object ScaleSmoke {
       TextAnalysis.chunkDocuments(base, "doc_id", "text", 64, 16))
     time(s"chunkDocuments ${k}x",
       TextAnalysis.chunkDocuments(blown, "doc_id", "text", 64, 16))
+    // Round-7/8 operators. simHashNearDup on the Kx corpus is the critical
+    // row: every text is a K-sized identical cluster agreeing on ALL 4
+    // bands, so every band signature is hot and `maxBandDf` governs both
+    // runtime and recall — the raw pair operator must stay near-linear by
+    // DROPPING over-cap clusters (documented contract), while simHashDedup
+    // collapses them first and must also stay near-linear WITHOUT losing
+    // them.
+    time("simHashNearDup 1x", Dedup.simHashNearDup(base, "doc_id", "text"))
+    time(s"simHashNearDup ${k}x (capped)",
+      Dedup.simHashNearDup(blown, "doc_id", "text"))
+    time("simHashDedup 1x", Dedup.simHashDedup(base, "doc_id", "text"))
+    time(s"simHashDedup ${k}x (collapse)",
+      Dedup.simHashDedup(blown, "doc_id", "text"))
+    time("weightedSample 1x", TextAnalysis.weightedSample(
+      base.withColumn("w", length(col("text")).cast("double")), "doc_id", "w", 100))
+    time(s"weightedSample ${k}x", TextAnalysis.weightedSample(
+      blown.withColumn("w", length(col("text")).cast("double")), "doc_id", "w", 100))
+    time("lmScore 1x", TextAnalysis.lmScore(base, "doc_id", "text",
+      length(col("text")) % 2 === 0))
+    time(s"lmScore ${k}x", TextAnalysis.lmScore(blown, "doc_id", "text",
+      length(col("text")) % 2 === 0))
     spark.stop()
   }
 }
