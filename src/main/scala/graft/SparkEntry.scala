@@ -16,6 +16,7 @@ object SparkEntry {
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
+      (operators.Graph.queries, operators.Graph.oracles),
       (operators.Similarity.queries, operators.Similarity.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Parity.queries, operators.Parity.oracles),

@@ -383,7 +383,7 @@ object Dedup {
     * subsequent read fails rather than recovers. (Same reason the cluster
     * path should use a reliable `checkpoint` dir: local blocks also die
     * with their executor.) */
-  private def unpersistBlocks(df: DataFrame): Unit =
+  private[operators] def unpersistBlocks(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over relationship edges derived from the star schema
+  * (north-star extension, SURVEY §2.3 family): fixed-point PageRank.
+  *
+  * The reference engine has no graph surface at all (its closest analog is
+  * the iterative multi-job driver, `main.cpp:30-68` — re-run jobs until a
+  * fixed point); this module generalizes that driver-loop shape to the
+  * canonical iterative-dataflow workload. The iteration style (driver-side
+  * loop, one localCheckpoint per round, eager block release) matches
+  * [[Dedup.connectedComponents]].
+  *
+  * Determinism: ranks are SCALED INTEGERS (`Scale` = 1e9 ≙ probability
+  * 1.0) and every per-iteration step is integer arithmetic — `div` for the
+  * out-degree split and the damping factor, exact long sums for the
+  * neighbor fold. Float PageRank cannot be hash-gated across engines (the
+  * neighbor sum's addition order differs between Spark's partial aggregates
+  * and any oracle), and on a 1000-executor cluster it isn't even
+  * reproducible run-to-run; integer mass is order-independent, so the
+  * DuckDB oracle replays the iteration bit-for-bit. The `div` flooring
+  * leaks ≤ (deg − 1) mass units per node per round — bounded, deterministic,
+  * and identical in both engines.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Integer mass of probability 1.0 (1e9 ≙ nine decimal digits of rank). */
+  val Scale: Long = 1000000000L
+
+  /** Undirected PageRank over `edges`, returned as the global top-`topK`
+    * (node, rank_fp) rows, rank_fp in `Scale` units.
+    *
+    * The edge set is symmetrized and deduplicated (like
+    * [[Dedup.connectedComponents]]): undirected semantics mean every node
+    * has out-degree ≥ 1, so no dangling-node mass correction is needed —
+    * the classic `rank' = (1-d)/N + d * Σ rank(u)/deg(u)` recurrence holds
+    * exactly.
+    *
+    * Scale shape: each round is one equality join (edges ⋈ ranks on the
+    * source id) + one shuffle-on-destination sum — the standard distributed
+    * PageRank step, partitioned by node id throughout; no step is
+    * node-count- or edge-count-quadratic and the driver holds only loop
+    * control. Per-round localCheckpoint truncates the lineage (otherwise
+    * the plan doubles per iteration) and the previous round's blocks are
+    * released eagerly. The final top-k is `orderBy.limit` →
+    * TakeOrderedAndProject, not a global sort. On a real cluster the
+    * checkpoints become reliable `checkpoint`s and the edge frame would be
+    * pre-partitioned by source so every round's join is exchange-free on
+    * the edge side. */
+  def pageRank(edges: DataFrame, src: String, dst: String,
+      iters: Int = 3, dampingPct: Int = 85, topK: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 100,
+      s"pageRank: iters must be in [1, 100], got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"pageRank: dampingPct must be in [0, 100], got $dampingPct")
+    require(topK >= 1, s"pageRank: topK must be >= 1, got $topK")
+    // Teleport mass per node, in Scale units: (1 - d) / N. Exact long
+    // arithmetic; the 'div nn' happens in-plan (N is a 1-row broadcast).
+    val baseNumer: Long = (100L - dampingPct) * Scale / 100L
+
+    // Materialize the (possibly expensive) edge lineage once, then
+    // symmetrize + dedupe: undirected, unweighted.
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    Dedup.unpersistBlocks(e0)
+    // Every node appears as a source in the symmetrized set, so the degree
+    // frame doubles as the node list. Checkpointed: read every round.
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nRow = deg.agg(count(lit(1)).as("nn")) // 1 row, broadcast below
+
+    var ranks = deg.crossJoin(broadcast(nRow))
+      .select(col("node"), col("deg"), expr(s"${Scale}L div nn").as("r"))
+      .localCheckpoint()
+    var iter = 0
+    while (iter < iters) {
+      val msgs = und.join(ranks, und("a") === ranks("node"))
+        .select(und("b").as("dst_"), expr("r div deg").as("c"))
+      val sums = msgs.groupBy(col("dst_")).agg(sum(col("c")).as("sc"))
+      val upd = deg.join(sums, deg("node") === sums("dst_"))
+        .crossJoin(broadcast(nRow))
+        .select(deg("node"), deg("deg"),
+          (expr(s"${baseNumer}L div nn")
+            + expr(s"(${dampingPct}L * sc) div 100")).as("r"))
+        .localCheckpoint()
+      Dedup.unpersistBlocks(ranks)
+      ranks = upd
+      iter += 1
+    }
+    Dedup.unpersistBlocks(und)
+    Dedup.unpersistBlocks(deg)
+    ranks.select(col("node"), col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("node"))
+      .limit(topK)
+  }
+
+  /** Exact triangle count via the degree-ordered "forward" algorithm
+    * (Schank & Wagner 2005; the standard distributed formulation). Edges
+    * are symmetrized + deduplicated, then ORIENTED from the lower
+    * (degree, id) endpoint to the higher — every triangle survives as
+    * exactly one directed wedge a→b→c with the closing edge a→c, so one
+    * wedge self-join + one closing semi-join counts each triangle once.
+    *
+    * Scale shape: orientation is THE point — wedge fan-out per node is
+    * bounded by its oriented out-degree, which the (degree, id) order
+    * caps at O(√edges) even for hub nodes (a plain self-join on the
+    * symmetric edge set would square the hub degree). Both joins are
+    * equality joins on node ids; counts are exact longs, so the result is
+    * partitioning-independent and hash-gateable. Returns one row:
+    * (n_nodes, n_edges, n_triangles). */
+  def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint()
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    Dedup.unpersistBlocks(e0)
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    // Orient each undirected edge once: keep (a, b) iff (deg(a), a) <
+    // (deg(b), b). und holds both directions, so exactly one survives.
+    val withDeg = und
+      .join(deg.withColumnRenamed("node", "a_"), col("a") === col("a_"))
+      .withColumnRenamed("deg", "da")
+      .join(deg.withColumnRenamed("node", "b_").withColumnRenamed("deg", "db"),
+        col("b") === col("b_"))
+    val oriented = withDeg
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
+    val tri = wedges.join(oriented,
+      col("wa") === col("a") && col("wc") === col("b"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = oriented.agg(count(lit(1)).as("n_edges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    val out = nNodes.crossJoin(nEdges).crossJoin(nTri)
+    out
+  }
+
+  /** The customer–supplier co-transaction graph: an (undirected, after
+    * [[pageRank]]'s symmetrization) edge per distinct (customer, supplier)
+    * pair that shares at least one order line. Ids are prefixed (`c:` /
+    * `s:`) into one namespace. */
+  private[graft] def custSuppEdges(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+
+  /** Supplier co-supply graph: an edge per distinct supplier pair sharing
+    * at least one part (the cust–supp graph is bipartite and so
+    * triangle-free by construction; this one is not). */
+  private[graft] def suppPartEdges(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    ps.join(ps.withColumnRenamed("sk", "sk2"), "pk")
+      .filter(col("sk") < col("sk2"))
+      .select(col("sk").as("src"), col("sk2").as("dst"))
+      .distinct()
+  }
+
+  private val q110: Q = (s, d) =>
+    pageRank(custSuppEdges(s, d), "src", "dst")
+
+  private val q111: Q = (s, d) =>
+    triangleCount(suppPartEdges(s, d), "src", "dst")
+
+  val queries: Map[String, Q] = Map(
+    "q110_pagerank" -> q110,
+    "q111_triangles" -> q111,
+  )
+
+  /** The oracle replays the integer recurrence with DuckDB's `//` floor
+    * division (all values are non-negative, so it agrees with Spark's
+    * truncating `div`) as one chained-CTE unrolling of the 3 rounds. */
+  private def pagerankSql(iters: Int, dampingPct: Int): String = {
+    val baseNumer = (100L - dampingPct) * Scale / 100L
+    val rounds = (1 to iters).map { i =>
+      s"""m$i AS (SELECT e.b AS dst_,
+                     CAST(sum(r${i - 1}.r // r${i - 1}.deg) AS BIGINT) AS sc
+             FROM e JOIN r${i - 1} ON e.a = r${i - 1}.node GROUP BY e.b),
+      r$i AS (SELECT deg.node, deg.deg,
+                     ($baseNumer // nn) + ($dampingPct * m$i.sc) // 100 AS r
+              FROM deg JOIN m$i ON deg.node = m$i.dst_ CROSS JOIN n)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e0 AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                                  's:' || CAST(l_suppkey AS VARCHAR) AS b
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      deg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY a),
+      n AS (SELECT count(*) AS nn FROM deg),
+      r0 AS (SELECT node, deg, $Scale // nn AS r FROM deg CROSS JOIN n),
+      $rounds
+      SELECT node, r AS rank_fp FROM r$iters
+      ORDER BY rank_fp DESC, node LIMIT 20"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q110_pagerank" -> pagerankSql(3, 85),
+    // Replays triangleCount bit-for-bit: same symmetrize + dedupe, the same
+    // (degree, id) orientation, one wedge join, EXISTS as the closing
+    // semi-join. All integers — no rounding anywhere.
+    "q111_triangles" -> """
+      WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      e0 AS (SELECT DISTINCT p1.sk AS a, p2.sk2 AS b
+             FROM ps p1 JOIN (SELECT pk, sk AS sk2 FROM ps) p2 USING (pk)
+             WHERE p1.sk < p2.sk2),
+      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      deg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY a),
+      o AS (SELECT e.a, e.b
+            FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+            WHERE da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)),
+      w AS (SELECT e1.a AS wa, e2.b AS wc FROM o e1 JOIN o e2 ON e1.b = e2.a),
+      t AS (SELECT count(*) AS n_triangles FROM w
+            WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.wa AND o.b = w.wc))
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM o) AS n_edges,
+             n_triangles
+      FROM t""",
+  )
+}

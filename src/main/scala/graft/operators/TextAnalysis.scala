@@ -371,6 +371,62 @@ object TextAnalysis {
     tfidf(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"), col("rk"))
 
+  /** BM25 keyword retrieval (Robertson/Spärck Jones; the Lucene-default
+    * `k1 = 1.2, b = 0.75` parametrization with the non-negative smoothed
+    * idf `ln(1 + (N - df + 0.5) / (df + 0.5))`) — query-time relevance
+    * ranking over the corpus, the retrieval leg a RAG/data-curation
+    * pipeline pairs with the embedding searches in
+    * [[graft.operators.Similarity]]. Unlike [[tfidf]] (corpus-wide per-doc
+    * term profiles) this scores every document against a FIXED small term
+    * set and returns the global top-k.
+    *
+    * Scale shape: the query terms are a compile-time literal list, so the
+    * per-document term frequencies are plain map-side array expressions
+    * (`size(filter(toks, x -> x = term))`) — no explode, no (doc, term)
+    * shuffle at all. Corpus statistics (N, avgdl, one df per term) reduce
+    * to ONE single-row aggregate that joins back as a broadcast; scoring
+    * is a map-side arithmetic projection over it, and the global top-k is
+    * `orderBy.limit` → TakeOrderedAndProject (per-partition heaps + one
+    * k-row driver merge, no global sort). At 100 TB this is one scan for
+    * stats + one scan for scoring, both embarrassingly parallel.
+    *
+    * Determinism: tf/df/N are exact integers; avgdl is one exact integer
+    * sum divided once; the score is a fixed-order scalar expression, so
+    * both engines evaluate bit-identical IEEE arithmetic — the 4-dp round
+    * only guards the `ln`'s last ulp, and ties order by (score, id). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: queryTerms must be non-empty")
+    require(queryTerms.forall(_.matches("[A-Za-z0-9_]+")),
+      s"bm25: terms must be plain identifiers, got $queryTerms")
+    val tfCols = queryTerms.indices.map { i =>
+      expr(s"size(filter(${toksOf(textCol)}, x -> x = '${queryTerms(i)}'))")
+        .as(s"tf_$i")
+    }
+    val base = df.select(
+      (col(idCol) +: expr(s"size(${toksOf(textCol)})").as("dl") +: tfCols): _*)
+    val statCols = count(lit(1)).as("nd") +: avg(col("dl")).as("avgdl") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val score = queryTerms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("nd") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      val lenNorm = lit(1.0 - b) + (col("dl") * b) / col("avgdl")
+      idf * (col(s"tf_$i") * (k1 + 1.0)) / (col(s"tf_$i") + lenNorm * k1)
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 4).as("bm25"))
+      .filter(col("bm25") > 0.0)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+
+  private val q109: Q = (s, d) =>
+    bm25(Tables.documents(s, d), "doc_id", "text",
+      Seq("vector", "dup", "spark"))
+
   /** Deterministic hash-based dataset splitting — the reproducible
     * train/validation assignment a pipeline needs (a seeded `df.sample` is
     * not stable across partitionings or engines): bucket = md5-derived
@@ -586,6 +642,7 @@ object TextAnalysis {
     "q47_curation" -> q47,
     "q48_hash_split" -> q48,
     "q56_tfidf" -> q56,
+    "q109_bm25" -> q109,
     "q57_repetition" -> q57,
     "q58_scrub" -> q58,
     "q59_strat_sample" -> q59,
@@ -785,6 +842,39 @@ object TextAnalysis {
             FROM s)
       SELECT doc_id, term, CAST(rk AS INT) AS rk, round(score, 6) AS tfidf
       FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // Replays bm25: same map-side tf/dl token arithmetic, the same ONE-row
+    // corpus stats (N, avgdl, per-term df), and a structurally identical
+    // fixed-order score expression (k1 = 1.2 is CAST to DOUBLE so DuckDB's
+    // decimal literal can't change the constant's bits; 0.5/0.75/0.25 are
+    // exact dyadic). Top-k by (rounded score desc, doc_id).
+    "q109_bm25" -> """
+      WITH b AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl,
+               len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf0,
+               len(list_filter(string_split(text, ' '), x -> x = 'dup')) AS tf1,
+               len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf2
+        FROM documents),
+      s AS (SELECT count(*) AS nd, avg(dl) AS avgdl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM b),
+      scored AS (
+        SELECT doc_id, round(
+            ln(1.0 + (CAST(nd - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+              * (tf0 * (CAST(1.2 AS DOUBLE) + 1.0))
+              / (tf0 + (0.25 + (CAST(dl AS DOUBLE) * 0.75) / avgdl) * CAST(1.2 AS DOUBLE))
+          + ln(1.0 + (CAST(nd - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+              * (tf1 * (CAST(1.2 AS DOUBLE) + 1.0))
+              / (tf1 + (0.25 + (CAST(dl AS DOUBLE) * 0.75) / avgdl) * CAST(1.2 AS DOUBLE))
+          + ln(1.0 + (CAST(nd - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+              * (tf2 * (CAST(1.2 AS DOUBLE) + 1.0))
+              / (tf2 + (0.25 + (CAST(dl AS DOUBLE) * 0.75) / avgdl) * CAST(1.2 AS DOUBLE)),
+          4) AS bm25
+        FROM b CROSS JOIN s)
+      SELECT doc_id, bm25 FROM scored WHERE bm25 > 0.0
+      ORDER BY bm25 DESC, doc_id LIMIT 20""",
     // Replays hashSplit's md5-derived bucket with the same nibble fold used
     // by the dedup oracles (bit-identical 60-bit integer in both engines).
     "q48_hash_split" -> """

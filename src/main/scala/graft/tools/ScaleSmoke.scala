@@ -112,6 +112,31 @@ object ScaleSmoke {
       length(col("text")) % 2 === 0))
     time(s"lmScore ${k}x", TextAnalysis.lmScore(blown, "doc_id", "text",
       length(col("text")) % 2 === 0))
+    // Round-8 additions: bm25 (two scans + one broadcast row — flat per-row
+    // cost at any K), and the graph pair on K DISJOINT copies of the
+    // cust–supp graph (node ids prefixed per copy): same diameter, K× the
+    // edges — rounds stay constant, per-round work scales linearly.
+    import graft.operators.Graph
+    time("bm25 1x", TextAnalysis.bm25(base, "doc_id", "text",
+      Seq("vector", "dup", "spark")))
+    time(s"bm25 ${k}x", TextAnalysis.bm25(blown, "doc_id", "text",
+      Seq("vector", "dup", "spark")))
+    val edges = Graph.custSuppEdges(spark, sfDir).localCheckpoint()
+    val edgesBlown = (0 until k).map { c =>
+      edges.select(concat(lit(s"$c|"), col("src")).as("src"),
+        concat(lit(s"$c|"), col("dst")).as("dst"))
+    }.reduce(_ union _).localCheckpoint()
+    time("pageRank 1x", Graph.pageRank(edges, "src", "dst"))
+    time(s"pageRank ${k}x (disjoint copies)",
+      Graph.pageRank(edgesBlown, "src", "dst"))
+    val triEdges = Graph.suppPartEdges(spark, sfDir).localCheckpoint()
+    val triBlown = (0 until k).map { c =>
+      triEdges.select((col("src") + lit(c * 1000000L)).as("src"),
+        (col("dst") + lit(c * 1000000L)).as("dst"))
+    }.reduce(_ union _).localCheckpoint()
+    time("triangleCount 1x", Graph.triangleCount(triEdges, "src", "dst"))
+    time(s"triangleCount ${k}x (disjoint copies)",
+      Graph.triangleCount(triBlown, "src", "dst"))
     spark.stop()
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** PageRank contracts: the fixed-point integer recurrence against a
+  * hand-computed golden, mass accounting, and partitioning-independence
+  * (the property float PageRank cannot give — summation-order invariance). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: path graph a-b-c matches the hand-run integer recurrence") {
+    // Undirected path: deg(a)=deg(c)=1, deg(b)=2, N=3, r0=333333333 each.
+    // Three rounds of r' = 150000000 div 3 + (85 * sum(r div deg)) div 100,
+    // worked by hand (each div floors):
+    //   r1 = (a 191666666, b 616666666, c 191666666)
+    //   r2 = (a 312083333, b 375833332, c 312083333)
+    //   r3 = (a 209729166, b 580541666, c 209729166)
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("s", "d")
+    val got = Graph.pageRank(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq == Seq("b" -> 580541666L, "a" -> 209729166L,
+      "c" -> 209729166L), s"got ${got.toSeq}")
+  }
+
+  test("pageRank: mass is conserved up to deterministic div-floor leakage") {
+    val edges = spark.range(200)
+      .select(concat(lit("n"), col("id") % 50).as("s"),
+        concat(lit("n"), (col("id") * 7 + 3) % 50).as("d"))
+    val all = Graph.pageRank(edges, "s", "d", iters = 3, topK = 1000)
+      .collect().map(_.getLong(1))
+    assert(all.forall(_ > 0L))
+    val total = all.sum
+    // Each node leaks < deg units per round to rank-split flooring plus
+    // < 100 units to the damping div and < nn to the teleport div; with
+    // N <= 50 and 3 rounds the loss is far under 0.1% of Scale.
+    assert(total <= Graph.Scale)
+    assert(total >= Graph.Scale - Graph.Scale / 1000,
+      s"leaked too much mass: $total of ${Graph.Scale}")
+  }
+
+  test("triangleCount: K4 plus a pendant edge has exactly 4 triangles") {
+    // K4 has C(4,3) = 4 triangles; the pendant node adds none. Input is
+    // deliberately directed/duplicated — symmetrize + distinct must absorb it.
+    val k4 = for { i <- 1 to 4; j <- 1 to 4 if i != j } yield (s"n$i", s"n$j")
+    val edges = (k4 :+ ("n4" -> "n5")).toDF("s", "d")
+    val row = Graph.triangleCount(edges, "s", "d").collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((5L, 7L, 4L)),
+      s"got $row") // 5 nodes, 6 K4 edges + 1 pendant, 4 triangles
+  }
+
+  test("triangleCount: triangle-free bipartite graph counts zero") {
+    val edges = (for { c <- 1 to 6; s <- 1 to 3 if (c + s) % 2 == 0 }
+      yield (s"c$c", s"s$s")).toDF("s", "d")
+    assert(Graph.triangleCount(edges, "s", "d").collect().head.getLong(2) == 0L)
+  }
+
+  test("pageRank: identical results regardless of input partitioning") {
+    val edges = spark.range(300)
+      .select(concat(lit("x"), col("id") % 40).as("s"),
+        concat(lit("x"), (col("id") * 13 + 1) % 40).as("d"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRank(df, "s", "d", iters = 3, topK = 1000)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // Integer mass means the neighbor sum is associative-safe: any
+    // partitioning (and so any partial-aggregation order) gives the SAME
+    // longs — this is the property that makes the operator hash-gateable
+    // and cluster-reproducible, and it would fail for float ranks.
+    assert(run(edges.repartition(1)) == run(edges.repartition(16)))
+  }
+}

@@ -342,6 +342,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1).getInt(1) == 1 && out(1).getDouble(3) == 0.0)
   }
 
+  test("bm25 on crafted docs matches a driver-side replay of the formula") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark io io"), // tf(spark)=3, dl=5
+      (2L, "spark io"),                // tf(spark)=1, dl=2
+      (3L, "io io io io"),             // no query term → filtered out
+      (4L, "dup spark")                // rare term dominates
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text",
+        Seq("spark", "dup"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // Independent replay: N=4, avgdl=13/4, df(spark)=3, df(dup)=1.
+    val (k1, b) = (1.2, 0.75)
+    def idf(dfc: Long) = math.log(1.0 + (4L - dfc + 0.5) / (dfc + 0.5))
+    def term(tf: Long, dl: Long, dfc: Long) =
+      idf(dfc) * (tf * (k1 + 1.0)) / (tf + (1.0 - b + (dl * b) / 3.25) * k1)
+    def score(tfS: Long, tfD: Long, dl: Long) =
+      BigDecimal(term(tfS, dl, 3) + term(tfD, dl, 1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = Map(1L -> score(3, 0, 5), 2L -> score(1, 0, 2),
+      4L -> score(1, 1, 2))
+    // doc 3 scores 0 on every query term and must not appear at all
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L))
+    assert(got.toMap.forall { case (id, s) =>
+      math.abs(s - expect(id)) <= 0.0001 }, // replay rounds independently
+      s"got ${got.toMap}, expected $expect")
+    // ranking: doc 4 (rare term) above 2 (same length, common term only)
+    val rank = got.map(_._1).toSeq
+    assert(rank.indexOf(4L) < rank.indexOf(2L))
+  }
+
   test("repetition signals == naive per-doc model over seeded random word bags") {
     import spark.implicits._
     // Tiny vocabulary forces heavy repetition — the regime the thresholds
