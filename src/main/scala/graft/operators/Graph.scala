@@ -150,18 +150,33 @@ object Graph {
   /** The customer–supplier co-transaction graph: an (undirected, after
     * [[pageRank]]'s symmetrization) edge per distinct (customer, supplier)
     * pair that shares at least one order line. Ids are prefixed (`c:` /
-    * `s:`) into one namespace. */
-  private[graft] def custSuppEdges(s: SparkSession, d: String): DataFrame =
+    * `s:`) into one namespace.
+    *
+    * `cutoff` bounds the graph to orders before that date. The synthetic
+    * fixture is near-uniformly random, so the unfiltered co-occurrence
+    * graph densifies toward complete-bipartite as SF grows — a data
+    * artifact, not a workload property (real interaction graphs are
+    * sparse); the date slice keeps the gated query graph-shaped at every
+    * SF while the operator itself takes any edge frame. */
+  private[graft] def custSuppEdges(s: SparkSession, d: String,
+      cutoff: String = "1995-03-01"): DataFrame =
     Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
       .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(concat(lit("c:"), col("o_custkey")).as("src"),
         concat(lit("s:"), col("l_suppkey")).as("dst"))
 
   /** Supplier co-supply graph: an edge per distinct supplier pair sharing
     * at least one part (the cust–supp graph is bipartite and so
-    * triangle-free by construction; this one is not). */
-  private[graft] def suppPartEdges(s: SparkSession, d: String): DataFrame = {
+    * triangle-free by construction; this one is not). `partMod` samples
+    * the linking parts — same densification caveat as [[custSuppEdges]]:
+    * the unfiltered fixture graph is complete (every supplier pair shares
+    * SOME part at sf ≥ 0.01), which is the degenerate worst case for any
+    * triangle algorithm, not a realistic co-occurrence topology. */
+  private[graft] def suppPartEdges(s: SparkSession, d: String,
+      partMod: Int = 200): DataFrame = {
     val ps = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % partMod === 0)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .distinct()
     ps.join(ps.withColumnRenamed("sk", "sk2"), "pk")
@@ -197,7 +212,8 @@ object Graph {
     s"""
       WITH e0 AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
                                   's:' || CAST(l_suppkey AS VARCHAR) AS b
-                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                  WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'),
       e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
       deg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY a),
       n AS (SELECT count(*) AS nn FROM deg),
@@ -213,7 +229,8 @@ object Graph {
     // (degree, id) orientation, one wedge join, EXISTS as the closing
     // semi-join. All integers — no rounding anywhere.
     "q111_triangles" -> """
-      WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+                  FROM lineitem WHERE l_partkey % 200 = 0),
       e0 AS (SELECT DISTINCT p1.sk AS a, p2.sk2 AS b
              FROM ps p1 JOIN (SELECT pk, sk AS sk2 FROM ps) p2 USING (pk)
              WHERE p1.sk < p2.sk2),
