@@ -17,6 +17,7 @@ object SparkEntry {
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Graph.queries, operators.Graph.oracles),
+      (operators.Layout.queries, operators.Layout.oracles),
       (operators.Similarity.queries, operators.Similarity.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Parity.queries, operators.Parity.oracles),

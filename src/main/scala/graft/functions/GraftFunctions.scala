@@ -707,11 +707,58 @@ case class LmPredictLang(child: Expression, model: TrigramLm)
     copy(child = newChild)
 }
 
+/** Shared bit-interleave kernel for [[ZValue]] — also the codegen target. */
+object ZValueImpl {
+  /** Spreads the low 31 bits of `v0` onto the even bit positions (the
+    * classic Morton magic-mask cascade — 5 shift/mask steps, branch-free). */
+  def spread(v0: Long): Long = {
+    var v = v0 & 0x7FFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  /** 2-D Z-order key: x on even bits, y on odd — ≤ 62 bits, always ≥ 0. */
+  def z(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
+}
+
+/** Native 2-D Z-order (Morton) key over two long columns — the multi-
+  * dimensional clustering key a 100 TB layout sorts/range-partitions by so
+  * that a box predicate on EITHER dimension maps to a bounded set of key
+  * ranges (and so to a bounded set of files), instead of only the leading
+  * column of a lexicographic sort being skippable. Inputs are interpreted
+  * as unsigned 31-bit (higher bits masked); the result is a non-negative
+  * long, so range partitioning and parquet min/max stats order it
+  * correctly. Branch-free magic-mask interleave, inlined into the stage
+  * via codegen; the DuckDB oracle replays the same shift/mask cascade. */
+case class ZValue(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zvalue"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZValueImpl.z(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ZValueImpl.z($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   /** One (name, builder) row per native expression — the single source for
     * both per-session registration ([[register]]) and cluster-wide install
     * via `spark.sql.extensions` ([[graft.GraftExtensions]]). */
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_zvalue" -> (exprs => ZValue(exprs(0), exprs(1))),
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "graft_fingerprint" -> (exprs => BytePoly(exprs.head, 31L, 1000000007L, 1)),
     "graft_checksum997" -> (exprs => BytePoly(exprs.head, 1L, 997L, 1)),
