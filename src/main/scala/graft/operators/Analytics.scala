@@ -376,7 +376,45 @@ object Analytics {
       "event_type", Seq("signup", "view", "click", "purchase"))
       .orderBy(col("day_offset"), col("stage"))
 
+  /** Batch sessionization — gap-based session assignment (the batch twin
+    * of the streaming `session_window` in q83/q88): a new session starts
+    * at a user's first event or after a silence longer than `gapMicros`;
+    * sessions roll up to (user, session) rows with bounds and size.
+    *
+    * Times are integer epoch micros throughout (exact cross-engine, the
+    * same convention as [[funnel]]); session numbering is a running sum of
+    * the new-session flag, so ids are 1..n per user in time order —
+    * deterministic with the (time, event id) tie-break.
+    *
+    * Scale shape: the lag flag and the running sum share ONE
+    * (user)-partitioned (time, id)-ordered sort — a single exchange on the
+    * user key, O(1) state per row (no per-session buffering); the roll-up
+    * is a bounded-key aggregate. This is the classic one-sort sessionize
+    * every clickstream pipeline runs at fact-table scale. */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapMicros: Long = 30L * 60L * 1000000L): DataFrame = {
+    require(gapMicros > 0, s"sessionize: gapMicros must be > 0, got $gapMicros")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("us"), col(idCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(userCol), col(idCol), unix_micros(col(tsCol)).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapMicros,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  private val q113: Q = (s, d) =>
+    sessionize(Tables.events(s, d), "user_id", "ts", "event_id")
+      .orderBy(col("user_id"), col("session_id"))
+
   val queries: Map[String, Q] = Map(
+    "q113_sessionize" -> q113,
     "q68_kmv_distinct" -> q68,
     "q69_funnel" -> q69,
     "q101_funnel_gap" -> q101,
@@ -392,6 +430,31 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Replays sessionize: same epoch-micros times, same (us, event_id)
+    // tie-break, lag flag + running sum, 30-minute gap. Window sum of
+    // INTEGER is HUGEINT in DuckDB — CAST back to BIGINT.
+    "q113_sessionize" -> """
+      WITH e AS (SELECT user_id, event_id,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      l AS (SELECT user_id, event_id, us,
+                   lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                     AS prev_us
+            FROM e),
+      f AS (SELECT user_id, event_id, us,
+                   CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END AS ns
+            FROM l),
+      s AS (SELECT user_id, us,
+                   CAST(sum(ns) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_id
+            FROM f)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(us) AS start_us, max(us) AS end_us,
+             max(us) - min(us) AS duration_us
+      FROM s GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
     "q68_kmv_distinct" -> s"""
       WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
       h AS (SELECT event_type, ${h60("CAST(user_id AS VARCHAR)")} AS hv FROM du),

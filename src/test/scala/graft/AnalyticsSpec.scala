@@ -99,6 +99,27 @@ class AnalyticsSpec extends SparkSpec {
 
   // ------------------------------------------------------------- upsert --
 
+  test("sessionize: gap splits, boundary gap does NOT split, ids restart per user") {
+    import spark.implicits._
+    // user 1: events at 0s, 60s, 1860s (gap exactly 30min → SAME session,
+    // the split needs gap > threshold), 3700s (> 30min after → new session).
+    // user 2: one event → one singleton session.
+    val ev = Seq(
+      (1L, 10L, 0L), (1L, 11L, 60L), (1L, 12L, 1860L), (1L, 13L, 5561L),
+      (2L, 20L, 0L)
+    ).toDF("user_id", "event_id", "sec")
+      .select(col("user_id"), col("event_id"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val got = Analytics.sessionize(ev, "user_id", "ts", "event_id")
+      .orderBy("user_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, 0L, 1860000000L, 1860000000L),
+      (1L, 2L, 1L, 5561000000L, 5561000000L, 0L),
+      (2L, 1L, 1L, 0L, 0L, 0L)), s"got ${got.toSeq}")
+  }
+
   test("mergeLatest: latest version wins; updates beat base on exact ties") {
     val base = Seq((1L, 10L, 100L, "b1"), (2L, 10L, 101L, "b2"),
       (3L, 30L, 102L, "b3")).toDF("k", "v", "seq", "payload")
