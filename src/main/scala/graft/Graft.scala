@@ -12,7 +12,7 @@ object Graft {
 
   /** Register graft's native SQL functions (cosine_sim, graft_fingerprint,
     * graft_checksum997, graft_frame_sum16, graft_winnow, graft_ngrams,
-    * graft_hp_buckets) on the session. */
+    * graft_hp_buckets, graft_zvalue) on the session. */
   def init(spark: SparkSession): Unit = functions.GraftFunctions.register(spark)
 
   // dedup
@@ -154,6 +154,26 @@ object Graft {
       nBins: Int): DataFrame = Analytics.histogram(df, valueCol, lo, width, nBins)
   def packShards(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long): DataFrame = Packing.packShards(df, idCol, tokenCol, budget)
+  def sessionize(events: DataFrame, userCol: String, timeCol: String,
+      rowIdCol: String, gapMicros: Long = 30L * 60L * 1000000L): DataFrame =
+    Analytics.sessionize(events, userCol, timeCol, rowIdCol, gapMicros)
+
+  // retrieval
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int = 20): DataFrame =
+    TextAnalysis.bm25(df, idCol, textCol, queryTerms, topK)
+
+  // graph analytics
+  def pageRank(edges: DataFrame, src: String, dst: String,
+      iters: Int = 3, dampingPct: Int = 85, topK: Int = 20): DataFrame =
+    operators.Graph.pageRank(edges, src, dst, iters, dampingPct, topK)
+  def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame =
+    operators.Graph.triangleCount(edges, src, dst)
+
+  // data layout
+  def zorderCluster(df: DataFrame, xCol: String, yCol: String,
+      numPartitions: Int = 32): DataFrame =
+    Layout.zorderCluster(df, xCol, yCol, numPartitions)
   def compact(spark: SparkSession, inputPath: String, outputPath: String,
       targetFileBytes: Long): DataFrame =
     sources.Sources.compact(spark, inputPath, outputPath, targetFileBytes)

@@ -113,6 +113,12 @@ class FacadeSpec extends SparkSpec {
           "event_type", Seq("a", "b"))),
       ("weightedSample", Graft.weightedSample(docs, "doc_id", "n_chars", 5),
         TextAnalysis.weightedSample(docs, "doc_id", "n_chars", 5)),
+      ("bm25", Graft.bm25(docs, "doc_id", "text", Seq("spark", "dup"), 5),
+        TextAnalysis.bm25(docs, "doc_id", "text", Seq("spark", "dup"), 5)),
+      ("sessionize", Graft.sessionize(ev, "user_id", "ts", "rid"),
+        Analytics.sessionize(ev, "user_id", "ts", "rid")),
+      ("zorderCluster", Graft.zorderCluster(docs, "doc_id", "n_chars", 8),
+        operators.Layout.zorderCluster(docs, "doc_id", "n_chars", 8)),
     )
     pairs.foreach { case (n, f, d) =>
       assert(norm(f) == norm(d), s"facade.$n plan drifted from the operator's:\n${norm(f)}")
@@ -138,6 +144,10 @@ class FacadeSpec extends SparkSpec {
       rows(Dedup.connectedComponents(edges, "id1", "id2")))
     assert(rows(Graft.contamination(docs, "doc_id", "text")) ==
       rows(TextAnalysis.contamination(docs, "doc_id", "text")))
+    assert(rows(Graft.pageRank(edges, "id1", "id2")) ==
+      rows(operators.Graph.pageRank(edges, "id1", "id2")))
+    assert(rows(Graft.triangleCount(edges, "id1", "id2")) ==
+      rows(operators.Graph.triangleCount(edges, "id1", "id2")))
     assert(rows(Graft.tfidf(docs, "doc_id", "text")) ==
       rows(TextAnalysis.tfidf(docs, "doc_id", "text")))
     assert(rows(Graft.corpusDecision(docs, "doc_id", "text")) ==
