@@ -157,6 +157,10 @@ object Graft {
   def sessionize(events: DataFrame, userCol: String, timeCol: String,
       rowIdCol: String, gapMicros: Long = 30L * 60L * 1000000L): DataFrame =
     Analytics.sessionize(events, userCol, timeCol, rowIdCol, gapMicros)
+  def aggState(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
+    Analytics.aggState(df, keyCols, valueCol)
+  def mergeAggStates(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    Analytics.mergeAggStates(a, b, keyCols)
 
   // retrieval
   def bm25(df: DataFrame, idCol: String, textCol: String,

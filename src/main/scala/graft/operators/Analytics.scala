@@ -413,8 +413,52 @@ object Analytics {
     sessionize(Tables.events(s, d), "user_id", "ts", "event_id")
       .orderBy(col("user_id"), col("session_id"))
 
+  /** Mergeable per-key aggregate state — the incremental-materialized-view
+    * pattern: `aggState` reduces a batch to (keys, cnt, vsum, vmin, vmax)
+    * and [[mergeAggStates]] folds any number of such states into the state
+    * of the union, WITHOUT touching the original rows. At 100 TB this is
+    * the difference between re-scanning the fact table per refresh and
+    * aggregating only the delta partition — the same commutative-monoid
+    * algebra Spark's own partial/final aggregation exploits inside one
+    * query, exposed here ACROSS queries/batches. All four components are
+    * merge-associative (count/sum by +, min/max by min/max); avg and
+    * friends derive from the state at read time. */
+  def aggState(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "aggState: keyCols must be non-empty")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("vsum"),
+        min(col(valueCol)).as("vmin"), max(col(valueCol)).as("vmax"))
+  }
+
+  /** Folds two [[aggState]] frames (same key/state schema) into one. */
+  def mergeAggStates(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("vsum")).as("vsum"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+
+  /** Gate query: the merged state of two disjoint order batches (before /
+    * since 1997) plus read-time derived columns. The oracle computes the
+    * SAME aggregate from the raw rows in one pass — the hash gate thereby
+    * certifies the merge algebra end-to-end, not just replays it. */
+  private val q114: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val cut = lit("1997-01-01").cast("timestamp")
+    val base = aggState(orders.filter(col("o_orderdate") < cut),
+      Seq("o_orderpriority"), "o_totalprice")
+    val delta = aggState(orders.filter(col("o_orderdate") >= cut),
+      Seq("o_orderpriority"), "o_totalprice")
+    mergeAggStates(base, delta, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("cnt"),
+        round(col("vsum"), 2).as("vsum"),
+        round(col("vmin"), 2).as("vmin"), round(col("vmax"), 2).as("vmax"),
+        round(col("vsum") / col("cnt"), 4).as("vavg"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q113_sessionize" -> q113,
+    "q114_incremental_agg" -> q114,
     "q68_kmv_distinct" -> q68,
     "q69_funnel" -> q69,
     "q101_funnel_gap" -> q101,
@@ -455,6 +499,17 @@ object Analytics {
              max(us) - min(us) AS duration_us
       FROM s GROUP BY user_id, session_id
       ORDER BY user_id, session_id""",
+    // The q114 oracle is deliberately NOT a replay: it aggregates the raw
+    // rows in one pass, so the hash gate certifies that the split-batch
+    // merge algebra equals the ground-truth aggregate (2/4-dp rounds absorb
+    // double-sum association differences; cnt/min/max are exact).
+    "q114_incremental_agg" -> """
+      SELECT o_orderpriority, count(*) AS cnt,
+             round(sum(o_totalprice), 2) AS vsum,
+             round(min(o_totalprice), 2) AS vmin,
+             round(max(o_totalprice), 2) AS vmax,
+             round(sum(o_totalprice) / count(*), 4) AS vavg
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q68_kmv_distinct" -> s"""
       WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
       h AS (SELECT event_type, ${h60("CAST(user_id AS VARCHAR)")} AS hv FROM du),

@@ -45,6 +45,7 @@ object ExplainDump {
     "q111_triangles" -> "degree-ordered orientation; wedge join + closing LeftSemi — fan-out bounded by oriented out-degree",
     "q112_zorder" -> "codegen'd graft_zvalue Morton projection inside the stage; TakeOrderedAndProject top-k",
     "q113_sessionize" -> "lag flag + running-sum ids over ONE user-key sort; bounded-key session roll-up",
+    "q114_incremental_agg" -> "two batch states merged by key — the delta-refresh plan; the oracle is the full recompute",
   )
 
   def main(args: Array[String]): Unit = {

@@ -120,6 +120,29 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 1L, 1L, 0L, 0L, 0L)), s"got ${got.toSeq}")
   }
 
+  test("aggState: merging any 3-way split reproduces the single-pass state") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 900).map(i => (i, (i % 7).toLong, rnd.nextDouble() * 1000.0))
+    val df = rows.toDF("i", "k", "v")
+    val whole = Analytics.aggState(df, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // three disjoint batches, merged left-associatively
+    val parts = (0 until 3).map(p =>
+      Analytics.aggState(df.filter(col("i") % 3 === p), Seq("k"), "v"))
+    val merged = parts.reduce((a, b) => Analytics.mergeAggStates(a, b, Seq("k")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(merged.keySet == whole.keySet)
+    merged.foreach { case (k, m) =>
+      val w = whole(k)
+      assert(m.getLong(1) == w.getLong(1), s"cnt drift at k=$k")   // exact
+      assert(m.getDouble(3) == w.getDouble(3), s"min drift at k=$k") // exact
+      assert(m.getDouble(4) == w.getDouble(4), s"max drift at k=$k") // exact
+      assert(math.abs(m.getDouble(2) - w.getDouble(2)) <=
+        1e-9 * math.abs(w.getDouble(2)), s"sum drift at k=$k") // assoc-only
+    }
+  }
+
   test("mergeLatest: latest version wins; updates beat base on exact ties") {
     val base = Seq((1L, 10L, 100L, "b1"), (2L, 10L, 101L, "b2"),
       (3L, 30L, 102L, "b3")).toDF("k", "v", "seq", "payload")

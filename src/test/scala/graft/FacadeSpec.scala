@@ -119,6 +119,13 @@ class FacadeSpec extends SparkSpec {
         Analytics.sessionize(ev, "user_id", "ts", "rid")),
       ("zorderCluster", Graft.zorderCluster(docs, "doc_id", "n_chars", 8),
         operators.Layout.zorderCluster(docs, "doc_id", "n_chars", 8)),
+      ("aggState", Graft.aggState(right, Seq("k"), "v"),
+        Analytics.aggState(right, Seq("k"), "v")),
+      ("mergeAggStates",
+        Graft.mergeAggStates(Analytics.aggState(right, Seq("k"), "v"),
+          Analytics.aggState(right, Seq("k"), "v"), Seq("k")),
+        Analytics.mergeAggStates(Analytics.aggState(right, Seq("k"), "v"),
+          Analytics.aggState(right, Seq("k"), "v"), Seq("k"))),
     )
     pairs.foreach { case (n, f, d) =>
       assert(norm(f) == norm(d), s"facade.$n plan drifted from the operator's:\n${norm(f)}")
