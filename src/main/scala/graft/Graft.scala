@@ -36,6 +36,10 @@ object Graft {
     Dedup.simHashDedup(df, idCol, textCol, maxHamming)
   def dedupNearDup(df: DataFrame, idCol: String, textCol: String,
       minEst: Double = 0.35): DataFrame = Dedup.dedupNearDup(df, idCol, textCol, minEst)
+  def fuzzyJoin(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, blockPrefix: Int = 4,
+      maxBlockDf: Int = Dedup.MaxBlockDf): DataFrame =
+    Dedup.fuzzyJoin(df, idCol, textCol, maxDist, blockPrefix, maxBlockDf)
 
   // similarity search
   def knn(df: DataFrame, idCol: String, vecCol: String, isQuery: Column,

@@ -283,6 +283,54 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Default per-block candidate cap for [[fuzzyJoin]] — shared with the
+    * q115 oracle SQL so the gate checks the capped semantics. */
+  private[graft] val MaxBlockDf = 50
+
+  /** Blocked fuzzy (edit-distance) similarity join — the entity-resolution
+    * primitive: pairs of rows whose `textCol` values are within `maxDist`
+    * Levenshtein edits, found without an all-pairs comparison.
+    *
+    * Blocking (standard ER practice): candidates must share the first
+    * `blockPrefix` characters. The self-join key is that bounded prefix —
+    * an equality shuffle key, never the full value — so at 100 TB the
+    * comparison volume is Σ|block|², not n². Recall is by construction
+    * limited to same-block pairs (a pair differing inside the prefix is
+    * never compared); that trade is the published blocking semantics, same
+    * family as [[minHashLsh]]'s banding.
+    *
+    * Skew guard: a hot block (f rows → f² candidate pairs) is the fatal key
+    * at scale, exactly like a hot LSH band. Blocks keep only their
+    * `maxBlockDf` lowest-id rows (deterministic, WindowGroupLimit partial —
+    * the cap prunes before the shuffle completes); the q115 oracle replays
+    * the same cap, so the gate checks the capped semantics.
+    *
+    * Verification: a length pre-filter (|len₁−len₂| ≤ maxDist is necessary
+    * for dist ≤ maxDist) prunes DP work, then the thresholded
+    * `levenshtein(l, r, maxDist)` (codegen'd, early-exits past the bound —
+    * returns −1 above it, the exact distance at or below, so the emitted
+    * `dist` equals the oracle's full distance on every kept row). */
+  def fuzzyJoin(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, blockPrefix: Int = 4,
+      maxBlockDf: Int = MaxBlockDf): DataFrame = {
+    val w = Window.partitionBy(col("blk")).orderBy(col(idCol))
+    val capped = df
+      .select(col(idCol), col(textCol),
+        substring(col(textCol), 1, blockPrefix).as("blk"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxBlockDf)
+      .drop("_rk")
+      .localCheckpoint()
+    capped.as("x").join(capped.as("y"),
+        col("x.blk") === col("y.blk") && col(s"x.$idCol") < col(s"y.$idCol") &&
+          abs(length(col(s"x.$textCol")) - length(col(s"y.$textCol"))) <= maxDist)
+      .withColumn("dist",
+        expr(s"levenshtein(x.$textCol, y.$textCol, $maxDist)"))
+      .filter(col("dist") >= 0)
+      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"),
+        col("dist"))
+  }
+
   /** Connected components over a pair/edge DataFrame by min-label
     * propagation: every node starts labeled with itself; each iteration
     * takes the min of its own and its neighbors' labels; fixpoint = the
@@ -487,6 +535,12 @@ object Dedup {
     "q108_simhash_dedup" -> ((s, d) =>
       simHashDedup(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // part.p_name is the adversarial blocking fixture: 64 distinct names
+    // over the whole table, so every block is hot and the MaxBlockDf cap
+    // (not fixture luck) governs the result.
+    "q115_fuzzy_join" -> ((s, d) =>
+      fuzzyJoin(Tables.part(s, d), "p_partkey", "p_name")
+        .orderBy(col("id1"), col("id2"))),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -677,5 +731,19 @@ object Dedup {
         SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
       SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
       FROM reach GROUP BY a ORDER BY doc_id""",
+    "q115_fuzzy_join" -> s"""
+      WITH capped AS (
+        SELECT p_partkey AS id, p_name AS nm,
+               substr(p_name, 1, 4) AS blk,
+               row_number() OVER (PARTITION BY substr(p_name, 1, 4)
+                                  ORDER BY p_partkey) AS rk
+        FROM part)
+      SELECT x.id AS id1, y.id AS id2,
+             CAST(levenshtein(x.nm, y.nm) AS INT) AS dist
+      FROM capped x JOIN capped y ON x.blk = y.blk AND x.id < y.id
+      WHERE x.rk <= $MaxBlockDf AND y.rk <= $MaxBlockDf
+        AND abs(length(x.nm) - length(y.nm)) <= 3
+        AND levenshtein(x.nm, y.nm) <= 3
+      ORDER BY id1, id2""",
   )
 }

@@ -137,6 +137,36 @@ object ScaleSmoke {
     time("triangleCount 1x", Graph.triangleCount(triEdges, "src", "dst"))
     time(s"triangleCount ${k}x (disjoint copies)",
       Graph.triangleCount(triBlown, "src", "dst"))
+    // Sessionize (one user-key sort), z-order clustering (map-side key +
+    // one range exchange), and incremental agg (two bounded-key aggregates)
+    // — all should scale linearly in input rows.
+    import graft.operators.Layout
+    val ev2 = Tables.events(spark, sfDir).select("user_id", "ts", "event_id")
+    val ev2Blown = (0 until k).map { c =>
+      ev2.select((col("user_id") + lit(c * 1000000L)).as("user_id"), col("ts"),
+        (col("event_id") + lit(c * 100000000L)).as("event_id"))
+    }.reduce(_ union _).localCheckpoint()
+    time("sessionize 1x", Analytics.sessionize(ev2, "user_id", "ts", "event_id"))
+    time(s"sessionize ${k}x",
+      Analytics.sessionize(ev2Blown, "user_id", "ts", "event_id"))
+    val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
+    val liBlown = (0 until k).map(_ => li).reduce(_ union _).localCheckpoint()
+    time("zorderCluster 1x", Layout.zorderCluster(li, "l_partkey", "l_suppkey"))
+    time(s"zorderCluster ${k}x",
+      Layout.zorderCluster(liBlown, "l_partkey", "l_suppkey"))
+    val ords = Tables.orders(spark, sfDir)
+    val ordsBlown = (0 until k).map(_ => ords).reduce(_ union _).localCheckpoint()
+    def incAgg(df: org.apache.spark.sql.DataFrame) = {
+      val cut = lit("1997-01-01").cast("timestamp")
+      Analytics.mergeAggStates(
+        Analytics.aggState(df.filter(col("o_orderdate") < cut),
+          Seq("o_orderpriority"), "o_totalprice"),
+        Analytics.aggState(df.filter(col("o_orderdate") >= cut),
+          Seq("o_orderpriority"), "o_totalprice"),
+        Seq("o_orderpriority"))
+    }
+    time("incrementalAgg 1x", incAgg(ords))
+    time(s"incrementalAgg ${k}x", incAgg(ordsBlown))
     spark.stop()
   }
 }

@@ -163,6 +163,8 @@ class FacadeSpec extends SparkSpec {
       rows(Dedup.simHashNearDup(docs, "doc_id", "text")))
     assert(rows(Graft.lmScore(docs, "doc_id", "text", col("lang") === "en")) ==
       rows(TextAnalysis.lmScore(docs, "doc_id", "text", col("lang") === "en")))
+    assert(rows(Graft.fuzzyJoin(docs, "doc_id", "text")) ==
+      rows(Dedup.fuzzyJoin(docs, "doc_id", "text")))
   }
 
   test("ngramJaccard threads maxDf: a df-cap of 0 excludes every shingle") {

@@ -516,6 +516,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain at least one near-dup pair")
   }
 
+  test("fuzzyJoin: equals brute-force blocked edit distance; cap bounds hot blocks") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "acme corporation"), (2L, "acme corp"), (3L, "acme corporatin"),
+      (4L, "zenith labs"), (5L, "zenith lab"), (6L, "apex industries"),
+      (7L, "akme corporation"), (8L, "totally different"))
+    val df = rows.toDF("id", "nm")
+    // Brute-force replay of the published semantics: same 4-char block,
+    // length gap <= maxDist, exact Levenshtein <= maxDist.
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (i1, t1) <- rows; (i2, t2) <- rows
+      if i1 < i2 && t1.take(4) == t2.take(4) &&
+        math.abs(t1.length - t2.length) <= 2 && lev(t1, t2) <= 2
+    } yield (i1, i2, lev(t1, t2))).toSet
+    val got = Dedup.fuzzyJoin(df, "id", "nm", maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect, s"fuzzy join diverged: $got vs $expect")
+    assert(expect.contains((1L, 3L, 1)) && !expect.exists {
+      case (a, b, _) => Set(a, b).contains(8L) }, "fixture sanity")
+    // (1,7) differ inside the prefix -> never compared (blocking semantics).
+    assert(!got.exists { case (a, b, _) => Set(a, b) == Set(1L, 7L) })
+    // Hot block: 100 near-identical names, cap 10 -> at most 45 pairs, and
+    // the kept rows are the 10 lowest ids (deterministic keeper rule).
+    val hot = (1L to 100L).map(i => (i, s"samename$i")).toDF("id", "nm")
+    val capped = Dedup.fuzzyJoin(hot, "id", "nm", maxDist = 3, maxBlockDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.length <= 45, s"cap failed: ${capped.length} pairs")
+    assert(capped.flatMap(p => Seq(p._1, p._2)).forall(_ <= 10L),
+      "cap must keep the lowest-id rows per block")
+  }
+
   test("weightedSample: partitioning-invariant and prefix-consistent") {
     val docs = Tables.documents(spark, sf0001)
     def rows(df: org.apache.spark.sql.DataFrame) =
