@@ -163,6 +163,10 @@ object Graft {
     Analytics.sessionize(events, userCol, timeCol, rowIdCol, gapMicros)
   def aggState(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
     Analytics.aggState(df, keyCols, valueCol)
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String): DataFrame = Analytics.scd2(df, keyCol, tsCol, idCol, valCol)
+  def skyline(df: DataFrame, minCol: String, maxCol: String,
+      numGroups: Int = 64): DataFrame = Analytics.skyline(df, minCol, maxCol, numGroups)
   def mergeAggStates(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
     Analytics.mergeAggStates(a, b, keyCols)
 

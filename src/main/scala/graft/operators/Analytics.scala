@@ -456,9 +456,101 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  // --------------------------------------------------------------- SCD2 --
+
+  /** Batch SCD2 (slowly-changing-dimension type 2) interval construction:
+    * collapse a key's time-ordered attribute stream into validity intervals
+    * — one row per run of consecutive equal values, with `valid_from_us`
+    * (first observation), `valid_to_us` (next run's start, null while
+    * current), and the run's event count. The batch complement of the
+    * streaming CDC upsert (q87): that keeps only the latest value, this
+    * keeps the full history as ranges — the dimension-table shape every
+    * warehouse join-asof consumes.
+    *
+    * Change detection is a null-safe `<=>` against the lagged value (a
+    * null attribute forms runs like any other value) with a row_number
+    * guard so a key's first row ALWAYS opens a run — even when the first
+    * value is null, where `lag IS NOT DISTINCT FROM value` alone would
+    * miss it. Times are integer epoch micros with the
+    * (time, event id) tie-break — the [[sessionize]]/[[funnel]] convention,
+    * exact cross-engine.
+    *
+    * Scale shape: the lag flag and run ids share ONE (key)-partitioned
+    * (time, id)-ordered sort — O(1) state per row; the interval roll-up is
+    * a grouped aggregate and the `valid_to` stitch is a lead over the
+    * RUNS frame (already collapsed, orders of magnitude smaller than the
+    * event frame). Nothing buffers a key's history in memory. */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("us"), col(idCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = df
+      .select(col(keyCol), col(idCol), col(valCol),
+        unix_micros(col(tsCol)).as("us"))
+      .withColumn("chg",
+        when(row_number().over(w) === 1 ||
+          !(lag(col(valCol), 1).over(w) <=> col(valCol)), 1L).otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(wRun))
+      .groupBy(col(keyCol), col("run"), col(valCol))
+      .agg(min(col("us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+    val wRuns = Window.partitionBy(col(keyCol)).orderBy(col("run"))
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wRuns))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
+  private val q116: Q = (s, d) =>
+    scd2(Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("user_id"), col("run"))
+
+  // ------------------------------------------------------------ skyline --
+
+  /** 2-D skyline (Pareto frontier): rows not strictly dominated on
+    * (minimize `minCol`, maximize `maxCol`) — q dominates p iff q is no
+    * worse in both dimensions and strictly better in one. Emits every input
+    * row attaining a frontier point (ties included), the standard
+    * NOT-EXISTS semantics the oracle replays literally.
+    *
+    * Scale shape — never the n² pairwise test: (1) collapse to the best
+    * `maxCol` per distinct `minCol` (hash aggregate; the frontier can only
+    * contain per-x maxima); (2) prune locally — within arbitrary hash
+    * groups of that collapsed frame, a running max over x-ascending order
+    * drops dominated points (domination within ANY subset implies global
+    * domination, so group choice affects only prune rate, not
+    * correctness); (3) one global running-max pass over the survivors —
+    * single-partition by necessity, but its input is each group's local
+    * frontier, typically output-sized; (4) a semi-join (broadcast-small
+    * frontier) recovers the attaining rows. Stages 1–3 touch only the two
+    * dimension columns. */
+  def skyline(df: DataFrame, minCol: String, maxCol: String,
+      numGroups: Int = 64): DataFrame = {
+    val best = df.groupBy(col(minCol)).agg(max(col(maxCol)).as("_by"))
+    val wl = Window.partitionBy(col("_g")).orderBy(col(minCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = best
+      .withColumn("_g", pmod(hash(col(minCol)), lit(numGroups)))
+      .withColumn("_m", max(col("_by")).over(wl))
+      .filter(col("_m").isNull || col("_by") > col("_m"))
+      .drop("_g", "_m")
+    val wg = Window.orderBy(col(minCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = local
+      .withColumn("_m", max(col("_by")).over(wg))
+      .filter(col("_m").isNull || col("_by") > col("_m"))
+      .select(col(minCol), col("_by").as(maxCol))
+    df.join(broadcast(frontier), Seq(minCol, maxCol), "left_semi")
+  }
+
+  private val q117: Q = (s, d) =>
+    skyline(Tables.part(s, d).select("p_partkey", "p_retailprice", "p_size"),
+      "p_retailprice", "p_size")
+      .orderBy(col("p_partkey"))
+
   val queries: Map[String, Q] = Map(
     "q113_sessionize" -> q113,
     "q114_incremental_agg" -> q114,
+    "q116_scd2" -> q116,
+    "q117_skyline" -> q117,
     "q68_kmv_distinct" -> q68,
     "q69_funnel" -> q69,
     "q101_funnel_gap" -> q101,
@@ -510,6 +602,45 @@ object Analytics {
              round(max(o_totalprice), 2) AS vmax,
              round(sum(o_totalprice) / count(*), 4) AS vavg
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // Replays scd2: epoch-micros times, (us, event_id) tie-break, run flag
+    // = first-row-of-key OR value IS DISTINCT FROM lagged value, running
+    // sum → run ids, interval roll-up, lead stitch for valid_to. Window
+    // sum of BIGINT is HUGEINT in DuckDB — CAST back.
+    "q116_scd2" -> """
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      l AS (SELECT user_id, event_type, us,
+                   CASE WHEN row_number() OVER w = 1
+                          OR lag(event_type) OVER w IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END AS chg,
+                   event_id
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      r AS (SELECT user_id, event_type, us,
+                   CAST(sum(chg) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS run
+            FROM l),
+      g AS (SELECT user_id, run, event_type,
+                   min(us) AS valid_from_us, count(*) AS n_events
+            FROM r GROUP BY user_id, run, event_type)
+      SELECT user_id, run, event_type, valid_from_us, n_events,
+             lead(valid_from_us) OVER wr AS valid_to_us,
+             lead(valid_from_us) OVER wr IS NULL AS is_current
+      FROM g
+      WINDOW wr AS (PARTITION BY user_id ORDER BY run)
+      ORDER BY user_id, run""",
+    // The declarative ground truth for the skyline: literal strict-
+    // domination NOT EXISTS (n² in the oracle, never in the operator).
+    "q117_skyline" -> """
+      SELECT p.p_partkey, p.p_retailprice, p.p_size
+      FROM part p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      ORDER BY p_partkey""",
     "q68_kmv_distinct" -> s"""
       WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
       h AS (SELECT event_type, ${h60("CAST(user_id AS VARCHAR)")} AS hv FROM du),

@@ -46,6 +46,9 @@ object ExplainDump {
     "q112_zorder" -> "codegen'd graft_zvalue Morton projection inside the stage; TakeOrderedAndProject top-k",
     "q113_sessionize" -> "lag flag + running-sum ids over ONE user-key sort; bounded-key session roll-up",
     "q114_incremental_agg" -> "two batch states merged by key — the delta-refresh plan; the oracle is the full recompute",
+    "q115_fuzzy_join" -> "prefix-block equality self-join; length pre-filter + thresholded levenshtein in the join stage, never n²",
+    "q116_scd2" -> "change flag + run ids over ONE key-sort; interval roll-up; lead stitch over the collapsed runs frame",
+    "q117_skyline" -> "per-x max collapse → grouped local prune → global pass over local frontiers → broadcast semi-join back",
   )
 
   def main(args: Array[String]): Unit = {

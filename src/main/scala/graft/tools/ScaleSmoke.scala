@@ -167,6 +167,30 @@ object ScaleSmoke {
     }
     time("incrementalAgg 1x", incAgg(ords))
     time(s"incrementalAgg ${k}x", incAgg(ordsBlown))
+    // fuzzyJoin on the k×-duplicated corpus is the all-blocks-hot regime:
+    // every text appears k times, so every prefix block carries k× rows and
+    // the maxBlockDf cap (not fixture luck) governs the join volume.
+    time("fuzzyJoin 1x", Dedup.fuzzyJoin(base, "doc_id", "text"))
+    time(s"fuzzyJoin ${k}x (duplicated corpus)",
+      Dedup.fuzzyJoin(blown, "doc_id", "text"))
+    // scd2 over k disjoint user-id copies: same runs per user, k× the keys.
+    val ev3 = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type")
+    val ev3Blown = (0 until k).map { c =>
+      ev3.select((col("user_id") + lit(c * 1000000L)).as("user_id"), col("ts"),
+        (col("event_id") + lit(c * 100000000L)).as("event_id"),
+        col("event_type"))
+    }.reduce(_ union _).localCheckpoint()
+    time("scd2 1x", Analytics.scd2(ev3, "user_id", "ts", "event_id", "event_type"))
+    time(s"scd2 ${k}x",
+      Analytics.scd2(ev3Blown, "user_id", "ts", "event_id", "event_type"))
+    // skyline over k unioned lineitem copies: k× rows, identical frontier
+    // (duplicates are frontier ties) — the prune stages absorb the blowup.
+    val sky = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_quantity")
+    val skyBlown = (0 until k).map(_ => sky).reduce(_ union _).localCheckpoint()
+    time("skyline 1x", Analytics.skyline(sky, "l_extendedprice", "l_quantity"))
+    time(s"skyline ${k}x", Analytics.skyline(skyBlown, "l_extendedprice", "l_quantity"))
     spark.stop()
   }
 }

@@ -278,6 +278,65 @@ class AnalyticsSpec extends SparkSpec {
       s"expected exactly one full-outer join (no per-column subqueries):\n$p")
   }
 
+  // --------------------------------------------------------------- scd2 --
+
+  test("scd2: run collapse, interval stitching, null values form runs") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    val df = Seq(
+      (1L, t(0), 1L, "a"), (1L, t(10), 2L, "a"), (1L, t(20), 3L, "b"),
+      (1L, t(30), 4L, "a"),
+      (2L, t(0), 5L, null), (2L, t(10), 6L, null), (2L, t(20), 7L, "x"))
+      .toDF("k", "ts", "id", "v")
+    val got = Analytics.scd2(df, "k", "ts", "id", "v")
+      .orderBy("k", "run")
+      .select("k", "run", "v", "valid_from_us", "valid_to_us", "n_events",
+        "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5),
+        r.getBoolean(6)))
+      .toSeq
+    val M = 1000000L
+    assert(got == Seq(
+      (1L, 1L, "a", 0L, 20 * M, 2L, false),
+      (1L, 2L, "b", 20 * M, 30 * M, 1L, false),
+      (1L, 3L, "a", 30 * M, -1L, 1L, true),
+      (2L, 1L, null, 0L, 20 * M, 2L, false),
+      (2L, 2L, "x", 20 * M, -1L, 1L, true)), s"got ${got.mkString("; ")}")
+    // Intervals tile each key's timeline: every valid_to == next valid_from
+    // (checked above) and exactly one current row per key.
+    assert(got.count(_._7) == 2)
+  }
+
+  // ------------------------------------------------------------ skyline --
+
+  test("skyline: equals brute-force strict domination; ties kept; group-count invariant") {
+    val rows = Seq(
+      (1L, 10.0, 5), (2L, 10.0, 5), (3L, 10.0, 9), (4L, 12.0, 9),
+      (5L, 8.0, 3), (6L, 15.0, 50), (7L, 15.0, 49), (8L, 7.9, 3),
+      (9L, 20.0, 50))
+    val df = rows.toDF("id", "price", "size")
+    val expect = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, qx, qy) =>
+        qx <= x && qy >= y && (qx < x || qy > y) }
+    }.map(_._1).toSet
+    // (3) frontier at 10/9; (1)(2) dominated by (3); (5) dominated by (8);
+    // (6) frontier; (7) dominated by (6); (8) frontier; (9) dominated by
+    // (6). Ties on a frontier POINT are kept, dominated ties are not.
+    assert(expect == Set(3L, 6L, 8L), "fixture sanity")
+    for (groups <- Seq(1, 2, 64)) {
+      val got = Analytics.skyline(df, "price", "size", numGroups = groups)
+        .select("id").as[Long].collect().toSet
+      assert(got == expect, s"numGroups=$groups: $got vs $expect")
+    }
+    // Equal-point frontier ties are ALL emitted.
+    val tied = (rows :+ (10L, 7.9, 3)).toDF("id", "price", "size")
+    val gotTied = Analytics.skyline(tied, "price", "size")
+      .select("id").as[Long].collect().toSet
+    assert(gotTied == Set(3L, 6L, 8L, 10L), s"got $gotTied")
+  }
+
   // ---------------------------------------------------------- histogram --
 
   test("histogram: bins partition the input; out-of-range values clamp") {

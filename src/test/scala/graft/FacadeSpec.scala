@@ -121,6 +121,10 @@ class FacadeSpec extends SparkSpec {
         operators.Layout.zorderCluster(docs, "doc_id", "n_chars", 8)),
       ("aggState", Graft.aggState(right, Seq("k"), "v"),
         Analytics.aggState(right, Seq("k"), "v")),
+      ("scd2", Graft.scd2(ev, "user_id", "ts", "rid", "event_type"),
+        Analytics.scd2(ev, "user_id", "ts", "rid", "event_type")),
+      ("skyline", Graft.skyline(right, "k", "v"),
+        Analytics.skyline(right, "k", "v")),
       ("mergeAggStates",
         Graft.mergeAggStates(Analytics.aggState(right, Seq("k"), "v"),
           Analytics.aggState(right, Seq("k"), "v"), Seq("k")),
