@@ -23,6 +23,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    // SPARK_GRAFT_BENCH_GC=1 enables an untimed System.gc() between
+    // queries. Default OFF: a 3×-interleaved A/B on an 18-query subset
+    // measured GC-on at 25.7/63.6/22.7 s vs GC-off at 23.0/22.4/20.5 s —
+    // the forced full GCs add jitter here and never helped the bench,
+    // unlike ScaleSmoke, whose heavyweight K× checkpoint fixtures DO need
+    // the between-op GC (PERF.md round-8 hygiene notes).
+    val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "0") == "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -47,12 +54,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    /** `runs` back-to-back samples; stops at the first failure. */
+    /** `runs` back-to-back samples; stops at the first failure. The
+      * untimed GC between queries lets ContextCleaner reclaim the
+      * localCheckpoint blocks iterative queries (components, PageRank,
+      * capped joins) leave in the block manager — without it, hundreds of
+      * timed executions accumulate dead blocks whose memory pressure
+      * surfaces as the "warm runs slower than cold" profile r7 measured
+      * on q89 (PERF.md). */
     def exec(name: String): Seq[Double] = {
       val samples = Iterator.continually(execOnce(name))
         .take(runs).takeWhile(_ >= 0).toSeq
       if (samples.size < runs) return Seq(-1.0)
       System.err.println(f"[bench] $name%-28s ${samples.map(s => f"$s%7.2fs").mkString(" ")}")
+      if (gcBetween) System.gc()
       samples
     }
     def median(xs: Seq[Double]): Double = {
