@@ -165,6 +165,11 @@ object Graft {
     Analytics.aggState(df, keyCols, valueCol)
   def scd2(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
       valCol: String): DataFrame = Analytics.scd2(df, keyCol, tsCol, idCol, valCol)
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 50): DataFrame = TextAnalysis.vocabCoverage(df, idCol, textCol, topK)
+  def corpusMix(df: DataFrame, idCol: String, groupCol: String,
+      weights: Map[String, Double], n: Long): DataFrame =
+    TextAnalysis.corpusMix(df, idCol, groupCol, weights, n)
   def skyline(df: DataFrame, minCol: String, maxCol: String,
       numGroups: Int = 64): DataFrame = Analytics.skyline(df, minCol, maxCol, numGroups)
   def mergeAggStates(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =

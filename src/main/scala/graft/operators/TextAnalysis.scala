@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -638,7 +638,101 @@ object TextAnalysis {
     corpusDecision(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------- vocab coverage --
+
+  /** Tokenizer-vocabulary induction with coverage: the top-K corpus tokens
+    * by frequency, each with its rank and the CUMULATIVE fraction of all
+    * token occurrences the vocabulary covers through that rank — the curve
+    * every tokenizer design reads ("how big must the vocab be for 95 %
+    * coverage?"). Tie-break (count desc, token asc) is total, so ranks are
+    * deterministic cross-engine.
+    *
+    * Scale shape: the (token → count) aggregate is the only corpus-sized
+    * shuffle (map-side partial combine; vocab-bounded output). That frame
+    * is localCheckpoint'ed because two derivations read it — the grand
+    * total and the top-K — and recomputing the corpus explode per leg
+    * would double the only expensive scan. Top-K is `orderBy.limit` →
+    * TakeOrderedAndProject (no global sort); the running coverage sum runs
+    * on K rows. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 50): DataFrame = {
+    require(topK > 0, s"vocabCoverage: topK must be > 0, got $topK")
+    val vocab = df
+      .select(explode(expr(toksOf(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val total = vocab.agg(sum(col("cnt"))).head().getLong(0).toDouble
+    val top = vocab.orderBy(col("cnt").desc, col("token")).limit(topK)
+    val wRank = Window.orderBy(col("cnt").desc, col("token"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("cum_frac",
+        round(sum(col("cnt")).over(wCum) / lit(total), 6))
+  }
+
+  private val q118: Q = (s, d) =>
+    vocabCoverage(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("rank"))
+
+  // ------------------------------------------------------- corpus mixing --
+
+  /** Deterministic corpus mixture resampling — the "data mixing" step of
+    * every LLM pipeline: draw a corpus of ~`n` documents whose group
+    * (domain/language) proportions follow `weights`, not the crawl's
+    * natural skew. Per-group quota = ⌊normalized weight × n⌋; within a
+    * group the kept rows are the quota-first in md5(group|id) order — the
+    * same keyed-hash "random but reproducible" draw as [[hashSplit]], so
+    * the sample is partitioning- and run-invariant, and growing `n` only
+    * ever ADDS rows (prefix property, like [[weightedSample]]). Groups
+    * absent from `weights` contribute nothing; a group smaller than its
+    * quota is taken whole.
+    *
+    * Scale shape: quotas broadcast (|weights| rows); the only exchange is
+    * the per-group window sort. The constant bound `rank <= max-quota` is
+    * written alongside the per-group `rank <= quota` so the optimizer's
+    * InferWindowGroupLimit prunes to max-quota rows per group BEFORE the
+    * full sort completes — per-executor state is O(max quota), never a
+    * group's full population. */
+  def corpusMix(df: DataFrame, idCol: String, groupCol: String,
+      weights: Map[String, Double], n: Long): DataFrame = {
+    require(weights.nonEmpty, "corpusMix: weights must be non-empty")
+    require(weights.values.forall(_ >= 0) && weights.values.sum > 0,
+      s"corpusMix: weights must be non-negative with a positive sum: $weights")
+    require(n > 0, s"corpusMix: n must be > 0, got $n")
+    val s = df.sparkSession
+    val wsum = weights.values.sum
+    val quotaRows = weights.toSeq.map { case (g, w) =>
+      Row(g, math.floor(w / wsum * n).toLong)
+    }
+    val quotas = s.createDataFrame(
+      s.sparkContext.parallelize(quotaRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(groupCol,
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_quota",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val qmax = quotaRows.map(_.getLong(1)).max
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat_ws("|", col(groupCol), col(idCol))), col(idCol))
+    df.join(broadcast(quotas), Seq(groupCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= lit(qmax) && col("_rk") <= col("_quota"))
+      .select(col(idCol), col(groupCol), col("_rk").cast("int").as("pick_rank"))
+  }
+
+  /** q119's mixture — constants shared with the oracle SQL. */
+  private[graft] val MixWeights =
+    Seq("en" -> 0.5, "zh" -> 0.2, "de" -> 0.2, "fr" -> 0.1)
+  private[graft] val MixN = 200L
+
+  private val q119: Q = (s, d) =>
+    corpusMix(Tables.documents(s, d), "doc_id", "lang", MixWeights.toMap, MixN)
+      .orderBy(col("lang"), col("pick_rank"))
+
   val queries: Map[String, Q] = Map(
+    "q118_vocab_coverage" -> q118,
+    "q119_corpus_mix" -> q119,
     "q47_curation" -> q47,
     "q48_hash_split" -> q48,
     "q56_tfidf" -> q56,
@@ -661,6 +755,43 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays vocabCoverage: same whitespace tokens, (cnt desc, token)
+    // total order, top-50, running-coverage sum over the grand total.
+    // count(*)/window-sum are HUGEINT in DuckDB — CAST before the divide;
+    // row_number is BIGINT — CAST to INT to match Spark.
+    "q118_vocab_coverage" -> """
+      WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                 x -> x <> '')) AS token
+                   FROM documents),
+      v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+      t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v),
+      k AS (SELECT token, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT)
+                     AS rank
+            FROM v ORDER BY cnt DESC, token LIMIT 50)
+      SELECT token, cnt, rank,
+             round(CAST(sum(cnt) OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / (SELECT total FROM t), 6) AS cum_frac
+      FROM k ORDER BY rank""",
+    // Replays corpusMix: identical literal weights/n, floor quotas over the
+    // normalized weights, md5(group|id) draw order with the id tie-break.
+    "q119_corpus_mix" -> s"""
+      WITH w(lang, wt) AS (VALUES ${MixWeights
+        .map { case (g, x) => s"('$g', $x)" }.mkString(", ")}),
+      q AS (SELECT lang,
+                   CAST(floor(wt / (SELECT sum(wt) FROM w) * $MixN) AS BIGINT)
+                     AS quota
+            FROM w),
+      r AS (SELECT doc_id, d.lang,
+                   row_number() OVER (PARTITION BY d.lang
+                     ORDER BY md5(d.lang || '|' || CAST(doc_id AS VARCHAR)),
+                              doc_id) AS rk
+            FROM documents d JOIN q ON d.lang = q.lang)
+      SELECT doc_id, lang, CAST(rk AS INT) AS pick_rank
+      FROM r JOIN q USING (lang)
+      WHERE rk <= quota
+      ORDER BY lang, pick_rank""",
     // Replays repetitionSignals: same integer counts, same single IEEE
     // division + 4-dp round, verdict over the rounded values.
     "q57_repetition" -> """

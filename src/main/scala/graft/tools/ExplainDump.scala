@@ -49,6 +49,8 @@ object ExplainDump {
     "q115_fuzzy_join" -> "prefix-block equality self-join; length pre-filter + thresholded levenshtein in the join stage, never n²",
     "q116_scd2" -> "change flag + run ids over ONE key-sort; interval roll-up; lead stitch over the collapsed runs frame",
     "q117_skyline" -> "per-x max collapse → grouped local prune → global pass over local frontiers → broadcast semi-join back",
+    "q118_vocab_coverage" -> "one corpus-sized token aggregate (checkpointed once for both legs); top-K as TakeOrderedAndProject; coverage sum over K rows",
+    "q119_corpus_mix" -> "broadcast quotas; constant max-quota bound compiles to a WindowGroupLimit partial before the per-group sort",
   )
 
   def main(args: Array[String]): Unit = {

@@ -125,6 +125,9 @@ class FacadeSpec extends SparkSpec {
         Analytics.scd2(ev, "user_id", "ts", "rid", "event_type")),
       ("skyline", Graft.skyline(right, "k", "v"),
         Analytics.skyline(right, "k", "v")),
+      ("corpusMix", Graft.corpusMix(docs, "doc_id", "lang",
+          Map("en" -> 1.0), 5L),
+        TextAnalysis.corpusMix(docs, "doc_id", "lang", Map("en" -> 1.0), 5L)),
       ("mergeAggStates",
         Graft.mergeAggStates(Analytics.aggState(right, Seq("k"), "v"),
           Analytics.aggState(right, Seq("k"), "v"), Seq("k")),
@@ -169,6 +172,8 @@ class FacadeSpec extends SparkSpec {
       rows(TextAnalysis.lmScore(docs, "doc_id", "text", col("lang") === "en")))
     assert(rows(Graft.fuzzyJoin(docs, "doc_id", "text")) ==
       rows(Dedup.fuzzyJoin(docs, "doc_id", "text")))
+    assert(rows(Graft.vocabCoverage(docs, "doc_id", "text")) ==
+      rows(TextAnalysis.vocabCoverage(docs, "doc_id", "text")))
   }
 
   test("ngramJaccard threads maxDf: a df-cap of 0 excludes every shingle") {

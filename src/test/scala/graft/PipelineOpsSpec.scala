@@ -555,6 +555,56 @@ class PipelineOpsSpec extends SparkSpec {
       "cap must keep the lowest-id rows per block")
   }
 
+  test("vocabCoverage: hand replay, total order, coverage reaches 1.0 at full vocab") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"), (2L, "a b c d"), (3L, "a  a")).toDF("doc_id", "text")
+    // counts: a=6, b=3, c=2, d=1 (double space must not mint empty tokens)
+    val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", topK = 3)
+      .select("token", "cnt", "rank", "cum_frac")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._3)
+    assert(got.toSeq == Seq(
+      ("a", 6L, 1, 0.5), ("b", 3L, 2, 0.75), ("c", 2L, 3, math.BigDecimal(11.0/12).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      s"got ${got.mkString("; ")}")
+    val full = TextAnalysis.vocabCoverage(docs, "doc_id", "text", topK = 10)
+      .orderBy(col("rank")).collect()
+    assert(full.length == 4 && full.last.getDouble(3) == 1.0,
+      "full vocab must cover 1.0")
+    // Deterministic under physical layout.
+    val re = TextAnalysis.vocabCoverage(docs.repartition(7), "doc_id", "text", 3)
+      .collect().map(r => (r.getString(0), r.getInt(2))).toSet
+    assert(re == got.map(t => (t._1, t._3)).toSet)
+  }
+
+  test("corpusMix: quotas, prefix property, small groups taken whole, absent groups dropped") {
+    val docs = Tables.documents(spark, sf0001)
+    val w = Map("en" -> 0.5, "de" -> 0.5)
+    val got = TextAnalysis.corpusMix(docs, "doc_id", "lang", w, 20L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang.keySet == Set("en", "de"), s"absent langs leaked: $byLang")
+    assert(byLang.values.forall(_ <= 10), s"quota exceeded: $byLang")
+    // Prefix property: the n=20 draw is a per-group prefix of the n=40 draw.
+    val bigger = TextAnalysis.corpusMix(docs, "doc_id", "lang", w, 40L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got.forall(bigger.contains), "growing n must only add rows")
+    // Partitioning-invariant (md5 draw, not RNG).
+    val re = TextAnalysis.corpusMix(docs.repartition(7), "doc_id", "lang", w, 20L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(re == got.toSet)
+    // A quota larger than the group takes the whole group, no padding.
+    val tiny = TextAnalysis.corpusMix(docs, "doc_id", "lang",
+      Map("de" -> 1.0), 100000L).collect()
+    val nDe = docs.filter(col("lang") === "de").count()
+    assert(tiny.length == nDe, s"${tiny.length} vs $nDe")
+    // The constant max-quota bound compiles to a WindowGroupLimit partial.
+    val plan = TextAnalysis.corpusMix(docs, "doc_id", "lang", w, 20L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit partial in:\n$plan")
+  }
+
   test("weightedSample: partitioning-invariant and prefix-consistent") {
     val docs = Tables.documents(spark, sf0001)
     def rows(df: org.apache.spark.sql.DataFrame) =
