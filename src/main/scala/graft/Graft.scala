@@ -156,6 +156,9 @@ object Graft {
     Analytics.tableDiff(a, b, keyCols, compareCols)
   def histogram(df: DataFrame, valueCol: String, lo: Double, width: Double,
       nBins: Int): DataFrame = Analytics.histogram(df, valueCol, lo, width, nBins)
+  def histogramQuantiles(df: DataFrame, valueCol: String, lo: Double,
+      width: Double, nBins: Int, ps: Seq[Double]): DataFrame =
+    Analytics.histogramQuantiles(df, valueCol, lo, width, nBins, ps)
   def packShards(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long): DataFrame = Packing.packShards(df, idCol, tokenCol, budget)
   def sessionize(events: DataFrame, userCol: String, timeCol: String,

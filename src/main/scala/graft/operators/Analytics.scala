@@ -546,11 +546,67 @@ object Analytics {
       "p_retailprice", "p_size")
       .orderBy(col("p_partkey"))
 
+  // ------------------------------------------------ histogram quantiles --
+
+  /** Quantile estimation from fixed-bin histogram state — the no-global-sort
+    * quantile path at 100 TB: exact `percentile_cont` needs a full sort (or
+    * a per-group buffer of every value); this reduces the corpus to O(nBins)
+    * mergeable counts (the same clamp-binning as [[histogram]], so existing
+    * histogram state can be reused), then interpolates each requested
+    * quantile inside its covering bin. Estimate error is bounded by the bin
+    * width — the operator surfaces the covering bin so callers can see the
+    * resolution they bought. Deterministic: bins are exact integer counts,
+    * the rank r = p × total and the interpolation are fixed-order IEEE
+    * arithmetic, identical cross-engine (6-dp round absorbs nothing — it is
+    * cosmetic).
+    *
+    * Scale shape: the binning aggregate is the ONLY corpus-sized stage
+    * (map-side partial combine into ≤ nBins groups); the cumulative walk
+    * and the quantile probe run on ≤ nBins × |ps| rows. The counts are
+    * merge-associative, so per-batch histograms fold into corpus quantiles
+    * without re-scanning history — the [[aggState]] economics applied to
+    * distributions. */
+  def histogramQuantiles(df: DataFrame, valueCol: String, lo: Double,
+      width: Double, nBins: Int, ps: Seq[Double]): DataFrame = {
+    require(nBins >= 1 && width > 0.0,
+      s"histogramQuantiles: need nBins >= 1 and width > 0, got $nBins/$width")
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"histogramQuantiles: quantiles must be in (0, 1]: $ps")
+    val h = df
+      .withColumn("bin",
+        least(greatest(floor((col(valueCol) - lo) / width), lit(0L)),
+          lit(nBins - 1L)).cast("int"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val wc = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("cum", sum(col("n")).over(wc))
+      .withColumn("total",
+        sum(col("n")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val psDf = df.sparkSession.range(1)
+      .select(explode(array(ps.map(lit(_)): _*)).as("p"))
+    cum
+      .crossJoin(psDf)
+      .filter((col("cum") - col("n")) < col("p") * col("total") &&
+        col("cum") >= col("p") * col("total"))
+      .select(col("p"), col("bin"),
+        round(lit(lo) + lit(width) * (col("bin") +
+          (col("p") * col("total") - (col("cum") - col("n"))) / col("n")),
+          6).as("q_est"))
+  }
+
+  private val q120: Q = (s, d) =>
+    histogramQuantiles(Tables.lineitem(s, d), "l_extendedprice",
+      0.0, 5000.0, 20, Seq(0.5, 0.9, 0.95, 0.99))
+      .orderBy(col("p"))
+
   val queries: Map[String, Q] = Map(
     "q113_sessionize" -> q113,
     "q114_incremental_agg" -> q114,
     "q116_scd2" -> q116,
     "q117_skyline" -> q117,
+    "q120_hist_quantiles" -> q120,
     "q68_kmv_distinct" -> q68,
     "q69_funnel" -> q69,
     "q101_funnel_gap" -> q101,
@@ -809,6 +865,30 @@ object Analytics {
             FROM j)
       SELECT change, count(*) AS n, round(sum(price), 2) AS price_mass
       FROM c GROUP BY change ORDER BY change""",
+    // Replays histogramQuantiles: identical clamp-binning, cumulative walk,
+    // rank r = p × total, and in-bin interpolation — all fixed-order double
+    // arithmetic. VALUES literals are DECIMAL in DuckDB — CAST p to DOUBLE
+    // so the rank/interpolation arithmetic is IEEE like Spark's.
+    "q120_hist_quantiles" -> """
+      WITH h AS (SELECT CAST(least(greatest(
+                          floor(l_extendedprice / 5000.0), 0), 19) AS INT)
+                          AS bin,
+                        count(*) AS n
+                 FROM lineitem GROUP BY 1),
+      c AS (SELECT bin, n,
+                   CAST(sum(n) OVER (ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST(sum(n) OVER () AS BIGINT) AS total
+            FROM h),
+      p AS (SELECT CAST(col0 AS DOUBLE) AS p
+            FROM (VALUES (0.5), (0.9), (0.95), (0.99)) v(col0))
+      SELECT p, bin,
+             round(0.0 + 5000.0 * (bin +
+               (p * total - (cum - n)) / n), 6) AS q_est
+      FROM c CROSS JOIN p
+      WHERE (cum - n) < p * total AND cum >= p * total
+      ORDER BY p""",
     "q75_histogram" -> """
       SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 19)
                   AS INT) AS bin,

@@ -51,6 +51,7 @@ object ExplainDump {
     "q117_skyline" -> "per-x max collapse → grouped local prune → global pass over local frontiers → broadcast semi-join back",
     "q118_vocab_coverage" -> "one corpus-sized token aggregate (checkpointed once for both legs); top-K as TakeOrderedAndProject; coverage sum over K rows",
     "q119_corpus_mix" -> "broadcast quotas; constant max-quota bound compiles to a WindowGroupLimit partial before the per-group sort",
+    "q120_hist_quantiles" -> "one corpus-sized binning aggregate (≤ nBins groups, map-side combine); cumulative walk + interpolation on bins×|ps| rows — no global sort",
   )
 
   def main(args: Array[String]): Unit = {

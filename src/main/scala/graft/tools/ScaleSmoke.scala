@@ -235,6 +235,26 @@ object ScaleSmoke {
       time(s"scd2 ${k}x",
         Analytics.scd2(ev3Blown, "user_id", "ts", "event_id", "event_type"))
     }
+    // vocabCoverage: the token aggregate is the only corpus-sized stage;
+    // the duplicated corpus multiplies counts, not vocab. corpusMix: the
+    // max-quota WindowGroupLimit caps per-group state regardless of K.
+    section("vocab") {
+      time("vocabCoverage 1x",
+        TextAnalysis.vocabCoverage(base, "doc_id", "text"))
+      time(s"vocabCoverage ${k}x",
+        TextAnalysis.vocabCoverage(blown, "doc_id", "text"))
+    }
+    section("mix") {
+      val w = Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.2, "fr" -> 0.1)
+      val langs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+      val langsBlown = (0 until k).map { c =>
+        langs.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+          col("lang"))
+      }.reduce(_ union _).localCheckpoint()
+      time("corpusMix 1x", TextAnalysis.corpusMix(langs, "doc_id", "lang", w, 1000L))
+      time(s"corpusMix ${k}x",
+        TextAnalysis.corpusMix(langsBlown, "doc_id", "lang", w, 1000L))
+    }
     // skyline over k unioned lineitem copies: k× rows, identical frontier
     // (duplicates are frontier ties) — the prune stages absorb the blowup.
     section("skyline") {

@@ -337,6 +337,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(gotTied == Set(3L, 6L, 8L, 10L), s"got $gotTied")
   }
 
+  // ------------------------------------------------- histogram quantiles --
+
+  test("histogramQuantiles: hand replay; within one bin width of exact percentile") {
+    val df = (0 until 100).map(_.toDouble).toDF("x")
+    // 10 bins of width 10, 10 values each: r = p*100 lands in the bin whose
+    // cumulative first reaches it; interpolation is exact on this uniform
+    // fixture.
+    val got = Analytics.histogramQuantiles(df, "x", 0.0, 10.0, 10,
+      Seq(0.5, 0.99)).orderBy("p").collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0.5, 4, 50.0), (0.99, 9, 99.0)), got.mkString(";"))
+    // Real-data sanity: estimate within one bin width of the exact
+    // percentile (the documented resolution bound).
+    val li = Tables.lineitem(spark, sf001)
+    val est = Analytics.histogramQuantiles(li, "l_extendedprice",
+      0.0, 5000.0, 20, Seq(0.5, 0.95)).orderBy("p")
+      .collect().map(r => r.getDouble(2))
+    val exact = li.selectExpr(
+      "percentile(l_extendedprice, 0.5)", "percentile(l_extendedprice, 0.95)")
+      .head()
+    for (i <- 0 to 1)
+      assert(math.abs(est(i) - exact.getDouble(i)) <= 5000.0,
+        s"p-idx $i: est ${est(i)} vs exact ${exact.getDouble(i)}")
+    // Clamp semantics: out-of-range values land in the edge bins and the
+    // quantile walk still covers the full mass.
+    val clamped = Analytics.histogramQuantiles(
+      Seq(-100.0, 1.0, 2.0, 1e9).toDF("x"), "x", 0.0, 1.0, 4, Seq(1.0))
+      .head()
+    assert(clamped.getInt(1) == 3, "p=1 must land in the last bin")
+  }
+
   // ---------------------------------------------------------- histogram --
 
   test("histogram: bins partition the input; out-of-range values clamp") {

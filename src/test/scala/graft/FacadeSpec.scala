@@ -103,6 +103,9 @@ class FacadeSpec extends SparkSpec {
         Analytics.tableDiff(right, right, Seq("k"), Seq("v"))),
       ("histogram", Graft.histogram(right, "v", 0.0, 1.0, 4),
         Analytics.histogram(right, "v", 0.0, 1.0, 4)),
+      ("histogramQuantiles",
+        Graft.histogramQuantiles(right, "v", 0.0, 1.0, 4, Seq(0.5)),
+        Analytics.histogramQuantiles(right, "v", 0.0, 1.0, 4, Seq(0.5))),
       ("packShards", Graft.packShards(right, "k", "t", 100L),
         operators.Packing.packShards(right, "k", "t", 100L)),
       ("retention", Graft.retention(ev, "user_id", "ts"),
