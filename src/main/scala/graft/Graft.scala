@@ -123,6 +123,9 @@ object Graft {
       direction: String = "backward",
       toleranceSec: Option[Double] = None): DataFrame =
     AsOf.asofJoin(left, right, keyCol, timeCol, valueCols, direction, toleranceSec)
+  def temporalJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
+      timeCol: String, validFromCol: String, valueCols: Seq[String]): DataFrame =
+    AsOf.temporalJoin(facts, dim, keyCol, timeCol, validFromCol, valueCols)
   def saltedAggregate(df: DataFrame, keyCol: String, sumCol: String,
       salts: Int): DataFrame = Skew.saltedAggregate(df, keyCol, sumCol, salts)
 

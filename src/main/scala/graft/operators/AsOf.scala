@@ -128,9 +128,67 @@ object AsOf {
       .orderBy(col("event_id"))
   }
 
-  val queries: Map[String, Q] = Map("q31_asof_join" -> q31)
+  /** Temporal (point-in-interval) join — enrich facts with the dimension
+    * attribute valid AT each fact's time, the join every SCD2 dimension
+    * exists to serve. Because [[Analytics.scd2]] intervals tile a key's
+    * timeline (each `valid_to` equals the next `valid_from`), membership
+    * `valid_from <= t < valid_to` is EQUIVALENT to a backward as-of match
+    * on `valid_from` alone — so the implementation delegates to
+    * [[asofJoin]]'s union-sort carry (one key-partitioned sort, no range
+    * join, no per-fact interval probe) instead of an interval-overlap
+    * join that Spark would plan as a broadcast nested loop. Facts before a
+    * key's first interval get null attributes (left semantics).
+    *
+    * Determinism caveat shared with every as-of engine: two dim rows of
+    * one key with the SAME `validFromCol` value make the winner
+    * order-dependent; scd2 emits one run per (key, valid_from) except when
+    * two state changes share a timestamp — dedup upstream if the source
+    * allows that. */
+  def temporalJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
+      timeCol: String, validFromCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val dimR = dim.select(
+      (col(keyCol) +: col(validFromCol).as(timeCol) +: valueCols.map(col)): _*)
+    asofJoin(facts, dimR, keyCol, timeCol, valueCols)
+  }
+
+  /** Gate query: SCD2 state (latest signup/purchase event type per user)
+    * joined AT TIME onto the click/view stream. The oracle deliberately
+    * does NOT replay the scd2 → as-of composition: it answers the same
+    * question with DuckDB's native ASOF join against the RAW state events
+    * — an independent formulation, so the hash gate certifies that
+    * run-collapse + backward-carry computes true point-in-time lookup, not
+    * merely that both engines ran the same recipe. */
+  private val q121: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val dim = Analytics.scd2(
+      ev.filter(col("event_type").isin("signup", "purchase")),
+      "user_id", "ts", "event_id", "event_type")
+    val facts = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    temporalJoin(facts, dim, "user_id", "us", "valid_from_us",
+      Seq("event_type"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("asof_event_type").as("state"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q31_asof_join" -> q31,
+    "q121_temporal_join" -> q121)
 
   val oracles: Map[String, String] = Map(
+    "q121_temporal_join" -> """
+      WITH e AS (SELECT event_id, user_id, event_type,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      st AS (SELECT user_id, us AS sus, event_type AS state FROM e
+             WHERE event_type IN ('signup', 'purchase')),
+      f AS (SELECT event_id, user_id, us FROM e
+            WHERE event_type IN ('click', 'view'))
+      SELECT f.event_id, f.user_id, f.us, st.state
+      FROM f ASOF LEFT JOIN st
+        ON f.user_id = st.user_id AND f.us >= st.sus
+      ORDER BY f.event_id""",
     "q31_asof_join" -> """
       SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
              round(p.value, 2) AS value, c.click_id AS asof_click_id

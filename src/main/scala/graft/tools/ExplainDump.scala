@@ -52,6 +52,7 @@ object ExplainDump {
     "q118_vocab_coverage" -> "one corpus-sized token aggregate (checkpointed once for both legs); top-K as TakeOrderedAndProject; coverage sum over K rows",
     "q119_corpus_mix" -> "broadcast quotas; constant max-quota bound compiles to a WindowGroupLimit partial before the per-group sort",
     "q120_hist_quantiles" -> "one corpus-sized binning aggregate (≤ nBins groups, map-side combine); cumulative walk + interpolation on bins×|ps| rows — no global sort",
+    "q121_temporal_join" -> "scd2 intervals tile the timeline, so point-in-time lookup = backward as-of on valid_from: one union key-sort carry, no range join",
   )
 
   def main(args: Array[String]): Unit = {

@@ -105,4 +105,34 @@ class AsOfDirectionsSpec extends SparkSpec {
     assert(run("backward", None)((1L, 35L)) == None)
     assert(run("nearest", Some(10.0))((1L, 35L)) == None)
   }
+
+  test("temporalJoin over scd2 intervals == brute point-in-interval lookup") {
+    import graft.operators.Analytics
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    // state events per key: (key, ts-micros, id, value); runs collapse (A,A).
+    val state = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 50L, 4L, "A"),
+      (2L, 40L, 5L, "X")) // key 2 has a single open-ended interval
+    val facts = Seq( // (key, t, fid) — includes t before any interval (f0)
+      (1L, 5L, "f0"), (1L, 10L, "f1"), (1L, 29L, "f2"), (1L, 30L, "f3"),
+      (1L, 49L, "f4"), (1L, 99L, "f5"), (2L, 39L, "g0"), (2L, 40L, "g1"),
+      (3L, 7L, "h0")) // key 3 absent from the dimension entirely
+    val stDf = state.toDF("k", "usv", "id", "v")
+      .select(col("k"), col("id"), col("v"),
+        org.apache.spark.sql.functions.timestamp_micros(col("usv")).as("ts"))
+    val dim = Analytics.scd2(stDf, "k", "ts", "id", "v")
+    val got = AsOf.temporalJoin(facts.toDF("k", "t", "fid"), dim,
+        "k", "t", "valid_from_us", Seq("v"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    val exp = facts.map { case (k, t, fid) =>
+      // brute: the state value of the latest change at-or-before t
+      val runs = state.filter(_._1 == k).sortBy(_._2)
+        .foldLeft(List.empty[(Long, String)]) { case (acc, (_, ts, _, v)) =>
+          if (acc.headOption.exists(_._2 == v)) acc else (ts, v) :: acc
+        }.reverse
+      fid -> runs.filter(_._1 <= t).lastOption.map(_._2)
+    }.toMap
+    assert(got == exp)
+  }
 }
