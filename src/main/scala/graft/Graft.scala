@@ -178,6 +178,13 @@ object Graft {
     TextAnalysis.corpusMix(df, idCol, groupCol, weights, n)
   def skyline(df: DataFrame, minCol: String, maxCol: String,
       numGroups: Int = 64): DataFrame = Analytics.skyline(df, minCol, maxCol, numGroups)
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 3, maxDf: Int = 4): DataFrame =
+    TextAnalysis.removeBoilerplate(df, idCol, textCol, segTokens, maxDf)
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.charEntropy(df, idCol, textCol)
+  def corpusOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    Dedup.corpusOverlap(df, groupCol, textCol)
   def mergeAggStates(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
     Analytics.mergeAggStates(a, b, keyCols)
 

@@ -508,6 +508,54 @@ object Dedup {
         coalesce(col("component"), col("_rep")).as("keeper_id"))
   }
 
+  /** Cross-group corpus overlap — the dataset-audit pass that answers "how
+    * much of source A is also in source B?" before mixing corpora (near-dup
+    * sources inflate effective epochs; disjoint sources diversify). Per
+    * group: a MinHash sketch of the group's token-shingle-set UNION, built
+    * as the elementwise MIN of per-document signatures — valid because
+    * min over a union is the min of per-set minima, which also makes the
+    * sketch state mergeable across batches/partitions (the [[minHashLsh]]
+    * algebra lifted from documents to corpora). Output per group pair:
+    * `est_jaccard` (matching sketch positions / NumPerms) next to the
+    * exact `jaccard` (the audit column certifying the estimate).
+    *
+    * Scale shape: signatures are the same map-side native projection as
+    * [[minHashLsh]] — no shingle row-expansion; the sketch aggregate
+    * shuffles `|groups| × NumPerms` longs TOTAL, and the sketch self-join
+    * touches only that. The exact leg is the one corpus-sized stage —
+    * distinct (group, md5(shingle)) digests (bodies never shuffle) and an
+    * equality join on digest, linear in postings like [[ngramJaccard]]'s
+    * index; at 100 TB you keep the sketch leg and sample or drop the exact
+    * audit. Groups where no document reaches 3 tokens have no shingle set
+    * and are absent. */
+  def corpusOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sketch = df
+      .select(col(groupCol), expr(s"graft_minhash_sig($textCol)").as("sg"))
+      .filter(size(col("sg")) === NumPerms)
+      .select(col(groupCol), posexplode(col("sg")).as(Seq("pid", "m")))
+      .groupBy(col(groupCol), col("pid")).agg(min(col("m")).as("m"))
+    val est = sketch.as("x").join(sketch.as("y"),
+        col("x.pid") === col("y.pid") && col(s"x.$groupCol") < col(s"y.$groupCol"))
+      .groupBy(col(s"x.$groupCol").as("src1"), col(s"y.$groupCol").as("src2"))
+      .agg(round(sum(when(col("x.m") === col("y.m"), 1L).otherwise(0L))
+        .cast("double") / NumPerms, 4).as("est_jaccard"))
+    val digs = shingled(df, groupCol, textCol)
+      .select(col(groupCol), md5(col("sh")).as("dig")).distinct()
+    val sizes = digs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val inter = digs.as("a").join(digs.as("b"),
+        col("a.dig") === col("b.dig") && col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .groupBy(col(s"a.$groupCol").as("src1"), col(s"b.$groupCol").as("src2"))
+      .agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("src1", "src2"), "left")
+      .join(sizes.select(col(groupCol).as("src1"), col("n").as("n1")), Seq("src1"))
+      .join(sizes.select(col(groupCol).as("src2"), col("n").as("n2")), Seq("src2"))
+      .select(col("src1"), col("src2"), col("est_jaccard"),
+        round(coalesce(col("inter"), lit(0L)).cast("double")
+          / (col("n1") + col("n2") - coalesce(col("inter"), lit(0L))), 4).as("jaccard"))
+  }
+
   // ------------------------------------------------- fixture-bound queries
 
   val queries: Map[String, Q] = Map(
@@ -541,6 +589,11 @@ object Dedup {
     "q115_fuzzy_join" -> ((s, d) =>
       fuzzyJoin(Tables.part(s, d), "p_partkey", "p_name")
         .orderBy(col("id1"), col("id2"))),
+    // lang (5 groups) exercises real overlap spread; the tiny fixture vocab
+    // makes shingle sets genuinely intersect across languages.
+    "q124_corpus_overlap" -> ((s, d) =>
+      corpusOverlap(Tables.documents(s, d), "lang", "text")
+        .orderBy(col("src1"), col("src2"))),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -745,5 +798,40 @@ object Dedup {
         AND abs(length(x.nm) - length(y.nm)) <= 3
         AND levenshtein(x.nm, y.nm) <= 3
       ORDER BY id1, id2""",
+    // Replays corpusOverlap by an INDEPENDENT formulation: Spark sketches
+    // per document then min-merges per group; the oracle builds each
+    // group's distinct shingle set directly and sketches THAT — the two
+    // agree only if min-over-union == min-of-mins, so the gate certifies
+    // the merge algebra itself. Exact leg on md5 digests, as Spark.
+    "q124_corpus_overlap" -> s"""
+      WITH toks AS (SELECT lang,
+                           list_filter(string_split(text, ' '), t -> t <> '') AS tk
+                    FROM documents),
+      shx AS (SELECT DISTINCT lang,
+                     unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2]))) AS s
+              FROM toks),
+      h AS (SELECT lang, (${duckH60("s")}) % $P AS hv FROM shx),
+      perms(pid, a, b) AS (VALUES $permsValues),
+      mh AS (SELECT lang, pid, min((a * hv + b) % $P) AS m
+             FROM h CROSS JOIN perms GROUP BY lang, pid),
+      est AS (SELECT x.lang AS src1, y.lang AS src2,
+                     round(CAST(sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS DOUBLE)
+                           / $NumPerms, 4) AS est_jaccard
+              FROM mh x JOIN mh y ON x.pid = y.pid AND x.lang < y.lang
+              GROUP BY x.lang, y.lang),
+      digs AS (SELECT DISTINCT lang, md5(s) AS dig FROM shx),
+      sizes AS (SELECT lang, count(*) AS n FROM digs GROUP BY lang),
+      inter AS (SELECT a.lang AS src1, b.lang AS src2, count(*) AS i
+                FROM digs a JOIN digs b ON a.dig = b.dig AND a.lang < b.lang
+                GROUP BY a.lang, b.lang)
+      SELECT e.src1, e.src2, e.est_jaccard,
+             round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                   / (s1.n + s2.n - coalesce(i.i, 0)), 4) AS jaccard
+      FROM est e
+      LEFT JOIN inter i ON e.src1 = i.src1 AND e.src2 = i.src2
+      JOIN sizes s1 ON s1.lang = e.src1
+      JOIN sizes s2 ON s2.lang = e.src2
+      ORDER BY e.src1, e.src2""",
   )
 }

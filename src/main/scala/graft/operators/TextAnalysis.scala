@@ -730,7 +730,102 @@ object TextAnalysis {
     corpusMix(Tables.documents(s, d), "doc_id", "lang", MixWeights.toMap, MixN)
       .orderBy(col("lang"), col("pick_rank"))
 
+  /** q122's segmentation/threshold constants — shared with the oracle SQL. */
+  private[graft] val BoilerSegTokens = 3
+  private[graft] val BoilerMaxDf = 4
+
+  /** Corpus-level boilerplate segment removal — the CCNet/RefinedWeb-style
+    * pass that deletes text units repeated across many documents (nav bars,
+    * cookie banners, license footers) while keeping each document's unique
+    * content. Web pipelines segment on newlines; this corpus has none, so
+    * the unit is a non-overlapping `segTokens`-token window (the last
+    * window of a document may be short) — the operator is agnostic to how
+    * segments were cut. A segment whose corpus document-frequency exceeds
+    * `maxDf` is boilerplate; surviving segments reassemble in original
+    * order. Zero-token documents have no segments and are absent from the
+    * output; documents that were ALL boilerplate survive with
+    * `clean_text = ''` (the caller can drop or keep them).
+    *
+    * Scale shape: segmentation is one map-side projection (tokenize +
+    * slice + posexplode — no token-level row expansion). The corpus-sized
+    * df count groups by `md5(segment)` — a 32-char digest, never segment
+    * bodies (the aggregate's shuffle moves digests + counts only, exactly
+    * [[Dedup.exactDedup]]'s discipline). The boilerplate digest set (only
+    * digests with df > maxDf — tiny vs the corpus) then anti-joins back;
+    * AQE broadcasts it when small, so the common case pays ONE body
+    * shuffle: the doc-key reassembly aggregate. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = BoilerSegTokens, maxDf: Int = BoilerMaxDf): DataFrame = {
+    require(segTokens >= 1,
+      s"removeBoilerplate: segTokens must be >= 1, got $segTokens")
+    require(maxDf >= 1, s"removeBoilerplate: maxDf must be >= 1, got $maxDf")
+    // sequence(1, 0) would count DOWN; the n_tokens > 0 filter (which also
+    // defines zero-token docs out of the output) keeps the range ascending.
+    val base = df.select(col(idCol), expr(toksOf(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("nseg",
+        expr(s"cast(ceil(size(toks) / cast($segTokens as double)) as bigint)"))
+      .withColumn("segs", expr(
+        s"""transform(sequence(1, nseg),
+              i -> array_join(slice(toks, cast((i - 1) * $segTokens + 1 as int),
+                                    $segTokens), ' '))"""))
+    val segs = base
+      .select(col(idCol), posexplode(col("segs")).as(Seq("seg_id", "seg")))
+      .withColumn("dig", md5(col("seg")))
+    val boiler = segs.groupBy(col("dig")).count()
+      .filter(col("count") > maxDf).select(col("dig"))
+    val agg = segs.join(boiler, Seq("dig"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(seg_id, seg))), x -> x.seg), ' ')")
+          .as("clean_text"))
+    base.select(col(idCol), col("nseg").as("n_segments"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  private val q122: Q = (s, d) =>
+    removeBoilerplate(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Per-document character-distribution Shannon entropy (bits/char) — the
+    * information-theoretic quality signal that separates natural text
+    * (~4 bits/char for English) from degenerate spam (repeated chars → 0)
+    * and random noise (→ log2 |alphabet|); a standard cheap curation filter
+    * alongside [[repetitionSignals]].
+    *
+    * Entirely map-side: char split + distinct + a counts fold as ONE
+    * codegen'd projection, no shuffle at any corpus size. Per-row cost is
+    * O(|alphabet| × len) — the alphabet of natural text is small and
+    * bounded, which is what makes the frequency fold cheaper than a
+    * (doc, char) row explosion + aggregation (that shape shuffles a row
+    * per CHARACTER of the corpus). The sum is rounded 6 dp (absorbs
+    * summation-order ulps, per the q44 discipline) and `+ 0.0` normalizes
+    * IEEE -0.0 so a zero-entropy doc hashes identically cross-engine.
+    * Zero-length texts have no distribution and are filtered out. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol),
+        length(col(textCol)).cast("bigint").as("n_chars"),
+        expr(s"filter(split($textCol, ''), x -> x != '')").as("cs"))
+      .withColumn("alpha", array_distinct(col("cs")))
+      .withColumn("entropy", round(expr(
+        """-aggregate(transform(alpha, a -> size(filter(cs, x -> x = a))),
+             cast(0 as double),
+             (acc, n) -> acc + (n / cast(n_chars as double))
+                             * log2(n / cast(n_chars as double)))""") + lit(0.0), 6))
+      .select(col(idCol), col("n_chars"),
+        size(col("alpha")).as("n_distinct_chars"), col("entropy"))
+
+  private val q123: Q = (s, d) =>
+    charEntropy(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
+    "q122_boilerplate" -> q122,
+    "q123_char_entropy" -> q123,
     "q118_vocab_coverage" -> q118,
     "q119_corpus_mix" -> q119,
     "q47_curation" -> q47,
@@ -755,6 +850,50 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays removeBoilerplate: same non-overlapping token windows (list
+    // slices clamp like Spark's slice), df over md5 digests, NOT-IN
+    // anti-join, ordered string_agg reassembly. Counts are HUGEINT in
+    // DuckDB — CAST to BIGINT to match Spark.
+    "q122_boilerplate" -> s"""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents),
+      base AS (SELECT doc_id, toks,
+                      CAST(ceil(len(toks) / ${BoilerSegTokens}.0) AS BIGINT) AS nseg
+               FROM t WHERE len(toks) > 0),
+      pos AS (SELECT doc_id, toks, unnest(range(1, nseg + 1)) AS i FROM base),
+      seg AS (SELECT doc_id, i - 1 AS seg_id,
+                     array_to_string(
+                       toks[CAST((i - 1) * $BoilerSegTokens + 1 AS INT)
+                            : CAST(i * $BoilerSegTokens AS INT)], ' ') AS seg
+              FROM pos),
+      segs AS (SELECT doc_id, seg_id, seg, md5(seg) AS dig FROM seg),
+      boiler AS (SELECT dig FROM segs GROUP BY dig HAVING count(*) > $BoilerMaxDf),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+                     string_agg(seg, ' ' ORDER BY seg_id) AS clean_text
+              FROM segs WHERE dig NOT IN (SELECT dig FROM boiler)
+              GROUP BY doc_id)
+      SELECT b.doc_id, b.nseg AS n_segments,
+             CAST(b.nseg - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,
+             coalesce(a.clean_text, '') AS clean_text
+      FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+      ORDER BY b.doc_id""",
+    // Replays charEntropy via the row-explosion formulation (chars GROUP BY
+    // doc) — an independent shape from Spark's map-side array fold, so the
+    // gate certifies the distribution math, not a shared recipe. Same 6 dp
+    // round + `+ 0.0` IEEE -0.0 normalization.
+    "q123_char_entropy" -> """
+      WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+                  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+                        FROM documents WHERE length(text) > 0)),
+      cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+      tot AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+              FROM documents WHERE length(text) > 0)
+      SELECT t.doc_id, t.len AS n_chars, CAST(count(*) AS INT) AS n_distinct_chars,
+             round(-sum((n / CAST(t.len AS DOUBLE)) * log2(n / CAST(t.len AS DOUBLE)))
+                   + 0.0, 6) AS entropy
+      FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+      GROUP BY t.doc_id, t.len ORDER BY t.doc_id""",
     // Replays vocabCoverage: same whitespace tokens, (cnt desc, token)
     // total order, top-50, running-coverage sum over the grand total.
     // count(*)/window-sum are HUGEINT in DuckDB — CAST before the divide;

@@ -53,6 +53,9 @@ object ExplainDump {
     "q119_corpus_mix" -> "broadcast quotas; constant max-quota bound compiles to a WindowGroupLimit partial before the per-group sort",
     "q120_hist_quantiles" -> "one corpus-sized binning aggregate (≤ nBins groups, map-side combine); cumulative walk + interpolation on bins×|ps| rows — no global sort",
     "q121_temporal_join" -> "scd2 intervals tile the timeline, so point-in-time lookup = backward as-of on valid_from: one union key-sort carry, no range join",
+    "q122_boilerplate" -> "map-side segmentation (slice+posexplode); df count groups md5 digests, not bodies; boiler set broadcasts into the anti-join; ONE doc-key reassembly shuffle",
+    "q123_char_entropy" -> "entire entropy fold is one codegen'd map-side projection — no shuffle, no per-char row explosion",
+    "q124_corpus_overlap" -> "map-side native signatures; sketch = |groups|×32 longs of mergeable min state; exact leg joins md5 digests, linear in postings",
   )
 
   def main(args: Array[String]): Unit = {

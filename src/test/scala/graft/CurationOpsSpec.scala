@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Round-8 curation operators: corpus boilerplate removal (q122), char
+  * entropy (q123), and cross-group MinHash corpus overlap (q124). */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("removeBoilerplate drops corpus-frequent segments, keeps unique content in order") {
+    // segment unit = 2 tokens, boilerplate df threshold = 2.
+    // "nav bar" opens 4 docs (df=4 > 2 → boilerplate); each doc's tail is unique.
+    val docs = (0 until 4).map(i => (i.toLong, s"nav bar unique$i tail$i body$i")) ++
+      Seq(5L -> "free text only here", 6L -> "nav bar", 7L -> "")
+    val out = TextAnalysis.removeBoilerplate(
+        docs.toDF("doc_id", "text"), "doc_id", "text", segTokens = 2, maxDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // 4 nav-bar docs: 3 segments, 1 dropped, unique tail reassembled in order
+    (0 until 4).foreach { i =>
+      assert(out(i.toLong) == ((3L, 1L, s"unique$i tail$i body$i")))
+    }
+    // doc 5: nothing corpus-frequent — untouched (4 tokens → 2 segments)
+    assert(out(5L) == ((2L, 0L, "free text only here")))
+    // doc 6 is ALL boilerplate: survives with empty clean text
+    assert(out(6L) == ((1L, 1L, "")))
+    // doc 7 has zero tokens: absent
+    assert(!out.contains(7L))
+  }
+
+  test("removeBoilerplate segments: last window may be short, reassembly == original when nothing drops") {
+    val docs = Seq(1L -> "a b c d e f g h i j k") // 11 tokens, k=3 → 4 segments
+    val r = TextAnalysis.removeBoilerplate(
+        docs.toDF("doc_id", "text"), "doc_id", "text", segTokens = 3, maxDf = 1)
+      .collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 0L)
+    assert(r.getString(3) == "a b c d e f g h i j k")
+  }
+
+  test("charEntropy matches a direct Shannon computation; degenerate text → 0.0") {
+    val docs = Seq(1L -> "aabb", 2L -> "zzzz", 3L -> "abcd", 4L -> "")
+    val out = TextAnalysis.charEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 2, 1.0)))       // two chars, p=1/2 each → 1 bit
+    assert(out(2L) == ((4L, 1, 0.0)))       // single char → 0 (and +0.0, not -0.0)
+    assert(out(3L) == ((4L, 4, 2.0)))       // uniform over 4 → 2 bits
+    assert(!out.contains(4L))               // empty text filtered
+    assert(java.lang.Double.doubleToLongBits(out(2L)._3) == 0L) // not -0.0
+  }
+
+  test("charEntropy on fixture docs matches per-row brute force") {
+    val df = Tables.documents(spark, sf0001).limit(20)
+    val got = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val texts = df.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, t) =>
+      val n = t.length.toDouble
+      val exp = -t.groupBy(identity).values
+        .map(g => (g.length / n) * (math.log(g.length / n) / math.log(2.0))).sum
+      assert(math.abs(got(id) - BigDecimal(exp + 0.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"doc $id")
+    }
+  }
+
+  test("corpusOverlap: identical groups → 1.0/1.0; disjoint groups → est 0.0, exact 0.0") {
+    val docs = Seq(
+      ("ga", "alpha beta gamma delta epsilon"),
+      ("gb", "alpha beta gamma delta epsilon"),   // gb == ga
+      ("gc", "zeta eta theta iota kappa lambda")) // gc disjoint from both
+    val out = Dedup.corpusOverlap(docs.toDF("src", "text"), "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(("ga", "gb")) == ((1.0, 1.0)))
+    assert(out(("ga", "gc")) == ((0.0, 0.0)))
+    assert(out(("gb", "gc")) == ((0.0, 0.0)))
+  }
+
+  test("corpusOverlap min-merge == sketch of the concatenated group (merge algebra)") {
+    // group gx split over two docs vs group gy holding the same shingle set
+    // in ONE doc: sketches must agree exactly (min over union = min of mins).
+    val docs = Seq(
+      ("gx", "one two three four five"),
+      ("gx", "four five six seven eight"),
+      ("gy", "one two three four five six seven eight"))
+    val out = Dedup.corpusOverlap(docs.toDF("src", "text"), "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    // gx's two docs tile gy's token stream with a 2-token overlap, so gx's
+    // shingle UNION equals gy's single-doc shingle set exactly — the merged
+    // sketch must therefore equal gy's sketch position-for-position.
+    assert(out(("gx", "gy")) == ((1.0, 1.0)))
+  }
+}

@@ -146,6 +146,17 @@ class PlanSpec extends SparkSpec {
     assert(line.contains("*("), s"simhash60 outside codegen:\n$p")
   }
 
+  test("q123 char entropy: map-side fold — no hash-partition exchange, filter pushed") {
+    val df = graft.operators.TextAnalysis.queries("q123_char_entropy")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the output ORDER BY's range partitioning
+    assert(!p.contains("hashpartitioning"),
+      s"charEntropy reintroduced a shuffle (must be a map-side fold):\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(text)"),
+      s"charEntropy lost the scan-level null filter:\n$p")
+  }
+
   test("q48 hash split: map-side only — no hash-partition exchange") {
     val df = graft.operators.TextAnalysis.queries("q48_hash_split")(spark, sf0001)
     df.collect()
