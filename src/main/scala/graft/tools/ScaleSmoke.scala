@@ -264,6 +264,30 @@ object ScaleSmoke {
       time("skyline 1x", Analytics.skyline(sky, "l_extendedprice", "l_quantity"))
       time(s"skyline ${k}x", Analytics.skyline(skyBlown, "l_extendedprice", "l_quantity"))
     }
+    // boilerplate on the Kx corpus is the adversarial regime: every segment's
+    // df is multiplied by K, so most of the corpus crosses maxDf and the
+    // boiler set is LARGE — the digest-only df aggregate must stay bounded
+    // and the anti-join must not quadratize. entropy is a pure map-side
+    // fold (linear by construction). corpusOverlap keeps sketch state at
+    // |groups|×32 longs regardless of K — only the exact-audit leg grows.
+    section("boiler") {
+      time("removeBoilerplate 1x",
+        TextAnalysis.removeBoilerplate(base, "doc_id", "text"))
+      time(s"removeBoilerplate ${k}x (all-hot dfs)",
+        TextAnalysis.removeBoilerplate(blown, "doc_id", "text"))
+    }
+    section("entropy") {
+      time("charEntropy 1x", TextAnalysis.charEntropy(base, "doc_id", "text"))
+      time(s"charEntropy ${k}x", TextAnalysis.charEntropy(blown, "doc_id", "text"))
+    }
+    section("overlap") {
+      val grouped = base.withColumn("grp", concat(lit("g"), col("doc_id") % 8))
+      val groupedBlown = blown.withColumn("grp", concat(lit("g"), col("doc_id") % 8))
+      time("corpusOverlap 1x (8 groups)",
+        Dedup.corpusOverlap(grouped, "grp", "text"))
+      time(s"corpusOverlap ${k}x (8 groups)",
+        Dedup.corpusOverlap(groupedBlown, "grp", "text"))
+    }
     spark.stop()
   }
 }
