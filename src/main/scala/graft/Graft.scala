@@ -185,6 +185,16 @@ object Graft {
     TextAnalysis.charEntropy(df, idCol, textCol)
   def corpusOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     Dedup.corpusOverlap(df, groupCol, textCol)
+  def countMin(df: DataFrame, valueCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = Analytics.countMin(df, valueCol, depth, width)
+  def countMinEstimate(df: DataFrame, valueCol: String, probes: Seq[String],
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    Analytics.countMinEstimate(df, valueCol, probes, depth, width)
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 25, topK: Int = 20): DataFrame =
+    TextAnalysis.pmiCollocations(df, idCol, textCol, minDf, topK)
+  def zipfFit(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.zipfFit(df, idCol, textCol)
   def mergeAggStates(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
     Analytics.mergeAggStates(a, b, keyCols)
 

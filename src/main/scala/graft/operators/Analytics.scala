@@ -93,6 +93,73 @@ object Analytics {
     kmvDistinct(Tables.events(s, d), "event_type", "user_id")
       .orderBy(col("event_type"))
 
+  // ---------------------------------------------------- count-min sketch --
+
+  private[graft] val CmDepth = 4
+  private[graft] val CmWidth = 1024
+  /** q125's probe terms — fixture vocabulary plus one absent term
+    * (`quantum`), whose estimate documents the sketch's one-sided error:
+    * collisions can only OVER-estimate, never under. */
+  private[graft] val CmProbes =
+    Seq("spark", "vector", "table", "dup", "row", "quantum")
+
+  /** Count-min sketch of a value stream: `depth × width` counters, cell
+    * `(j, h_j(v) % width)` summing occurrences. THE bounded-state frequency
+    * structure for heavy-hitter queries at corpus scale — exact per-value
+    * counts need state linear in distinct values (billions of token types
+    * at 100 TB), the sketch needs `depth × width` longs, period, and merges
+    * across batches/partitions by cell-wise SUM (same algebra as
+    * [[kmvSketch]]'s min-merge).
+    *
+    * Distributed shape: the per-value hash fan-out (one row per (value,
+    * row j)) is map-side posexplode; the ONLY shuffle is the cell aggregate,
+    * whose partial map-side combine collapses each task's output to
+    * ≤ depth×width cells regardless of input rows. Every hash bottoms out
+    * in the engine-neutral 60-bit md5 (j ':' value), so DuckDB rebuilds the
+    * identical sketch — the gate is exact integer algebra. */
+  def countMin(df: DataFrame, valueCol: String,
+      depth: Int = CmDepth, width: Int = CmWidth): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"countMin: depth out of range: $depth")
+    require(width >= 2, s"countMin: width must be >= 2, got $width")
+    val cells = s"""transform(sequence(0, ${depth - 1}),
+      j -> ${CrossHash.h60Expr(s"concat(string(j), ':', $valueCol)")} % $width)"""
+    df.filter(col(valueCol).isNotNull)
+      .select(posexplode(expr(cells)).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query harness over [[countMin]]: for each probe term, the CM
+    * estimate (min over rows of the probed cell) next to the true count —
+    * the audit column certifying `est >= exact` (one-sided error) and
+    * `est == exact` when no collision lands in any probed cell. The exact
+    * leg filters to the probe set BEFORE aggregating, so its cost is the
+    * probes', not the corpus distinct-value count's. */
+  def countMinEstimate(df: DataFrame, valueCol: String, probes: Seq[String],
+      depth: Int = CmDepth, width: Int = CmWidth): DataFrame = {
+    require(probes.nonEmpty, "countMinEstimate: probes must be non-empty")
+    val s = df.sparkSession
+    import s.implicits._
+    val sk = countMin(df, valueCol, depth, width)
+    val cells = s"""transform(sequence(0, ${depth - 1}),
+      j -> ${CrossHash.h60Expr(s"concat(string(j), ':', term)")} % $width)"""
+    val probed = probes.toDF("term")
+      .select(col("term"), posexplode(expr(cells)).as(Seq("j", "bucket")))
+    val est = probed.join(sk, Seq("j", "bucket"), "left")
+      .groupBy(col("term")).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val exact = df.filter(col(valueCol).isin(probes: _*))
+      .groupBy(col(valueCol).as("term")).agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("term"), "left")
+      .select(col("term"), col("est"), coalesce(col("exact"), lit(0L)).as("exact"))
+  }
+
+  /** Corpus token frequencies probed through the sketch. */
+  private val q125: Q = (s, d) =>
+    countMinEstimate(
+      Tables.documents(s, d)
+        .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok")),
+      "tok", CmProbes)
+      .orderBy(col("term"))
+
   // ------------------------------------------------------------- funnel --
 
   /** Ordered-funnel analysis: for each key, the furthest stage reached where
@@ -608,6 +675,7 @@ object Analytics {
     "q117_skyline" -> q117,
     "q120_hist_quantiles" -> q120,
     "q68_kmv_distinct" -> q68,
+    "q125_countmin" -> q125,
     "q69_funnel" -> q69,
     "q101_funnel_gap" -> q101,
     "q103_retention" -> q103,
@@ -622,6 +690,30 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Rebuilds the identical count-min sketch (same 60-bit md5 cells, same
+    // depth×width) and probes it — exact integer algebra end-to-end.
+    // count(*) is HUGEINT in DuckDB — CAST to BIGINT.
+    "q125_countmin" -> {
+      val probesVals = CmProbes.map(p => s"('$p')").mkString(", ")
+      s"""
+      WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+                   FROM documents),
+      cells AS (SELECT j, (${h60("CAST(j AS VARCHAR) || ':' || tok")}) % $CmWidth AS bucket
+                FROM tok CROSS JOIN (SELECT unnest(range(0, $CmDepth)) AS j)),
+      sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+             FROM cells GROUP BY j, bucket),
+      probes(term) AS (VALUES $probesVals),
+      pb AS (SELECT term, j,
+                    (${h60("CAST(j AS VARCHAR) || ':' || term")}) % $CmWidth AS bucket
+             FROM probes CROSS JOIN (SELECT unnest(range(0, $CmDepth)) AS j)),
+      est AS (SELECT term, min(coalesce(sk.cnt, 0)) AS est
+              FROM pb LEFT JOIN sk ON pb.j = sk.j AND pb.bucket = sk.bucket
+              GROUP BY term),
+      ex AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS exact FROM tok
+             WHERE tok IN (SELECT term FROM probes) GROUP BY tok)
+      SELECT e.term, e.est, coalesce(x.exact, CAST(0 AS BIGINT)) AS exact
+      FROM est e LEFT JOIN ex x ON e.term = x.term
+      ORDER BY e.term""" },
     // Replays sessionize: same epoch-micros times, same (us, event_id)
     // tie-break, lag flag + running sum, 30-minute gap. Window sum of
     // INTEGER is HUGEINT in DuckDB — CAST back to BIGINT.

@@ -823,9 +823,95 @@ object TextAnalysis {
     charEntropy(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** q126's support threshold / result size — shared with the oracle SQL. */
+  private[graft] val PmiMinDf = 25
+  private[graft] val PmiTopK = 20
+
+  /** Top-k PMI collocations: token pairs that co-occur in documents far
+    * more than their independent frequencies predict —
+    * `pmi = log2(df_ab · N / (df_a · df_b))` over document frequencies.
+    * The collocation-extraction / phrase-mining primitive (and the same
+    * pointwise-mutual-information core as word-embedding co-occurrence
+    * weighting). `minDf` suppresses the low-support pairs whose PMI is
+    * noise (a pair seen once has spuriously maximal PMI).
+    *
+    * Scale shape: per-document pairs are generated MAP-SIDE from the
+    * sorted distinct-token array (nested transform + flatten — no
+    * token-row self-join, which at corpus scale would shuffle the token
+    * explosion twice). Per-doc cost is O(d²) in DISTINCT tokens per doc —
+    * curated docs are bounded (and a length cap upstream bounds it
+    * hard); the pair aggregate's partial combine collapses each task to
+    * its distinct-pair set. N arrives as a broadcast 1-row count
+    * (the q67 pattern); top-k is TakeOrderedAndProject on the rounded
+    * (pmi, tok1, tok2) total order — deterministic cross-engine. */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = PmiMinDf, topK: Int = PmiTopK): DataFrame = {
+    require(minDf >= 1, s"pmiCollocations: minDf must be >= 1, got $minDf")
+    require(topK >= 1, s"pmiCollocations: topK must be >= 1, got $topK")
+    val docs = df
+      .select(col(idCol),
+        expr(s"array_sort(array_distinct(${toksOf(textCol)}))").as("ts"))
+      .filter(size(col("ts")) > 0)
+      .localCheckpoint() // three consumers: N, token dfs, pair dfs
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val dfTok = docs.select(explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df_t"))
+    val pairs = docs.select(explode(expr(
+        """flatten(transform(ts,
+             (a, i) -> transform(slice(ts, i + 2, size(ts)), b -> struct(a, b))))"""))
+        .as("p"))
+      .select(col("p.a").as("tok1"), col("p.b").as("tok2"))
+      .groupBy(col("tok1"), col("tok2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minDf)
+    pairs
+      .join(dfTok.select(col("t").as("tok1"), col("df_t").as("df_a")), "tok1")
+      .join(dfTok.select(col("t").as("tok2"), col("df_t").as("df_b")), "tok2")
+      .crossJoin(broadcast(nDf))
+      .select(col("tok1"), col("tok2"), col("n_ab"),
+        round(log2((col("n_ab") * col("n_docs")).cast("double")
+          / (col("df_a") * col("df_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("tok1"), col("tok2"))
+      .limit(topK)
+  }
+
+  private val q126: Q = (s, d) =>
+    pmiCollocations(Tables.documents(s, d), "doc_id", "text")
+
+  /** Zipf-law fit of the corpus token-frequency distribution: OLS of
+    * `log2(count)` on `log2(rank)` — slope ≈ -1 for natural language; a
+    * flat slope flags synthetic/templated corpora, a cliff flags
+    * boilerplate domination. One of the standard whole-corpus diagnostics
+    * a curation pipeline reports next to [[vocabCoverage]].
+    *
+    * Scale shape: the corpus-sized stage is the token-count aggregate
+    * (map-side combine, |types| output rows); ranking sorts the COLLAPSED
+    * type-frequency frame (types ≪ tokens — the same frame
+    * [[vocabCoverage]] sorts), and the regression itself is one
+    * `regr_slope`-family aggregate over |types| rows — sums, mergeable,
+    * no state beyond the 1-row result. 6 dp rounding absorbs float
+    * summation-order ulps (q44 discipline). */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cnt = df.select(explode(expr(toksOf(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val ranked = cnt.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("t"))))
+    ranked
+      .select(expr("log2(cast(n as double))").as("y"),
+        expr("log2(cast(rank as double))").as("x"))
+      .agg(count(lit(1)).as("n_types"),
+        round(expr("regr_slope(y, x)"), 6).as("slope"),
+        round(expr("regr_intercept(y, x)"), 6).as("intercept"),
+        round(expr("regr_r2(y, x)"), 6).as("r2"))
+  }
+
+  private val q127: Q = (s, d) =>
+    zipfFit(Tables.documents(s, d), "doc_id", "text")
+
   val queries: Map[String, Q] = Map(
     "q122_boilerplate" -> q122,
     "q123_char_entropy" -> q123,
+    "q126_pmi" -> q126,
+    "q127_zipf" -> q127,
     "q118_vocab_coverage" -> q118,
     "q119_corpus_mix" -> q119,
     "q47_curation" -> q47,
@@ -894,6 +980,40 @@ object TextAnalysis {
                    + 0.0, 6) AS entropy
       FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
       GROUP BY t.doc_id, t.len ORDER BY t.doc_id""",
+    // Replays pmiCollocations by an INDEPENDENT pair formulation (token
+    // self-join on doc instead of Spark's map-side array pairs) — the gate
+    // certifies the PMI math and the (pmi desc, tok1, tok2) total order,
+    // not a shared recipe. Counts are HUGEINT — CAST to BIGINT.
+    "q126_pmi" -> s"""
+      WITH d AS (SELECT doc_id,
+                        list_sort(list_distinct(
+                          list_filter(string_split(text, ' '), t -> t <> ''))) AS ts
+                 FROM documents),
+      d2 AS (SELECT * FROM d WHERE len(ts) > 0),
+      n AS (SELECT count(*) AS n_docs FROM d2),
+      tok AS (SELECT doc_id, unnest(ts) AS t FROM d2),
+      dft AS (SELECT t, count(*) AS df_t FROM tok GROUP BY t),
+      dab AS (SELECT x.t AS tok1, y.t AS tok2, CAST(count(*) AS BIGINT) AS n_ab
+              FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND x.t < y.t
+              GROUP BY x.t, y.t HAVING count(*) >= $PmiMinDf)
+      SELECT tok1, tok2, n_ab,
+             round(log2(CAST(n_ab * n_docs AS DOUBLE) / (fa.df_t * fb.df_t)), 6) AS pmi
+      FROM dab CROSS JOIN n
+      JOIN dft fa ON fa.t = tok1 JOIN dft fb ON fb.t = tok2
+      ORDER BY pmi DESC, tok1, tok2 LIMIT $PmiTopK""",
+    // Replays zipfFit: same (count desc, token) rank order, same log2/log2
+    // regression via DuckDB's native regr_* aggregates — independent
+    // implementations of the OLS sums; 6 dp absorbs summation-order ulps.
+    "q127_zipf" -> """
+      WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+                   FROM documents),
+      cnt AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+      ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, t) AS rank FROM cnt)
+      SELECT CAST(count(*) AS BIGINT) AS n_types,
+             round(regr_slope(log2(CAST(n AS DOUBLE)), log2(CAST(rank AS DOUBLE))), 6) AS slope,
+             round(regr_intercept(log2(CAST(n AS DOUBLE)), log2(CAST(rank AS DOUBLE))), 6) AS intercept,
+             round(regr_r2(log2(CAST(n AS DOUBLE)), log2(CAST(rank AS DOUBLE))), 6) AS r2
+      FROM ranked""",
     // Replays vocabCoverage: same whitespace tokens, (cnt desc, token)
     // total order, top-50, running-coverage sum over the grand total.
     // count(*)/window-sum are HUGEINT in DuckDB — CAST before the divide;

@@ -56,6 +56,9 @@ object ExplainDump {
     "q122_boilerplate" -> "map-side segmentation (slice+posexplode); df count groups md5 digests, not bodies; boiler set broadcasts into the anti-join; ONE doc-key reassembly shuffle",
     "q123_char_entropy" -> "entire entropy fold is one codegen'd map-side projection — no shuffle, no per-char row explosion",
     "q124_corpus_overlap" -> "map-side native signatures; sketch = |groups|×32 longs of mergeable min state; exact leg joins md5 digests, linear in postings",
+    "q125_countmin" -> "map-side hash fan-out; ONE cell aggregate whose partial combine bounds every task at depth×width cells; probes broadcast",
+    "q126_pmi" -> "pairs generated map-side from the sorted distinct-token array (no token self-join); broadcast 1-row N; TakeOrderedAndProject top-k",
+    "q127_zipf" -> "corpus collapses to |types| rows before the rank sort; regression is one regr_* aggregate over the collapsed frame",
   )
 
   def main(args: Array[String]): Unit = {
