@@ -195,6 +195,12 @@ object Graft {
     TextAnalysis.pmiCollocations(df, idCol, textCol, minDf, topK)
   def zipfFit(df: DataFrame, idCol: String, textCol: String): DataFrame =
     TextAnalysis.zipfFit(df, idCol, textCol)
+  def groupedHistogramQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, lo: Double, width: Double, nBins: Int,
+      ps: Seq[Double]): DataFrame =
+    Analytics.groupedHistogramQuantiles(df, groupCol, valueCol, lo, width, nBins, ps)
+  def jsDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    TextAnalysis.jsDivergence(df, groupCol, textCol)
   def mergeAggStates(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
     Analytics.mergeAggStates(a, b, keyCols)
 

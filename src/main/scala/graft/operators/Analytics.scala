@@ -668,12 +668,58 @@ object Analytics {
       0.0, 5000.0, 20, Seq(0.5, 0.9, 0.95, 0.99))
       .orderBy(col("p"))
 
+  /** Per-group [[histogramQuantiles]] — the per-domain/per-language
+    * percentile report a curation pipeline emits (length p50/p95 per
+    * source, score p99 per language, ...) without a per-group sort or a
+    * per-group value buffer: state is ≤ |groups| × nBins mergeable counts.
+    * Same binning, cumulative walk, and in-bin interpolation as the global
+    * form, with every window PARTITIONed by the group — the per-group walk
+    * runs on ≤ nBins rows per group, and groups parallelize across the
+    * cluster instead of serializing through one global window. */
+  def groupedHistogramQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, lo: Double, width: Double, nBins: Int,
+      ps: Seq[Double]): DataFrame = {
+    require(nBins >= 1 && width > 0.0,
+      s"groupedHistogramQuantiles: need nBins >= 1 and width > 0, got $nBins/$width")
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"groupedHistogramQuantiles: quantiles must be in (0, 1]: $ps")
+    val h = df
+      .withColumn("bin",
+        least(greatest(floor((col(valueCol) - lo) / width), lit(0L)),
+          lit(nBins - 1L)).cast("int"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("n"))
+    val wc = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = h
+      .withColumn("cum", sum(col("n")).over(wc))
+      .withColumn("total", sum(col("n")).over(wt))
+    val psDf = df.sparkSession.range(1)
+      .select(explode(array(ps.map(lit(_)): _*)).as("p"))
+    cum
+      .crossJoin(psDf)
+      .filter((col("cum") - col("n")) < col("p") * col("total") &&
+        col("cum") >= col("p") * col("total"))
+      .select(col(groupCol), col("p"), col("bin"),
+        round(lit(lo) + lit(width) * (col("bin") +
+          (col("p") * col("total") - (col("cum") - col("n"))) / col("n")),
+          6).as("q_est"))
+  }
+
+  /** Per-language document-length percentiles. */
+  private val q128: Q = (s, d) =>
+    groupedHistogramQuantiles(Tables.documents(s, d), "lang", "n_chars",
+      0.0, 50.0, 16, Seq(0.5, 0.9, 0.99))
+      .orderBy(col("lang"), col("p"))
+
   val queries: Map[String, Q] = Map(
     "q113_sessionize" -> q113,
     "q114_incremental_agg" -> q114,
     "q116_scd2" -> q116,
     "q117_skyline" -> q117,
     "q120_hist_quantiles" -> q120,
+    "q128_group_quantiles" -> q128,
     "q68_kmv_distinct" -> q68,
     "q125_countmin" -> q125,
     "q69_funnel" -> q69,
@@ -714,6 +760,28 @@ object Analytics {
       SELECT e.term, e.est, coalesce(x.exact, CAST(0 AS BIGINT)) AS exact
       FROM est e LEFT JOIN ex x ON e.term = x.term
       ORDER BY e.term""" },
+    // Replays groupedHistogramQuantiles: q120's binning/walk/interpolation
+    // with every window partitioned by lang. documents.n_chars is BIGINT;
+    // window sums are HUGEINT — CAST back.
+    "q128_group_quantiles" -> """
+      WITH h AS (SELECT lang,
+                        CAST(least(greatest(floor(n_chars / 50.0), 0), 15) AS INT) AS bin,
+                        count(*) AS n
+                 FROM documents GROUP BY lang, bin),
+      c AS (SELECT lang, bin, n,
+                   CAST(sum(n) OVER (PARTITION BY lang ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS total
+            FROM h),
+      p AS (SELECT CAST(col0 AS DOUBLE) AS p
+            FROM (VALUES (0.5), (0.9), (0.99)) v(col0))
+      SELECT lang, p, bin,
+             round(0.0 + 50.0 * (bin +
+               (p * total - (cum - n)) / n), 6) AS q_est
+      FROM c CROSS JOIN p
+      WHERE (cum - n) < p * total AND cum >= p * total
+      ORDER BY lang, p""",
     // Replays sessionize: same epoch-micros times, same (us, event_id)
     // tie-break, lag flag + running sum, 30-minute gap. Window sum of
     // INTEGER is HUGEINT in DuckDB — CAST back to BIGINT.

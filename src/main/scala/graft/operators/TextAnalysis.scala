@@ -907,11 +907,61 @@ object TextAnalysis {
   private val q127: Q = (s, d) =>
     zipfFit(Tables.documents(s, d), "doc_id", "text")
 
+  /** Pairwise Jensen–Shannon divergence (bits) between per-group token
+    * distributions — the DISTRIBUTIONAL complement of
+    * [[Dedup.corpusOverlap]]'s set overlap: two corpora can share every
+    * token type yet weight them very differently (JSD sees it), or share
+    * none (JSD = 1). Standard for corpus-mix design and drift monitoring.
+    *
+    * `JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M)`, `M = ½(P+Q)`. Tokens present in
+    * only one side contribute `½ p·log2(2) = ½p` — so the inner-join sum
+    * over SHARED tokens plus `½(1-Σp1_shared) + ½(1-Σp2_shared)` is the
+    * whole value, and the join never materializes the union's null rows.
+    *
+    * Scale shape: the corpus collapses to (group, token) counts first
+    * (map-side combine — the only corpus-sized stage); the divergence join
+    * runs on |groups|·|vocab| collapsed rows keyed by token; per-pair state
+    * is three mergeable sums. 6 dp rounding absorbs summation-order ulps
+    * (q44 discipline). Pair universe comes from the totals self-join, so
+    * disjoint-vocabulary pairs surface with JSD exactly 1.0. */
+  def jsDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val cnt = df
+      .select(col(groupCol), explode(expr(toksOf(textCol))).as("t"))
+      .groupBy(col(groupCol), col("t")).agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col(groupCol)).agg(sum(col("n")).as("tn"))
+    val prob = cnt.join(tot, Seq(groupCol))
+      .select(col(groupCol), col("t"),
+        (col("n").cast("double") / col("tn")).as("p"))
+    val shared = prob.as("x").join(prob.as("y"),
+        col("x.t") === col("y.t") &&
+          col(s"x.$groupCol") < col(s"y.$groupCol"))
+      .groupBy(col(s"x.$groupCol").as("src1"), col(s"y.$groupCol").as("src2"))
+      .agg(
+        sum(expr("0.5 * x.p * log2(2.0 * x.p / (x.p + y.p)) " +
+          "+ 0.5 * y.p * log2(2.0 * y.p / (x.p + y.p))")).as("s_shared"),
+        sum(col("x.p")).as("p1_shared"),
+        sum(col("y.p")).as("p2_shared"))
+    val pairs = tot.as("a").join(tot.as("b"),
+        col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .select(col(s"a.$groupCol").as("src1"), col(s"b.$groupCol").as("src2"))
+    pairs.join(shared, Seq("src1", "src2"), "left")
+      .select(col("src1"), col("src2"),
+        round(coalesce(col("s_shared"), lit(0.0))
+          + lit(0.5) * (lit(1.0) - coalesce(col("p1_shared"), lit(0.0)))
+          + lit(0.5) * (lit(1.0) - coalesce(col("p2_shared"), lit(0.0))),
+          6).as("jsd"))
+  }
+
+  private val q129: Q = (s, d) =>
+    jsDivergence(Tables.documents(s, d), "lang", "text")
+      .orderBy(col("src1"), col("src2"))
+
   val queries: Map[String, Q] = Map(
     "q122_boilerplate" -> q122,
     "q123_char_entropy" -> q123,
     "q126_pmi" -> q126,
     "q127_zipf" -> q127,
+    "q129_js_divergence" -> q129,
     "q118_vocab_coverage" -> q118,
     "q119_corpus_mix" -> q119,
     "q47_curation" -> q47,
@@ -1001,6 +1051,33 @@ object TextAnalysis {
       FROM dab CROSS JOIN n
       JOIN dft fa ON fa.t = tok1 JOIN dft fb ON fb.t = tok2
       ORDER BY pmi DESC, tok1, tok2 LIMIT $PmiTopK""",
+    // Replays jsDivergence: same shared-token inner-join decomposition
+    // (exclusive mass enters as ½(1-Σp_shared)), same per-term formula.
+    // 6 dp absorbs summation-order ulps across engines.
+    "q129_js_divergence" -> """
+      WITH cnt AS (SELECT lang, t, count(*) AS n
+                   FROM (SELECT lang,
+                                unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS t
+                         FROM documents)
+                   GROUP BY lang, t),
+      tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tn FROM cnt GROUP BY lang),
+      prob AS (SELECT c.lang, t, CAST(n AS DOUBLE) / tn AS p
+               FROM cnt c JOIN tot USING (lang)),
+      shared AS (SELECT x.lang AS src1, y.lang AS src2,
+                        sum(0.5 * x.p * log2(2.0 * x.p / (x.p + y.p))
+                          + 0.5 * y.p * log2(2.0 * y.p / (x.p + y.p))) AS s_shared,
+                        sum(x.p) AS p1s, sum(y.p) AS p2s
+                 FROM prob x JOIN prob y ON x.t = y.t AND x.lang < y.lang
+                 GROUP BY x.lang, y.lang),
+      pairs AS (SELECT a.lang AS src1, b.lang AS src2
+                FROM tot a JOIN tot b ON a.lang < b.lang)
+      SELECT p.src1, p.src2,
+             round(coalesce(s_shared, 0)
+               + 0.5 * (1 - coalesce(p1s, 0))
+               + 0.5 * (1 - coalesce(p2s, 0)), 6) AS jsd
+      FROM pairs p LEFT JOIN shared s ON p.src1 = s.src1 AND p.src2 = s.src2
+      ORDER BY p.src1, p.src2""",
     // Replays zipfFit: same (count desc, token) rank order, same log2/log2
     // regression via DuckDB's native regr_* aggregates — independent
     // implementations of the OLS sums; 6 dp absorbs summation-order ulps.

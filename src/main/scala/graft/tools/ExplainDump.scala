@@ -59,6 +59,8 @@ object ExplainDump {
     "q125_countmin" -> "map-side hash fan-out; ONE cell aggregate whose partial combine bounds every task at depth×width cells; probes broadcast",
     "q126_pmi" -> "pairs generated map-side from the sorted distinct-token array (no token self-join); broadcast 1-row N; TakeOrderedAndProject top-k",
     "q127_zipf" -> "corpus collapses to |types| rows before the rank sort; regression is one regr_* aggregate over the collapsed frame",
+    "q128_group_quantiles" -> "|groups|×nBins mergeable counts; per-group cumulative walk over ≤ nBins rows — groups parallelize, no per-group sort",
+    "q129_js_divergence" -> "corpus collapses to (group, token) counts map-side; divergence join keyed on token over the collapsed frame; 3 mergeable sums per pair",
   )
 
   def main(args: Array[String]): Unit = {
