@@ -288,6 +288,45 @@ object ScaleSmoke {
       time(s"corpusOverlap ${k}x (8 groups)",
         Dedup.corpusOverlap(groupedBlown, "grp", "text"))
     }
+    // Sketch/statistics family: countMin's cell aggregate is bounded at
+    // depth×width regardless of K; pmi/zipf collapse the corpus to
+    // pair/type counts (duplication multiplies counts, not keys); the
+    // grouped-quantile walk is |groups|×nBins; jsd joins collapsed
+    // (group, token) counts. All should be K-flat except the map-side scan.
+    import graft.operators.Analytics.{countMinEstimate, groupedHistogramQuantiles}
+    section("countmin") {
+      def toks(df: DataFrame) = df.select(
+        explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+      val probes = Seq("spark", "vector", "table", "dup", "row", "quantum")
+      time("countMin 1x", countMinEstimate(toks(base), "tok", probes))
+      time(s"countMin ${k}x", countMinEstimate(toks(blown), "tok", probes))
+    }
+    section("pmi") {
+      time("pmiCollocations 1x", TextAnalysis.pmiCollocations(base, "doc_id", "text"))
+      time(s"pmiCollocations ${k}x",
+        TextAnalysis.pmiCollocations(blown, "doc_id", "text"))
+    }
+    section("zipf") {
+      time("zipfFit 1x", TextAnalysis.zipfFit(base, "doc_id", "text"))
+      time(s"zipfFit ${k}x", TextAnalysis.zipfFit(blown, "doc_id", "text"))
+    }
+    section("gquant") {
+      def withLen(df: DataFrame) = df
+        .withColumn("grp", concat(lit("g"), col("doc_id") % 8))
+        .withColumn("len", length(col("text")).cast("double"))
+      time("groupQuantiles 1x", groupedHistogramQuantiles(
+        withLen(base), "grp", "len", 0.0, 50.0, 16, Seq(0.5, 0.9, 0.99)))
+      time(s"groupQuantiles ${k}x", groupedHistogramQuantiles(
+        withLen(blown), "grp", "len", 0.0, 50.0, 16, Seq(0.5, 0.9, 0.99)))
+    }
+    section("jsd") {
+      def grouped(df: DataFrame) =
+        df.withColumn("grp", concat(lit("g"), col("doc_id") % 8))
+      time("jsDivergence 1x (8 groups)",
+        TextAnalysis.jsDivergence(grouped(base), "grp", "text"))
+      time(s"jsDivergence ${k}x (8 groups)",
+        TextAnalysis.jsDivergence(grouped(blown), "grp", "text"))
+    }
     spark.stop()
   }
 }
