@@ -268,7 +268,70 @@ object StreamingQueries {
         round(col("total_value"), 2).as("total_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** q130's sketch geometry — width 16 forces collisions on the fixture
+    * vocabulary, so the gate exercises the over-estimate path, not just the
+    * collision-free identity. Shared with the oracle SQL. */
+  private[graft] val SmDepth = 4
+  private[graft] val SmWidth = 16
+
+  /** Streaming count-min heavy hitters: the [[graft.operators.Analytics]]
+    * count-min cells built BY THE STREAMING ENGINE — tokens explode
+    * map-side per micro-batch and the cell aggregate folds them into
+    * `depth × width` counters. Complete output mode is normally the
+    * unbounded-state trap of streaming aggregation; a sketch aggregate is
+    * the case where it is PROVABLY safe — state is ≤ depth×width rows by
+    * construction, whatever the stream's cardinality. That bound is the
+    * whole point of streaming sketches: heavy-hitter monitoring over
+    * unbounded token streams with constant state, merge-by-sum across
+    * restarts/partitions.
+    *
+    * After draining, the final sketch state is probed for the top-5
+    * estimated heavy hitters next to their exact counts (batch audit leg)
+    * — StreamingSketchSpec asserts the drained state equals the batch
+    * [[graft.operators.Analytics.countMin]] cell-for-cell (sum algebra ≡
+    * micro-batch folding). */
+  private def cmCellsFor(c: String) = s"""transform(sequence(0, ${SmDepth - 1}),
+    j -> ${graft.operators.CrossHash.h60Expr(s"concat(string(j), ':', $c)")} % $SmWidth)"""
+
+  /** The drained streaming sketch state (the memory table itself) —
+    * separate from [[q130]] so StreamingSketchSpec can compare it
+    * cell-for-cell with the batch [[graft.operators.Analytics.countMin]]. */
+  private[graft] def streamedCountMin(s: SparkSession, d: String): DataFrame = {
+    val src = s.readStream
+      .schema(Tables.load(s, d, "documents").schema)
+      .parquet(streamDir(d, "documents"))
+    val sketch = src
+      .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+      .select(posexplode(expr(cmCellsFor("tok"))).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val name = s"graft_stream_cm_${System.nanoTime()}"
+    withStatePartitions(s, 4) {
+      val q = sketch.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+  }
+
+  private val q130: Q = (s, d) => {
+    val sk = streamedCountMin(s, d)
+    // batch probe of the drained state: every distinct token's estimate
+    // (min over rows of its cell) vs its exact count.
+    val toks = Tables.documents(s, d)
+      .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+    val exact = toks.groupBy(col("tok").as("term")).agg(count(lit(1)).as("exact"))
+    exact
+      .select(col("term"), col("exact"),
+        posexplode(expr(cmCellsFor("term"))).as(Seq("j", "bucket")))
+      .join(sk, Seq("j", "bucket"))
+      .groupBy(col("term"), col("exact")).agg(min(col("cnt")).as("est"))
+      .select(col("term"), col("est"), col("exact"))
+      .orderBy(col("est").desc, col("term"))
+      .limit(5)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q130_stream_countmin" -> q130,
     "q80_tumbling_window" -> q80,
     "q81_session_window" -> q81,
     "q82_stream_tumbling" -> q82,
@@ -321,6 +384,28 @@ object StreamingQueries {
       ORDER BY user_id, session_start"""
 
   val oracles: Map[String, String] = Map(
+    // Rebuilds q130's width-16 sketch in batch (the final complete-mode
+    // state of a pure-sum aggregate is execution-order-independent, so the
+    // streamed sketch must equal the batch one cell-for-cell), probes every
+    // token, takes the same (est desc, term) top-5. Integer algebra — exact.
+    "q130_stream_countmin" -> {
+      def h60(e: String) = graft.operators.CrossHash.h60DuckDb(e)
+      s"""
+      WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+                   FROM documents),
+      cells AS (SELECT j, (${h60("CAST(j AS VARCHAR) || ':' || tok")}) % $SmWidth AS bucket
+                FROM tok CROSS JOIN (SELECT unnest(range(0, $SmDepth)) AS j)),
+      sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+             FROM cells GROUP BY j, bucket),
+      ex AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS exact FROM tok GROUP BY tok),
+      pb AS (SELECT term, j,
+                    (${h60("CAST(j AS VARCHAR) || ':' || term")}) % $SmWidth AS bucket
+             FROM ex CROSS JOIN (SELECT unnest(range(0, $SmDepth)) AS j)),
+      est AS (SELECT term, min(sk.cnt) AS est
+              FROM pb JOIN sk ON pb.j = sk.j AND pb.bucket = sk.bucket
+              GROUP BY term)
+      SELECT e.term, e.est, x.exact FROM est e JOIN ex x ON e.term = x.term
+      ORDER BY e.est DESC, e.term LIMIT 5""" },
     "q80_tumbling_window" -> tumblingOracle,
     "q82_stream_tumbling" -> tumblingOracle,
     "q87_stream_upsert" -> """

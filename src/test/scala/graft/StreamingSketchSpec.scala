@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+import graft.streaming.StreamingQueries
+
+/** q130: the streaming count-min sketch must equal the batch sketch
+  * cell-for-cell — complete-mode micro-batch folding of a pure-sum
+  * aggregate is execution-order-independent. */
+class StreamingSketchSpec extends SparkSpec {
+
+  test("streamed count-min state == batch countMin cells (width 16, depth 4)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamed = StreamingQueries.streamedCountMin(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+    val batch = Analytics.countMin(toks, "tok", depth = 4, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    // width 16 over a 31-token vocabulary: state provably bounded, and
+    // collisions are present (some cell holds more than one token's mass).
+    assert(streamed.size <= 4 * 16)
+  }
+
+  test("q130 heavy hitters: est >= exact, 5 rows, descending estimates") {
+    val rows = StreamingQueries.queries("q130_stream_countmin")(spark, sf0001)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getLong(1) >= r.getLong(2),
+      s"${r.getString(0)}: CM must never under-estimate"))
+    assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).sortBy(-_).toSeq)
+  }
+}
