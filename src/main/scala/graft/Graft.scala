@@ -201,6 +201,12 @@ object Graft {
     Analytics.groupedHistogramQuantiles(df, groupCol, valueCol, lo, width, nBins, ps)
   def jsDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     TextAnalysis.jsDivergence(df, groupCol, textCol)
+  def embeddingCovariance(df: DataFrame, vecCol: String): DataFrame =
+    Similarity.embeddingCovariance(df, vecCol)
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Similarity.quantizeInt8(df, idCol, vecCol)
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame =
+    Relational.profileTable(df, cols)
   def mergeAggStates(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
     Analytics.mergeAggStates(a, b, keyCols)
 

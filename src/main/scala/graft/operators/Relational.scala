@@ -743,7 +743,58 @@ object Relational {
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }
 
+  /** ANALYZE-style table profiling: one row per profiled column with row /
+    * null / distinct counts, plus min/max for integer columns (other
+    * types' extrema are format-sensitive across engines and belong to
+    * typed queries). The statistics every optimizer (and every data-quality
+    * gate) wants, as a first-class operator.
+    *
+    * Shape: ONE scan — all columns' counts aggregate in a single pass
+    * (Spark plans the multi-column distincts via Expand: |cols| copies of
+    * each row, each carrying one column — the standard exact-distinct
+    * plan); the per-column result rows are then 1-row selects unioned,
+    * driver-free. At corpus scale swap `countDistinct` for
+    * [[Analytics.kmvSketch]]/`approx_count_distinct` per column — the
+    * operator's contract (exact) is the oracle-able form. */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileTable: cols must be non-empty")
+    val schema = df.schema
+    def isIntegral(c: String) = schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap { c =>
+        Seq(count(col(c)).as(s"nn__$c"), countDistinct(col(c)).as(s"nd__$c")) ++
+          (if (isIntegral(c))
+            Seq(min(col(c)).cast("bigint").as(s"mn__$c"),
+              max(col(c)).cast("bigint").as(s"mx__$c"))
+          else Nil)
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    cols.map { c =>
+      one.select(lit(c).as("col_name"), col("n_rows"),
+        col(s"nn__$c").as("n_nonnull"),
+        (col("n_rows") - col(s"nn__$c")).as("n_null"),
+        col(s"nd__$c").as("n_distinct"),
+        (if (isIntegral(c)) col(s"mn__$c") else lit(null).cast("bigint"))
+          .as("min_num"),
+        (if (isIntegral(c)) col(s"mx__$c") else lit(null).cast("bigint"))
+          .as("max_num"))
+    }.reduce(_ unionByName _).orderBy(col("col_name"))
+  }
+
+  private val profiledCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  private val q133: Q = (s, d) =>
+    profileTable(Tables.orders(s, d), profiledCols)
+
   val queries: Map[String, Q] = Map(
+    "q133_profile" -> q133,
     "q29_csv_scan" -> q29,
     "q30_json_scan" -> q30,
     "q93_orc_scan" -> q93,
@@ -803,6 +854,23 @@ object Relational {
   // for timestamp-valued outputs.
 
   val oracles: Map[String, String] = Map(
+    // Replays profileTable column-by-column; counts CAST to BIGINT
+    // (HUGEINT in DuckDB), min/max only for the BIGINT columns.
+    "q133_profile" -> {
+      def row(c: String, integral: Boolean) = {
+        val mn = if (integral) s"CAST(min($c) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+        val mx = if (integral) s"CAST(max($c) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count($c) AS BIGINT) AS n_nonnull,
+               CAST(count(*) - count($c) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+               $mn AS min_num, $mx AS max_num FROM orders"""
+      }
+      Seq("o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
+        "o_totalprice" -> false, "o_orderdate" -> false,
+        "o_orderpriority" -> false)
+        .map { case (c, i) => row(c, i) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name") },
     // q29/q30 oracles read the ORIGINAL parquet: the Spark side must survive
     // its CSV/JSON round-trip losslessly to match.
     "q29_csv_scan" -> """

@@ -61,6 +61,9 @@ object ExplainDump {
     "q127_zipf" -> "corpus collapses to |types| rows before the rank sort; regression is one regr_* aggregate over the collapsed frame",
     "q128_group_quantiles" -> "|groups|×nBins mergeable counts; per-group cumulative walk over ≤ nBins rows — groups parallelize, no per-group sort",
     "q129_js_divergence" -> "corpus collapses to (group, token) counts map-side; divergence join keyed on token over the collapsed frame; 3 mergeable sums per pair",
+    "q131_embedding_cov" -> "pair rows generated map-side (no dimension self-join); corpus collapses to d(d+1)/2 covar_samp states",
+    "q132_quantize_int8" -> "one d-row absmax aggregate broadcast back; codes are a pure map-side projection — fit once, apply streaming",
+    "q133_profile" -> "ONE scan: multi-column distincts via Expand; per-column result rows are 1-row selects unioned",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, Similarity}
+
+/** Round-8 embedding/statistics operators: covariance matrix (q131), int8
+  * quantization (q132), table profiling (q133). */
+class EmbeddingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("embeddingCovariance matches a hand-computed 2-dim case") {
+    // vectors (1,2), (3,4), (5,12): var(x)=4, var(y)=28, cov(x,y)=10 (sample)
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)), (3L, Array(5.0f, 12.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingCovariance(df, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out((0, 0)) == 4.0)
+    assert(out((0, 1)) == 10.0)
+    assert(out((1, 1)) == 28.0)
+    assert(out.size == 3) // upper triangle only
+  }
+
+  test("embeddingCovariance diagonal equals per-dimension variance on the fixture") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = Similarity.embeddingCovariance(emb, "embedding")
+      .filter(col("i") === col("j")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val vars = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(round(var_samp(col("x").cast("double")), 6).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out == vars)
+  }
+
+  test("quantizeInt8: codes bounded to [-127, 127], max-|x| cell codes to ±127, dequant error <= scale/254") {
+    val df = Seq(
+      (1L, Array(0.5f, -2.0f)), (2L, Array(-1.0f, 1.0f)), (3L, Array(0.25f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // dim 0 scale = 1.0; dim 1 scale = 2.0
+    assert(out((2L, 0)) == -127)            // -1.0 / 1.0 * 127
+    assert(out((1L, 1)) == -127)            // -2.0 / 2.0 * 127
+    assert(out((1L, 0)) == 64)              // 0.5 * 127 = 63.5 → half-up 64
+    assert(out((3L, 1)) == 0)
+    assert(out.values.forall(c => c >= -127 && c <= 127))
+  }
+
+  test("quantizeInt8 handles an all-zero dimension (scale 0 → code 0)") {
+    val df = Seq((1L, Array(0.0f, 3.0f)), (2L, Array(0.0f, -3.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 0)) == 0 && out((2L, 0)) == 0)
+    assert(out((1L, 1)) == 127 && out((2L, 1)) == -127)
+  }
+
+  test("profileTable: counts, nulls, distincts, integral min/max") {
+    val df = Seq(
+      (1L, Some("a"), Some(10)), (2L, None, Some(20)),
+      (3L, Some("a"), None), (4L, Some("b"), Some(20)))
+      .toDF("id", "s", "n")
+    val out = Relational.profileTable(df, Seq("id", "s", "n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    assert(out("id") == ((4L, 4L, 0L, 4L, Some(1L), Some(4L))))
+    assert(out("s") == ((4L, 3L, 1L, 2L, None, None)))
+    assert(out("n") == ((4L, 3L, 1L, 2L, Some(10L), Some(20L))))
+  }
+}
