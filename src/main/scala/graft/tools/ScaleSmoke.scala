@@ -327,6 +327,32 @@ object ScaleSmoke {
       time(s"jsDivergence ${k}x (8 groups)",
         TextAnalysis.jsDivergence(grouped(blown), "grp", "text"))
     }
+    // Embedding ops: covariance pays a d(d+1)/2 map-side fan-out per vector
+    // (the honest exact-covariance cost — linear in vectors at fixed d);
+    // quantization is one d-row aggregate + a map-side projection; profiling
+    // is one scan with Expand-widened distincts.
+    import graft.operators.{Relational, Similarity}
+    section("embcov") {
+      val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+        .localCheckpoint()
+      val embBlown = (0 until k).map { c =>
+        emb.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ union _).localCheckpoint()
+      time("embeddingCovariance 1x", Similarity.embeddingCovariance(emb, "embedding"))
+      time(s"embeddingCovariance ${k}x",
+        Similarity.embeddingCovariance(embBlown, "embedding"))
+      time("quantizeInt8 1x", Similarity.quantizeInt8(emb, "vec_id", "embedding"))
+      time(s"quantizeInt8 ${k}x",
+        Similarity.quantizeInt8(embBlown, "vec_id", "embedding"))
+    }
+    section("profile") {
+      val ords = Tables.orders(spark, sfDir)
+      val ordsBlown = (0 until k).map(_ => ords).reduce(_ union _).localCheckpoint()
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      time("profileTable 1x", Relational.profileTable(ords, cols))
+      time(s"profileTable ${k}x", Relational.profileTable(ordsBlown, cols))
+    }
     spark.stop()
   }
 }
