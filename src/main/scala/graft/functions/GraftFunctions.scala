@@ -336,6 +336,63 @@ object TokenShinglesImpl {
   * Returns 0 for a token-less input; [[graft.operators.Dedup.simHash]]
   * filters those rows to preserve the aggregate form's no-row behavior.
   */
+/** One-pass per-document character statistics `[n_codepoints,
+  * n_distinct_codepoints, entropy_bits]` for [[graft.operators.TextAnalysis
+  * .charEntropy]]. The HOF formulation (`transform(array_distinct(cs), a ->
+  * size(filter(cs, x -> x = a)))`) interprets O(|alphabet| × len) lambdas
+  * per row — this walks the string ONCE, counting code points (DuckDB's
+  * character semantics, per the q107/q44 code-point discipline) into a
+  * small hash map. Entropy sums in the map's (deterministic per input)
+  * iteration order; consumers round to 6 dp, which absorbs the
+  * summation-order ulps vs any other fold order. */
+case class CharStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "char_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    CharStatsImpl.stats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharStatsImpl.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharStatsImpl {
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private val Log2 = math.log(2.0)
+
+  /** Called from generated code. */
+  def stats(u: UTF8String): GenericArrayData = {
+    val s = u.toString
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+      i += Character.charCount(cp)
+      n += 1
+    }
+    if (n == 0L) return new GenericArrayData(Array(0.0, 0.0, 0.0))
+    var ent = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / n
+      ent -= p * (math.log(p) / Log2)
+    }
+    new GenericArrayData(Array(n.toDouble, counts.size.toDouble, ent))
+  }
+}
+
 case class SimHash60(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
@@ -771,6 +828,7 @@ object GraftFunctions {
     "graft_token_shingles" -> (exprs => TokenShingles(exprs(0),
       exprs(1).eval().asInstanceOf[Number].intValue())),
     "graft_simhash60" -> (exprs => SimHash60(exprs.head)),
+    "graft_char_stats" -> (exprs => CharStats(exprs.head)),
     "graft_minhash_sig" -> (exprs => MinHashSig(exprs.head)),
     "graft_hp_buckets" -> (exprs => HyperplaneBuckets(exprs(0),
       exprs(1).eval().asInstanceOf[Number].intValue(),

@@ -805,7 +805,22 @@ object TextAnalysis {
     * summation-order ulps, per the q44 discipline) and `+ 0.0` normalizes
     * IEEE -0.0 so a zero-entropy doc hashes identically cross-engine.
     * Zero-length texts have no distribution and are filtered out. */
-  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), expr(s"graft_char_stats($textCol)").as("st"))
+      .select(col(idCol),
+        col("st")(0).cast("bigint").as("n_chars"),
+        col("st")(1).cast("int").as("n_distinct_chars"),
+        round(col("st")(2) + lit(0.0), 6).as("entropy"))
+  }
+
+  /** The HOF formulation [[charEntropy]] replaced (O(|alphabet| × len)
+    * interpreted lambdas per row vs the native one-pass `graft_char_stats`)
+    * — kept as the parity contract's independent reference
+    * (CurationOpsSpec asserts identical output on the fixture). */
+  private[graft] def charEntropyHof(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     df.filter(length(col(textCol)) > 0)
       .select(col(idCol),
         length(col(textCol)).cast("bigint").as("n_chars"),

@@ -50,6 +50,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(java.lang.Double.doubleToLongBits(out(2L)._3) == 0L) // not -0.0
   }
 
+  test("charEntropy native == HOF formulation on the fixture (parity contract)") {
+    val df = Tables.documents(spark, sf001)
+    val native = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    val hof = TextAnalysis.charEntropyHof(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(native == hof)
+  }
+
   test("charEntropy on fixture docs matches per-row brute force") {
     val df = Tables.documents(spark, sf0001).limit(20)
     val got = TextAnalysis.charEntropy(df, "doc_id", "text")
