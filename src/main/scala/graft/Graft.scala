@@ -179,19 +179,22 @@ object Graft {
   def skyline(df: DataFrame, minCol: String, maxCol: String,
       numGroups: Int = 64): DataFrame = Analytics.skyline(df, minCol, maxCol, numGroups)
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
-      segTokens: Int = 3, maxDf: Int = 4): DataFrame =
+      segTokens: Int = TextAnalysis.BoilerSegTokens,
+      maxDf: Int = TextAnalysis.BoilerMaxDf): DataFrame =
     TextAnalysis.removeBoilerplate(df, idCol, textCol, segTokens, maxDf)
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
     TextAnalysis.charEntropy(df, idCol, textCol)
   def corpusOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     Dedup.corpusOverlap(df, groupCol, textCol)
-  def countMin(df: DataFrame, valueCol: String, depth: Int = 4,
-      width: Int = 1024): DataFrame = Analytics.countMin(df, valueCol, depth, width)
+  def countMin(df: DataFrame, valueCol: String, depth: Int = Analytics.CmDepth,
+      width: Int = Analytics.CmWidth): DataFrame =
+    Analytics.countMin(df, valueCol, depth, width)
   def countMinEstimate(df: DataFrame, valueCol: String, probes: Seq[String],
-      depth: Int = 4, width: Int = 1024): DataFrame =
+      depth: Int = Analytics.CmDepth, width: Int = Analytics.CmWidth): DataFrame =
     Analytics.countMinEstimate(df, valueCol, probes, depth, width)
   def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
-      minDf: Int = 25, topK: Int = 20): DataFrame =
+      minDf: Int = TextAnalysis.PmiMinDf,
+      topK: Int = TextAnalysis.PmiTopK): DataFrame =
     TextAnalysis.pmiCollocations(df, idCol, textCol, minDf, topK)
   def zipfFit(df: DataFrame, idCol: String, textCol: String): DataFrame =
     TextAnalysis.zipfFit(df, idCol, textCol)

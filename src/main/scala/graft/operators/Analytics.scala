@@ -103,6 +103,15 @@ object Analytics {
   private[graft] val CmProbes =
     Seq("spark", "vector", "table", "dup", "row", "quantum")
 
+  /** The (row j, bucket) cell array for one value — THE count-min hash,
+    * shared by [[countMin]], [[countMinEstimate]]'s probe side, and the
+    * streaming sketch ([[graft.streaming.StreamingQueries]]): one
+    * definition, so the batch/stream cell-for-cell equivalence and the
+    * q125/q130 oracles cannot drift apart. */
+  private[graft] def cmCells(c: String, depth: Int, width: Int): String =
+    s"""transform(sequence(0, ${depth - 1}),
+      j -> ${CrossHash.h60Expr(s"concat(string(j), ':', $c)")} % $width)"""
+
   /** Count-min sketch of a value stream: `depth × width` counters, cell
     * `(j, h_j(v) % width)` summing occurrences. THE bounded-state frequency
     * structure for heavy-hitter queries at corpus scale — exact per-value
@@ -121,10 +130,8 @@ object Analytics {
       depth: Int = CmDepth, width: Int = CmWidth): DataFrame = {
     require(depth >= 1 && depth <= 16, s"countMin: depth out of range: $depth")
     require(width >= 2, s"countMin: width must be >= 2, got $width")
-    val cells = s"""transform(sequence(0, ${depth - 1}),
-      j -> ${CrossHash.h60Expr(s"concat(string(j), ':', $valueCol)")} % $width)"""
     df.filter(col(valueCol).isNotNull)
-      .select(posexplode(expr(cells)).as(Seq("j", "bucket")))
+      .select(posexplode(expr(cmCells(valueCol, depth, width))).as(Seq("j", "bucket")))
       .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
@@ -140,10 +147,9 @@ object Analytics {
     val s = df.sparkSession
     import s.implicits._
     val sk = countMin(df, valueCol, depth, width)
-    val cells = s"""transform(sequence(0, ${depth - 1}),
-      j -> ${CrossHash.h60Expr(s"concat(string(j), ':', term)")} % $width)"""
     val probed = probes.toDF("term")
-      .select(col("term"), posexplode(expr(cells)).as(Seq("j", "bucket")))
+      .select(col("term"),
+        posexplode(expr(cmCells("term", depth, width))).as(Seq("j", "bucket")))
     val est = probed.join(sk, Seq("j", "bucket"), "left")
       .groupBy(col("term")).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
     val exact = df.filter(col(valueCol).isin(probes: _*))

@@ -596,10 +596,15 @@ object Relational {
         if (!ok) {
           // A regenerated source mints a new digest; superseded snapshots of
           // the same logical table would otherwise accumulate in the
-          // warehouse forever. Drop them before writing the current one.
+          // warehouse forever. Drop them before writing the current one —
+          // but never a digest this session has verified: two datasets
+          // alternating in one JVM must not destroy each other's staged
+          // tables (that would thrash full rewrites and break lazily-held
+          // frames still referencing the dropped table).
           s.catalog.listTables().collect()
             .map(_.name)
-            .filter(t => t.startsWith(s"${name}_") && t != full)
+            .filter(t => t.startsWith(s"${name}_") && t != full &&
+              !verifiedBucketed.contains(t))
             .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
           df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
             .saveAsTable(full)

@@ -661,7 +661,10 @@ object TextAnalysis {
       .select(explode(expr(toksOf(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val total = vocab.agg(sum(col("cnt"))).head().getLong(0).toDouble
+    // coalesce: sum() over a zero-token corpus is NULL — an empty result
+    // (not a driver NPE) is the right degenerate output, like langId's.
+    val total = vocab.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .head().getLong(0).toDouble
     val top = vocab.orderBy(col("cnt").desc, col("token")).limit(topK)
     val wRank = Window.orderBy(col("cnt").desc, col("token"))
     val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)

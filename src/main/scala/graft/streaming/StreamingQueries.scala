@@ -290,8 +290,11 @@ object StreamingQueries {
     * — StreamingSketchSpec asserts the drained state equals the batch
     * [[graft.operators.Analytics.countMin]] cell-for-cell (sum algebra ≡
     * micro-batch folding). */
-  private def cmCellsFor(c: String) = s"""transform(sequence(0, ${SmDepth - 1}),
-    j -> ${graft.operators.CrossHash.h60Expr(s"concat(string(j), ':', $c)")} % $SmWidth)"""
+  /** Delegates to the single count-min cell definition in Analytics — the
+    * batch/stream cell-for-cell equivalence contract depends on there being
+    * exactly one. */
+  private def cmCellsFor(c: String) =
+    graft.operators.Analytics.cmCells(c, SmDepth, SmWidth)
 
   /** The drained streaming sketch state (the memory table itself) —
     * separate from [[q130]] so StreamingSketchSpec can compare it

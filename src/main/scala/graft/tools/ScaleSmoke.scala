@@ -47,6 +47,7 @@ object ScaleSmoke {
     // SPARK_GRAFT_ONLY (PERF.md).
     val onlySec: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // empty/blank env var = no filter, not "skip all"
     def section(name: String)(body: => Unit): Unit =
       if (onlySec.forall(_.exists(name.contains))) body
 
