@@ -204,6 +204,10 @@ object Graft {
     Analytics.groupedHistogramQuantiles(df, groupCol, valueCol, lo, width, nBins, ps)
   def jsDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     TextAnalysis.jsDivergence(df, groupCol, textCol)
+  def skipGramCounts(df: DataFrame, idCol: String, textCol: String,
+      window: Int = TextAnalysis.SgWindow,
+      topK: Int = TextAnalysis.SgTopK): DataFrame =
+    TextAnalysis.skipGramCounts(df, idCol, textCol, window, topK)
   def embeddingCovariance(df: DataFrame, vecCol: String): DataFrame =
     Similarity.embeddingCovariance(df, vecCol)
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -974,12 +974,54 @@ object TextAnalysis {
     jsDivergence(Tables.documents(s, d), "lang", "text")
       .orderBy(col("src1"), col("src2"))
 
+  /** q134's window / result size — shared with the oracle SQL. */
+  private[graft] val SgWindow = 2
+  private[graft] val SgTopK = 30
+
+  /** Skip-gram co-occurrence counts — (center, context) pairs within a
+    * ±`window` token distance, the training-pair extraction word2vec/GloVe
+    * pipelines run over the whole corpus (and the positional complement of
+    * [[pmiCollocations]]'s document-level pairing). Ordered pairs: (a, b)
+    * and (b, a) count separately, as the center/context distinction
+    * requires.
+    *
+    * Scale shape: pairs are generated MAP-SIDE from each token array
+    * (index-window transforms — never a position self-join, which at
+    * corpus scale explodes len² rows per document before the distance
+    * filter); per-token fan-out is ≤ 2·window. The count aggregate's
+    * partial combine collapses each task to its distinct-pair set
+    * (vocab²-bounded); top-k is TakeOrderedAndProject on the
+    * (n desc, center, context) total order. */
+  def skipGramCounts(df: DataFrame, idCol: String, textCol: String,
+      window: Int = SgWindow, topK: Int = SgTopK): DataFrame = {
+    require(window >= 1, s"skipGramCounts: window must be >= 1, got $window")
+    require(topK >= 1, s"skipGramCounts: topK must be >= 1, got $topK")
+    df.select(expr(toksOf(textCol)).as("ts"))
+      .filter(size(col("ts")) > 1)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(ts) - 1), i ->
+              transform(
+                filter(sequence(greatest(i - $window, 0),
+                                least(i + $window, size(ts) - 1)), j -> j != i),
+                j -> named_struct('c', element_at(ts, i + 1),
+                                  'x', element_at(ts, j + 1)))))"""))
+        .as("p"))
+      .groupBy(col("p.c").as("center"), col("p.x").as("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("center"), col("context"))
+      .limit(topK)
+  }
+
+  private val q134: Q = (s, d) =>
+    skipGramCounts(Tables.documents(s, d), "doc_id", "text")
+
   val queries: Map[String, Q] = Map(
     "q122_boilerplate" -> q122,
     "q123_char_entropy" -> q123,
     "q126_pmi" -> q126,
     "q127_zipf" -> q127,
     "q129_js_divergence" -> q129,
+    "q134_skipgram" -> q134,
     "q118_vocab_coverage" -> q118,
     "q119_corpus_mix" -> q119,
     "q47_curation" -> q47,
@@ -1069,6 +1111,24 @@ object TextAnalysis {
       FROM dab CROSS JOIN n
       JOIN dft fa ON fa.t = tok1 JOIN dft fb ON fb.t = tok2
       ORDER BY pmi DESC, tok1, tok2 LIMIT $PmiTopK""",
+    // Replays skipGramCounts by the INDEPENDENT position self-join
+    // formulation (Spark generates pairs map-side) — the gate certifies
+    // the windowed pairing, not a shared recipe. Ordered pairs; counts
+    // CAST to BIGINT.
+    "q134_skipgram" -> s"""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS ts
+                 FROM documents),
+      pos AS (SELECT doc_id, i, ts[CAST(i AS INT)] AS tok
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+                    FROM t WHERE len(ts) > 1)),
+      pairs AS (SELECT a.tok AS center, b.tok AS context
+                FROM pos a JOIN pos b
+                  ON a.doc_id = b.doc_id AND a.i <> b.i
+                     AND abs(a.i - b.i) <= $SgWindow)
+      SELECT center, context, CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY center, context
+      ORDER BY n DESC, center, context LIMIT $SgTopK""",
     // Replays jsDivergence: same shared-token inner-join decomposition
     // (exclusive mass enters as ½(1-Σp_shared)), same per-term formula.
     // 6 dp absorbs summation-order ulps across engines.

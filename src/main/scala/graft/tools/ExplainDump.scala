@@ -64,6 +64,7 @@ object ExplainDump {
     "q131_embedding_cov" -> "pair rows generated map-side (no dimension self-join); corpus collapses to d(d+1)/2 covar_samp states",
     "q132_quantize_int8" -> "one d-row absmax aggregate broadcast back; codes are a pure map-side projection — fit once, apply streaming",
     "q133_profile" -> "ONE scan: multi-column distincts via Expand; per-column result rows are 1-row selects unioned",
+    "q134_skipgram" -> "windowed pairs generated map-side (≤ 2w per token, never a len² position self-join); vocab²-bounded aggregate; TakeOrderedAndProject top-k",
   )
 
   def main(args: Array[String]): Unit = {

@@ -65,6 +65,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows(0).getDouble(3) > rows(1).getDouble(3))
   }
 
+  test("skipGramCounts matches brute-force windowed pairs; ordered pairs counted separately") {
+    val docs = Seq((1L, "a b c a"), (2L, "b a"))
+    val out = TextAnalysis.skipGramCounts(docs.toDF("doc_id", "text"),
+        "doc_id", "text", window = 1, topK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // brute force over both docs, window 1
+    val exp = docs.flatMap { case (_, t) =>
+      val ts = t.split(" ")
+      for (i <- ts.indices; j <- ts.indices
+           if i != j && math.abs(i - j) <= 1) yield (ts(i), ts(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out == exp)
+    // center/context orientation: (c,a) appears once (doc 1 pos 2→3),
+    // and (a,c) symmetric here — both directions present.
+    assert(out(("c", "a")) == 1L && out(("a", "c")) == 1L)
+  }
+
+  test("skipGramCounts window bounds: distance > window never pairs; single-token docs drop") {
+    val docs = Seq((1L, "x y z w"), (2L, "solo"))
+    val out = TextAnalysis.skipGramCounts(docs.toDF("doc_id", "text"),
+        "doc_id", "text", window = 2, topK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(!out.contains(("x", "w"))) // distance 3 > 2
+    assert(out(("x", "z")) == 1L)     // distance 2
+    assert(!out.keys.exists { case (a, b) => a == "solo" || b == "solo" })
+  }
+
   test("zipfFit recovers an exact power law: counts C/rank give slope -1, r2 1") {
     // counts 12, 6, 4, 3 at ranks 1..4: log2(cnt) = log2(12) - 1*log2(rank).
     val text = (Seq.fill(12)("t1") ++ Seq.fill(6)("t2") ++
