@@ -208,6 +208,17 @@ object Graft {
       window: Int = TextAnalysis.SgWindow,
       topK: Int = TextAnalysis.SgTopK): DataFrame =
     TextAnalysis.skipGramCounts(df, idCol, textCol, window, topK)
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int = TextAnalysis.IiMaxPostings,
+      topK: Int = TextAnalysis.IiTopK): DataFrame =
+    TextAnalysis.invertedIndex(df, idCol, textCol, maxPostings, topK)
+  def hllSketch(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    Analytics.hllSketch(df, groupCol, valueCol)
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    Analytics.hllDistinct(df, groupCol, valueCol)
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame =
+    Analytics.transitionMatrix(df, userCol, tsCol, idCol, typeCol)
   def embeddingCovariance(df: DataFrame, vecCol: String): DataFrame =
     Similarity.embeddingCovariance(df, vecCol)
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =

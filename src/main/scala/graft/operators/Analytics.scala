@@ -93,6 +93,103 @@ object Analytics {
     kmvDistinct(Tables.events(s, d), "event_type", "user_id")
       .orderBy(col("event_type"))
 
+  // -------------------------------------------------------- HyperLogLog --
+
+  /** m = 2^8 registers: ±6.5% standard error, 256 small ints of state. */
+  private[graft] val HllRegisters = 256
+  /** Hash bits left after the 8 register bits of the 60-bit md5 hash. */
+  private[graft] val HllWBits = 52
+  /** Max rank = leading-zeros(52-bit word) + 1; also the scale exponent
+    * that turns Σ 2^-M[j] into the exact integer Σ 2^(53-M[j]). */
+  private[graft] val HllMaxRank = HllWBits + 1
+  /** alpha_m · m² · 2^53 — the estimator numerator, folded to ONE double
+    * literal shared verbatim with the oracle SQL so the only float op
+    * either engine performs is the final division. */
+  private[graft] val HllNumerator: Double =
+    0.7213 / (1.0 + 1.079 / HllRegisters) *
+      (HllRegisters.toDouble * HllRegisters.toDouble) *
+      (1L << HllMaxRank).toDouble
+  /** Raw-estimate threshold below which linear counting takes over. */
+  private[graft] val HllSmallRange: Double = 2.5 * HllRegisters
+  /** Linear-counting table: entry V (1-based V+1) = m·ln(m/V), the
+    * small-range estimator for V empty registers — PRECOMPUTED here and
+    * shared with the oracle as 256 literals, so neither engine evaluates
+    * ln() at query time (a last-ulp libm difference would leak through
+    * the 2-dp round on a boundary; a literal cannot). Entry 0 is a
+    * placeholder — V = 0 routes to the raw estimator. */
+  private[graft] val HllLinear: IndexedSeq[Double] =
+    (0 until HllRegisters).map(v =>
+      if (v == 0) 0.0
+      else HllRegisters.toDouble *
+        math.log(HllRegisters.toDouble / v.toDouble))
+
+  /** HyperLogLog distinct-count sketch (Flajolet et al. 2007): register
+    * `j = h mod m` keeps the max rank (leading zeros + 1) of the remaining
+    * 52 hash bits; estimate = α_m·m²/Σ 2^-M[j], empty registers counting
+    * 2^0. The fixed-state complement of [[kmvSketch]]: KMV holds k hash
+    * VALUES per group, HLL holds m 6-bit RANKS — and needs NO deduplicating
+    * pre-pass, because max() is idempotent (a duplicate value hits the same
+    * register with the same rank). At 100 TB that drops KMV's distinct
+    * exchange entirely: the only shuffle carries ≤ m (group, reg, rank)
+    * triples per group out of each task's partial max.
+    *
+    * Cross-engine exactness: ranks are integer string-length algebra over
+    * `bin(w)` (never float log2), and Σ 2^-M[j] is computed as the INTEGER
+    * Σ 2^(53-M[j]) (≤ 256 terms ≤ 2^53 each — no summation-order float
+    * drift for the oracle to trip on). The single division by that integer
+    * is the one IEEE op, identical in fixed order in both engines; the
+    * small-range linear-counting arm (raw ≤ 2.5m, V empty registers →
+    * m·ln(m/V)) reads a PRECOMPUTED literal table ([[HllLinear]]) instead
+    * of calling ln(), for the same reason. */
+  def hllSketch(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val m = HllRegisters
+    val r = HllMaxRank
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), expr(CrossHash.h60Expr(valueCol)).as("hv"))
+      .select(col(groupCol), (col("hv") % m).as("reg"),
+        expr(s"hv div $m").as("w"))
+      // bin(0) = "0" has length 1, not 0 — the all-zeros word needs its
+      // own arm to land on rank 53 instead of 52.
+      .withColumn("rank",
+        when(col("w") === 0L, lit(r))
+          .otherwise(lit(r) - length(bin(col("w")))))
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max(col("rank")).as("mj"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("m_used"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $r - mj)")).as("s_obs"))
+      .withColumn("s_reg",
+        col("s_obs") + (lit(m.toLong) - col("m_used")) * lit(1L << r))
+      .withColumn("v_empty", lit(m.toLong) - col("m_used"))
+      .withColumn("raw_est", lit(HllNumerator) / col("s_reg").cast("double"))
+      // Flajolet's small-range regime: raw ≤ 2.5m with empty registers →
+      // linear counting m·ln(m/V), picked from the shared literal table.
+      .withColumn("hll_est", round(
+        when(col("raw_est") <= lit(HllSmallRange) && col("v_empty") > 0,
+          element_at(typedLit(HllLinear), (col("v_empty") + 1).cast("int")))
+          .otherwise(col("raw_est")), 2))
+      .select(col(groupCol), col("m_used"), col("s_reg"), col("hll_est"))
+  }
+
+  /** Sketch-vs-exact harness over [[hllSketch]] (the q135 gate): the
+    * register-state columns joined with the true distinct count. The exact
+    * leg exists only to verify the estimator — production calls
+    * [[hllSketch]] and never pays it. */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val du = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull).distinct()
+    val exact = du.groupBy(groupCol).agg(count(lit(1)).as("n_exact"))
+    // One row per group on both sides — broadcast, no shuffle.
+    exact.join(broadcast(hllSketch(df, groupCol, valueCol)), groupCol)
+      .select(col(groupCol), col("n_exact"), col("m_used"), col("s_reg"),
+        col("hll_est"))
+  }
+
+  /** Distinct users per event type, exact vs HLL(256) estimate. */
+  private val q135: Q = (s, d) =>
+    hllDistinct(Tables.events(s, d), "event_type", "user_id")
+      .orderBy(col("event_type"))
+
   // ---------------------------------------------------- count-min sketch --
 
   private[graft] val CmDepth = 4
@@ -486,6 +583,42 @@ object Analytics {
     sessionize(Tables.events(s, d), "user_id", "ts", "event_id")
       .orderBy(col("user_id"), col("session_id"))
 
+  /** First-order Markov transition matrix over per-user event timelines:
+    * for each consecutive (src → dst) event pair the transition count and
+    * the row-normalized probability P(dst | src) — the path-analysis
+    * aggregate behind "what do users do after X" product questions and
+    * behavioral next-event models.
+    *
+    * Cost shape: the SAME single (user)-partitioned (time, id)-ordered
+    * exchange [[sessionize]] pays — `lead()` is O(1) per-row state over
+    * that sort, pairs never materialize wider than (src, dst), and the
+    * count aggregate's partial combine bounds every task's output by
+    * |event_types|² regardless of event volume. The normalizing window
+    * runs over the ALREADY-aggregated |types|²-row frame, not the events.
+    * Times fold to integer epoch micros with the id tie-break, so the
+    * ordering — and therefore every transition — is deterministic
+    * cross-engine. */
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("us"), col(idCol))
+    val counts = df
+      .select(col(userCol), col(idCol), col(typeCol).as("src"),
+        unix_micros(col(tsCol)).as("us"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy(col("src"))
+    counts.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(wSrc).cast("double"), 6))
+  }
+
+  /** Event-type transition counts + P(dst|src) over the events stream. */
+  private val q136: Q = (s, d) =>
+    transitionMatrix(Tables.events(s, d), "user_id", "ts", "event_id",
+      "event_type")
+      .orderBy(col("src"), col("dst"))
+
   /** Mergeable per-key aggregate state — the incremental-materialized-view
     * pattern: `aggState` reduces a batch to (keys, cnt, vsum, vmin, vmax)
     * and [[mergeAggStates]] folds any number of such states into the state
@@ -727,6 +860,8 @@ object Analytics {
     "q120_hist_quantiles" -> q120,
     "q128_group_quantiles" -> q128,
     "q68_kmv_distinct" -> q68,
+    "q135_hll_distinct" -> q135,
+    "q136_transitions" -> q136,
     "q125_countmin" -> q125,
     "q69_funnel" -> q69,
     "q101_funnel_gap" -> q101,
@@ -742,6 +877,63 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Rebuilds the identical HLL register file: same 60-bit md5, same
+    // reg/word split, same bin()-length integer ranks, same INTEGER
+    // Σ 2^(53-mj). The raw estimate's ONE float op — numerator / s_reg —
+    // uses the same folded numerator literal, and the small-range arm
+    // picks from the same precomputed m·ln(m/V) literal list (1-based in
+    // both engines), so the gate is exact to the 2-dp round.
+    "q135_hll_distinct" -> s"""
+      WITH v AS (SELECT event_type, user_id FROM events
+                 WHERE user_id IS NOT NULL),
+      h AS (SELECT event_type,
+                   ${h60("CAST(user_id AS VARCHAR)")} AS hv FROM v),
+      r AS (SELECT event_type, hv % $HllRegisters AS reg,
+                   hv // $HllRegisters AS w FROM h),
+      k AS (SELECT event_type, reg,
+                   max(CASE WHEN w = 0 THEN $HllMaxRank
+                       ELSE $HllMaxRank - length(bin(w)) END) AS mj
+            FROM r GROUP BY event_type, reg),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m_used,
+                   CAST(sum(CAST(1 AS BIGINT) << ($HllMaxRank - mj))
+                        AS BIGINT) AS s_obs
+            FROM k GROUP BY event_type),
+      e AS (SELECT event_type, m_used,
+                   s_obs + ($HllRegisters - m_used) *
+                     CAST(${1L << HllMaxRank} AS BIGINT) AS s_reg,
+                   $HllRegisters - m_used AS v_empty
+            FROM a),
+      est AS (SELECT event_type, m_used, s_reg,
+                     $HllNumerator / CAST(s_reg AS DOUBLE) AS raw_est,
+                     v_empty
+              FROM e),
+      x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+                     AS n_exact
+            FROM v GROUP BY event_type)
+      SELECT x.event_type, n_exact, m_used, s_reg,
+             round(CASE WHEN raw_est <= $HllSmallRange AND v_empty > 0
+                   THEN ${HllLinear.mkString("[", ", ", "]")}
+                          [CAST(v_empty + 1 AS INT)]
+                   ELSE raw_est END, 2) AS hll_est
+      FROM x JOIN est USING (event_type)
+      ORDER BY event_type""",
+    // Replays transitionMatrix: same epoch-micros (us, event_id) order,
+    // lead() pairs, count, and the per-src normalizing window over the
+    // aggregated frame. count sums are HUGEINT in DuckDB — CAST back.
+    "q136_transitions" -> """
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      t AS (SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id) AS dst
+            FROM e),
+      g AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+            FROM t WHERE dst IS NOT NULL GROUP BY src, dst)
+      SELECT src, dst, n,
+             round(CAST(n AS DOUBLE) /
+               CAST(CAST(sum(n) OVER (PARTITION BY src) AS BIGINT)
+                    AS DOUBLE), 6) AS p
+      FROM g ORDER BY src, dst""",
     // Rebuilds the identical count-min sketch (same 60-bit md5 cells, same
     // depth×width) and probes it — exact integer algebra end-to-end.
     // count(*) is HUGEINT in DuckDB — CAST to BIGINT.

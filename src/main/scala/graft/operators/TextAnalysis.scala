@@ -1015,6 +1015,48 @@ object TextAnalysis {
   private val q134: Q = (s, d) =>
     skipGramCounts(Tables.documents(s, d), "doc_id", "text")
 
+  /** q137's posting-list cap / result size — shared with the oracle SQL. */
+  private[graft] val IiMaxPostings = 20
+  private[graft] val IiTopK = 40
+
+  /** Inverted-index construction: token → document frequency + the first
+    * `maxPostings` doc ids (ascending) as the posting-list prefix — the
+    * retrieval backbone [[bm25]] queries assume precomputed, materialized
+    * as a table. Postings serialize to a comma-joined string (the repo's
+    * array-gate convention, q28).
+    *
+    * Scale shape: (token, doc) pairs are map-side explode + distinct (one
+    * dedup exchange on the pair key — the same cost tfidf pays); the
+    * posting cap is row_number-over-(token, doc_id) filtered BEFORE any
+    * list materializes, which Spark executes as WindowGroupLimit — a
+    * partial per-task top-k, so no task ever buffers a stopword's full
+    * million-document posting list. Per-token state is ≤ maxPostings ids;
+    * the final (doc_freq desc, token) top-k is TakeOrderedAndProject. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int = IiMaxPostings, topK: Int = IiTopK): DataFrame = {
+    require(maxPostings >= 1,
+      s"invertedIndex: maxPostings must be >= 1, got $maxPostings")
+    require(topK >= 1, s"invertedIndex: topK must be >= 1, got $topK")
+    val td = df.select(col(idCol).as("doc_id"),
+        explode(expr(toksOf(textCol))).as("tok"))
+      .distinct()
+    val dfCnt = td.groupBy(col("tok")).agg(count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+    val posts = td.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPostings)
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ps"))
+      .select(col("tok"), expr(
+        "array_join(transform(ps, x -> cast(x as string)), ',')")
+        .as("postings"))
+    dfCnt.join(posts, "tok")
+      .orderBy(col("doc_freq").desc, col("tok"))
+      .limit(topK)
+  }
+
+  private val q137: Q = (s, d) =>
+    invertedIndex(Tables.documents(s, d), "doc_id", "text")
+
   val queries: Map[String, Q] = Map(
     "q122_boilerplate" -> q122,
     "q123_char_entropy" -> q123,
@@ -1022,6 +1064,7 @@ object TextAnalysis {
     "q127_zipf" -> q127,
     "q129_js_divergence" -> q129,
     "q134_skipgram" -> q134,
+    "q137_inverted_index" -> q137,
     "q118_vocab_coverage" -> q118,
     "q119_corpus_mix" -> q119,
     "q47_curation" -> q47,
@@ -1129,6 +1172,28 @@ object TextAnalysis {
       SELECT center, context, CAST(count(*) AS BIGINT) AS n
       FROM pairs GROUP BY center, context
       ORDER BY n DESC, center, context LIMIT $SgTopK""",
+    // Replays invertedIndex: distinct (token, doc) pairs, doc-frequency
+    // count, row_number-capped ascending posting prefix joined to a
+    // comma string (numeric order BEFORE the string cast, matching
+    // sort_array on bigint).
+    "q137_inverted_index" -> s"""
+      WITH tk AS (SELECT doc_id,
+                         unnest(list_filter(string_split(text, ' '),
+                                            t -> t <> '')) AS tok
+                  FROM documents),
+      td AS (SELECT DISTINCT doc_id, tok FROM tk),
+      c AS (SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq
+            FROM td GROUP BY tok),
+      r AS (SELECT tok, doc_id,
+                   row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+            FROM td),
+      p AS (SELECT tok,
+                   array_to_string(list(CAST(doc_id AS VARCHAR)
+                                        ORDER BY doc_id), ',') AS postings
+            FROM r WHERE rn <= $IiMaxPostings GROUP BY tok)
+      SELECT c.tok, doc_freq, postings
+      FROM c JOIN p USING (tok)
+      ORDER BY doc_freq DESC, tok LIMIT $IiTopK""",
     // Replays jsDivergence: same shared-token inner-join decomposition
     // (exclusive mass enters as ½(1-Σp_shared)), same per-term formula.
     // 6 dp absorbs summation-order ulps across engines.

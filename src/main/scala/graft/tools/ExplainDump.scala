@@ -65,6 +65,9 @@ object ExplainDump {
     "q132_quantize_int8" -> "one d-row absmax aggregate broadcast back; codes are a pure map-side projection — fit once, apply streaming",
     "q133_profile" -> "ONE scan: multi-column distincts via Expand; per-column result rows are 1-row selects unioned",
     "q134_skipgram" -> "windowed pairs generated map-side (≤ 2w per token, never a len² position self-join); vocab²-bounded aggregate; TakeOrderedAndProject top-k",
+    "q135_hll_distinct" -> "NO distinct pre-pass (max-register idempotence); shuffle carries ≤ m (group,reg,rank) partials; estimate is one division over exact integer register algebra",
+    "q136_transitions" -> "lead() over the one (user)-(time,id) sort sessionize pays; aggregate bounded by |types|²; normalizing window runs over the aggregated frame",
+    "q137_inverted_index" -> "posting cap is WindowGroupLimit (partial per-task top-k) BEFORE any list materializes; no task buffers a stopword's full posting list",
   )
 
   def main(args: Array[String]): Unit = {

@@ -120,6 +120,64 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 1L, 1L, 0L, 0L, 0L)), s"got ${got.toSeq}")
   }
 
+  test("transitionMatrix: counts/probabilities on a hand fixture; ts then id order") {
+    import spark.implicits._
+    // user 1 path: a→b→a→c (same ts for b/a at 20 — event_id breaks the
+    // tie, so the pair is b→a, not a→b twice). user 2 path: a→b.
+    // Singleton user 3 contributes nothing.
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 20L, "a"),
+      (1L, 4L, 30L, "c"),
+      (2L, 5L, 10L, "a"), (2L, 6L, 20L, "b"),
+      (3L, 7L, 10L, "z"),
+    ).toDF("user_id", "event_id", "sec", "event_type")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val got = Analytics.transitionMatrix(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // From a: →b twice (u1 first hop, u2). From b: →a once (tie-break),
+    // from a: →c once. So a→b 2 of 3 a-transitions, a→c 1 of 3, b→a 1 of 1.
+    assert(got == Map(
+      ("a", "b") -> (2L, 0.666667), ("a", "c") -> (1L, 0.333333),
+      ("b", "a") -> (1L, 1.0)), s"got $got")
+  }
+
+  test("hllSketch: estimator within 3 standard errors at n >> m") {
+    import spark.implicits._
+    val n = 5000
+    val df = (1 to n).map(i => ("g", s"v$i")).toDF("g", "v")
+    val est = Analytics.hllSketch(df, "g", "v").head().getDouble(3)
+    val se = 1.04 / math.sqrt(Analytics.HllRegisters.toDouble)
+    assert(math.abs(est - n) / n < 3 * se, s"est $est vs exact $n")
+  }
+
+  test("hllSketch: duplicate-insensitive (max-register idempotence), no distinct pass") {
+    import spark.implicits._
+    val base = (1 to 400).map(i => ("g", s"v${i % 57}")).toDF("g", "v")
+    val dup = base.union(base).union(base)
+    val a = Analytics.hllSketch(base, "g", "v").head()
+    val b = Analytics.hllSketch(dup, "g", "v").head()
+    // Identical register state, not merely a close estimate.
+    assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2) &&
+      a.getDouble(3) == b.getDouble(3))
+    // And the plan really has no deduplicating exchange before the hash:
+    // exactly the two aggregate exchanges (group,reg) then (group).
+    val plan = Analytics.hllSketch(base, "g", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("distinct"), plan)
+  }
+
+  test("hllSketch: small-range linear counting lands near tiny exact counts") {
+    import spark.implicits._
+    val df = Seq(("g", "x"), ("g", "y"), ("g", "z")).toDF("g", "v")
+    val est = Analytics.hllSketch(df, "g", "v").head().getDouble(3)
+    // 256·ln(256/253) = 3.018 — the raw estimator would report ~2.16×m/…
+    // biased high; linear counting must land within half a unit.
+    assert(math.abs(est - 3.0) < 0.5, s"est $est")
+  }
+
   test("aggState: merging any 3-way split reproduces the single-pass state") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -92,6 +92,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!out.keys.exists { case (a, b) => a == "solo" || b == "solo" })
   }
 
+  test("invertedIndex: df counts distinct docs; postings capped and ascending") {
+    val docs = Seq(
+      (3L, "b b a"),   // repeated token counts once per doc
+      (1L, "a c"),
+      (2L, "a b"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, "doc_id", "text",
+        maxPostings = 2, topK = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // a in 3 docs but postings cap to the first 2 ascending ids;
+    // b in docs 2,3 (the doc-3 repeat collapses); c only in doc 1.
+    assert(out == Map(
+      "a" -> (3L, "1,2"), "b" -> (2L, "2,3"), "c" -> (1L, "1")), s"got $out")
+  }
+
+  test("invertedIndex: topK keeps the highest-df tokens, df-then-token order") {
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, "doc_id", "text",
+        maxPostings = 10, topK = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("x", "y"), s"got $out") // z (df 1) cut by topK=2
+  }
+
   test("zipfFit recovers an exact power law: counts C/rank give slope -1, r2 1") {
     // counts 12, 6, 4, 3 at ranks 1..4: log2(cnt) = log2(12) - 1*log2(rank).
     val text = (Seq.fill(12)("t1") ++ Seq.fill(6)("t2") ++
