@@ -354,6 +354,43 @@ object ScaleSmoke {
       time("profileTable 1x", Relational.profileTable(ords, cols))
       time(s"profileTable ${k}x", Relational.profileTable(ordsBlown, cols))
     }
+    // skipGram multiplies pair counts, not the vocab² key space; the
+    // inverted index on the Kx corpus is its adversarial regime (every
+    // token's posting list is K× longer — the WindowGroupLimit cap must
+    // keep per-task buffering flat); HLL registers are duplicate-
+    // insensitive by construction, so Kx identical values should cost
+    // only the scan; transitions ride the one user-key sort.
+    section("skipgram") {
+      time("skipGramCounts 1x", TextAnalysis.skipGramCounts(base, "doc_id", "text"))
+      time(s"skipGramCounts ${k}x",
+        TextAnalysis.skipGramCounts(blown, "doc_id", "text"))
+    }
+    section("invidx") {
+      time("invertedIndex 1x", TextAnalysis.invertedIndex(base, "doc_id", "text"))
+      time(s"invertedIndex ${k}x (K-long postings)",
+        TextAnalysis.invertedIndex(blown, "doc_id", "text"))
+    }
+    section("hll") {
+      val ev4 = Tables.events(spark, sfDir).select("user_id", "event_type")
+      val ev4Blown = (0 until k).map(_ => ev4).reduce(_ union _).localCheckpoint()
+      time("hllSketch 1x", Analytics.hllSketch(ev4, "event_type", "user_id"))
+      // SAME user ids K times over — the no-distinct-pass claim under test.
+      time(s"hllSketch ${k}x (pure duplicates)",
+        Analytics.hllSketch(ev4Blown, "event_type", "user_id"))
+    }
+    section("transitions") {
+      val ev5 = Tables.events(spark, sfDir)
+        .select("user_id", "ts", "event_id", "event_type")
+      val ev5Blown = (0 until k).map { c =>
+        ev5.select((col("user_id") + lit(c * 1000000L)).as("user_id"), col("ts"),
+          (col("event_id") + lit(c * 100000000L)).as("event_id"),
+          col("event_type"))
+      }.reduce(_ union _).localCheckpoint()
+      time("transitionMatrix 1x",
+        Analytics.transitionMatrix(ev5, "user_id", "ts", "event_id", "event_type"))
+      time(s"transitionMatrix ${k}x",
+        Analytics.transitionMatrix(ev5Blown, "user_id", "ts", "event_id", "event_type"))
+    }
     spark.stop()
   }
 }
