@@ -141,7 +141,18 @@ object Analytics {
     * small-range linear-counting arm (raw ≤ 2.5m, V empty registers →
     * m·ln(m/V)) reads a PRECOMPUTED literal table ([[HllLinear]]) instead
     * of calling ln(), for the same reason. */
-  def hllSketch(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def hllSketch(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    hllFinalize(hllRegisters(df, groupCol, valueCol), groupCol)
+
+  /** The (group, reg, mj) register file — THE mergeable HLL state, shared
+    * by [[hllSketch]] and the streaming sketch
+    * ([[graft.streaming.StreamingQueries]]): one definition, so the
+    * batch/stream register-for-register equivalence and the q135/q138
+    * oracles cannot drift apart. Merges by per-register MAX (idempotent,
+    * commutative, associative — the algebra that makes complete-mode
+    * streaming state provably bounded at \|groups\|·m rows). */
+  private[graft] def hllRegisters(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
     val m = HllRegisters
     val r = HllMaxRank
     df.filter(col(valueCol).isNotNull)
@@ -155,6 +166,13 @@ object Analytics {
           .otherwise(lit(r) - length(bin(col("w")))))
       .groupBy(col(groupCol), col("reg"))
       .agg(max(col("rank")).as("mj"))
+  }
+
+  /** Folds a [[hllRegisters]] file to (group, m_used, s_reg, hll_est). */
+  private[graft] def hllFinalize(regs: DataFrame, groupCol: String): DataFrame = {
+    val m = HllRegisters
+    val r = HllMaxRank
+    regs
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("m_used"),
         sum(expr(s"shiftleft(cast(1 as bigint), $r - mj)")).as("s_obs"))

@@ -333,8 +333,45 @@ object StreamingQueries {
       .limit(5)
   }
 
+  /** Streaming HyperLogLog: the [[graft.operators.Analytics.hllRegisters]]
+    * register file built BY THE STREAMING ENGINE over the events stream.
+    * Same provably-bounded complete-mode argument as [[streamedCountMin]]:
+    * per-register MAX is idempotent/commutative/associative, so state is
+    * ≤ \|groups\|·m rows whatever the stream's cardinality — the
+    * distinct-user monitoring loop every event pipeline runs, with
+    * constant state and no distinct pass. Drained state is
+    * order-independent, so the q138 gate reuses q135's batch oracle
+    * verbatim. */
+  private[graft] def streamedHllRegisters(s: SparkSession, d: String): DataFrame = {
+    val src = s.readStream
+      .schema(Tables.load(s, d, "events").schema)
+      .parquet(streamDir(d, "events"))
+    val regs = graft.operators.Analytics
+      .hllRegisters(src, "event_type", "user_id")
+    val name = s"graft_stream_hll_${System.nanoTime()}"
+    withStatePartitions(s, 4) {
+      val q = regs.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+  }
+
+  private val q138: Q = (s, d) => {
+    val est = graft.operators.Analytics
+      .hllFinalize(streamedHllRegisters(s, d), "event_type")
+    val exact = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    exact.join(broadcast(est), "event_type")
+      .select(col("event_type"), col("n_exact"), col("m_used"),
+        col("s_reg"), col("hll_est"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q130_stream_countmin" -> q130,
+    "q138_stream_hll" -> q138,
     "q80_tumbling_window" -> q80,
     "q81_session_window" -> q81,
     "q82_stream_tumbling" -> q82,
@@ -387,6 +424,12 @@ object StreamingQueries {
       ORDER BY user_id, session_start"""
 
   val oracles: Map[String, String] = Map(
+    // The final complete-mode state of a pure-max aggregate is execution-
+    // order-independent, so the streamed HLL register file must equal the
+    // batch one — q138 reuses q135's oracle VERBATIM (same shared register
+    // definition, same estimator).
+    "q138_stream_hll" ->
+      graft.operators.Analytics.oracles("q135_hll_distinct"),
     // Rebuilds q130's width-16 sketch in batch (the final complete-mode
     // state of a pure-sum aggregate is execution-order-independent, so the
     // streamed sketch must equal the batch one cell-for-cell), probes every

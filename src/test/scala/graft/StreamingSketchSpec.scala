@@ -31,4 +31,29 @@ class StreamingSketchSpec extends SparkSpec {
       s"${r.getString(0)}: CM must never under-estimate"))
     assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).sortBy(-_).toSeq)
   }
+
+  test("streamed HLL registers == batch hllRegisters register-for-register") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamed = StreamingQueries.streamedHllRegisters(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val batch = Analytics
+      .hllRegisters(Tables.events(spark, sf0001), "event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(streamed == batch)
+    // Complete-mode state provably bounded: ≤ |groups| × m register rows.
+    val groups = streamed.keys.map(_._1).toSet.size
+    assert(streamed.size <= groups * Analytics.HllRegisters)
+  }
+
+  test("q138: streamed estimate matches batch hllDistinct exactly") {
+    val streamRows = StreamingQueries.queries("q138_stream_hll")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val batchRows = Analytics
+      .hllDistinct(Tables.events(spark, sf0001), "event_type", "user_id")
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(streamRows == batchRows)
+  }
 }
