@@ -239,6 +239,9 @@ object Graft {
     operators.Graph.pageRank(edges, src, dst, iters, dampingPct, topK)
   def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame =
     operators.Graph.triangleCount(edges, src, dst)
+  def shortestPaths(edges: DataFrame, src: String, dst: String,
+      sourceNode: String, maxDepth: Int = 6): DataFrame =
+    operators.Graph.shortestPaths(edges, src, dst, sourceNode, maxDepth)
 
   // data layout
   def zorderCluster(df: DataFrame, xCol: String, yCol: String,

@@ -185,15 +185,69 @@ object Graph {
       .distinct()
   }
 
+  /** Single-source BFS shortest paths (unweighted, undirected): one row
+    * per node reachable from `sourceNode` within `maxDepth` hops, with its
+    * hop distance. The third member of the iterative-dataflow family
+    * ([[Dedup.connectedComponents]], [[pageRank]]): per-level frontier
+    * expansion, the textbook distributed BFS.
+    *
+    * Scale shape: each round is ONE equality join (frontier ⋈ edges on the
+    * node id) + ONE anti-join against the settled set — both partitioned
+    * by node id, nothing quadratic, and the frontier-empty early exit
+    * bounds rounds at min(eccentricity, maxDepth). The driver holds loop
+    * control and one count per round; localCheckpoint truncates lineage
+    * per round and prior rounds' blocks release eagerly, exactly the
+    * [[pageRank]] discipline. Distances are small exact ints — the gate
+    * replays the level semantics via DuckDB's recursive CTE (min over
+    * walk lengths ≡ BFS level). */
+  def shortestPaths(edges: DataFrame, src: String, dst: String,
+      sourceNode: String, maxDepth: Int = 6): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 64,
+      s"shortestPaths: maxDepth must be in [1, 64], got $maxDepth")
+    val sess = edges.sparkSession
+    import sess.implicits._
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    Dedup.unpersistBlocks(e0)
+    var settled = Seq((sourceNode, 0)).toDF("node", "dist").localCheckpoint()
+    var frontier = settled
+    var depth = 0
+    var frontierN = 1L
+    while (depth < maxDepth && frontierN > 0) {
+      depth += 1
+      val nbrs = und.join(frontier, und("a") === frontier("node"))
+        .select(und("b").as("node")).distinct()
+      val nf = nbrs.join(settled, Seq("node"), "left_anti")
+        .select(col("node"), lit(depth).as("dist"))
+        .localCheckpoint()
+      frontierN = nf.count()
+      val ns = settled.union(nf).localCheckpoint()
+      // Round 1's frontier IS settled — unpersist is idempotent on blocks.
+      Dedup.unpersistBlocks(frontier)
+      Dedup.unpersistBlocks(settled)
+      settled = ns
+      frontier = nf
+    }
+    Dedup.unpersistBlocks(und)
+    settled
+  }
+
   private val q110: Q = (s, d) =>
     pageRank(custSuppEdges(s, d), "src", "dst")
 
   private val q111: Q = (s, d) =>
     triangleCount(suppPartEdges(s, d), "src", "dst")
 
+  private val q139: Q = (s, d) =>
+    shortestPaths(custSuppEdges(s, d), "src", "dst", "c:28")
+      .orderBy(col("dist"), col("node"))
+
   val queries: Map[String, Q] = Map(
     "q110_pagerank" -> q110,
     "q111_triangles" -> q111,
+    "q139_bfs_paths" -> q139,
   )
 
   /** The oracle replays the integer recurrence with DuckDB's `//` floor
@@ -225,6 +279,27 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "q110_pagerank" -> pagerankSql(3, 85),
+    // Replays BFS levels by the INDEPENDENT recursive-CTE formulation:
+    // (node, walk-length) pairs with UNION dedup, min(dist) per node ≡
+    // the BFS level (shortest walk = shortest path; the dist < 6 cap
+    // mirrors maxDepth, and a node whose shortest distance exceeds the
+    // cap is absent from both engines).
+    "q139_bfs_paths" -> """
+      WITH RECURSIVE
+      e0 AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                             's:' || CAST(l_suppkey AS VARCHAR) AS b
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'),
+      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      bfs AS (
+        SELECT 'c:28' AS node, 0 AS dist
+        UNION
+        SELECT e.b AS node, bfs.dist + 1 AS dist
+        FROM bfs JOIN e ON e.a = bfs.node
+        WHERE bfs.dist < 6)
+      SELECT node, CAST(min(dist) AS INT) AS dist
+      FROM bfs GROUP BY node
+      ORDER BY dist, node""",
     // Replays triangleCount bit-for-bit: same symmetrize + dedupe, the same
     // (degree, id) orientation, one wedge join, EXISTS as the closing
     // semi-join. All integers — no rounding anywhere.

@@ -68,6 +68,7 @@ object ExplainDump {
     "q135_hll_distinct" -> "NO distinct pre-pass (max-register idempotence); shuffle carries ≤ m (group,reg,rank) partials; estimate is one division over exact integer register algebra",
     "q136_transitions" -> "lead() over the one (user)-(time,id) sort sessionize pays; aggregate bounded by |types|²; normalizing window runs over the aggregated frame",
     "q137_inverted_index" -> "posting cap is WindowGroupLimit (partial per-task top-k) BEFORE any list materializes; no task buffers a stopword's full posting list",
+    "q139_bfs_paths" -> "per-level frontier expansion: one equality join + one anti-join per round, all partitioned by node id; frontier-empty early exit bounds rounds",
   )
 
   def main(args: Array[String]): Unit = {

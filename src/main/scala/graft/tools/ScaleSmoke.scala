@@ -169,6 +169,20 @@ object ScaleSmoke {
       time(s"pageRank ${k}x (disjoint copies)",
         Graph.pageRank(edgesBlown, "src", "dst"))
     }
+    // BFS on K disjoint copies: the source's component is ONE copy, so
+    // rounds and frontier sizes are identical at any K — the only growth
+    // is each round's scan/join over the K× edge set.
+    section("bfs") {
+      val bfsEdges = Graph.custSuppEdges(spark, sfDir).localCheckpoint()
+      val bfsBlown = (0 until k).map { c =>
+        bfsEdges.select(concat(lit(s"$c|"), col("src")).as("src"),
+          concat(lit(s"$c|"), col("dst")).as("dst"))
+      }.reduce(_ union _).localCheckpoint()
+      time("shortestPaths 1x",
+        Graph.shortestPaths(bfsEdges, "src", "dst", "c:28"))
+      time(s"shortestPaths ${k}x (disjoint copies)",
+        Graph.shortestPaths(bfsBlown, "src", "dst", "0|c:28"))
+    }
     section("triangle") {
       val triEdges = Graph.suppPartEdges(spark, sfDir).localCheckpoint()
       val triBlown = (0 until k).map { c =>

@@ -55,6 +55,24 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCount(edges, "s", "d").collect().head.getLong(2) == 0L)
   }
 
+  test("shortestPaths: hand graph distances; unreachable and over-depth excluded") {
+    // Path a-b-c-d-e plus a shortcut a-c; island x-y unreachable.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("a", "c"), ("x", "y")).toDF("s", "d")
+    val got = Graph.shortestPaths(edges, "s", "d", "a", maxDepth = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // The a-c shortcut makes c dist 1 and d dist 2; e is dist 3 > maxDepth.
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2), s"got $got")
+  }
+
+  test("shortestPaths: early exit returns the full component, edges undirected") {
+    // Directed input b->a; BFS from a must still reach b (symmetrized).
+    val edges = Seq(("b", "a"), ("b", "c")).toDF("s", "d")
+    val got = Graph.shortestPaths(edges, "s", "d", "a", maxDepth = 50)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 2), s"got $got")
+  }
+
   test("pageRank: identical results regardless of input partitioning") {
     val edges = spark.range(300)
       .select(concat(lit("x"), col("id") % 40).as("s"),
