@@ -870,6 +870,135 @@ object Analytics {
       0.0, 50.0, 16, Seq(0.5, 0.9, 0.99))
       .orderBy(col("lang"), col("p"))
 
+  // ------------------------------------------------ interval concurrency --
+
+  /** Peak concurrent intervals per time bucket — the sweep-line answer to
+    * "how many sessions/connections/jobs were live at once", computed
+    * WITHOUT the interval self-join (which is quadratic in overlap degree
+    * and unrunnable at fact-table scale). Each closed interval
+    * [start, end] contributes a +1 delta at `start` and a -1 at `end + 1`;
+    * concurrency at any instant is the prefix sum of deltas up to it, and
+    * the per-bucket peak is the max of that running sum over the bucket's
+    * change points (between change points concurrency is constant, so
+    * sampling at deltas loses nothing).
+    *
+    * Scale shape — the prefix sum is the two-level decomposition from
+    * [[Packing.packShards]], with the TIME BUCKET as the partition (range,
+    * not hash, because order matters here): deltas collapse per distinct
+    * timestamp (hash aggregate, corpus-sized but map-combinable), the
+    * within-bucket running sum is a bucket-partitioned window, and the
+    * cross-bucket offset is a running sum over per-bucket totals — a
+    * |buckets|-row frame that rejoins via broadcast. No single-partition
+    * window ever sees more than one bucket's change points.
+    *
+    * Deterministic: every value is integer (counts and epoch-micro
+    * timestamps), so the hash gate is exact. */
+  def intervalConcurrency(df: DataFrame, startCol: String, endCol: String,
+      bucketMicros: Long = 3600000000L): DataFrame = {
+    require(bucketMicros > 0,
+      s"intervalConcurrency: bucketMicros must be > 0, got $bucketMicros")
+    val deltas = df.select(col(startCol).as("ts"), lit(1L).as("d"))
+      .unionAll(df.select((col(endCol) + 1L).as("ts"), lit(-1L).as("d")))
+    val collapsed = deltas.groupBy(col("ts"))
+      .agg(sum(col("d")).as("d"))
+      .withColumn("bucket", expr(s"ts div ${bucketMicros}L"))
+    val wLoc = Window.partitionBy(col("bucket")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = collapsed.withColumn("cum_in", sum(col("d")).over(wLoc))
+    val offsets = collapsed.groupBy(col("bucket"))
+      .agg(sum(col("d")).as("btot"))
+      .withColumn("offset", coalesce(
+        sum(col("btot")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("conc", col("offset") + col("cum_in"))
+      .groupBy(col("bucket"))
+      .agg(max(col("conc")).as("peak"), count(lit(1)).as("n_changes"))
+      .select((col("bucket") * bucketMicros).as("bucket_us"),
+        col("peak"), col("n_changes"))
+  }
+
+  /** Peak concurrent user sessions per hour (sessions from [[sessionize]],
+    * 30-min gap — q113's exact frame feeding the sweep). */
+  private val q140: Q = (s, d) =>
+    intervalConcurrency(
+      sessionize(Tables.events(s, d), "user_id", "ts", "event_id"),
+      "start_us", "end_us")
+      .orderBy(col("bucket_us"))
+
+  // ------------------------------------------------------- grouped trend --
+
+  /** Per-group ordinary-least-squares fit — slope, intercept, R², pair
+    * count of y on x within each group, via the regr_* aggregate family
+    * (Spark and DuckDB implement the same textbook moments form). The
+    * per-key trend detector of metric pipelines: "which suppliers' prices
+    * rise with quantity", "which sources' quality drifts over time".
+    *
+    * Scale shape: ONE hash aggregate; the regr_* moments (n, Σx, Σy, Σxy,
+    * Σx², Σy²) combine map-side and merge associatively, so the shuffle
+    * carries six doubles per group — the same mergeable-state economics as
+    * [[aggState]]. Groups with a degenerate fit (fewer than `minN` pairs,
+    * or zero x-variance → null slope) are dropped, not emitted as nulls.
+    * Results round to 6 dp — the moments are float sums whose partial-
+    * aggregation order varies; 6 dp absorbs the 1e-12 relative wobble
+    * (q77's stats-aggregate precedent). */
+  def groupedTrend(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, minN: Long = 2L): DataFrame = {
+    df.groupBy(col(groupCol))
+      .agg(
+        expr(s"cast(regr_count($yCol, $xCol) as bigint)").as("n"),
+        round(expr(s"regr_slope($yCol, $xCol)"), 6).as("slope"),
+        round(expr(s"regr_intercept($yCol, $xCol)"), 6).as("intercept"),
+        round(expr(s"regr_r2($yCol, $xCol)"), 6).as("r2"))
+      .filter(col("n") >= minN && col("slope").isNotNull)
+  }
+
+  /** Price-vs-quantity trend per supplier. */
+  private val q141: Q = (s, d) =>
+    groupedTrend(Tables.lineitem(s, d), "l_suppkey", "l_quantity",
+      "l_extendedprice")
+      .orderBy(col("l_suppkey"))
+
+  // ----------------------------------------------------- z-score outliers --
+
+  /** Per-group z-score outlier detection: rows whose value deviates from
+    * the group mean by more than `z` population standard deviations — the
+    * anomaly filter of curation pipelines (truncated docs, runaway repeat
+    * blobs, mis-parsed lengths).
+    *
+    * Deliberately the TWO-PASS shape, not a group-partitioned window: a
+    * grouped aggregate computes (mean, stddev) per group — mergeable
+    * map-side state — and a broadcast join brings the ≤ |groups| stats rows
+    * back to the corpus. A window PARTITION BY group would funnel each
+    * group's entire corpus share through one task — with few, large groups
+    * (languages, sources) that is the classic skew cliff at 100 TB; the
+    * two-pass form keeps the corpus scan embarrassingly parallel.
+    *
+    * The z score rounds to 6 dp for the emitted column; the >z filter runs
+    * on the unrounded value (boundary ties are measure-zero on real data
+    * and both engines compute the same ordered expression). */
+  def groupZScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      z: Double = 2.0): DataFrame = {
+    require(z > 0.0, s"groupZScoreOutliers: z must be > 0, got $z")
+    val stats = df.groupBy(col(groupCol))
+      .agg(avg(col(valueCol)).as("_mean"),
+        stddev_pop(col(valueCol)).as("_sd"))
+      .filter(col("_sd") > 0.0)
+    df.join(broadcast(stats), groupCol)
+      .filter(abs((col(valueCol) - col("_mean")) / col("_sd")) > z)
+      .withColumn("z_score",
+        round((col(valueCol) - col("_mean")) / col("_sd"), 6))
+      .drop("_mean", "_sd")
+  }
+
+  /** Events whose metric value is >3σ from their event type's mean. */
+  private val q142: Q = (s, d) =>
+    groupZScoreOutliers(Tables.events(s, d), "event_type", "value", 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("z_score"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, Q] = Map(
     "q113_sessionize" -> q113,
     "q114_incremental_agg" -> q114,
@@ -888,6 +1017,9 @@ object Analytics {
     "q73_merge_upsert" -> q73,
     "q75_histogram" -> q75,
     "q76_table_diff" -> q76,
+    "q140_concurrency" -> q140,
+    "q141_trend" -> q141,
+    "q142_outliers" -> q142,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -979,6 +1111,65 @@ object Analytics {
     // Replays groupedHistogramQuantiles: q120's binning/walk/interpolation
     // with every window partitioned by lang. documents.n_chars is BIGINT;
     // window sums are HUGEINT — CAST back.
+    // Replays the q113 sessionize chain, then the sweep as ONE global
+    // running sum over collapsed deltas — the two-level Spark decomposition
+    // (bucket-local window + broadcast offsets) must produce the identical
+    // per-hour peaks or the hash gate fails (the q74 oracle convention).
+    "q140_concurrency" -> """
+      WITH e AS (SELECT user_id, event_id,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      l AS (SELECT user_id, event_id, us,
+                   lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                     AS prev_us
+            FROM e),
+      f AS (SELECT user_id, event_id, us,
+                   CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END AS ns
+            FROM l),
+      s AS (SELECT user_id, us,
+                   CAST(sum(ns) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_id
+            FROM f),
+      sess AS (SELECT min(us) AS start_us, max(us) AS end_us
+               FROM s GROUP BY user_id, session_id),
+      d AS (SELECT start_us AS ts, CAST(1 AS BIGINT) AS d FROM sess
+            UNION ALL
+            SELECT end_us + 1, CAST(-1 AS BIGINT) FROM sess),
+      g AS (SELECT ts, CAST(sum(d) AS BIGINT) AS d FROM d GROUP BY ts),
+      c AS (SELECT ts, CAST(sum(d) OVER (ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS conc
+            FROM g)
+      SELECT (ts // 3600000000) * 3600000000 AS bucket_us,
+             max(conc) AS peak, count(*) AS n_changes
+      FROM c GROUP BY 1 ORDER BY 1""",
+
+    "q141_trend" -> """
+      SELECT l_suppkey,
+             CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+             round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 6)
+               AS intercept,
+             round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+      FROM lineitem
+      GROUP BY l_suppkey
+      HAVING regr_count(l_extendedprice, l_quantity) >= 2
+         AND regr_slope(l_extendedprice, l_quantity) IS NOT NULL
+      ORDER BY l_suppkey""",
+
+    "q142_outliers" -> """
+      WITH st AS (SELECT event_type, avg(value) AS m,
+                         stddev_pop(value) AS sd
+                  FROM events GROUP BY event_type
+                  HAVING stddev_pop(value) > 0.0)
+      SELECT e.event_id, e.event_type, e.value,
+             round((e.value - st.m) / st.sd, 6) AS z_score
+      FROM events e JOIN st USING (event_type)
+      WHERE abs((e.value - st.m) / st.sd) > 3.0
+      ORDER BY e.event_id""",
+
     "q128_group_quantiles" -> """
       WITH h AS (SELECT lang,
                         CAST(least(greatest(floor(n_chars / 50.0), 0), 15) AS INT) AS bin,

@@ -439,4 +439,79 @@ class AnalyticsSpec extends SparkSpec {
       "l_extendedprice", 0.0, 5000.0, 20).agg(sum("n")).head().getLong(0)
     assert(total == Tables.lineitem(spark, sf001).count())
   }
+
+  // -------------------------------------------------------- concurrency --
+
+  test("intervalConcurrency: sweep counts overlaps; closed-interval bounds") {
+    // Bucket size 100. [0,50] and [50,120] overlap AT 50 (closed ends →
+    // peak 2 in bucket 0); [110,130] overlaps [50,120] in bucket 1 (peak
+    // 2); [400,410] sits alone in bucket 4 — and bucket 2/3 emit nothing
+    // (no change points there).
+    val iv = Seq((0L, 50L), (50L, 120L), (110L, 130L), (400L, 410L))
+      .toDF("s", "e")
+    val got = Analytics.intervalConcurrency(iv, "s", "e", 100L)
+      .select("bucket_us", "peak").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 100L -> 2L, 400L -> 1L), s"got $got")
+  }
+
+  test("intervalConcurrency: two-level prefix sum equals the naive sweep") {
+    val sess = Analytics.sessionize(
+      Tables.events(spark, sf001), "user_id", "ts", "event_id")
+    val got = Analytics.intervalConcurrency(sess, "start_us", "end_us")
+      .select("bucket_us", "peak", "n_changes")
+      .as[(Long, Long, Long)].collect().map { case (k, p, n) => k -> (p, n) }.toMap
+    // Naive single-window form: one global running sum, no bucket split.
+    val deltas = sess.select(col("start_us").as("ts"), lit(1L).as("d"))
+      .unionAll(sess.select((col("end_us") + 1L).as("ts"), lit(-1L).as("d")))
+      .groupBy("ts").agg(sum("d").as("d"))
+    val wAll = Window.orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = deltas.withColumn("conc", sum(col("d")).over(wAll))
+      .groupBy(expr("ts div 3600000000 * 3600000000").as("bucket_us"))
+      .agg(max("conc").as("peak"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().map { case (k, p, n) => k -> (p, n) }.toMap
+    assert(got == naive)
+    // Every interval opens and closes: the final running concurrency is 0.
+    val totalDelta = deltas.agg(sum("d")).head().getLong(0)
+    assert(totalDelta == 0L)
+  }
+
+  // -------------------------------------------------------------- trend --
+
+  test("groupedTrend: exact fit on collinear points; degenerate groups drop") {
+    // g1: y = 3x + 10 exactly (r2 = 1); g2: zero x-variance → null slope,
+    // dropped; g3: a single point → n < 2, dropped.
+    val df = Seq(
+      ("g1", 1.0, 13.0), ("g1", 2.0, 16.0), ("g1", 3.0, 19.0),
+      ("g2", 5.0, 1.0), ("g2", 5.0, 2.0),
+      ("g3", 7.0, 7.0),
+    ).toDF("g", "x", "y")
+    val rows = Analytics.groupedTrend(df, "g", "x", "y").collect()
+    assert(rows.length == 1, s"got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getString(0) == "g1" && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 10.0 &&
+      r.getDouble(4) == 1.0, s"got $r")
+  }
+
+  // ----------------------------------------------------------- outliers --
+
+  test("groupZScoreOutliers: flags the planted outlier, not the bulk") {
+    // g1: nine 10s and one 1000 — the 1000 is ~3σ out (z = 9/sqrt(9.9) ≈
+    // 2.86 with pop stddev... use z=2 to be safely inside); g2 constant →
+    // sd = 0, whole group exempt (no division, no rows).
+    val df = (Seq.fill(9)(("g1", 10.0)) ++ Seq(("g1", 1000.0)) ++
+      Seq.fill(5)(("g2", 42.0))).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val got = Analytics.groupZScoreOutliers(df, "g", "v", 2.0)
+      .select("id", "v").as[(Long, Double)].collect()
+    assert(got.toSeq == Seq((9L, 1000.0)), s"got ${got.toSeq}")
+    // Two-pass shape: the stats side must be a broadcast join, not a
+    // group-partitioned window (skew posture at 100 TB).
+    val plan = Analytics.groupZScoreOutliers(df, "g", "v", 2.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
