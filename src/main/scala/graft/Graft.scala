@@ -223,6 +223,15 @@ object Graft {
     Similarity.embeddingCovariance(df, vecCol)
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     Similarity.quantizeInt8(df, idCol, vecCol)
+  def intervalConcurrency(df: DataFrame, startCol: String, endCol: String,
+      bucketMicros: Long = 3600000000L): DataFrame =
+    Analytics.intervalConcurrency(df, startCol, endCol, bucketMicros)
+  def groupedTrend(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, minN: Long = 2L): DataFrame =
+    Analytics.groupedTrend(df, groupCol, xCol, yCol, minN)
+  def groupZScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      z: Double = 2.0): DataFrame =
+    Analytics.groupZScoreOutliers(df, groupCol, valueCol, z)
   def profileTable(df: DataFrame, cols: Seq[String]): DataFrame =
     Relational.profileTable(df, cols)
   def mergeAggStates(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =

@@ -405,6 +405,33 @@ object ScaleSmoke {
       time(s"transitionMatrix ${k}x",
         Analytics.transitionMatrix(ev5Blown, "user_id", "ts", "event_id", "event_type"))
     }
+    // Round-8 statistics trio. Concurrency's K× fixture shifts each copy's
+    // users but keeps timestamps — K× the sessions land on the SAME change
+    // points, so the collapsed delta frame stays 1×-sized and only the
+    // session build scales: the sweep itself must be flat. Trend/outliers
+    // are single bounded-key aggregates (+ a broadcast join) — linear.
+    section("stats") {
+      val ev6 = Tables.events(spark, sfDir)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+      val ev6Blown = (0 until k).map { c =>
+        ev6.select((col("user_id") + lit(c * 1000000L)).as("user_id"), col("ts"),
+          (col("event_id") + lit(c * 100000000L)).as("event_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ union _).localCheckpoint()
+      def conc(df: DataFrame) = Analytics.intervalConcurrency(
+        Analytics.sessionize(df, "user_id", "ts", "event_id"),
+        "start_us", "end_us")
+      time("intervalConcurrency 1x", conc(ev6))
+      time(s"intervalConcurrency ${k}x (same change points)", conc(ev6Blown))
+      time("groupedTrend 1x",
+        Analytics.groupedTrend(ev6, "event_type", "user_id", "value"))
+      time(s"groupedTrend ${k}x",
+        Analytics.groupedTrend(ev6Blown, "event_type", "user_id", "value"))
+      time("groupZScoreOutliers 1x",
+        Analytics.groupZScoreOutliers(ev6, "event_type", "value", 3.0))
+      time(s"groupZScoreOutliers ${k}x",
+        Analytics.groupZScoreOutliers(ev6Blown, "event_type", "value", 3.0))
+    }
     spark.stop()
   }
 }

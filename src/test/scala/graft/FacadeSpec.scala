@@ -136,6 +136,12 @@ class FacadeSpec extends SparkSpec {
           Analytics.aggState(right, Seq("k"), "v"), Seq("k")),
         Analytics.mergeAggStates(Analytics.aggState(right, Seq("k"), "v"),
           Analytics.aggState(right, Seq("k"), "v"), Seq("k"))),
+      ("intervalConcurrency", Graft.intervalConcurrency(right, "k", "t"),
+        Analytics.intervalConcurrency(right, "k", "t")),
+      ("groupedTrend", Graft.groupedTrend(right, "k", "t", "v"),
+        Analytics.groupedTrend(right, "k", "t", "v")),
+      ("groupZScoreOutliers", Graft.groupZScoreOutliers(right, "k", "v"),
+        Analytics.groupZScoreOutliers(right, "k", "v")),
     )
     pairs.foreach { case (n, f, d) =>
       assert(norm(f) == norm(d), s"facade.$n plan drifted from the operator's:\n${norm(f)}")
