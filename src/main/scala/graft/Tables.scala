@@ -27,16 +27,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet timestamp[ns], which Spark rejects by default
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to microseconds
-    * (integer `div` — a double division would lose precision above 2^53).
-    * DuckDB reads the same column as TIMESTAMP_NS; oracles that *output* ts
-    * must cast it to TIMESTAMP (µs) for parity. */
+  /** Schema-adaptive `events` loader. Fixture generations have shipped
+    * `events.ts` under two physical encodings:
+    *   - parquet timestamp[ns], which Spark rejects by default
+    *     (PARQUET_TYPE_ILLEGAL) — read nanos as long via the legacy conf and
+    *     truncate to microseconds (integer `div`; a double division would
+    *     lose precision above 2^53);
+    *   - parquet timestamp[us], which Spark reads natively as TIMESTAMP (or
+    *     TIMESTAMP_NTZ depending on inference conf) — pass through,
+    *     normalizing NTZ to session-UTC TIMESTAMP so watermark arithmetic
+    *     and the DuckDB oracles (which read timestamp[us] as TIMESTAMP)
+    *     agree.
+    * Branching on the *loaded* dtype keeps a future regen from silently
+    * breaking every events query again (FixtureInvariantSpec covers both). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventsTs(load(s, d, "events"))
+  }
+
+  /** The ONE place the `ts` physical encoding is adapted — batch loads and
+    * every streaming source route through here. */
+  private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other            =>
+        throw new IllegalStateException(s"events.ts has unsupported physical type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

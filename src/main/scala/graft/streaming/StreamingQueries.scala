@@ -48,11 +48,7 @@ object StreamingQueries {
     * readStream over the same parquet, complete-mode memory sink, drained
     * synchronously. Oracle = identical SQL to q80. */
   private val q82: Q = (s, d) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.readStream
-      .schema(Tables.load(s, d, "events").schema) // on-disk schema (ts as long nanos)
-      .parquet(streamDir(d, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream(s, d)
     val agg = raw
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -72,11 +68,7 @@ object StreamingQueries {
     * overlapping 2-hour windows under micro-batch execution; oracle =
     * identical SQL to q83. */
   private val q85: Q = (s, d) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.readStream
-      .schema(Tables.load(s, d, "events").schema)
-      .parquet(streamDir(d, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream(s, d)
     val agg = raw
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
@@ -100,14 +92,10 @@ object StreamingQueries {
     * at scale (unbounded state otherwise). The drained pair stream is rolled
     * up per user in batch; oracle = the identical interval join in DuckDB. */
   private val q86: Q = (s, d) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // ONE streaming source, two filter branches (a streaming self-join):
     // the engine still keys two state stores, but source listing/scan
     // bookkeeping isn't duplicated per branch.
-    val src = s.readStream
-      .schema(Tables.load(s, d, "events").schema)
-      .parquet(streamDir(d, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(s, d)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -155,6 +143,20 @@ object StreamingQueries {
     if (!Files.exists(link))
       Files.createSymbolicLink(link, Paths.get(d, s"$table.parquet"))
     dir.toString
+  }
+
+  /** Schema-adaptive streaming source over the `events` fixture: readStream
+    * with the on-disk schema, then the same `ts`-normalization branch as the
+    * batch loader ([[Tables.normalizeEventsTs]] — long nanos → µs, NTZ →
+    * session-UTC TIMESTAMP, native µs pass-through). Every streaming events
+    * query routes through here so a fixture-encoding change is handled in
+    * exactly one place. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.normalizeEventsTs(
+      s.readStream
+        .schema(Tables.load(s, d, "events").schema)
+        .parquet(streamDir(d, "events")))
   }
 
   /** Sliding 2-hour windows every hour per event_type: each event lands in
@@ -564,11 +566,7 @@ object StreamingQueries {
     * (complete mode; with the single-file fixture source there is exactly
     * one batch, holding the full result). */
   def sinkTumblingToParquet(s: SparkSession, d: String, outDir: String): Unit = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.readStream
-      .schema(Tables.load(s, d, "events").schema)
-      .parquet(streamDir(d, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream(s, d)
     val agg = raw
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -629,11 +627,7 @@ object StreamingQueries {
 
   def sessionizeStreaming(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(Tables.load(spark, d, "events").schema)
-      .parquet(streamDir(d, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream(spark, d)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
         col("value")).as[EventW]

@@ -54,4 +54,36 @@ class FixtureInvariantSpec extends SparkSpec {
       assert(bad.isEmpty, s"multi-byte text in $d")
     }
   }
+
+  test("events loader adapts to every ts physical encoding seen in the wild") {
+    // Fixture regens have flipped events.ts between int64 nanos and
+    // timestamp[us] (the r8 regen silently killed 30 queries). Lock the
+    // loader's schema branch: a long-nanos file, a TIMESTAMP file, and a
+    // TIMESTAMP_NTZ file must all load to identical session-UTC TIMESTAMP
+    // microsecond values.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    val us = 1700000000123456L // µs since epoch, sub-ms precision on purpose
+    def stage(df: org.apache.spark.sql.DataFrame): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_evfix").toString
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val base = Seq((1L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+    val asNanos = stage(base.withColumn("ts", lit(us * 1000L)))
+    val asMicros = stage(base.withColumn("ts", timestamp_micros(lit(us))))
+    val asNtz = stage(base.withColumn("ts",
+      timestamp_micros(lit(us)).cast(TimestampNTZType)))
+    for (d <- Seq(asNanos, asMicros, asNtz)) {
+      val loaded = Tables.events(spark, d)
+      assert(loaded.schema("ts").dataType == TimestampType,
+        s"$d: ts loaded as ${loaded.schema("ts").dataType}")
+      val got = loaded.select(unix_micros(col("ts"))).as[Long].head()
+      assert(got == us, s"$d: ts value $got != $us")
+    }
+    // The real fixtures must load through the same branch, rows > 0.
+    assert(Tables.events(spark, sf0001).schema("ts").dataType == TimestampType)
+  }
 }
