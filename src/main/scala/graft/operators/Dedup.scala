@@ -117,6 +117,18 @@ object Dedup {
       .select(col(idCol), expr(s"graft_minhash_sig($textCol)").as("sg"))
       .localCheckpoint()
       .filter(size(col("sg")) === NumPerms)
+    minHashPairsFromSig(sig, idCol, minEst, maxBandDf)
+  }
+
+  /** The LSH banding join + signature-overlap estimate of [[minHashLsh]]
+    * over PRE-COMPUTED `(idCol, sg)` signatures (already filtered to
+    * complete [[NumPerms]]-length signatures, already cheap to re-scan —
+    * three branches read it: banding, and both sides of the estimate
+    * join). Exists so [[dedupNearDup]] can reuse the signatures its
+    * exact-collapse checkpoint materialized instead of paying a second
+    * projection + checkpoint job. */
+  private[graft] def minHashPairsFromSig(sig: DataFrame, idCol: String,
+      minEst: Double, maxBandDf: Int): DataFrame = {
     val bandExpr = (0 until NumPerms / BandSize).map { bi =>
       val parts = (0 until BandSize).map(j => s"string(sg[${bi * BandSize + j}])")
       s"concat('$bi', '_', ${parts.mkString(", '_', ")})"
@@ -174,12 +186,24 @@ object Dedup {
     * back to signatures. */
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBandDf: Int = MaxBandDf): DataFrame = {
+    val sig = simHash(df, idCol, textCol).localCheckpoint()
+    simHashPairsFromSig(sig, idCol, maxHamming, maxBandDf)
+  }
+
+  /** The banded-Hamming join of [[simHashNearDup]] over PRE-COMPUTED
+    * `(idCol, simhash)` signatures. Callers that already hold materialized
+    * signatures ([[simHashDedup]] reads them out of its exact-collapse
+    * checkpoint) skip the signature projection AND its localCheckpoint job —
+    * one fewer action on a pipeline whose sf0.1 cost is dominated by fixed
+    * per-job overhead. `sig` must be cheap to re-scan (checkpointed blocks
+    * or a filter over them): the band self-join reads it on both sides. */
+  private[graft] def simHashPairsFromSig(sig: DataFrame, idCol: String,
+      maxHamming: Int, maxBandDf: Int): DataFrame = {
     // 4 bands of 15 bits certify recall only up to 3 flips: 4+ flips can
     // touch all 4 bands and the pair never collides. Reject a config whose
     // answer would silently be a subset of what it claims.
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simHashNearDup: 4x15-bit banding guarantees recall only for maxHamming <= 3, got $maxHamming")
-    val sig = simHash(df, idCol, textCol).localCheckpoint()
     val bands = sig.select(col(idCol), col("simhash"),
         posexplode(expr(
           "transform(sequence(0, 3), j -> shiftright(simhash, j * 15) & 32767)"))
@@ -462,13 +486,23 @@ object Dedup {
     * oracle replays the collapse, so the gate is exact for all corpora. */
   def dedupNearDup(df: DataFrame, idCol: String, textCol: String,
       minEst: Double = 0.35): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // One projection computes the exact-dup digest AND the MinHash
+    // signature (both map-side native expressions), so the collapse window
+    // shuffle carries (id, sg, _rep) — no text bodies — and the LSH leg
+    // reads representatives' signatures out of this same checkpoint
+    // instead of re-projecting text through a second checkpoint job
+    // (mirrors [[simHashDedup]]'s r9 shape).
     val withRep = df
-      .select(col(idCol), col(textCol),
+      .select(col(idCol), expr(s"graft_minhash_sig($textCol)").as("sg"),
         min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))).as("_rep"))
       .localCheckpoint() // read by the LSH leg and the final mapping
-    val reps = withRep.filter(col(idCol) === col("_rep"))
-      .select(col(idCol), col(textCol))
-    val pairs = minHashLsh(reps, idCol, textCol, minEst)
+    // Shingle-less docs (sg shorter than NumPerms) stay out of banding —
+    // same filter minHashLsh applies — but still folded by the collapse.
+    val sig = withRep
+      .filter(col(idCol) === col("_rep") && size(col("sg")) === NumPerms)
+      .select(col(idCol), col("sg"))
+    val pairs = minHashPairsFromSig(sig, idCol, minEst, MaxBandDf)
     val comp = connectedComponents(pairs, "id1", "id2")
     // withRep's blocks are still read by the returned (lazy) plan — they are
     // released by the ContextCleaner when the plan is GC'd, never eagerly.
@@ -493,13 +527,29 @@ object Dedup {
     * blowup at 100 TB. */
   def simHashDedup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // ONE projection computes BOTH the exact-dup digest and the simhash
+    // fingerprint (each a map-side native expression over the text), so the
+    // exact-collapse window shuffle carries (id, md5, simhash, nonblank) —
+    // tens of bytes per row — and never the text bodies, and the banding leg
+    // reads the representative's signature straight out of this checkpoint
+    // instead of re-projecting text and paying its own checkpoint job (the
+    // pre-r9 shape: bodies through the shuffle, then a second signature
+    // stage). Same two reads (banding leg + final mapping), one fewer
+    // action, far thinner exchange.
     val withRep = df
-      .select(col(idCol), col(textCol),
+      .select(col(idCol),
+        expr(s"graft_simhash60($textCol)").as("simhash"),
+        coalesce(expr(s"trim($textCol)") =!= "", lit(false)).as("_nonblank"),
         min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))).as("_rep"))
-      .localCheckpoint() // read by the simhash leg and the final mapping
-    val reps = withRep.filter(col(idCol) === col("_rep"))
-      .select(col(idCol), col(textCol))
-    val pairs = simHashNearDup(reps, idCol, textCol, maxHamming)
+      .localCheckpoint()
+    // Blank/NULL texts carry no signature in simHashNearDup (its trim
+    // filter) — reproduce that by flag, AFTER the collapse, so identical
+    // blanks still fold to one representative.
+    val reps = withRep
+      .filter(col(idCol) === col("_rep") && col("_nonblank"))
+      .select(col(idCol), col("simhash"))
+    val pairs = simHashPairsFromSig(reps, idCol, maxHamming, MaxBandDf)
       .select(col("id1"), col("id2"))
     val comp = connectedComponents(pairs, "id1", "id2")
     withRep
