@@ -61,10 +61,14 @@ object Bench {
       * timed executions accumulate dead blocks whose memory pressure
       * surfaces as the "warm runs slower than cold" profile r7 measured
       * on q89 (PERF.md). */
+    // A failed query returns Seq.empty — NOT a -1.0 sentinel sample, so the
+    // samples file stays uniformly length-`runs` for successes and failures
+    // are unmistakable (null in bench_samples.json, -1.0 only in the stdout
+    // median, which is the driver's documented failure encoding).
     def exec(name: String): Seq[Double] = {
       val samples = Iterator.continually(execOnce(name))
         .take(runs).takeWhile(_ >= 0).toSeq
-      if (samples.size < runs) return Seq(-1.0)
+      if (samples.size < runs) return Seq.empty
       System.err.println(f"[bench] $name%-28s ${samples.map(s => f"$s%7.2fs").mkString(" ")}")
       if (gcBetween) System.gc()
       samples
@@ -110,16 +114,18 @@ object Bench {
     require(prefixes.distinct.size == prefixes.size,
       s"duplicate short query keys: ${prefixes.diff(prefixes.distinct).mkString(",")}")
     val qs = results.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + fmt("1", median(v))
+        "\"" + k.takeWhile(_ != '_') + "\":" +
+          (if (v.isEmpty) "-1.0" else fmt("1", median(v)))
       }.mkString("{", ",", "}")
-    val total = results.map(r => median(r._2)).filter(_ >= 0).sum
+    val total = results.collect { case (_, v) if v.nonEmpty => median(v) }.sum
     val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
     // Backstop for log-noise-sensitive parsers: the same single line, ALONE
     // in bench_out.json (one parseable JSON document — the file's contract).
     // Full-precision per-run samples go to a separate bench_samples.json so
     // PERF.md analysis can read exact numbers without breaking that contract.
     val detail = results.map { case (k, v) =>
-        "\"" + k + "\":[" + v.map(fmt("3", _)).mkString(",") + "]"
+        "\"" + k + "\":" +
+          (if (v.isEmpty) "null" else v.map(fmt("3", _)).mkString("[", ",", "]"))
       }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -250,6 +250,30 @@ object ScaleSmoke {
       time(s"scd2 ${k}x",
         Analytics.scd2(ev3Blown, "user_id", "ts", "event_id", "event_type"))
     }
+    // temporal (PIT) join over scd2 intervals on k disjoint user-id copies:
+    // k× the keys, same per-key run structure — the one union-sort per key
+    // family (asofJoin's carry) is the claim under test; no range join may
+    // appear at any K.
+    section("temporal") {
+      import graft.operators.AsOf
+      def evT(df: DataFrame) = df.select("user_id", "ts", "event_id", "event_type")
+      val evBase = evT(Tables.events(spark, sfDir)).localCheckpoint()
+      val evTBlown = (0 until k).map { c =>
+        evBase.select((col("user_id") + lit(c * 1000000L)).as("user_id"), col("ts"),
+          (col("event_id") + lit(c * 100000000L)).as("event_id"), col("event_type"))
+      }.reduce(_ union _).localCheckpoint()
+      def pit(df: DataFrame) = {
+        val dim = Analytics.scd2(
+          df.filter(col("event_type").isin("signup", "purchase")),
+          "user_id", "ts", "event_id", "event_type")
+        val facts = df.filter(col("event_type").isin("click", "view"))
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        AsOf.temporalJoin(facts, dim, "user_id", "us", "valid_from_us",
+          Seq("event_type"))
+      }
+      time("temporalJoin 1x", pit(evBase))
+      time(s"temporalJoin ${k}x (disjoint keys)", pit(evTBlown))
+    }
     // vocabCoverage: the token aggregate is the only corpus-sized stage;
     // the duplicated corpus multiplies counts, not vocab. corpusMix: the
     // max-quota WindowGroupLimit caps per-group state regardless of K.
