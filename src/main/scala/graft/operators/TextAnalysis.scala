@@ -86,6 +86,50 @@ object TextAnalysis {
     chunkDocuments(Tables.documents(s, d), "doc_id", "text", 64, 16)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Chunk-level exact dedup with document reassembly — the paragraph-dedup
+    * pass of a pretraining pipeline (Dolma/RefinedWeb shape): split every
+    * document into non-overlapping `chunkTokens`-token chunks, keep exactly
+    * ONE copy of each distinct chunk text corpus-wide (the lexicographically
+    * first (doc, chunk) occurrence), and reassemble each document from its
+    * surviving chunks. Cross-document boilerplate (headers, navboxes,
+    * licenses) collapses to its first occurrence instead of repeating
+    * thousands of times in the training mix; [[removeBoilerplate]] is the
+    * complementary policy (drop EVERY copy above a df cap, keep none).
+    *
+    * Scale shape: three exchanges, only ONE carrying bodies. Chunk winners
+    * are decided digest-only — (id, chunk_id, md5) rows shuffle on digest
+    * into a min-struct aggregate, then the skinny keep-flags join back to
+    * the chunk stream on (id, chunk_id), and the reassembly groupBy(id)
+    * reuses that partitioning. Bodies therefore cross the wire once, on
+    * the id key — the same digest-only discipline as [[Dedup.exactDedup]].
+    * Per-doc state in the reassembly is the doc's own kept chunks —
+    * bounded by document length, not corpus size. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 32): DataFrame = {
+    val chunks = chunkDocuments(df, idCol, textCol, chunkTokens, 0)
+    val keyed = chunks.select(col(idCol), col("chunk_id"),
+      md5(col("chunk_text")).as("_dig"))
+    val first = keyed.groupBy(col("_dig"))
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("_first"))
+    val flags = keyed.join(first, "_dig")
+      .select(col(idCol), col("chunk_id"),
+        (struct(col(idCol), col("chunk_id")) === col("_first")).as("_keep"))
+    chunks.join(flags, Seq(idCol, "chunk_id"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        // Kept chunks, in chunk order; a fully-deduplicated doc (no
+        // survivors) yields NULL to match SQL string_agg-over-no-rows.
+        nullif(array_join(transform(array_sort(
+          collect_list(when(col("_keep"),
+            struct(col("chunk_id"), col("chunk_text"))))),
+          c => c("chunk_text")), " "), lit("")).as("dedup_text"))
+  }
+
+  private val q143: Q = (s, d) =>
+    chunkDedup(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Native codegen'd [[graft.functions.CharNgrams]] — the HOF form
     * (`transform(sequence(...), i -> substring(...))`) interpreted its
     * lambda once per character position, the dominant cost of q41/q44.
@@ -1081,6 +1125,7 @@ object TextAnalysis {
     "q46_winnowing" -> q46,
     "q40_token_stats" -> q40,
     "q102_chunking" -> q102,
+    "q143_chunk_dedup" -> q143,
     "q41_trigram_profile" -> q41,
     "q42_quality_score" -> q42,
     "q43_fingerprint" -> q43,
@@ -1561,6 +1606,38 @@ object TextAnalysis {
     // (// is DuckDB integer division, DIV in Spark), same 1-based
     // slice-of-64 with stride 48 (DuckDB's l[a:b] is inclusive + clamped,
     // Spark's slice(l, a, len) truncates — identical tails).
+    // Replays chunkDedup: non-overlapping 32-token chunks, corpus-wide
+    // winner per distinct chunk text = lexicographic min (doc_id, chunk_id)
+    // picked in two grouped steps (min doc, then min chunk within it),
+    // ordered string_agg reassembly (aggregate skips the NULLed dropped
+    // chunks; a doc with no survivor yields NULL like Spark's nullif('')).
+    "q143_chunk_dedup" -> """
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents),
+      s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      u AS (SELECT doc_id, toks,
+                   unnest(generate_series(0, CAST(ceil(n / 32.0) AS BIGINT) - 1))
+                     AS chunk_id
+            FROM s),
+      chunk AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                       array_to_string(
+                         toks[CAST(chunk_id * 32 + 1 AS INT)
+                              : CAST(chunk_id * 32 + 32 AS INT)], ' ') AS chunk_text
+                FROM u),
+      wdoc AS (SELECT chunk_text, min(doc_id) AS wdoc FROM chunk GROUP BY 1),
+      win AS (SELECT c.chunk_text, w.wdoc, min(c.chunk_id) AS wchunk
+              FROM chunk c JOIN wdoc w
+                ON c.chunk_text = w.chunk_text AND c.doc_id = w.wdoc
+              GROUP BY 1, 2),
+      marked AS (SELECT c.doc_id, c.chunk_id, c.chunk_text,
+                        (c.doc_id = n.wdoc AND c.chunk_id = n.wchunk) AS keep
+                 FROM chunk c JOIN win n USING (chunk_text))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             string_agg(CASE WHEN keep THEN chunk_text END, ' '
+                        ORDER BY chunk_id) AS dedup_text
+      FROM marked GROUP BY doc_id ORDER BY doc_id""",
     "q102_chunking" -> """
       WITH t AS (SELECT doc_id,
                         list_filter(string_split(text, ' '), x -> x <> '') AS toks

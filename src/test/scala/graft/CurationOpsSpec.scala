@@ -38,6 +38,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.getString(3) == "a b c d e f g h i j k")
   }
 
+  test("chunkDedup keeps each distinct chunk once, at its first (doc, chunk) occurrence") {
+    // chunk unit = 2 tokens. doc 1 = doc 0 verbatim → fully deduplicated
+    // (NULL text); doc 2 shares its FIRST chunk with doc 0 but keeps its
+    // unique tail; doc 3 repeats one chunk internally.
+    val docs = Seq(
+      0L -> "a b c d",
+      1L -> "a b c d",
+      2L -> "a b x y",
+      3L -> "p q p q").toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDedup(docs, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(out(0L) == ((2L, 2L, Some("a b c d"))))
+    assert(out(1L) == ((2L, 0L, None)), "verbatim copy must fully dedup to NULL")
+    assert(out(2L) == ((2L, 1L, Some("x y"))), "shared head chunk collapses to doc 0's copy")
+    assert(out(3L) == ((2L, 1L, Some("p q"))), "within-doc repeat keeps only the first")
+    // Global invariant: kept chunks == distinct chunk texts corpus-wide.
+    val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 2, 0)
+    assert(out.values.map(_._2).sum ==
+      chunks.select(col("chunk_text")).distinct().count())
+  }
+
   test("charEntropy matches a direct Shannon computation; degenerate text → 0.0") {
     val docs = Seq(1L -> "aabb", 2L -> "zzzz", 3L -> "abcd", 4L -> "")
     val out = TextAnalysis.charEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
