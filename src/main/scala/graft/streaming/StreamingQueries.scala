@@ -226,6 +226,33 @@ object StreamingQueries {
     * equal batch latest-wins over the whole table (the merge is
     * split-insensitive under a total version order), which the oracle
     * replays. */
+  /** Streaming exact dedup under the REAL micro-batch engine: the events
+    * table replays as 4 chunks and `dropDuplicates` keeps ONE row per
+    * (user_id, event_type) across batches — the streaming member of the
+    * dedup family, now under the hash gate (StreamingDedupSpec pins the
+    * cross-batch state machine on a controlled MemoryStream; this runs it
+    * on the fixture). Output is the distinct KEY SET — deterministic
+    * whatever the batch arrival order — so the oracle is plain batch
+    * DISTINCT. State = one row per distinct key (bounded by key
+    * cardinality here; for unbounded keys like event ids the TTL'd
+    * `dropDuplicatesWithinWatermark` variant caps state by event time —
+    * the StreamingDedupSpec watermark contract). */
+  private val q144: Q = (s, d) => {
+    val stage = chunkedStreamDir(s, d, 4)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val deduped = src.select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val name = s"graft_stream_dedup_${System.nanoTime()}"
+    withStatePartitions(s, 4) {
+      val q = deduped.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name).orderBy(col("user_id"), col("event_type"))
+  }
+
   private val q87: Q = (s, d) => {
     val stage = chunkedStreamDir(s, d, 4)
     val schema = s.read.parquet(stage).schema
@@ -383,6 +410,7 @@ object StreamingQueries {
     "q86_stream_join" -> q86,
     "q87_stream_upsert" -> q87,
     "q88_typed_sessions" -> q88,
+    "q144_stream_dedup" -> q144,
   )
 
   private val slidingOracle = """
@@ -432,6 +460,12 @@ object StreamingQueries {
     // definition, same estimator).
     "q138_stream_hll" ->
       graft.operators.Analytics.oracles("q135_hll_distinct"),
+    // Streaming dedup emits each distinct key exactly once, whatever the
+    // micro-batch split — the key set equals batch DISTINCT.
+    "q144_stream_dedup" -> """
+      SELECT user_id, event_type FROM events
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""",
     // Rebuilds q130's width-16 sketch in batch (the final complete-mode
     // state of a pure-sum aggregate is execution-order-independent, so the
     // streamed sketch must equal the batch one cell-for-cell), probes every
