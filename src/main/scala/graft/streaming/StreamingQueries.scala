@@ -226,6 +226,33 @@ object StreamingQueries {
     * equal batch latest-wins over the whole table (the merge is
     * split-insensitive under a total version order), which the oracle
     * replays. */
+  /** Stream–static enrichment join under the real micro-batch engine: the
+    * purchase stream joins the customer dimension (broadcast — the static
+    * side ships to tasks, never shuffles the stream) and rolls revenue up
+    * per nation. Unlike the stream-stream join (q86) this is STATELESS:
+    * each micro-batch joins against the static relation and only the
+    * downstream aggregate keeps state (≤ |nations| rows, complete mode) —
+    * the dimension-enrichment shape every event pipeline runs before its
+    * aggregations. Sum order varies with batch split; the 2-dp round
+    * absorbs it (q82's discipline), counts are exact. */
+  private val q145: Q = (s, d) => {
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+    val cust = broadcast(Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey")))
+    val agg = purchases
+      .join(cust, purchases("user_id") === cust("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("revenue"))
+    val name = s"graft_stream_enrich_${System.nanoTime()}"
+    withStatePartitions(s, 4) {
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name).orderBy(col("c_nationkey"))
+  }
+
   /** Streaming exact dedup under the REAL micro-batch engine: the events
     * table replays as 4 chunks and `dropDuplicates` keeps ONE row per
     * (user_id, event_type) across batches — the streaming member of the
@@ -411,6 +438,7 @@ object StreamingQueries {
     "q87_stream_upsert" -> q87,
     "q88_typed_sessions" -> q88,
     "q144_stream_dedup" -> q144,
+    "q145_stream_enrich" -> q145,
   )
 
   private val slidingOracle = """
@@ -466,6 +494,15 @@ object StreamingQueries {
       SELECT user_id, event_type FROM events
       GROUP BY user_id, event_type
       ORDER BY user_id, event_type""",
+    // The stream-static join's final complete-mode state is the batch
+    // join+aggregate (counts exact; the revenue round absorbs sum order).
+    "q145_stream_enrich" -> """
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS revenue
+      FROM events JOIN customer ON user_id = c_custkey
+      WHERE event_type = 'purchase'
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""",
     // Rebuilds q130's width-16 sketch in batch (the final complete-mode
     // state of a pure-sum aggregate is execution-order-independent, so the
     // streamed sketch must equal the batch one cell-for-cell), probes every
