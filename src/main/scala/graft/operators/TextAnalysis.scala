@@ -96,12 +96,15 @@ object TextAnalysis {
     * thousands of times in the training mix; [[removeBoilerplate]] is the
     * complementary policy (drop EVERY copy above a df cap, keep none).
     *
-    * Scale shape: three exchanges, only ONE carrying bodies. Chunk winners
+    * Scale shape: four exchanges, only ONE carrying bodies. Chunk winners
     * are decided digest-only — (id, chunk_id, md5) rows shuffle on digest
-    * into a min-struct aggregate, then the skinny keep-flags join back to
-    * the chunk stream on (id, chunk_id), and the reassembly groupBy(id)
-    * reuses that partitioning. Bodies therefore cross the wire once, on
-    * the id key — the same digest-only discipline as [[Dedup.exactDedup]].
+    * into a min-struct aggregate and the skinny keep-flags join back on
+    * (id, chunk_id). Both sides of that join are explicitly pre-partitioned
+    * on id ALONE: HashPartitioning(id) satisfies the join's clustered
+    * distribution on (id, chunk_id) — a subset key clusters more coarsely —
+    * AND the reassembly groupBy(id) downstream, so bodies cross the wire
+    * exactly once (the default plan would shuffle them a second time for
+    * the groupBy). Same digest-only discipline as [[Dedup.exactDedup]].
     * Per-doc state in the reassembly is the doc's own kept chunks —
     * bounded by document length, not corpus size. */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
@@ -114,7 +117,8 @@ object TextAnalysis {
     val flags = keyed.join(first, "_dig")
       .select(col(idCol), col("chunk_id"),
         (struct(col(idCol), col("chunk_id")) === col("_first")).as("_keep"))
-    chunks.join(flags, Seq(idCol, "chunk_id"))
+    chunks.repartition(col(idCol)).join(flags.repartition(col(idCol)),
+        Seq(idCol, "chunk_id"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),

@@ -185,6 +185,25 @@ class PlanSpec extends SparkSpec {
       s"curation degenerated to a product:\n$p")
   }
 
+  test("q143 chunk dedup: no product; bodies join pre-partitioned on id serves the reassembly") {
+    val df = graft.operators.TextAnalysis.queries("q143_chunk_dedup")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk dedup degenerated to a product:\n$p")
+    // The explicit repartition(id) on both join sides must absorb BOTH the
+    // (id, chunk_id) join distribution and the reassembly groupBy(id) — a
+    // regression that re-partitions the joined bodies for the final
+    // aggregate shows up as a hashpartitioning exchange on doc_id alone
+    // ABOVE the join. Cheap proxy: no more than 4 hash exchanges in the
+    // FINAL plan (digest agg, flags-join probe, and the two explicit
+    // REPARTITION_BY_COL) — the AQE toString repeats the initial plan, so
+    // count only the final section.
+    val finalPlan = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges <= 4, s"expected <= 4 shuffles, got $exchanges:\n$finalPlan")
+  }
+
   test("q29/q30: non-parquet scans actually read csv/json sources") {
     val pCsv = Relational.queries("q29_csv_scan")(spark, sf0001)
       .queryExecution.executedPlan.toString
