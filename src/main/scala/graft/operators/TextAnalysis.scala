@@ -822,10 +822,20 @@ object TextAnalysis {
                                     $segTokens), ' '))"""))
     val segs = base
       .select(col(idCol), posexplode(col("segs")).as(Seq("seg_id", "seg")))
-      .withColumn("dig", md5(col("seg")))
-    val boiler = segs.groupBy(col("dig")).count()
+    // Survivors are decided DIGEST-ONLY: skinny (id, seg_id, md5) rows go
+    // through the df aggregate and the anti-join; bodies stay out of both.
+    // The surviving (id, seg_id) flags then join back to the segment
+    // stream with both sides pre-partitioned on id alone — which also
+    // satisfies the reassembly groupBy(id) — so segment bodies cross the
+    // wire exactly once (the pre-r9 shape anti-joined the bodies on dig
+    // and re-shuffled them for the groupBy; chunkDedup's q143 discipline).
+    val keyed = segs.select(col(idCol), col("seg_id"), md5(col("seg")).as("dig"))
+    val boiler = keyed.groupBy(col("dig")).count()
       .filter(col("count") > maxDf).select(col("dig"))
-    val agg = segs.join(boiler, Seq("dig"), "left_anti")
+    val flags = keyed.join(boiler, Seq("dig"), "left_anti")
+      .select(col(idCol), col("seg_id"))
+    val agg = segs.repartition(col(idCol))
+      .join(flags.repartition(col(idCol)), Seq(idCol, "seg_id"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         expr("array_join(transform(array_sort(collect_list(struct(seg_id, seg))), x -> x.seg), ' ')")
