@@ -218,14 +218,30 @@ object Analytics {
   private[graft] val CmProbes =
     Seq("spark", "vector", "table", "dup", "row", "quantum")
 
-  /** The (row j, bucket) cell array for one value — THE count-min hash,
-    * shared by [[countMin]], [[countMinEstimate]]'s probe side, and the
-    * streaming sketch ([[graft.streaming.StreamingQueries]]): one
-    * definition, so the batch/stream cell-for-cell equivalence and the
-    * q125/q130 oracles cannot drift apart. */
-  private[graft] def cmCells(c: String, depth: Int, width: Int): String =
+  /** The two 60-bit hash components every count-min row derives from — ONE
+    * md5 per value, its two 15-nibble slices parsed once. Project BOTH
+    * columns before [[cmCells]] (named-struct, one md5 evaluation) so
+    * codegen never recomputes digest or slices per row: the transform
+    * lambda is then two longs' worth of arithmetic per row. */
+  private[graft] def cmHash(c: String): String =
+    s"""named_struct(
+      'h1', ${CrossHash.hexSliceExpr(s"md5(cast($c as string))", 1)},
+      'h2', ${CrossHash.hexSliceExpr(s"md5(cast($c as string))", 16)})"""
+
+  /** The (row j, bucket) cell array for one value's ALREADY-PROJECTED
+    * [[cmHash]] (h1, h2) struct — THE count-min hash, shared by [[countMin]],
+    * [[countMinEstimate]]'s probe side, and the streaming sketch
+    * ([[graft.streaming.StreamingQueries]]): one definition, so the
+    * batch/stream cell-for-cell equivalence and the q125/q130 oracles
+    * cannot drift apart. Rows use Kirsch-Mitzenmacher double hashing —
+    * h_j = (h1 + j·h2) mod width with h1/h2 two independent 60-bit slices
+    * of the one digest (preserves CM's error guarantees; standard since
+    * K-M 2006) — so the corpus pays ONE md5 per value, not depth md5s
+    * (the pre-r9 per-row `md5(j ':' value)` was 4× the hashing for the
+    * same sketch quality). h1 + j·h2 < 2^62 at depth ≤ 16: no overflow. */
+  private[graft] def cmCells(hCol: String, depth: Int, width: Int): String =
     s"""transform(sequence(0, ${depth - 1}),
-      j -> ${CrossHash.h60Expr(s"concat(string(j), ':', $c)")} % $width)"""
+      j -> ($hCol.h1 + j * $hCol.h2) % $width)"""
 
   /** Count-min sketch of a value stream: `depth × width` counters, cell
     * `(j, h_j(v) % width)` summing occurrences. THE bounded-state frequency
@@ -246,7 +262,8 @@ object Analytics {
     require(depth >= 1 && depth <= 16, s"countMin: depth out of range: $depth")
     require(width >= 2, s"countMin: width must be >= 2, got $width")
     df.filter(col(valueCol).isNotNull)
-      .select(posexplode(expr(cmCells(valueCol, depth, width))).as(Seq("j", "bucket")))
+      .select(expr(cmHash(valueCol)).as("_h"))
+      .select(posexplode(expr(cmCells("_h", depth, width))).as(Seq("j", "bucket")))
       .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
@@ -263,8 +280,9 @@ object Analytics {
     import s.implicits._
     val sk = countMin(df, valueCol, depth, width)
     val probed = probes.toDF("term")
+      .select(col("term"), expr(cmHash("term")).as("_h"))
       .select(col("term"),
-        posexplode(expr(cmCells("term", depth, width))).as(Seq("j", "bucket")))
+        posexplode(expr(cmCells("_h", depth, width))).as(Seq("j", "bucket")))
     val est = probed.join(sk, Seq("j", "bucket"), "left")
       .groupBy(col("term")).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
     val exact = df.filter(col(valueCol).isin(probes: _*))
@@ -1084,22 +1102,26 @@ object Analytics {
                CAST(CAST(sum(n) OVER (PARTITION BY src) AS BIGINT)
                     AS DOUBLE), 6) AS p
       FROM g ORDER BY src, dst""",
-    // Rebuilds the identical count-min sketch (same 60-bit md5 cells, same
-    // depth×width) and probes it — exact integer algebra end-to-end.
-    // count(*) is HUGEINT in DuckDB — CAST to BIGINT.
+    // Rebuilds the identical count-min sketch — ONE md5 per value, rows by
+    // the same Kirsch-Mitzenmacher (h1 + j*h2) % width derivation over the
+    // digest's two 15-nibble slices — and probes it. Exact integer algebra
+    // end-to-end. count(*) is HUGEINT in DuckDB — CAST to BIGINT.
     "q125_countmin" -> {
       val probesVals = CmProbes.map(p => s"('$p')").mkString(", ")
+      def km(hexCol: String) =
+        s"(${CrossHash.hexSliceDuckDb(hexCol, 1)} + j * ${CrossHash.hexSliceDuckDb(hexCol, 16)}) % $CmWidth"
       s"""
       WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
                    FROM documents),
-      cells AS (SELECT j, (${h60("CAST(j AS VARCHAR) || ':' || tok")}) % $CmWidth AS bucket
-                FROM tok CROSS JOIN (SELECT unnest(range(0, $CmDepth)) AS j)),
+      th AS (SELECT tok, md5(tok) AS h FROM tok),
+      cells AS (SELECT j, ${km("h")} AS bucket
+                FROM th CROSS JOIN (SELECT unnest(range(0, $CmDepth)) AS j)),
       sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
              FROM cells GROUP BY j, bucket),
       probes(term) AS (VALUES $probesVals),
-      pb AS (SELECT term, j,
-                    (${h60("CAST(j AS VARCHAR) || ':' || term")}) % $CmWidth AS bucket
-             FROM probes CROSS JOIN (SELECT unnest(range(0, $CmDepth)) AS j)),
+      ph AS (SELECT term, md5(term) AS h FROM probes),
+      pb AS (SELECT term, j, ${km("h")} AS bucket
+             FROM ph CROSS JOIN (SELECT unnest(range(0, $CmDepth)) AS j)),
       est AS (SELECT term, min(coalesce(sk.cnt, 0)) AS est
               FROM pb LEFT JOIN sk ON pb.j = sk.j AND pb.bucket = sk.bucket
               GROUP BY term),

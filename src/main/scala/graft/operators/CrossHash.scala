@@ -20,4 +20,21 @@ object CrossHash {
             i -> CAST(strpos('0123456789abcdef',
                    substr(md5($e), CAST(i AS INT), 1)) - 1 AS BIGINT))),
           (acc, c) -> acc * 16 + c)"""
+
+  /** Spark: 15 hex nibbles of an ALREADY-COMPUTED md5-hex column parsed as
+    * a 60-bit integer, starting at 1-based `start`. With [[hexSliceDuckDb]]
+    * this is the double-hashing contract: two independent 60-bit values
+    * from ONE digest (nibbles 1-15 and 16-30), for Kirsch-Mitzenmacher
+    * row derivation h_j = h1 + j*h2 — one md5 per value instead of one
+    * per (row, value). */
+  def hexSliceExpr(hexCol: String, start: Int): String =
+    s"cast(conv(substring($hexCol, $start, 15), 16, 10) as bigint)"
+
+  /** DuckDB equivalent of [[hexSliceExpr]] over an md5-hex expression. */
+  def hexSliceDuckDb(hexE: String, start: Int): String =
+    s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
+          list_transform(range($start, ${start + 15}),
+            i -> CAST(strpos('0123456789abcdef',
+                   substr($hexE, CAST(i AS INT), 1)) - 1 AS BIGINT))),
+          (acc, c) -> acc * 16 + c)"""
 }

@@ -346,11 +346,13 @@ object StreamingQueries {
     * — StreamingSketchSpec asserts the drained state equals the batch
     * [[graft.operators.Analytics.countMin]] cell-for-cell (sum algebra ≡
     * micro-batch folding). */
-  /** Delegates to the single count-min cell definition in Analytics — the
-    * batch/stream cell-for-cell equivalence contract depends on there being
-    * exactly one. */
-  private def cmCellsFor(c: String) =
-    graft.operators.Analytics.cmCells(c, SmDepth, SmWidth)
+  /** Delegates to the single count-min hash/cell definitions in Analytics —
+    * the batch/stream cell-for-cell equivalence contract depends on there
+    * being exactly one. The digest is projected once per value
+    * ([[graft.operators.Analytics.cmHash]]) and rows derive from it. */
+  private def cmHashFor(c: String) = graft.operators.Analytics.cmHash(c)
+  private def cmCellsFor(hexCol: String) =
+    graft.operators.Analytics.cmCells(hexCol, SmDepth, SmWidth)
 
   /** The drained streaming sketch state (the memory table itself) —
     * separate from [[q130]] so StreamingSketchSpec can compare it
@@ -361,7 +363,8 @@ object StreamingQueries {
       .parquet(streamDir(d, "documents"))
     val sketch = src
       .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
-      .select(posexplode(expr(cmCellsFor("tok"))).as(Seq("j", "bucket")))
+      .select(expr(cmHashFor("tok")).as("_h"))
+      .select(posexplode(expr(cmCellsFor("_h"))).as(Seq("j", "bucket")))
       .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
     val name = s"graft_stream_cm_${System.nanoTime()}"
     withStatePartitions(s, 4) {
@@ -380,8 +383,9 @@ object StreamingQueries {
       .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
     val exact = toks.groupBy(col("tok").as("term")).agg(count(lit(1)).as("exact"))
     exact
+      .select(col("term"), col("exact"), expr(cmHashFor("term")).as("_h"))
       .select(col("term"), col("exact"),
-        posexplode(expr(cmCellsFor("term"))).as(Seq("j", "bucket")))
+        posexplode(expr(cmCellsFor("_h"))).as(Seq("j", "bucket")))
       .join(sk, Seq("j", "bucket"))
       .groupBy(col("term"), col("exact")).agg(min(col("cnt")).as("est"))
       .select(col("term"), col("est"), col("exact"))
@@ -508,18 +512,20 @@ object StreamingQueries {
     // streamed sketch must equal the batch one cell-for-cell), probes every
     // token, takes the same (est desc, term) top-5. Integer algebra — exact.
     "q130_stream_countmin" -> {
-      def h60(e: String) = graft.operators.CrossHash.h60DuckDb(e)
+      def km(hexCol: String) =
+        s"(${graft.operators.CrossHash.hexSliceDuckDb(hexCol, 1)} + j * ${graft.operators.CrossHash.hexSliceDuckDb(hexCol, 16)}) % $SmWidth"
       s"""
       WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
                    FROM documents),
-      cells AS (SELECT j, (${h60("CAST(j AS VARCHAR) || ':' || tok")}) % $SmWidth AS bucket
-                FROM tok CROSS JOIN (SELECT unnest(range(0, $SmDepth)) AS j)),
+      th AS (SELECT tok, md5(tok) AS h FROM tok),
+      cells AS (SELECT j, ${km("h")} AS bucket
+                FROM th CROSS JOIN (SELECT unnest(range(0, $SmDepth)) AS j)),
       sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
              FROM cells GROUP BY j, bucket),
       ex AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS exact FROM tok GROUP BY tok),
-      pb AS (SELECT term, j,
-                    (${h60("CAST(j AS VARCHAR) || ':' || term")}) % $SmWidth AS bucket
-             FROM ex CROSS JOIN (SELECT unnest(range(0, $SmDepth)) AS j)),
+      eh AS (SELECT term, exact, md5(term) AS h FROM ex),
+      pb AS (SELECT term, j, ${km("h")} AS bucket
+             FROM eh CROSS JOIN (SELECT unnest(range(0, $SmDepth)) AS j)),
       est AS (SELECT term, min(sk.cnt) AS est
               FROM pb JOIN sk ON pb.j = sk.j AND pb.bucket = sk.bucket
               GROUP BY term)
