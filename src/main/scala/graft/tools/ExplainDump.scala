@@ -39,7 +39,7 @@ object ExplainDump {
     "q106_weighted_sample" -> "A-ES weighted draw as TakeOrderedAndProject — local top-k per task, no global sort",
     "q107_lm_quality" -> "capped trigram LM shipped in-plan; scoring is a codegen'd lm_mean_logp projection (WholeStageCodegen, no UDF)",
     "q44_lang_id" -> "codegen'd lm_predict_lang projection over the in-plan model — argmax scoring stays in the stage",
-    "q108_simhash_dedup" -> "exact-collapse window -> banded simhash join over representatives -> pointer-jumping components",
+    "q108_simhash_dedup" -> "md5 + native simhash in ONE projection; collapse window shuffles (id, sig, rep) — never bodies; banding reads the collapse checkpoint; pointer-jumping components",
     "q109_bm25" -> "literal-term map-side tf (no explode); ONE broadcast stats row; TakeOrderedAndProject top-k",
     "q110_pagerank" -> "final round of the integer-mass iteration: edge join + exact long sum, top-k as TakeOrderedAndProject",
     "q111_triangles" -> "degree-ordered orientation; wedge join + closing LeftSemi — fan-out bounded by oriented out-degree",
@@ -53,15 +53,15 @@ object ExplainDump {
     "q119_corpus_mix" -> "broadcast quotas; constant max-quota bound compiles to a WindowGroupLimit partial before the per-group sort",
     "q120_hist_quantiles" -> "one corpus-sized binning aggregate (≤ nBins groups, map-side combine); cumulative walk + interpolation on bins×|ps| rows — no global sort",
     "q121_temporal_join" -> "scd2 intervals tile the timeline, so point-in-time lookup = backward as-of on valid_from: one union key-sort carry, no range join",
-    "q122_boilerplate" -> "map-side segmentation (slice+posexplode); df count groups md5 digests, not bodies; boiler set broadcasts into the anti-join; ONE doc-key reassembly shuffle",
+    "q122_boilerplate" -> "map-side segmentation; survivors decided digest-only (df agg + anti-join over skinny rows); keep-flags join + reassembly share ONE id-partitioned body shuffle",
     "q123_char_entropy" -> "entire entropy fold is one codegen'd map-side projection — no shuffle, no per-char row explosion",
     "q124_corpus_overlap" -> "map-side native signatures; sketch = |groups|×32 longs of mergeable min state; exact leg joins md5 digests, linear in postings",
-    "q125_countmin" -> "map-side hash fan-out; ONE cell aggregate whose partial combine bounds every task at depth×width cells; probes broadcast",
+    "q125_countmin" -> "ONE md5 per value, rows by K-M double hashing ((h1+j*h2)%w — pure long arithmetic per row); ONE cell aggregate whose partial combine bounds every task at depth×width cells",
     "q126_pmi" -> "pairs generated map-side from the sorted distinct-token array (no token self-join); broadcast 1-row N; TakeOrderedAndProject top-k",
     "q127_zipf" -> "corpus collapses to |types| rows before the rank sort; regression is one regr_* aggregate over the collapsed frame",
     "q128_group_quantiles" -> "|groups|×nBins mergeable counts; per-group cumulative walk over ≤ nBins rows — groups parallelize, no per-group sort",
     "q129_js_divergence" -> "corpus collapses to (group, token) counts map-side; divergence join keyed on token over the collapsed frame; 3 mergeable sums per pair",
-    "q131_embedding_cov" -> "pair rows generated map-side (no dimension self-join); corpus collapses to d(d+1)/2 covar_samp states",
+    "q131_embedding_cov" -> "one pass per partition accumulates (n, sums, upper-triangle cross-products) in arrays — no per-pair rows; partitions x d(d+1)/2 doubles merge in partition order",
     "q132_quantize_int8" -> "one d-row absmax aggregate broadcast back; codes are a pure map-side projection — fit once, apply streaming",
     "q133_profile" -> "ONE scan: multi-column distincts via Expand; per-column result rows are 1-row selects unioned",
     "q134_skipgram" -> "windowed pairs generated map-side (≤ 2w per token, never a len² position self-join); vocab²-bounded aggregate; TakeOrderedAndProject top-k",
@@ -69,6 +69,10 @@ object ExplainDump {
     "q136_transitions" -> "lead() over the one (user)-(time,id) sort sessionize pays; aggregate bounded by |types|²; normalizing window runs over the aggregated frame",
     "q137_inverted_index" -> "posting cap is WindowGroupLimit (partial per-task top-k) BEFORE any list materializes; no task buffers a stopword's full posting list",
     "q139_bfs_paths" -> "per-level frontier expansion: one equality join + one anti-join per round, all partitioned by node id; frontier-empty early exit bounds rounds",
+    "q140_concurrency" -> "±1 deltas collapse per timestamp FIRST; per-bucket local running sums + broadcast bucket offsets — no single-partition global window",
+    "q141_trend" -> "six mergeable regr_* moments per group, map-side combine — the shuffle carries six doubles per group",
+    "q142_outliers" -> "two-pass: per-group μ/σ aggregate broadcast back; |z|>k filter map-side in codegen — deliberately not a group-partitioned window (skew)",
+    "q143_chunk_dedup" -> "winners decided digest-only (md5 + min-struct agg); keep-flags join + reassembly share ONE id-partitioned body shuffle (PlanSpec-locked <= 4 exchanges)",
   )
 
   def main(args: Array[String]): Unit = {
