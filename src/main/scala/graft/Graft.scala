@@ -82,6 +82,9 @@ object Graft {
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, overlapTokens: Int = 0): DataFrame =
     TextAnalysis.chunkDocuments(df, idCol, textCol, chunkTokens, overlapTokens)
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 32): DataFrame =
+    TextAnalysis.chunkDedup(df, idCol, textCol, chunkTokens)
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
     TextAnalysis.qualityScore(df, idCol, textCol)
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
