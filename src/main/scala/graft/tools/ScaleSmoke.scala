@@ -123,6 +123,15 @@ object ScaleSmoke {
       time(s"chunkDocuments ${k}x",
         TextAnalysis.chunkDocuments(blown, "doc_id", "text", 64, 16))
     }
+    // chunkDedup on the K× corpus: EVERY chunk sits in a K-wide exact
+    // collision group, so the digest winner aggregate and the keep-flag
+    // join carry maximal duplication — near-linear 1×→K× shows the
+    // digest-only decision absorbs it (bodies still cross once).
+    section("chunkdedup") {
+      time("chunkDedup 1x", TextAnalysis.chunkDedup(base, "doc_id", "text"))
+      time(s"chunkDedup ${k}x (all chunks K-dup)",
+        TextAnalysis.chunkDedup(blown, "doc_id", "text"))
+    }
     // Round-7/8 operators. simHashNearDup on the Kx corpus is the critical
     // row: every text is a K-sized identical cluster agreeing on ALL 4
     // bands, so every band signature is hot and `maxBandDf` governs both

@@ -60,6 +60,38 @@ class CurationOpsSpec extends SparkSpec {
       chunks.select(col("chunk_text")).distinct().count())
   }
 
+  test("chunkDedup property: matches a naive per-corpus replay on seeded random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Tiny vocab + short docs force heavy cross-document chunk collisions.
+    val docGen = Gen.choose(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 3)).map(_.map("tok" + _).mkString(" ")))
+    val corpusGen = Gen.listOfN(15, docGen)
+    (0 until 6).foreach { seed =>
+      val texts = corpusGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val k = 3
+      // Naive reference: first (doc, chunk) occurrence of each chunk text.
+      val naiveChunks = docs.flatMap { case (id, t) =>
+        t.split(" ").filter(_.nonEmpty).grouped(k).zipWithIndex
+          .map { case (toks, ci) => (id, ci, toks.mkString(" ")) }.toSeq
+      }
+      val winners = naiveChunks.groupBy(_._3).map { case (_, occ) =>
+        occ.minBy(o => (o._1, o._2))
+      }.toSet
+      val expected = naiveChunks.groupBy(_._1).map { case (id, cs) =>
+        val kept = cs.sortBy(_._2).filter(winners.contains)
+        id -> ((cs.size.toLong, kept.size.toLong,
+          if (kept.isEmpty) None else Some(kept.map(_._3).mkString(" "))))
+      }
+      val got = TextAnalysis.chunkDedup(
+          docs.toDF("doc_id", "text"), "doc_id", "text", chunkTokens = k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+      assert(got == expected, s"seed $seed: $got != $expected")
+    }
+  }
+
   test("charEntropy matches a direct Shannon computation; degenerate text → 0.0") {
     val docs = Seq(1L -> "aabb", 2L -> "zzzz", 3L -> "abcd", 4L -> "")
     val out = TextAnalysis.charEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
