@@ -376,15 +376,17 @@ object Dedup {
     * multi-executor cluster swap `localCheckpoint` for a reliable
     * `checkpoint` dir (local blocks die with their executor). */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, maxDriverEdges: Long = 1L << 20): DataFrame = {
     // Materialize the (possibly expensive — LSH, inverted-index join) edge
     // lineage ONCE before symmetrizing: a plain union would execute it per
     // branch.
     val e0 = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
-    // Short-circuit an edgeless graph: no components to label, and the probe
-    // runs over already-materialized blocks (no recompute of the edge
-    // lineage). Saves the per-round actions when a dedup pass finds nothing.
-    if (e0.isEmpty) {
+    // ONE action decides the strategy (the count doubles as the former
+    // isEmpty probe, over already-materialized blocks).
+    val nEdges = e0.count()
+    // Short-circuit an edgeless graph: no components to label. Saves the
+    // per-round actions when a dedup pass finds nothing.
+    if (nEdges == 0) {
       // Build the empty result from the schema alone — a limit(0) over e0
       // would still reference the checkpoint blocks released below (today
       // OptimizeLimitZero rewrites it away, but that's an optimizer detail,
@@ -398,6 +400,54 @@ object Dedup {
       unpersistBlocks(e0)
       return s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    // Size-adaptive strategy (the AQE-broadcast analog for this operator):
+    // candidate-pair graphs from banding/blocking are typically ORDERS OF
+    // MAGNITUDE smaller than the corpus they came from, and the distributed
+    // loop pays ~7 fixed driver actions (symmetrize/label checkpoints, a
+    // probe per round) regardless of size. Below `maxDriverEdges` (default
+    // 2^20 pairs ≈ 16 MB — bounded by the parameter, not the corpus),
+    // collect the edge list and run union-find with path compression on
+    // the driver: exact same output (component = min member id under the
+    // column's ordering), one job instead of seven. Past the threshold the
+    // distributed min-label + pointer-jumping path below is unchanged —
+    // that is the 100 TB path; this is the small-graph fast path.
+    if (nEdges <= maxDriverEdges) {
+      val s = edges.sparkSession
+      val dt = e0.schema("a").dataType
+      val rows = e0.collect()
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var root = x
+        while ({ val p = parent.get(root); p != null && p != root })
+          root = parent.get(root)
+        var cur = x // second pass: path compression, iterative (no stack)
+        while (cur != root) {
+          val nxt = parent.get(cur); parent.put(cur, root); cur = nxt
+        }
+        root
+      }
+      def lt(x: Any, y: Any): Boolean =
+        x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      rows.foreach { r =>
+        val (x, y) = (r.get(0), r.get(1))
+        if (!parent.containsKey(x)) parent.put(x, x)
+        if (!parent.containsKey(y)) parent.put(y, y)
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) {
+          // Min id stays root, so fixpoint labels match the distributed
+          // min-propagation exactly.
+          if (lt(rx, ry)) parent.put(ry, rx) else parent.put(rx, ry)
+        }
+      }
+      unpersistBlocks(e0)
+      val out = parent.keySet().toArray.map(id =>
+        org.apache.spark.sql.Row(id, find(id)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", dt, nullable = true),
+        org.apache.spark.sql.types.StructField("component", dt, nullable = true)))
+      return s.createDataFrame(
+        s.sparkContext.parallelize(out.toSeq, 1), schema)
     }
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()

@@ -10,9 +10,20 @@ import graft.operators.Dedup
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def components(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] =
-    Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter)
+  /** Runs BOTH strategies — the driver union-find fast path (default
+    * threshold) and the distributed min-label loop (threshold 0) — and
+    * asserts they agree before returning; every topology contract below
+    * therefore covers both. */
+  private def components(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] = {
+    val df = edges.toDF("a", "b")
+    val driver = Dedup.connectedComponents(df, "a", "b", maxIter)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(df, "a", "b", maxIter, maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == dist,
+      s"driver union-find and distributed min-label disagree: $driver vs $dist")
+    driver
+  }
 
   test("60-node path converges well within maxIter=20 (needs pointer jumping)") {
     val path = (0L until 59L).map(i => (i, i + 1))
