@@ -86,4 +86,34 @@ class FixtureInvariantSpec extends SparkSpec {
     // The real fixtures must load through the same branch, rows > 0.
     assert(Tables.events(spark, sf0001).schema("ts").dataType == TimestampType)
   }
+
+  test("fixture physical types the engine (and its oracles) assume") {
+    // events.ts taught us fixture regens can silently flip physical
+    // encodings (the r8 outage). The loaders/oracles additionally assume:
+    // embeddings.embedding is array<float> (native cosine/minhash exprs and
+    // the DuckDB CAST-to-DOUBLE oracles agree only under float32 inputs),
+    // documents.text/lang/source are strings, and the date columns load as
+    // TimestampType. A regen that changes any of these fails HERE with a
+    // named column instead of as N cryptic oracle hash mismatches.
+    import org.apache.spark.sql.types._
+    Seq(sf0001, sf001).foreach { d =>
+      assert(Tables.embeddings(spark, d).schema("embedding").dataType ==
+        ArrayType(FloatType, containsNull = true),
+        s"$d embeddings.embedding is not array<float> — native expressions " +
+          "and oracles assume float32; extend a normalizeEmbedding branch " +
+          "like Tables.normalizeEventsTs if the fixture changed")
+      val doc = Tables.documents(spark, d).schema
+      Seq("text", "lang", "source").foreach(c =>
+        assert(doc(c).dataType == StringType, s"$d documents.$c not string"))
+      // Date columns currently load as TIMESTAMP_NTZ (timestamp[ms],
+      // isAdjustedToUTC=false); either timestamp flavor is fine under the
+      // UTC session — the invariant guards against a flip to a NON-temporal
+      // physical type (the events int64-nanos failure mode).
+      val temporal = Set[DataType](TimestampType, TimestampNTZType)
+      assert(temporal(Tables.orders(spark, d).schema("o_orderdate").dataType),
+        s"$d orders.o_orderdate no longer loads as a timestamp")
+      assert(temporal(Tables.lineitem(spark, d).schema("l_shipdate").dataType),
+        s"$d lineitem.l_shipdate no longer loads as a timestamp")
+    }
+  }
 }
