@@ -106,7 +106,7 @@ object StreamingQueries {
     val joined = clicks.join(purchases, expr(
       "c_uid = p_uid AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"))
     val name = s"graft_stream_join_${System.nanoTime()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = joined.writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
