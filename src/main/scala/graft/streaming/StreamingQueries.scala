@@ -55,7 +55,7 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
     val name = s"graft_stream_${System.nanoTime()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = agg.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
@@ -75,7 +75,7 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
     val name = s"graft_stream_slide_${System.nanoTime()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = agg.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
