@@ -829,7 +829,12 @@ object TextAnalysis {
     // satisfies the reassembly groupBy(id) — so segment bodies cross the
     // wire exactly once (the pre-r9 shape anti-joined the bodies on dig
     // and re-shuffled them for the groupBy; chunkDedup's q143 discipline).
+    // Checkpoint the SKINNY digest frame (id, seg_id, md5 — never bodies,
+    // scale-safe): two consumers read it (the df aggregate and the flags
+    // join), and without materialization each re-runs the segmentation
+    // transform from scratch.
     val keyed = segs.select(col(idCol), col("seg_id"), md5(col("seg")).as("dig"))
+      .localCheckpoint()
     val boiler = keyed.groupBy(col("dig")).count()
       .filter(col("count") > maxDf).select(col("dig"))
     val flags = keyed.join(boiler, Seq("dig"), "left_anti")
