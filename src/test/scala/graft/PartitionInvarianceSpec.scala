@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{Analytics, Dedup, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+
+/** Partition-invariance contracts: an operator whose algebra is exact
+  * (integer counts, digests, min-structs — no float summation) must return
+  * IDENTICAL results whatever the input partitioning, or it is not safe to
+  * run on a cluster whose partitioning the caller doesn't control. Each op
+  * runs on the fixture and on a 7-way round-robin repartition of it; the
+  * collected row sets must match exactly. (Float-aggregating ops are
+  * excluded by design — their 6-dp rounding absorbs but does not eliminate
+  * summation-order ulps; their gates live in the DuckDB oracle runs.)
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def docs = Tables.documents(spark, sf0001)
+
+  test("chunkDedup is partition-invariant") {
+    val a = rows(TextAnalysis.chunkDedup(docs, "doc_id", "text"))
+    val b = rows(TextAnalysis.chunkDedup(docs.repartition(7), "doc_id", "text"))
+    assert(a == b)
+  }
+
+  test("removeBoilerplate is partition-invariant") {
+    val a = rows(TextAnalysis.removeBoilerplate(docs, "doc_id", "text"))
+    val b = rows(TextAnalysis.removeBoilerplate(docs.repartition(7), "doc_id", "text"))
+    assert(a == b)
+  }
+
+  test("countMinEstimate is partition-invariant") {
+    import org.apache.spark.sql.functions._
+    def toks(df: DataFrame) = df.select(
+      explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+    val probes = Seq("spark", "vector", "dup")
+    val a = rows(Analytics.countMinEstimate(toks(docs), "tok", probes))
+    val b = rows(Analytics.countMinEstimate(toks(docs.repartition(7)), "tok", probes))
+    assert(a == b)
+  }
+
+  test("exact dedup keeper mapping is partition-invariant") {
+    val a = rows(Dedup.exactDedup(docs, "doc_id", "text"))
+    val b = rows(Dedup.exactDedup(docs.repartition(7), "doc_id", "text"))
+    assert(a == b)
+  }
+
+  test("simHashDedup keeper mapping is partition-invariant") {
+    val a = rows(Dedup.simHashDedup(docs, "doc_id", "text"))
+    val b = rows(Dedup.simHashDedup(docs.repartition(7), "doc_id", "text"))
+    assert(a == b)
+  }
+}
