@@ -73,6 +73,7 @@ object ExplainDump {
     "q141_trend" -> "six mergeable regr_* moments per group, map-side combine — the shuffle carries six doubles per group",
     "q142_outliers" -> "two-pass: per-group μ/σ aggregate broadcast back; |z|>k filter map-side in codegen — deliberately not a group-partitioned window (skew)",
     "q143_chunk_dedup" -> "winners decided digest-only (md5 + min-struct agg); keep-flags join + reassembly share ONE id-partitioned body shuffle (PlanSpec-locked <= 4 exchanges)",
+    "q146_binary_source" -> "binaryFile scan over per-blob staged files: pathGlobFilter prunes at listing time; identity from path regex, md5(content) map-side — list, prune, read bytes once",
   )
 
   def main(args: Array[String]): Unit = {
