@@ -391,6 +391,41 @@ object Analytics {
       Seq("signup", "view", "click", "purchase"))
       .orderBy(col("stage"))
 
+  /** Sessionized funnel — the conversion question product analytics
+    * actually asks: "how far does a user get WITHIN ONE SESSION?", not
+    * across their whole history. Each event first gets the per-event
+    * session id ([[sessionize]]'s lag-flag + running-sum prefix, before
+    * its roll-up), then the ordered-funnel machinery runs with
+    * (user, session) as the key — so a view in yesterday's session cannot
+    * gate today's click. Cost shape: the session assignment is the ONE
+    * user-key sort sessionize pays; the funnel stack then sorts on the
+    * (user, session) key it created — two exchanges total, each on a
+    * bounded key, stages still share one window pass (q69's discipline).
+    * Times ride as integer epoch micros end-to-end (exact cross-engine). */
+  def sessionFunnel(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, stages: Seq[String],
+      gapMicros: Long = 30L * 60L * 1000000L): DataFrame = {
+    require(gapMicros > 0, s"sessionFunnel: gapMicros must be > 0, got $gapMicros")
+    val w = Window.partitionBy(col(userCol)).orderBy(col("us"), col(idCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSid = df
+      .select(col(userCol), col(idCol), col(typeCol),
+        unix_micros(col(tsCol)).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapMicros,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .drop("prev_us", "new_s")
+    funnel(withSid, Seq(userCol, "session_id"), "us", idCol, typeCol, stages)
+      .select(col("stage"), col("n_users").as("n_sessions"))
+  }
+
+  private val q147: Q = (s, d) =>
+    sessionFunnel(Tables.events(s, d), "user_id", "ts", "event_id",
+      "event_type", Seq("signup", "view", "click", "purchase"))
+      .orderBy(col("stage"))
+
   /** The same funnel bounded to 1-hour conversion windows: each stage must
     * land within an hour of the PREVIOUS stage's first completion — still
     * the single (key, time) sort (the gap predicate rides the same window
@@ -1029,6 +1064,7 @@ object Analytics {
     "q136_transitions" -> q136,
     "q125_countmin" -> q125,
     "q69_funnel" -> q69,
+    "q147_session_funnel" -> q147,
     "q101_funnel_gap" -> q101,
     "q103_retention" -> q103,
     "q104_cohort_funnel" -> q104,
@@ -1331,6 +1367,49 @@ object Analytics {
                    CAST(max(r1) + max(r2) + max(r3) + max(r4) AS INT) AS stage
             FROM f GROUP BY user_id, day)
       SELECT stage, count(*) AS n_users FROM u
+      GROUP BY stage ORDER BY stage""",
+    // Sessionized funnel: the q113 session assignment (lag-flag +
+    // running-sum over the (user)-(us, id) order, 30-min gap) feeds the
+    // q69 max-flag cascade with (user_id, session_id) as the partition
+    // key; per-(user, session) furthest stage, counted per stage. Integer
+    // micros end-to-end — exact.
+    "q147_session_funnel" -> """
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      s AS (SELECT *, CASE WHEN lag(us) OVER
+                (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+              OR us - lag(us) OVER
+                (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+            FROM e),
+      sid AS (SELECT *, sum(new_s) OVER
+                (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+              FROM s),
+      a AS (SELECT *, max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, session_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1
+            FROM sid),
+      b AS (SELECT *, max(CASE WHEN event_type = 'view' AND r1 = 1
+                          THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, session_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+            FROM a),
+      c AS (SELECT *, max(CASE WHEN event_type = 'click' AND r2 = 1
+                          THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, session_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r3
+            FROM b),
+      f AS (SELECT *, max(CASE WHEN event_type = 'purchase' AND r3 = 1
+                          THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, session_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r4
+            FROM c),
+      u AS (SELECT user_id, session_id,
+                   CAST(max(r1) + max(r2) + max(r3) + max(r4) AS INT) AS stage
+            FROM f GROUP BY user_id, session_id)
+      SELECT stage, count(*) AS n_sessions FROM u
       GROUP BY stage ORDER BY stage""",
     // Gap-bounded funnel: identical window discipline, but each stage
     // carries t_i = first valid completion time in epoch MICROS (integer —
