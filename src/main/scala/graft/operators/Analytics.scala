@@ -238,7 +238,10 @@ object Analytics {
     * of the one digest (preserves CM's error guarantees; standard since
     * K-M 2006) — so the corpus pays ONE md5 per value, not depth md5s
     * (the pre-r9 per-row `md5(j ':' value)` was 4× the hashing for the
-    * same sketch quality). h1 + j·h2 < 2^62 at depth ≤ 16: no overflow. */
+    * same sketch quality). Overflow bound: h1, h2 ≤ 2^60−1, so
+    * h1 + j·h2 ≤ 8·(2^60−1) < 2^63−1 only while j ≤ 7 — depth is capped
+    * at 8 (enforced in [[countMin]]); depth 9+ would wrap signed 64-bit
+    * silently in Spark and raise a BIGINT overflow in the DuckDB replay. */
   private[graft] def cmCells(hCol: String, depth: Int, width: Int): String =
     s"""transform(sequence(0, ${depth - 1}),
       j -> ($hCol.h1 + j * $hCol.h2) % $width)"""
@@ -259,7 +262,9 @@ object Analytics {
     * identical sketch — the gate is exact integer algebra. */
   def countMin(df: DataFrame, valueCol: String,
       depth: Int = CmDepth, width: Int = CmWidth): DataFrame = {
-    require(depth >= 1 && depth <= 16, s"countMin: depth out of range: $depth")
+    // depth ≤ 8 is the true no-overflow bound for the K-M cell derivation
+    // (h1 + j·h2 with 60-bit slices — see [[cmCells]]); 9+ wraps Long.
+    require(depth >= 1 && depth <= 8, s"countMin: depth out of range: $depth")
     require(width >= 2, s"countMin: width must be >= 2, got $width")
     df.filter(col(valueCol).isNotNull)
       .select(expr(cmHash(valueCol)).as("_h"))

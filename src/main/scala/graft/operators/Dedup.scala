@@ -379,8 +379,13 @@ object Dedup {
       maxIter: Int = 20, maxDriverEdges: Long = 1L << 20): DataFrame = {
     // Materialize the (possibly expensive — LSH, inverted-index join) edge
     // lineage ONCE before symmetrizing: a plain union would execute it per
-    // branch.
-    val e0 = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    // branch. Null-endpoint edges are dropped up front so BOTH strategies
+    // see the same graph: an equality join never matches null anyway (the
+    // distributed path would emit a dangling (null,null) label row), and
+    // the driver union-find's Comparable cast would NPE on it.
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .localCheckpoint()
     // ONE action decides the strategy (the count doubles as the former
     // isEmpty probe, over already-materialized blocks).
     val nEdges = e0.count()
@@ -427,8 +432,17 @@ object Dedup {
         }
         root
       }
-      def lt(x: Any, y: Any): Boolean =
-        x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      // Strings must compare in UTF-8 BYTE order — the distributed min-label
+      // path orders by Spark's UTF8String binary comparison, and Java
+      // String.compareTo (UTF-16 code units) disagrees for supplementary
+      // characters (e.g. U+10000 sorts below U+E000 in UTF-16 but above in
+      // UTF-8). Both strategies must emit identical component labels.
+      def lt(x: Any, y: Any): Boolean = (x, y) match {
+        case (a: String, b: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+        case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      }
       rows.foreach { r =>
         val (x, y) = (r.get(0), r.get(1))
         if (!parent.containsKey(x)) parent.put(x, x)
@@ -505,7 +519,7 @@ object Dedup {
     * subsequent read fails rather than recovers. (Same reason the cluster
     * path should use a reliable `checkpoint` dir: local blocks also die
     * with their executor.) */
-  private[operators] def unpersistBlocks(df: DataFrame): Unit =
+  private[graft] def unpersistBlocks(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)

@@ -105,28 +105,71 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
-  /** Stages each document's payload as its own `doc_<id>.bin` file —
-    * idempotent per fixture fingerprint (size, mtime), so a regenerated
-    * fixture restages instead of serving stale bytes. Driver-side staging
-    * loop is TEST-FIXTURE PREPARATION (bounded by the fixture corpus), not
-    * the operator; the operator under test is the binaryFile read. */
+  /** Stages each document's payload as its own `doc_<id>.bin` file.
+    *
+    * Idempotence is CONTENT-ADDRESSED: the fingerprint is the fixture
+    * file's (size, md5) — (size, mtime) alone would reuse stale blobs when
+    * a regenerated fixture lands with identical size and a preserved mtime
+    * (e.g. restored from an archive). Hashing the fixture is a bounded
+    * driver read: it is test-fixture prep, sized by the fixture, never by
+    * a production corpus.
+    *
+    * Writes are EXECUTOR-SIDE (`foreachPartition` straight from the scan —
+    * no driver collect; each task writes only its partition's rows), into a
+    * fresh temp dir that is atomically renamed into place once its
+    * `_STAGED` marker is written. A crash mid-stage therefore leaves only
+    * an orphaned temp dir — never a half-staged dir the binaryFile glob
+    * would match — and a regen can never serve rows the new fixture
+    * dropped, because a new fingerprint is a new directory (stale
+    * fingerprints of the same fixture path are deleted). On a real cluster
+    * point this at shared storage (all executors must reach the dir). */
   private def binaryStageDir(s: SparkSession, d: String): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(d, "documents.parquet")
-    val fp = s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}"
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(Files.readAllBytes(src)).map("%02x".format(_)).mkString
+    val fp = s"${Files.size(src)}_${md5hex.take(16)}"
     val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_bin_$safe$fp")
+    val base = Paths.get(sys.props("java.io.tmpdir"))
+    val dir = base.resolve(s"graft_bin_$safe$fp")
     val marker = dir.resolve("_STAGED")
     if (!Files.exists(marker)) {
-      Files.createDirectories(dir)
-      Tables.documents(s, d).select(col("doc_id"), col("text")).collect()
-        .foreach { r =>
-          Files.write(dir.resolve(s"doc_${r.getLong(0)}.bin"),
-            r.getString(1).getBytes("UTF-8"))
+      // Reclaim dirs staged for OLDER contents of this same fixture path.
+      val stale = base.toFile.listFiles()
+      if (stale != null) stale.filter { f =>
+        f.isDirectory && f.getName.startsWith(s"graft_bin_$safe") &&
+          f.getName != dir.getFileName.toString
+      }.foreach(deleteRecursively)
+      val tmp = Files.createTempDirectory(base, s"graft_bin_stage_")
+      val tmpPath = tmp.toString
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val out = java.nio.file.Paths.get(tmpPath)
+          it.foreach { r =>
+            java.nio.file.Files.write(out.resolve(s"doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
         }
-      Files.write(marker, Array.emptyByteArray)
+      Files.write(tmp.resolve("_STAGED"), Array.emptyByteArray)
+      // A half-staged target (crash before ITS marker) is dead weight: drop
+      // it, then move the fully-staged temp dir into place atomically. If a
+      // concurrent stager won the race, keep the winner and drop ours.
+      if (Files.exists(dir) && !Files.exists(marker)) deleteRecursively(dir.toFile)
+      try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.AccessDeniedException =>
+        if (Files.exists(marker)) deleteRecursively(tmp.toFile)
+        else throw new IllegalStateException(
+          s"binaryStageDir: $dir exists without a _STAGED marker after move race")
+      }
     }
     dir.toString
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** The raw-media ingestion path a multimodal corpus actually starts from:

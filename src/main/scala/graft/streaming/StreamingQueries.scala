@@ -280,6 +280,38 @@ object StreamingQueries {
     s.table(name).orderBy(col("user_id"), col("event_type"))
   }
 
+  /** TTL'd streaming dedup — q144's unbounded-key form. Plain
+    * `dropDuplicates` state grows with LIFETIME key cardinality (fatal when
+    * the key is an event id over a 100 TB stream);
+    * `dropDuplicatesWithinWatermark` holds a key only until the watermark
+    * passes its event time + delay, so state is bounded by the keys live
+    * inside the TTL horizon. Here the delay deliberately exceeds the whole
+    * fixture's time span: no row is ever late and nothing evicts mid-run,
+    * so the emitted key set is deterministic — exactly batch DISTINCT,
+    * q144's oracle — while the plan runs the REAL TTL operator
+    * (dedupe-within-watermark state store). Eviction + re-admission + the
+    * bounded-state row count are pinned by StreamingDedupSpec's controlled
+    * MemoryStream contract, where the watermark can be driven precisely. */
+  private val q148: Q = (s, d) => {
+    val stage = chunkedStreamDir(s, d, 4)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    // Chunks are staged from Tables.events, so `ts` is already a normalized
+    // TIMESTAMP — eligible as the watermark column directly.
+    val deduped = src
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val name = s"graft_stream_dedup_ttl_${System.nanoTime()}"
+    withStatePartitions(s, 4) {
+      val q = deduped.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name).orderBy(col("user_id"), col("event_type"))
+  }
+
   private val q87: Q = (s, d) => {
     val stage = chunkedStreamDir(s, d, 4)
     val schema = s.read.parquet(stage).schema
@@ -443,6 +475,7 @@ object StreamingQueries {
     "q88_typed_sessions" -> q88,
     "q144_stream_dedup" -> q144,
     "q145_stream_enrich" -> q145,
+    "q148_stream_dedup_ttl" -> q148,
   )
 
   private val slidingOracle = """
@@ -495,6 +528,13 @@ object StreamingQueries {
     // Streaming dedup emits each distinct key exactly once, whatever the
     // micro-batch split — the key set equals batch DISTINCT.
     "q144_stream_dedup" -> """
+      SELECT user_id, event_type FROM events
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""",
+    // With the TTL delay wider than the fixture's time span, nothing is
+    // late and nothing evicts — the TTL'd dedup must emit exactly the
+    // distinct key set, the same oracle as q144.
+    "q148_stream_dedup_ttl" -> """
       SELECT user_id, event_type FROM events
       GROUP BY user_id, event_type
       ORDER BY user_id, event_type""",
