@@ -21,6 +21,35 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(out.size == 3) // upper triangle only
   }
 
+  /** The distributed tree merge (forced via driverMergeMax=1, fanIn=2 —
+    * multiple levels over the 8 input partitions) must produce the same
+    * 6-dp-rounded matrix as the default bounded driver merge: same combine
+    * algebra, different grouping, the ulps absorbed by the rounding both
+    * paths share. This is the no-driver-merge-above-threshold contract —
+    * the 1000-executor path is the TESTED path, not a comment. */
+  test("embeddingCovariance tree merge matches the driver merge on the fixture") {
+    val emb = Tables.embeddings(spark, sf0001).repartition(8)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val driver = asMap(Similarity.embeddingCovariance(emb, "embedding"))
+    val tree = asMap(Similarity.embeddingCovariance(emb, "embedding",
+      driverMergeMax = 1, fanIn = 2))
+    assert(tree == driver)
+  }
+
+  test("embeddingCovariance fails fast on a null vector element") {
+    // InternalRow array reads would silently yield 0.0 for a null slot —
+    // the guard must surface it instead of skewing the moments.
+    val df = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS embedding")
+    val e = intercept[Exception] {
+      Similarity.embeddingCovariance(df, "embedding").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("null element")), s"got: $e")
+  }
+
   test("embeddingCovariance diagonal equals per-dimension variance on the fixture") {
     val emb = Tables.embeddings(spark, sf0001)
     val out = Similarity.embeddingCovariance(emb, "embedding")
