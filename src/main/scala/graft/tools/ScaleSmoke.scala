@@ -465,6 +465,58 @@ object ScaleSmoke {
       time(s"groupZScoreOutliers ${k}x",
         Analytics.groupZScoreOutliers(ev6Blown, "event_type", "value", 3.0))
     }
+    // Round-10 additions. sessionFunnel rides two bounded-key sorts (the
+    // user-key sessionize sort + the (user, session) funnel sort) — K
+    // disjoint user copies must scale linearly with constant stage count.
+    section("sessfunnel") {
+      val ev7 = Tables.events(spark, sfDir)
+        .select("user_id", "ts", "event_id", "event_type")
+      val ev7Blown = (0 until k).map { c =>
+        ev7.select((col("user_id") + lit(c * 1000000L)).as("user_id"), col("ts"),
+          (col("event_id") + lit(c * 100000000L)).as("event_id"),
+          col("event_type"))
+      }.reduce(_ union _).localCheckpoint()
+      val stages = Seq("signup", "view", "click", "purchase")
+      time("sessionFunnel 1x", Analytics.sessionFunnel(ev7, "user_id", "ts",
+        "event_id", "event_type", stages))
+      time(s"sessionFunnel ${k}x (disjoint users)", Analytics.sessionFunnel(
+        ev7Blown, "user_id", "ts", "event_id", "event_type", stages))
+    }
+    // binaryFile ingest at K× the FILE COUNT — the q146 shape where the
+    // driver's listing (not the bytes) is the scale risk. Staging is
+    // untimed executor-side fixture prep; the timed leg is list + glob
+    // prune + per-file read + digest. Near-linear 1×→K× shows the listing
+    // survives a 100k-file directory (at 100 TB you'd shard dirs, but the
+    // per-file cost must already be flat).
+    section("binary") {
+      import java.nio.file.{Files, Paths}
+      def stageFiles(df: DataFrame, tag: String): String = {
+        val dir = Files.createTempDirectory(s"graft_smoke_bin_$tag").toString
+        df.select("doc_id", "text").foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              Files.write(Paths.get(dir, s"doc_${r.getLong(0)}.bin"),
+                r.getString(1).getBytes("UTF-8")): Unit
+            }
+        }
+        dir
+      }
+      def readBin(dir: String) = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin").load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long")
+            .as("doc_id"),
+          col("length"), md5(col("content")).as("digest"))
+      val d1 = stageFiles(base, "1x")
+      val dk = stageFiles(blown, s"${k}x")
+      time("binaryIngest 1x", readBin(d1))
+      time(s"binaryIngest ${k}x files", readBin(dk))
+      def rmTree(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
+        f.delete(): Unit
+      }
+      rmTree(new java.io.File(d1)); rmTree(new java.io.File(dk))
+    }
     spark.stop()
   }
 }
