@@ -304,6 +304,74 @@ object Analytics {
       "tok", CmProbes)
       .orderBy(col("term"))
 
+  // -------------------------------------------------------- bloom filter --
+
+  /** q149's geometry — m large enough that the fixture vocabulary fills
+    * ~25% of the bits (real operating regime, neither empty nor
+    * saturated); k ≤ 8 is [[cmCells]]' no-overflow bound. */
+  private[graft] val BloomBits = 65536
+  private[graft] val BloomK = 4
+
+  /** Bloom-filter membership sketch: the k bit positions per value reuse
+    * THE count-min cell derivation ([[cmCells]] — one md5 per value, rows
+    * j < k by Kirsch-Mitzenmacher (h1 + j·h2) % m), so the sketch family
+    * shares a single cross-engine hash definition. The sketch IS the
+    * distinct set-bit positions — state ≤ m rows whatever the corpus
+    * (65536 here ≈ 8 KB as a bitset), the bounded-state membership
+    * structure join pruning and "have we seen this key" checks use at
+    * corpus scale where an exact key set is billions of rows. Merge
+    * across shards/batches = bit-OR ≡ UNION DISTINCT of positions — the
+    * same one-shuffle algebra as [[kmvSketch]]'s min and [[hllSketch]]'s
+    * max. The map-side partial DISTINCT collapses each task's output to
+    * ≤ m rows before the one exchange. */
+  def bloomFilter(df: DataFrame, valueCol: String,
+      mBits: Int = BloomBits, k: Int = BloomK): DataFrame = {
+    require(k >= 1 && k <= 8, s"bloomFilter: k out of range (cmCells bound): $k")
+    require(mBits >= 2, s"bloomFilter: mBits must be >= 2, got $mBits")
+    df.filter(col(valueCol).isNotNull)
+      .select(expr(cmHash(valueCol)).as("_h"))
+      .select(posexplode(expr(cmCells("_h", k, mBits))).as(Seq("j", "bit")))
+      .select(col("bit")).distinct()
+  }
+
+  /** Point-probe harness over [[bloomFilter]]: for each probe term,
+    * `maybe_present` (ALL k of its bits set — Bloom's membership test)
+    * next to the exact occurrence count. The audit certifies the
+    * one-sided error: `exact_n > 0` ⇒ `maybe_present` (a Bloom filter has
+    * NO false negatives); `maybe_present` with `exact_n = 0` is a false
+    * positive, whose rate the m/k geometry controls. The exact leg
+    * filters to the probe set before aggregating (q125's discipline). */
+  def bloomProbe(df: DataFrame, valueCol: String, probes: Seq[String],
+      mBits: Int = BloomBits, k: Int = BloomK): DataFrame = {
+    require(probes.nonEmpty, "bloomProbe: probes must be non-empty")
+    val s = df.sparkSession
+    import s.implicits._
+    val bits = bloomFilter(df, valueCol, mBits, k)
+    // DISTINCT before counting: j1 ≠ j2 can collide into one bit, and the
+    // membership test is over the SET of a term's bits.
+    val probed = probes.toDF("term")
+      .select(col("term"), expr(cmHash("term")).as("_h"))
+      .select(col("term"), posexplode(expr(cmCells("_h", k, mBits))).as(Seq("j", "bit")))
+      .select(col("term"), col("bit")).distinct()
+    val need = probed.groupBy(col("term")).agg(count(lit(1)).as("need"))
+    val have = probed.join(bits, Seq("bit"))
+      .groupBy(col("term")).agg(count(lit(1)).as("have"))
+    val exact = df.filter(col(valueCol).isin(probes: _*))
+      .groupBy(col(valueCol).as("term")).agg(count(lit(1)).as("exact"))
+    need.join(have, Seq("term"), "left").join(exact, Seq("term"), "left")
+      .select(col("term"),
+        (coalesce(col("have"), lit(0L)) === col("need")).as("maybe_present"),
+        coalesce(col("exact"), lit(0L)).as("exact_n"))
+  }
+
+  /** Corpus token membership probed through the Bloom sketch. */
+  private val q149: Q = (s, d) =>
+    bloomProbe(
+      Tables.documents(s, d)
+        .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok")),
+      "tok", CmProbes)
+      .orderBy(col("term"))
+
   // ------------------------------------------------------------- funnel --
 
   /** Ordered-funnel analysis: for each key, the furthest stage reached where
@@ -1068,6 +1136,7 @@ object Analytics {
     "q135_hll_distinct" -> q135,
     "q136_transitions" -> q136,
     "q125_countmin" -> q125,
+    "q149_bloom_filter" -> q149,
     "q69_funnel" -> q69,
     "q147_session_funnel" -> q147,
     "q101_funnel_gap" -> q101,
@@ -1171,6 +1240,36 @@ object Analytics {
       SELECT e.term, e.est, coalesce(x.exact, CAST(0 AS BIGINT)) AS exact
       FROM est e LEFT JOIN ex x ON e.term = x.term
       ORDER BY e.term""" },
+    // Rebuilds the identical Bloom bitset — same md5 + K-M (h1 + j*h2) % m
+    // derivation as q125, k rows per DISTINCT token, sketch = the distinct
+    // set-bit positions — and probes it: maybe_present ⇔ every one of the
+    // term's (distinct) bits is set. Exact integer algebra end-to-end.
+    "q149_bloom_filter" -> {
+      val probesVals = CmProbes.map(p => s"('$p')").mkString(", ")
+      def km(hexCol: String) =
+        s"(${CrossHash.hexSliceDuckDb(hexCol, 1)} + j * ${CrossHash.hexSliceDuckDb(hexCol, 16)}) % $BloomBits"
+      s"""
+      WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+                   FROM documents),
+      th AS (SELECT DISTINCT tok FROM tok),
+      thh AS (SELECT tok, md5(tok) AS h FROM th),
+      bits AS (SELECT DISTINCT ${km("h")} AS bit
+               FROM thh CROSS JOIN (SELECT unnest(range(0, $BloomK)) AS j)),
+      probes(term) AS (VALUES $probesVals),
+      ph AS (SELECT term, md5(term) AS h FROM probes),
+      pb AS (SELECT DISTINCT term, ${km("h")} AS bit
+             FROM ph CROSS JOIN (SELECT unnest(range(0, $BloomK)) AS j)),
+      need AS (SELECT term, CAST(count(*) AS BIGINT) AS need FROM pb GROUP BY term),
+      have AS (SELECT term, CAST(count(*) AS BIGINT) AS have
+               FROM pb JOIN bits USING (bit) GROUP BY term),
+      ex AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS exact FROM tok
+             WHERE tok IN (SELECT term FROM probes) GROUP BY tok)
+      SELECT n.term,
+             coalesce(h.have, CAST(0 AS BIGINT)) = n.need AS maybe_present,
+             coalesce(x.exact, CAST(0 AS BIGINT)) AS exact_n
+      FROM need n LEFT JOIN have h ON n.term = h.term
+                  LEFT JOIN ex x ON n.term = x.term
+      ORDER BY n.term""" },
     // Replays groupedHistogramQuantiles: q120's binning/walk/interpolation
     // with every window partitioned by lang. documents.n_chars is BIGINT;
     // window sums are HUGEINT — CAST back.

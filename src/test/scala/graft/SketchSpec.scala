@@ -27,4 +27,31 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.02,
       s"approx $approx vs exact $exact")
   }
+
+  test("bloomFilter: no false negatives, bounded state, merge = bit-union") {
+    import graft.operators.Analytics
+    val docs = Tables.documents(spark, sf001)
+      .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+    // Probe every present token in a sample + one absent: every present
+    // term MUST report maybe_present (Bloom's one-sided guarantee).
+    val present = docs.distinct().limit(20).collect().map(_.getString(0)).toSeq
+    val out = Analytics.bloomProbe(docs, "tok", present :+ "definitely#absent")
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    present.foreach { t =>
+      assert(out(t)._1 && out(t)._2 > 0, s"false negative for present term $t")
+    }
+    // State bound: the sketch is the distinct set-bit positions, ≤ m rows.
+    val nBits = Analytics.bloomFilter(docs, "tok").count()
+    assert(nBits <= Analytics.BloomBits, s"bits $nBits exceed m")
+    assert(nBits > 0)
+    // Shard merge = UNION DISTINCT of positions ≡ building over the union.
+    val half1 = docs.filter(length(col("tok")) % 2 === 0)
+    val half2 = docs.filter(length(col("tok")) % 2 === 1)
+    val merged = Analytics.bloomFilter(half1, "tok")
+      .union(Analytics.bloomFilter(half2, "tok")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val whole = Analytics.bloomFilter(docs, "tok")
+      .collect().map(_.getLong(0)).toSet
+    assert(merged == whole, "sharded bit-union must equal the whole-corpus bitset")
+  }
 }
