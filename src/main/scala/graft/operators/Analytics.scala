@@ -342,11 +342,18 @@ object Analytics {
     * positive, whose rate the m/k geometry controls. The exact leg
     * filters to the probe set before aggregating (q125's discipline). */
   def bloomProbe(df: DataFrame, valueCol: String, probes: Seq[String],
-      mBits: Int = BloomBits, k: Int = BloomK): DataFrame = {
+      mBits: Int = BloomBits, k: Int = BloomK): DataFrame =
+    bloomProbeBits(bloomFilter(df, valueCol, mBits, k), df, valueCol,
+      probes, mBits, k)
+
+  /** [[bloomProbe]] against an ALREADY-BUILT bit set — the batch
+    * [[bloomFilter]] output or a drained streaming sketch state (q150);
+    * one probe definition, so the batch/stream gates cannot drift. */
+  def bloomProbeBits(bits: DataFrame, df: DataFrame, valueCol: String,
+      probes: Seq[String], mBits: Int = BloomBits, k: Int = BloomK): DataFrame = {
     require(probes.nonEmpty, "bloomProbe: probes must be non-empty")
     val s = df.sparkSession
     import s.implicits._
-    val bits = bloomFilter(df, valueCol, mBits, k)
     // DISTINCT before counting: j1 ≠ j2 can collide into one bit, and the
     // membership test is over the SET of a term's bits.
     val probed = probes.toDF("term")

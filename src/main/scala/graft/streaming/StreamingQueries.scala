@@ -425,6 +425,48 @@ object StreamingQueries {
       .limit(5)
   }
 
+  /** Streaming Bloom filter: the q149 bitset built BY THE STREAMING
+    * ENGINE — token bit positions explode map-side per micro-batch
+    * (the one [[graft.operators.Analytics.cmCells]] derivation) and the
+    * per-bit aggregate holds the sketch. Same provably-bounded
+    * complete-mode argument as [[streamedCountMin]]: state ≤ m rows by
+    * construction whatever the stream's cardinality — the "have we ever
+    * seen this key" monitor an ingest pipeline keeps with constant state.
+    * The drained KEY SET is the bitset (bit presence is
+    * duplicate-insensitive), so it is arrival-order-independent and must
+    * equal the batch [[graft.operators.Analytics.bloomFilter]] exactly
+    * (StreamingSketchSpec) — and the q150 gate reuses q149's oracle
+    * verbatim. */
+  private[graft] def streamedBloomBits(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Analytics
+    val src = s.readStream
+      .schema(Tables.load(s, d, "documents").schema)
+      .parquet(streamDir(d, "documents"))
+    val bits = src
+      .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+      .select(expr(Analytics.cmHash("tok")).as("_h"))
+      .select(posexplode(expr(
+        Analytics.cmCells("_h", Analytics.BloomK, Analytics.BloomBits)))
+        .as(Seq("j", "bit")))
+      .groupBy(col("bit")).agg(count(lit(1)).as("n"))
+    val name = s"graft_stream_bloom_${System.nanoTime()}"
+    withStatePartitions(s, 4) {
+      val q = bits.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name).select(col("bit"))
+  }
+
+  private val q150: Q = (s, d) => {
+    import graft.operators.Analytics
+    val toks = Tables.documents(s, d)
+      .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+    Analytics.bloomProbeBits(streamedBloomBits(s, d), toks, "tok",
+      Analytics.CmProbes)
+      .orderBy(col("term"))
+  }
+
   /** Streaming HyperLogLog: the [[graft.operators.Analytics.hllRegisters]]
     * register file built BY THE STREAMING ENGINE over the events stream.
     * Same provably-bounded complete-mode argument as [[streamedCountMin]]:
@@ -476,6 +518,7 @@ object StreamingQueries {
     "q144_stream_dedup" -> q144,
     "q145_stream_enrich" -> q145,
     "q148_stream_dedup_ttl" -> q148,
+    "q150_stream_bloom" -> q150,
   )
 
   private val slidingOracle = """
@@ -525,6 +568,12 @@ object StreamingQueries {
     // definition, same estimator).
     "q138_stream_hll" ->
       graft.operators.Analytics.oracles("q135_hll_distinct"),
+    // Bit presence is duplicate-insensitive, so the drained streaming
+    // bitset is arrival-order-independent and equals the batch one —
+    // q150 reuses q149's oracle VERBATIM (same shared K-M bit derivation,
+    // same probe harness).
+    "q150_stream_bloom" ->
+      graft.operators.Analytics.oracles("q149_bloom_filter"),
     // Streaming dedup emits each distinct key exactly once, whatever the
     // micro-batch split — the key set equals batch DISTINCT.
     "q144_stream_dedup" -> """

@@ -45,6 +45,18 @@ class StreamingSketchSpec extends SparkSpec {
     assert(streamed.size <= groups * Analytics.HllRegisters)
   }
 
+  test("streamed Bloom bitset == batch bloomFilter bit-for-bit") {
+    val streamed = StreamingQueries.streamedBloomBits(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+    val batch = Analytics.bloomFilter(toks, "tok")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    // Complete-mode state provably bounded: ≤ m bit rows.
+    assert(streamed.size <= Analytics.BloomBits && streamed.nonEmpty)
+  }
+
   test("q138: streamed estimate matches batch hllDistinct exactly") {
     val streamRows = StreamingQueries.queries("q138_stream_hll")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
