@@ -195,6 +195,12 @@ object Graft {
   def countMinEstimate(df: DataFrame, valueCol: String, probes: Seq[String],
       depth: Int = Analytics.CmDepth, width: Int = Analytics.CmWidth): DataFrame =
     Analytics.countMinEstimate(df, valueCol, probes, depth, width)
+  def bloomFilter(df: DataFrame, valueCol: String,
+      mBits: Int = Analytics.BloomBits, k: Int = Analytics.BloomK): DataFrame =
+    Analytics.bloomFilter(df, valueCol, mBits, k)
+  def bloomProbe(df: DataFrame, valueCol: String, probes: Seq[String],
+      mBits: Int = Analytics.BloomBits, k: Int = Analytics.BloomK): DataFrame =
+    Analytics.bloomProbe(df, valueCol, probes, mBits, k)
   def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
       minDf: Int = TextAnalysis.PmiMinDf,
       topK: Int = TextAnalysis.PmiTopK): DataFrame =

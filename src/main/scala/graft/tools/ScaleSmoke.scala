@@ -349,6 +349,17 @@ object ScaleSmoke {
       time("countMin 1x", countMinEstimate(toks(base), "tok", probes))
       time(s"countMin ${k}x", countMinEstimate(toks(blown), "tok", probes))
     }
+    // Bloom: like countMin, the bit aggregate is bounded (≤ m rows) at any
+    // K — the map-side partial DISTINCT collapses each task to ≤ m rows
+    // before the one exchange, so K× duplicated tokens cost only the scan.
+    section("bloom") {
+      def toksB(df: DataFrame) = df.select(
+        explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+      val probes = Seq("spark", "vector", "table", "dup", "row", "quantum")
+      time("bloomProbe 1x", Analytics.bloomProbe(toksB(base), "tok", probes))
+      time(s"bloomProbe ${k}x (pure duplicates)",
+        Analytics.bloomProbe(toksB(blown), "tok", probes))
+    }
     section("pmi") {
       time("pmiCollocations 1x", TextAnalysis.pmiCollocations(base, "doc_id", "text"))
       time(s"pmiCollocations ${k}x",
