@@ -253,6 +253,39 @@ object StreamingQueries {
     s.table(name).orderBy(col("c_nationkey"))
   }
 
+  /** The q81 session aggregation executed by the STREAMING engine — the
+    * missing member of the streaming window matrix (tumbling q82, sliding
+    * q85, session q151). Complete output mode, q82's drain pattern: the
+    * session-window state merges within-gap events per user across
+    * micro-batches — including SESSION MERGES, where an event arriving in
+    * a later chunk bridges two previously-separate open sessions (the
+    * chunks are event_id-ranged, not time-ranged, so this genuinely
+    * happens) — and the drained table holds every session,
+    * batch-equivalent, so the gate reuses q81's oracle verbatim. Sum
+    * order varies with the batch split; the 2-dp round absorbs it (q82's
+    * discipline), counts exact. Complete mode retains all sessions —
+    * that is what makes the drain deterministic here; the bounded-state
+    * production form pairs `withWatermark` with append mode and emits
+    * each session once its close time passes the watermark. */
+  private val q151: Q = (s, d) => {
+    val stage = chunkedStreamDir(s, d, 4)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val agg = src
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("total_value"))
+    val name = s"graft_stream_session_${System.nanoTime()}"
+    withStatePartitions(s, 4) {
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name).orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Streaming exact dedup under the REAL micro-batch engine: the events
     * table replays as 4 chunks and `dropDuplicates` keeps ONE row per
     * (user_id, event_type) across batches — the streaming member of the
@@ -519,6 +552,7 @@ object StreamingQueries {
     "q145_stream_enrich" -> q145,
     "q148_stream_dedup_ttl" -> q148,
     "q150_stream_bloom" -> q150,
+    "q151_stream_session" -> q151,
   )
 
   private val slidingOracle = """
@@ -660,6 +694,10 @@ object StreamingQueries {
     // independent formulation of Spark's session_window semantics.
     "q81_session_window" -> sessionOracle,
     "q88_typed_sessions" -> sessionOracle,
+    // The drained complete-mode session state is batch-equivalent
+    // (every session retained, merges included) — q151 reuses the same
+    // session oracle as the batch declarative (q81) and typed (q88) forms.
+    "q151_stream_session" -> sessionOracle,
   )
 
   /** Streaming ingestion from a *generator* source — the Kafka-shaped path
