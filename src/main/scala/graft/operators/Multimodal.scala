@@ -348,6 +348,38 @@ final class MediaDecoder {
     Decoded(width = (sum % 640).toInt + 1, height = (sum % 480).toInt + 1, features = hist)
   }
 
+  /** Real thumbnail for decodable payloads: nearest-neighbor resample of
+    * the DECODED raster to `w × h` 8-bit luminance bytes (row-major, the
+    * same REC-709 weights as [[decode]]) — the actual image-resize step of
+    * a multimodal pipeline. Non-decodable formats fall back to the
+    * byte-level [[resize]] stub with the same `w·h` output size, so the
+    * pipeline shape is format-independent. */
+  def thumbnail(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"thumbnail: bad dims ${w}x$h")
+    if (isPng(payload)) {
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+      if (img != null) {
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x * img.getWidth / w, y * img.getHeight / h)
+            val lum = (2126 * ((rgb >> 16) & 0xff) + 7152 * ((rgb >> 8) & 0xff)
+              + 722 * (rgb & 0xff)) / 10000
+            out(y * w + x) = lum.toByte
+            x += 1
+          }
+          y += 1
+        }
+        return out
+      }
+    }
+    resize(payload, w * h)
+  }
+
   /** STUB resize: nearest-neighbor downsample of the payload to `target`
     * bytes (a real decoder would resample pixels; the sampling arithmetic
     * and output shape are what the pipeline contract needs). */

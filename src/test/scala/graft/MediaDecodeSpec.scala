@@ -40,6 +40,23 @@ class MediaDecodeSpec extends SparkSpec {
       s"got ${d.features.toSeq}")
   }
 
+  test("PNG thumbnail resamples real pixels (nearest-neighbor luminance)") {
+    // 16x9 gray gradient (level = x*16) → 4x3 thumb: pixel (x, y) samples
+    // src (x*16/4, y*9/3) = (4x, 3y), luma = 4x*16 = 64x, every row.
+    val bytes = pngBytes(16, 9) { (x, _) =>
+      val g = x * 16; (g << 16) | (g << 8) | g
+    }
+    val thumb = new MediaDecoder().thumbnail(bytes, 4, 3)
+    val expected = Array.fill(3)(Seq(0, 64, 128, 192)).flatten.map(_.toByte)
+    assert(thumb.toSeq == expected.toSeq, s"got ${thumb.toSeq}")
+  }
+
+  test("non-PNG thumbnail falls back to the byte-level resize stub") {
+    val payload = "hello graft".getBytes("UTF-8")
+    val d = new MediaDecoder()
+    assert(d.thumbnail(payload, 4, 3).toSeq == d.resize(payload, 12).toSeq)
+  }
+
   test("non-PNG payloads keep the deterministic byte-histogram stub semantics") {
     val payload = "hello graft".getBytes("UTF-8")
     val d = new MediaDecoder().decode(payload)
