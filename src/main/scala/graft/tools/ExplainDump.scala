@@ -74,6 +74,8 @@ object ExplainDump {
     "q142_outliers" -> "two-pass: per-group μ/σ aggregate broadcast back; |z|>k filter map-side in codegen — deliberately not a group-partitioned window (skew)",
     "q143_chunk_dedup" -> "winners decided digest-only (md5 + min-struct agg); keep-flags join + reassembly share ONE id-partitioned body shuffle (PlanSpec-locked <= 4 exchanges)",
     "q146_binary_source" -> "binaryFile scan over per-blob staged files: pathGlobFilter prunes at listing time; identity from path regex, md5(content) map-side — list, prune, read bytes once",
+    "q147_session_funnel" -> "per-event session ids from the ONE user-key sort; funnel stage windows ride the (user, session) sort they created — two bounded-key exchanges total",
+    "q149_bloom_filter" -> "ONE md5 per value, k bit positions by the shared K-M derivation; partial DISTINCT bounds every task at ≤ m rows before the single bit exchange; probe joins the ≤ m-row bitset",
   )
 
   def main(args: Array[String]): Unit = {
