@@ -28,6 +28,42 @@ class SketchSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  /** The shared K-M cell derivation (count-min rows, bloom bits, their
+    * streaming twins, and every DuckDB oracle replay) pinned against an
+    * independent JVM reimplementation — MessageDigest md5, hex-nibble
+    * slices parsed with parseLong, plain long arithmetic. Guards the
+    * hexSliceExpr string-slicing and the no-overflow bound the whole
+    * sketch family rides on. */
+  test("K-M cell derivation (SQL md5 slices) == JVM reference on random strings") {
+    import graft.operators.Analytics
+    val rnd = new scala.util.Random(7)
+    val vals = ((0 until 300).map(_ =>
+      rnd.alphanumeric.take(1 + rnd.nextInt(24)).mkString) :+ "" :+ "a b c")
+      .distinct // short random strings collide; one row per value under test
+    def refCells(v: String, depth: Int, width: Int): Seq[(Int, Long)] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+      (0 until depth).map(j => j -> (h1 + j * h2) % width)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(org.apache.spark.sql.Row(_)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    val sql = df
+      .select(col("v"), expr(Analytics.cmHash("v")).as("_h"))
+      .select(col("v"), posexplode(expr(
+        Analytics.cmCells("_h", 8, Analytics.BloomBits))).as(Seq("j", "cell")))
+      .collect().groupBy(_.getString(0))
+      .map { case (v, rows) =>
+        v -> rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1).toSeq }
+    vals.distinct.foreach { v =>
+      assert(sql(v) == refCells(v, 8, Analytics.BloomBits), s"drift for '$v'")
+    }
+  }
+
   test("bloomFilter: no false negatives, bounded state, merge = bit-union") {
     import graft.operators.Analytics
     val docs = Tables.documents(spark, sf001)
