@@ -845,7 +845,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_kept"),
         expr("array_join(transform(array_sort(collect_list(struct(seg_id, seg))), x -> x.seg), ' ')")
           .as("clean_text"))
-    base.select(col(idCol), col("nseg").as("n_segments"))
+    // Per-doc segment counts come from the CHECKPOINTED skinny frame, not
+    // from `base`: reading base here would re-run the corpus tokenization a
+    // third time (the agg leg above already pays the one unavoidable
+    // body-producing pass). |segs per doc| == nseg by construction, and
+    // zero-token docs are absent from keyed exactly as they are from base.
+    val counts = keyed.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segments"))
+    counts
       .join(agg, Seq(idCol), "left")
       .select(col(idCol), col("n_segments"),
         (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),

@@ -41,6 +41,16 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bloomProbe is partition-invariant") {
+    import org.apache.spark.sql.functions._
+    def toks(df: DataFrame) = df.select(
+      explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+    val probes = Seq("spark", "vector", "dup", "quantum")
+    val a = rows(Analytics.bloomProbe(toks(docs), "tok", probes))
+    val b = rows(Analytics.bloomProbe(toks(docs.repartition(7)), "tok", probes))
+    assert(a == b)
+  }
+
   test("exact dedup keeper mapping is partition-invariant") {
     val a = rows(Dedup.exactDedup(docs, "doc_id", "text"))
     val b = rows(Dedup.exactDedup(docs.repartition(7), "doc_id", "text"))
