@@ -17,6 +17,22 @@ class MalformedInputSpec extends SparkSpec {
       .toSeq == Seq(Some(7), None, None))
   }
 
+  test("bloom filter ignores null values; absent probes report not-present") {
+    import graft.operators.Analytics
+    val df = Seq(Some("alpha"), None, Some("beta"), None).toDF("v")
+    // Nulls are filtered before hashing (a null has no membership bits) —
+    // the bitset is exactly the two non-null values' bits.
+    val nBits = Analytics.bloomFilter(df, "v").count()
+    val nBitsNonNull = Analytics.bloomFilter(
+      Seq("alpha", "beta").toDF("v"), "v").count()
+    assert(nBits == nBitsNonNull && nBits > 0)
+    val out = Analytics.bloomProbe(df, "v", Seq("alpha", "gamma"))
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(out("alpha") == (true, 1L))
+    // m=65536 over 2 values: collision odds are nil — a deterministic miss.
+    assert(out("gamma") == (false, 0L))
+  }
+
   test("csv PERMISSIVE nulls bad cells; FAILFAST throws") {
     val dir = Files.createTempDirectory("graft_badcsv")
     Files.writeString(dir.resolve("x.csv"), "1,a\nnot_a_number,b\n3,c\n")
