@@ -196,13 +196,20 @@ object StreamingQueries {
     import java.nio.file.{Files, Paths}
     val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
     // Unlike streamDir's live symlink, this stages a materialized COPY — so
-    // the cache key must include the source file's (size, mtime), or a
-    // regenerated fixture at the same path would keep serving stale chunks.
+    // the cache key must be CONTENT-ADDRESSED ((size, md5) of the fixture,
+    // the binaryStageDir discipline): (size, mtime) alone would keep
+    // serving stale chunks for a regenerated fixture restored with a
+    // preserved mtime. Hashing is a bounded driver read of the fixture.
     val srcFile = Paths.get(d, "events.parquet")
-    val fp = s"${Files.size(srcFile)}_${Files.getLastModifiedTime(srcFile).toMillis}"
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(Files.readAllBytes(srcFile)).map("%02x".format(_)).mkString
+    val fp = s"${Files.size(srcFile)}_${md5hex.take(16)}"
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_chunks_$safe${n}_$fp")
     val marker = dir.resolve("_STAGED")
     if (!Files.exists(marker)) {
+      // mode=overwrite clears any half-staged dir from a previous crash
+      // (marker absent ⇒ never served); the marker lands only after the
+      // write completes, and a new fingerprint is a new directory.
       Tables.events(s, d)
         .repartitionByRange(n, col("event_id"))
         .write.mode("overwrite").parquet(dir.toString)
