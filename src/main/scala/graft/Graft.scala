@@ -135,6 +135,9 @@ object Graft {
   // analytics / data management
   def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 32): DataFrame = Analytics.kmvSketch(df, groupCol, valueCol, k)
+  def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 32): DataFrame =
+    Analytics.kmvSetOps(df, groupCol, valueCol, k)
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 32): DataFrame = Analytics.kmvDistinct(df, groupCol, valueCol, k)
   def funnel(events: DataFrame, keyCols: Seq[String], timeCol: String,

@@ -93,6 +93,68 @@ object Analytics {
     kmvDistinct(Tables.events(s, d), "event_type", "user_id")
       .orderBy(col("event_type"))
 
+  /** SET OPERATIONS on KMV samples — the theta-sketch pattern (Apache
+    * DataSketches' core idea): for every group pair, trim both min-k hash
+    * samples to the SMALLER threshold θ = min(θ_A, θ_B); below θ each
+    * retained hash is a uniform p-sample of its set with p = θ/2^60, so
+    * `|sample ∩| · 2^60/θ` estimates `|A ∩ B|`, likewise the union, and
+    * the sample Jaccard estimates the true one. THE way to ask "how much
+    * do corpus A and corpus B overlap" at 100 TB without ever joining
+    * them: per group the state is k longs, pair math runs on two ≤ k
+    * arrays driver-broadcast — no value-level pair join anywhere in the
+    * sketch path. (The `n_inter_exact` audit column joins the distinct
+    * sets value-on-value — the cost the sketch avoids, kept only to
+    * certify the estimator, q68's discipline.) Estimates are exact
+    * integer algebra + one double division + round — bit-replayable. */
+  def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 32): DataFrame = {
+    require(k >= 2, s"kmvSetOps: k must be >= 2, got $k")
+    val du = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull).distinct()
+    val h = du.withColumn("hv", expr(CrossHash.h60Expr(valueCol)))
+    val rn = row_number().over(Window.partitionBy(groupCol).orderBy(col("hv")))
+    val sk = h.withColumn("rn", rn).filter(col("rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("hv"))).as("arr"), max(col("hv")).as("th"))
+    val a = sk.select(col(groupCol).as("grp1"), col("arr").as("arr1"),
+      col("th").as("th1"))
+    val b = sk.select(col(groupCol).as("grp2"), col("arr").as("arr2"),
+      col("th").as("th2"))
+    // |groups|² pair rows over ≤ k-long arrays: broadcast-small by
+    // construction. Intersect/union spelled explicitly (filter + contains
+    // + distinct) so Spark and the DuckDB replay share one semantics.
+    val pairs = a.join(broadcast(b), col("grp1") < col("grp2"))
+      .withColumn("theta", least(col("th1"), col("th2")))
+      .withColumn("fa", expr("filter(arr1, h -> h <= theta)"))
+      .withColumn("fb", expr("filter(arr2, h -> h <= theta)"))
+      .withColumn("n_inter_sample",
+        expr("size(array_distinct(filter(fa, h -> array_contains(fb, h))))"))
+      .withColumn("n_union_sample",
+        expr("size(array_distinct(concat(fa, fb)))"))
+    val exact = du.select(col(groupCol).as("grp1"), col(valueCol).as("v"))
+      .join(du.select(col(groupCol).as("grp2"), col(valueCol).as("v")), Seq("v"))
+      .filter(col("grp1") < col("grp2"))
+      .groupBy(col("grp1"), col("grp2")).agg(count(lit(1)).as("n_inter_exact"))
+    val scale = lit(1152921504606846976.0) // 2^60 as double
+    pairs.join(exact, Seq("grp1", "grp2"), "left")
+      .select(col("grp1"), col("grp2"),
+        col("n_inter_sample").cast("long").as("n_inter_sample"),
+        col("n_union_sample").cast("long").as("n_union_sample"),
+        round(col("n_inter_sample").cast("double") * scale
+          / col("theta").cast("double"), 2).as("inter_est"),
+        round(col("n_union_sample").cast("double") * scale
+          / col("theta").cast("double"), 2).as("union_est"),
+        when(col("n_union_sample") === 0, lit(0.0))
+          .otherwise(round(col("n_inter_sample").cast("double")
+            / col("n_union_sample").cast("double"), 4)).as("jaccard_est"),
+        coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"))
+  }
+
+  /** Pairwise audience overlap between event types, sketch vs exact. */
+  private val q152: Q = (s, d) =>
+    kmvSetOps(Tables.events(s, d), "event_type", "user_id")
+      .orderBy(col("grp1"), col("grp2"))
+
   // -------------------------------------------------------- HyperLogLog --
 
   /** m = 2^8 registers: ±6.5% standard error, 256 small ints of state. */
@@ -1140,6 +1202,7 @@ object Analytics {
     "q120_hist_quantiles" -> q120,
     "q128_group_quantiles" -> q128,
     "q68_kmv_distinct" -> q68,
+    "q152_kmv_setops" -> q152,
     "q135_hll_distinct" -> q135,
     "q136_transitions" -> q136,
     "q125_countmin" -> q125,
@@ -1449,6 +1512,48 @@ object Analytics {
                    END, 2) AS kmv_est
       FROM x JOIN k USING (event_type)
       ORDER BY event_type""",
+    // Rebuilds the per-group min-32 hash samples with the same 60-bit
+    // fold, trims every pair to θ = least(θ1, θ2), and replays the theta
+    // estimators: count · 2^60/θ for intersection and union, sample ratio
+    // for Jaccard. Intersect/union spelled as filter+contains+distinct on
+    // BOTH engines so list semantics cannot diverge. Exact audit joins the
+    // distinct sets value-on-value.
+    "q152_kmv_setops" -> s"""
+      WITH du AS (SELECT DISTINCT event_type AS grp, user_id AS v
+                  FROM events WHERE user_id IS NOT NULL),
+      h AS (SELECT grp, ${h60("CAST(v AS VARCHAR)")} AS hv FROM du),
+      r AS (SELECT grp, hv,
+                   row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+            FROM h),
+      sk AS (SELECT grp, list(hv ORDER BY hv) AS arr, max(hv) AS th
+             FROM r WHERE rn <= 32 GROUP BY grp),
+      p AS (SELECT a.grp AS grp1, b.grp AS grp2,
+                   least(a.th, b.th) AS theta,
+                   list_filter(a.arr, h -> h <= least(a.th, b.th)) AS fa,
+                   list_filter(b.arr, h -> h <= least(a.th, b.th)) AS fb
+            FROM sk a JOIN sk b ON a.grp < b.grp),
+      c AS (SELECT grp1, grp2, theta,
+                   CAST(len(list_distinct(list_filter(fa,
+                     h -> list_contains(fb, h)))) AS BIGINT) AS n_inter_sample,
+                   CAST(len(list_distinct(list_concat(fa, fb))) AS BIGINT)
+                     AS n_union_sample
+            FROM p),
+      x AS (SELECT a.grp AS grp1, b.grp AS grp2,
+                   CAST(count(*) AS BIGINT) AS n_inter_exact
+            FROM du a JOIN du b ON a.v = b.v AND a.grp < b.grp
+            GROUP BY a.grp, b.grp)
+      SELECT c.grp1, c.grp2, n_inter_sample, n_union_sample,
+             round(CAST(n_inter_sample AS DOUBLE) * 1152921504606846976.0
+                   / CAST(theta AS DOUBLE), 2) AS inter_est,
+             round(CAST(n_union_sample AS DOUBLE) * 1152921504606846976.0
+                   / CAST(theta AS DOUBLE), 2) AS union_est,
+             CASE WHEN n_union_sample = 0 THEN 0.0
+                  ELSE round(CAST(n_inter_sample AS DOUBLE)
+                             / CAST(n_union_sample AS DOUBLE), 4) END
+               AS jaccard_est,
+             coalesce(x.n_inter_exact, CAST(0 AS BIGINT)) AS n_inter_exact
+      FROM c LEFT JOIN x ON c.grp1 = x.grp1 AND c.grp2 = x.grp2
+      ORDER BY c.grp1, c.grp2""",
     // CAST(ts AS TIMESTAMP) truncates DuckDB's ns reads to the µs Spark
     // carries, so ordering ties resolve identically (then event_id).
     "q69_funnel" -> """
