@@ -436,6 +436,20 @@ object ScaleSmoke {
       time(s"hllSketch ${k}x (pure duplicates)",
         Analytics.hllSketch(ev4Blown, "event_type", "user_id"))
     }
+    // kmvSetOps on 20x DISJOINT user copies: every group's distinct set is
+    // 20x larger, but the sketch path still shuffles only the distinct
+    // collapse + a WindowGroupLimit min-k — pair math stays k-bounded. The
+    // exact-∩ audit leg is the only linear-in-distincts stage.
+    section("kmvsetops") {
+      val evK = Tables.events(spark, sfDir).select("user_id", "event_type")
+      val evKBlown = (0 until k).map { c =>
+        evK.select((col("user_id") + lit(c * 1000000L)).as("user_id"),
+          col("event_type"))
+      }.reduce(_ union _).localCheckpoint()
+      time("kmvSetOps 1x", Analytics.kmvSetOps(evK, "event_type", "user_id"))
+      time(s"kmvSetOps ${k}x (disjoint users)",
+        Analytics.kmvSetOps(evKBlown, "event_type", "user_id"))
+    }
     section("transitions") {
       val ev5 = Tables.events(spark, sfDir)
         .select("user_id", "ts", "event_id", "event_type")
