@@ -152,6 +152,51 @@ object Dedup {
       .select(col("id1"), col("id2"), col("est_jaccard"))
   }
 
+  /** Persistable MinHash signature INDEX — the `(id, sg)` frame a corpus
+    * owner materializes once (parquet/bucketed) and reuses across daily
+    * batches. Signatures are the same map-side native projection
+    * [[minHashLsh]] computes; documents too short to shingle are absent
+    * (same filter). Feeding this into [[incrementalNearDup]] is what makes
+    * daily dedup affordable at 100 TB: the corpus is never re-signed. */
+  def minHashIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol), expr(s"graft_minhash_sig($textCol)").as("sg"))
+      .filter(size(col("sg")) === NumPerms)
+  }
+
+  /** Incremental near-dup: screen a NEW document batch against a
+    * PRECOMPUTED [[minHashIndex]] of the existing corpus AND against
+    * itself, without re-signing the corpus — the daily-ingest shape of
+    * near-dup dedup (sign the new batch map-side, union with the stored
+    * index, one banding join). Ids must be disjoint between batch and
+    * index (they are different documents by definition).
+    *
+    * Semantics are EXACTLY [[minHashLsh]] over (corpus ∪ batch) — same
+    * banding, same combined hot-band cap, same estimate — restricted to
+    * pairs touching the new batch (`match_src` = 'batch' when both sides
+    * are new, 'corpus' when one side is an existing document). Index-
+    * vs-index pairs are excluded: the standing corpus was already deduped
+    * when it was indexed. That equivalence is what the oracle replays. */
+  def incrementalNearDup(newDf: DataFrame, indexSig: DataFrame,
+      idCol: String, textCol: String, minEst: Double = 0.35,
+      maxBandDf: Int = MaxBandDf): DataFrame = {
+    val newSig = minHashIndex(newDf, idCol, textCol)
+    // One materialization of the union: three branches read it (banding
+    // plus both sides of the estimate join) — minHashLsh's discipline.
+    val sig = indexSig.select(col(idCol), col("sg"))
+      .union(newSig.select(col(idCol), col("sg")))
+      .localCheckpoint()
+    val pairs = minHashPairsFromSig(sig, idCol, minEst, maxBandDf)
+    val newIds = newDf.select(col(idCol)).distinct()
+    val n1 = newIds.select(col(idCol).as("id1")).withColumn("new1", lit(1))
+    val n2 = newIds.select(col(idCol).as("id2")).withColumn("new2", lit(1))
+    pairs.join(n1, Seq("id1"), "left").join(n2, Seq("id2"), "left")
+      .filter(col("new1").isNotNull || col("new2").isNotNull)
+      .select(col("id1"), col("id2"), col("est_jaccard"),
+        when(col("new1").isNotNull && col("new2").isNotNull, lit("batch"))
+          .otherwise(lit("corpus")).as("match_src"))
+  }
+
   /** SimHash-60 fingerprint per row: per-token 60-bit hash, per-bit ±1 vote
     * weighted by occurrence, sign → bit — computed by the native one-pass
     * [[graft.functions.SimHash60]] expression, so the whole fingerprint is a
@@ -708,6 +753,16 @@ object Dedup {
     "q124_corpus_overlap" -> ((s, d) =>
       corpusOverlap(Tables.documents(s, d), "lang", "text")
         .orderBy(col("src1"), col("src2"))),
+    // 20% of the corpus (doc_id % 5 = 0) arrives as the "daily batch";
+    // the rest is the standing corpus whose signature index is reused.
+    "q153_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = minHashIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      incrementalNearDup(docs.filter(col("doc_id") % 5 === 0), index,
+        "doc_id", "text")
+        .orderBy(col("id1"), col("id2"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -809,6 +864,17 @@ object Dedup {
       WITH ${duckMinhashCtes()}
       SELECT id1, id2, est_jaccard FROM est
       WHERE est_jaccard >= 0.35 ORDER BY id1, id2""",
+    // Incremental = full-corpus LSH (identical banding/cap/estimate over
+    // corpus ∪ batch) restricted to pairs touching the new batch — the
+    // exact equivalence incrementalNearDup's scaladoc states, replayed.
+    "q153_incremental_neardup" -> s"""
+      WITH ${duckMinhashCtes()}
+      SELECT id1, id2, est_jaccard,
+             CASE WHEN id1 % 5 = 0 AND id2 % 5 = 0 THEN 'batch'
+                  ELSE 'corpus' END AS match_src
+      FROM est
+      WHERE est_jaccard >= 0.35 AND (id1 % 5 = 0 OR id2 % 5 = 0)
+      ORDER BY id1, id2""",
     // Replays the exact-collapse: LSH runs over one representative per
     // md5(text) group (as the Spark side does), so the gate is exact even
     // for corpora with duplicated too-short-to-shingle or NULL texts.

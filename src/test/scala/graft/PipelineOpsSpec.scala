@@ -693,4 +693,27 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getBoolean(2) == (r.getLong(0) != r.getLong(1)))
     }
   }
+
+  /** q153's load-bearing claim, asserted directly: screening a new batch
+    * against the stored signature index is EXACTLY full-corpus LSH
+    * restricted to batch-touching pairs — no recall is lost by not
+    * re-signing the corpus. */
+  test("incrementalNearDup == full-corpus LSH restricted to batch-touching pairs") {
+    val docs = Tables.documents(spark, sf0001)
+    val index = Dedup.minHashIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    val inc = Dedup.incrementalNearDup(
+      docs.filter(col("doc_id") % 5 === 0), index, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    val full = Dedup.minHashLsh(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+      .map(p => (p._1, p._2, p._3,
+        if (p._1 % 5 == 0 && p._2 % 5 == 0) "batch" else "corpus"))
+      .toSet
+    assert(inc == full)
+    assert(inc.nonEmpty, "fixture must exercise at least one batch-touching pair")
+  }
 }
