@@ -147,6 +147,22 @@ object ScaleSmoke {
       time(s"simHashDedup ${k}x (collapse)",
         Dedup.simHashDedup(blown, "doc_id", "text"))
     }
+    // Incremental near-dup at Kx: the index is 80% of the duplicated corpus
+    // (every band hot — the cap governs), the batch 20%. The claim is the
+    // daily-ingest cost profile: index signatures are a REUSED input (here
+    // built untimed), so the timed leg is batch signing + one banding join.
+    section("incneardup") {
+      def halves(df: DataFrame) = (
+        Dedup.minHashIndex(df.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+          .localCheckpoint(),
+        df.filter(col("doc_id") % 5 === 0))
+      val (idx1, new1) = halves(base)
+      val (idxK, newK) = halves(blown)
+      time("incrementalNearDup 1x",
+        Dedup.incrementalNearDup(new1, idx1, "doc_id", "text"))
+      time(s"incrementalNearDup ${k}x (hot bands)",
+        Dedup.incrementalNearDup(newK, idxK, "doc_id", "text"))
+    }
     section("sample") {
       time("weightedSample 1x", TextAnalysis.weightedSample(
         base.withColumn("w", length(col("text")).cast("double")), "doc_id", "w", 100))
