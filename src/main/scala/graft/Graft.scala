@@ -235,6 +235,9 @@ object Graft {
     Similarity.embeddingCovariance(df, vecCol)
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     Similarity.quantizeInt8(df, idCol, vecCol)
+  def kMeans(df: DataFrame, idCol: String, vecCol: String, k: Int = 8,
+      iters: Int = 5, scale: Int = 1000): DataFrame =
+    Similarity.kMeans(df, idCol, vecCol, k, iters, scale)
   def intervalConcurrency(df: DataFrame, startCol: String, endCol: String,
       bucketMicros: Long = 3600000000L): DataFrame =
     Analytics.intervalConcurrency(df, startCol, endCol, bucketMicros)

@@ -98,4 +98,55 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(out("s") == ((4L, 3L, 1L, 2L, None, None)))
     assert(out("n") == ((4L, 3L, 1L, 2L, Some(10L), Some(20L))))
   }
+
+  // ------------------------------------------------------- kMeans (q154)
+
+  /** Two well-separated 2-D blobs, one seed in each (ids 1 and 2): Lloyd
+    * converges in one round; centroids are the exact integer means and the
+    * inertia the hand-computed Σ(q−c)². */
+  test("kMeans recovers two separated blobs exactly") {
+    val df = Seq(
+      (1L, Array(0.1f, 0.2f)), (2L, Array(0.9f, 0.8f)),
+      (3L, Array(0.12f, 0.18f)), (4L, Array(0.14f, 0.22f)),
+      (5L, Array(0.88f, 0.84f)), (6L, Array(0.92f, 0.78f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kMeans(df, "vec_id", "embedding", k = 2, iters = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // cluster 0 = blob around (0.12, 0.20) → milli centroid (120, 200)
+    assert(out((0, 0)) == ((120L, 3L, 1600L)))
+    assert(out((0, 1)) == ((200L, 3L, 1600L)))
+    // cluster 1 = blob around (0.90, 0.807) → milli centroid (900, 807)
+    assert(out((1, 0)) == ((900L, 3L, 2667L)))
+    assert(out((1, 1)) == ((807L, 3L, 2667L)))
+  }
+
+  /** All-identical vectors with k=2: every point ties to the smaller
+    * cluster id in every round, so cluster 1 is empty in every update and
+    * must inherit its seed centroid (the left-join/coalesce path) with
+    * n=0, inertia=0. */
+  test("kMeans emptied cluster keeps its seed centroid") {
+    val df = Seq(
+      (1L, Array(0.5f, 0.25f)), (2L, Array(0.5f, 0.25f)), (3L, Array(0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kMeans(df, "vec_id", "embedding", k = 2, iters = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out((1, 0)) == ((500L, 0L, 0L)))
+    assert(out((1, 1)) == ((250L, 0L, 0L)))
+    assert(out((0, 0)) == ((500L, 3L, 0L)))
+  }
+
+  /** The integer formulation's whole point: the result is a pure function
+    * of the input SET — any repartitioning (any summation order) yields
+    * byte-identical output. */
+  test("kMeans is partition-invariant on the fixture") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kMeans(df, "vec_id", "embedding")
+        .orderBy(col("cluster"), col("pos")).collect().toSeq
+    assert(run(emb.repartition(7)) == run(emb.coalesce(1)))
+  }
 }
