@@ -204,6 +204,8 @@ object Graft {
   def bloomProbe(df: DataFrame, valueCol: String, probes: Seq[String],
       mBits: Int = Analytics.BloomBits, k: Int = Analytics.BloomK): DataFrame =
     Analytics.bloomProbe(df, valueCol, probes, mBits, k)
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int = 28): DataFrame =
+    Analytics.heavyHitters(df, valueCol, k)
   def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
       minDf: Int = TextAnalysis.PmiMinDf,
       topK: Int = TextAnalysis.PmiTopK): DataFrame =

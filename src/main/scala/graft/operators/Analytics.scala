@@ -441,6 +441,76 @@ object Analytics {
       "tok", CmProbes)
       .orderBy(col("term"))
 
+  // ------------------------------------------------------- heavy hitters --
+
+  /** Deterministic two-pass heavy hitters: every value whose exact global
+    * frequency exceeds N/(k+1), found WITHOUT a full groupBy over the value
+    * domain.
+    *
+    * Pass 1 runs a Misra-Gries summary (k counters, decrement-all on
+    * overflow) independently inside each partition — bounded state, one
+    * sequential scan, the canonical per-partition imperative loop
+    * (`mapPartitions` is the right tool here: MG is order-sensitive
+    * inside a partition and has no declarative form). By the pigeonhole
+    * merge argument, any value with global freq > N/(k+1) must exceed the
+    * local threshold in at least one partition, so the UNION of per-
+    * partition summary keys (≤ partitions·k values, broadcast-small)
+    * provably contains every true heavy hitter. Pass 2 semi-joins the
+    * corpus against that candidate set and counts EXACTLY — so the output
+    * is a pure function of the input multiset: MG's order-sensitivity
+    * affects only which false candidates get counted and discarded,
+    * never the result. The same pass-1 scan also tallies partition row
+    * counts (one sentinel row each) so N costs no extra scan.
+    *
+    * The threshold compares `cnt · (k+1) > N` in exact integer math —
+    * no float division to diverge cross-engine. Output: (value, cnt,
+    * n_total), the exact count and corpus size per surviving hitter. */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int = 28): DataFrame = {
+    require(k >= 1, s"heavyHitters: k must be >= 1, got $k")
+    val s = df.sparkSession
+    import s.implicits._
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("v"))
+    // Bounded pass-1 output: ≤ (k+1) rows per partition. Checkpointed —
+    // read twice (candidates + total) and MG must not re-run lazily.
+    val summaries = vals.as[String].mapPartitions { it =>
+      var rows = 0L
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        rows += 1L
+        counters.get(v) match {
+          case Some(c) => counters.update(v, c + 1L)
+          case None if counters.size < k => counters.update(v, 1L)
+          case None => // decrement-all; drop zeroed counters
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters.update(key, c - 1L)
+            }
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator.map(key => (Option(key), 0L)) ++
+        Iterator((Option.empty[String], rows))
+    }.toDF("v", "rows").localCheckpoint()
+    val cands = summaries.filter(col("v").isNotNull).select("v").distinct()
+    val total = summaries.agg(sum(col("rows")).as("n_total"))
+    vals.join(broadcast(cands), Seq("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * (k + 1) > col("n_total"))
+      .select(col("v").as(valueCol), col("cnt"), col("n_total"))
+  }
+
+  /** Corpus tokens with frequency > N/29 — stopword/boilerplate discovery
+    * over `documents` through the bounded-state sketch path (k=28 < the
+    * fixture vocabulary, so pass-1 evictions are real). */
+  private val q155: Q = (s, d) =>
+    heavyHitters(
+      Tables.documents(s, d)
+        .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("token")),
+      "token")
+      .orderBy(col("token"))
+
   // ------------------------------------------------------------- funnel --
 
   /** Ordered-funnel analysis: for each key, the furthest stage reached where
@@ -1207,6 +1277,7 @@ object Analytics {
     "q136_transitions" -> q136,
     "q125_countmin" -> q125,
     "q149_bloom_filter" -> q149,
+    "q155_heavy_hitters" -> q155,
     "q69_funnel" -> q69,
     "q147_session_funnel" -> q147,
     "q101_funnel_gap" -> q101,
@@ -1340,6 +1411,19 @@ object Analytics {
       FROM need n LEFT JOIN have h ON n.term = h.term
                   LEFT JOIN ex x ON n.term = x.term
       ORDER BY n.term""" },
+    // The exact-confirm pass makes the sketch's output a pure function of
+    // the input multiset, so the oracle is the direct definition: exact
+    // counts, integer threshold cnt·(k+1) > N, no MG replay needed.
+    "q155_heavy_hitters" -> """
+      WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                     AS token
+                   FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+      c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token)
+      SELECT token, cnt, n_total
+      FROM c CROSS JOIN tot
+      WHERE cnt * 29 > n_total
+      ORDER BY token""",
     // Replays groupedHistogramQuantiles: q120's binning/walk/interpolation
     // with every window partitioned by lang. documents.n_chars is BIGINT;
     // window sums are HUGEINT — CAST back.

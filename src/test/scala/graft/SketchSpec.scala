@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.operators.Analytics
 
 /** Approximate-aggregate contracts (SURVEY §4.2: HLL via
   * approx_count_distinct; sketch percentiles): bounded error vs the exact
@@ -89,5 +90,38 @@ class SketchSpec extends SparkSpec {
     val whole = Analytics.bloomFilter(docs, "tok")
       .collect().map(_.getLong(0)).toSet
     assert(merged == whole, "sharded bit-union must equal the whole-corpus bitset")
+  }
+
+  /** heavyHitters' exact-confirm pass makes the output a pure function of
+    * the input multiset: same answer as a full groupBy-HAVING, under any
+    * partitioning, even with k barely above the hitter count. */
+  test("heavyHitters == exact groupBy-HAVING under adversarial partitioning") {
+    import spark.implicits._
+    // 'a' 40%, 'b' 20%, long uniform tail — with k=3, threshold N/4 = 25%:
+    // only 'a' qualifies; MG must evict tail noise without losing 'a'.
+    val rows = Seq.fill(40)("a") ++ Seq.fill(20)("b") ++
+      (0 until 40).map(i => s"t$i")
+    for (parts <- Seq(1, 3, 8)) {
+      val df = rows.toDF("v").repartition(parts)
+      val got = Analytics.heavyHitters(df, "v", k = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(("a", 40L, 100L)), s"parts=$parts: $got")
+    }
+  }
+
+  test("heavyHitters: k=1 finds a strict majority element (Boyer-Moore case)") {
+    import spark.implicits._
+    val df = (Seq.fill(51)("maj") ++ (0 until 49).map(_.toString)).toDF("v")
+      .repartition(4)
+    val got = Analytics.heavyHitters(df, "v", k = 1).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("maj"))
+    assert(got.head.getLong(1) == 51L && got.head.getLong(2) == 100L)
+  }
+
+  test("heavyHitters: nulls excluded, empty result when nothing crosses N/(k+1)") {
+    import spark.implicits._
+    val df = (Seq(Some("x"), None, Some("y"), Some("z"), None) ++
+      (0 until 20).map(i => Some(s"u$i"))).toDF("v")
+    assert(Analytics.heavyHitters(df, "v", k = 2).count() == 0L)
   }
 }
