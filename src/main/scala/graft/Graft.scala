@@ -268,6 +268,9 @@ object Graft {
   def shortestPaths(edges: DataFrame, src: String, dst: String,
       sourceNode: String, maxDepth: Int = 6): DataFrame =
     operators.Graph.shortestPaths(edges, src, dst, sourceNode, maxDepth)
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+      maxRounds: Int = 8): DataFrame =
+    operators.Graph.kCore(edges, src, dst, k, maxRounds)
 
   // data layout
   def zorderCluster(df: DataFrame, xCol: String, yCol: String,

@@ -234,6 +234,67 @@ object Graph {
     settled
   }
 
+  /** k-core: the maximal subgraph in which every node has degree ≥ `k` —
+    * the standard peel: drop all nodes with current degree < k, recompute
+    * degrees over survivors, repeat to fixpoint. The result is
+    * ORDER-INDEPENDENT (the k-core is unique whatever the peel schedule),
+    * so the gate needs no tie-breaking at all; `maxRounds` caps the loop
+    * identically in both engines, and because peeling is monotone
+    * (survivor sets only shrink, and a reached fixpoint is invariant
+    * under further rounds), Spark's early exit at the fixpoint equals the
+    * oracle's fixed unrolling whenever convergence lands inside the cap.
+    *
+    * Scale shape: each round is two equality semi-joins (both edge
+    * endpoints against the shrinking survivor set) + one degree count —
+    * all partitioned by node id, nothing quadratic; rounds are bounded by
+    * the degeneracy peel depth (typically ≪ node count; `maxRounds` is
+    * the hard cap). Survivors checkpoint per round with eager release —
+    * the [[pageRank]] discipline. Output: (node, core_degree), the
+    * node's degree WITHIN the core. */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+      maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"kCore: maxRounds must be in [1, 64], got $maxRounds")
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint()
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    Dedup.unpersistBlocks(e0)
+    def survivors(aliveOpt: Option[DataFrame]): DataFrame = {
+      val scoped = aliveOpt.fold(und) { alive =>
+        und.join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+      }
+      scoped.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+    }
+    var alive = survivors(None).localCheckpoint()
+    var n = alive.count()
+    var round = 1
+    var converged = false
+    while (round < maxRounds && !converged && n > 0) {
+      round += 1
+      val next = survivors(Some(alive)).localCheckpoint()
+      val n2 = next.count()
+      // The survivor set only shrinks, so equal counts ⇒ equal sets.
+      converged = n2 == n
+      Dedup.unpersistBlocks(alive)
+      alive = next
+      n = n2
+    }
+    // und and alive stay checkpointed: both are LEAVES of the returned
+    // plan (releasing them here would kill blocks the caller still reads —
+    // checkpoint lineage cannot recompute). The caller's result-block
+    // release (the Bench discipline) frees them with the result.
+    und.join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+      .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
   private val q110: Q = (s, d) =>
     pageRank(custSuppEdges(s, d), "src", "dst")
 
@@ -244,10 +305,15 @@ object Graph {
     shortestPaths(custSuppEdges(s, d), "src", "dst", "c:28")
       .orderBy(col("dist"), col("node"))
 
+  private val q156: Q = (s, d) =>
+    kCore(custSuppEdges(s, d), "src", "dst", k = 4)
+      .orderBy(col("node"))
+
   val queries: Map[String, Q] = Map(
     "q110_pagerank" -> q110,
     "q111_triangles" -> q111,
     "q139_bfs_paths" -> q139,
+    "q156_kcore" -> q156,
   )
 
   /** The oracle replays the integer recurrence with DuckDB's `//` floor
@@ -321,5 +387,32 @@ object Graph {
              (SELECT count(*) FROM o) AS n_edges,
              n_triangles
       FROM t""",
+    "q156_kcore" -> kcoreSql(4, 8),
   )
+
+  /** The q156 oracle: the same peel, unrolled to `maxRounds` survivor
+    * sets. The k-core's uniqueness (and the monotone no-op behaviour of
+    * rounds past the fixpoint) is what lets a fixed unrolling replay
+    * Spark's early-exiting loop exactly. */
+  private def kcoreSql(k: Int, maxRounds: Int): String = {
+    val rounds = (1 until maxRounds).map { i =>
+      s"""n$i AS (SELECT u.a AS node
+              FROM e u JOIN n${i - 1} x ON u.a = x.node
+                       JOIN n${i - 1} y ON u.b = y.node
+              GROUP BY u.a HAVING count(*) >= $k)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e0 AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                                  's:' || CAST(l_suppkey AS VARCHAR) AS b
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                  WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'),
+      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      n0 AS (SELECT a AS node FROM e GROUP BY a HAVING count(*) >= $k),
+      $rounds
+      SELECT u.a AS node, CAST(count(*) AS BIGINT) AS core_degree
+      FROM e u JOIN n${maxRounds - 1} x ON u.a = x.node
+               JOIN n${maxRounds - 1} y ON u.b = y.node
+      GROUP BY u.a
+      ORDER BY u.a"""
+  }
 }

@@ -86,4 +86,27 @@ class GraphSpec extends SparkSpec {
     // and cluster-reproducible, and it would fail for float ranks.
     assert(run(edges.repartition(1)) == run(edges.repartition(16)))
   }
+
+  /** K5 with a pendant path hanging off it: the 4-core is exactly the K5
+    * (the path peels away over CASCADING rounds — removing p3 drops p2
+    * below threshold, and so on — exercising the fixpoint loop, not just
+    * the initial degree filter). */
+  test("kCore: K5 plus a pendant path peels down to the clique") {
+    val k5 = for (i <- 1 to 5; j <- 1 to 5 if i < j) yield (s"v$i", s"v$j")
+    val path = Seq(("v1", "p1"), ("p1", "p2"), ("p2", "p3"))
+    val edges = (k5 ++ path).toDF("src", "dst")
+    val core = Graph.kCore(edges, "src", "dst", k = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core == Map("v1" -> 4L, "v2" -> 4L, "v3" -> 4L, "v4" -> 4L, "v5" -> 4L))
+    // k above the max degree: empty core, loop exits on n == 0.
+    assert(Graph.kCore(edges, "src", "dst", k = 7).count() == 0L)
+  }
+
+  test("kCore: identical results regardless of input partitioning") {
+    val edges = Graph.custSuppEdges(spark, sf0001)
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Graph.kCore(e, "src", "dst", k = 4).orderBy("node")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(run(edges.repartition(1)) == run(edges.repartition(16)))
+  }
 }
