@@ -85,6 +85,9 @@ object Graft {
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 32): DataFrame =
     TextAnalysis.chunkDedup(df, idCol, textCol, chunkTokens)
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame =
+    TextAnalysis.dupSpans(df, idCol, textCol, w)
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
     TextAnalysis.qualityScore(df, idCol, textCol)
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -134,6 +134,60 @@ object TextAnalysis {
     chunkDedup(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Repeated-span statistics (the Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" diagnostic): for every document,
+    * how much of it is covered by `w`-token grams that occur MORE THAN ONCE
+    * anywhere in the corpus (other documents or the same one — internal
+    * repetition counts, as in the paper's suffix-array formulation).
+    *
+    * Pipeline: tokenize → slide a `w`-gram window → md5 each gram so the
+    * corpus-wide occurrence count is a DIGEST-ONLY shuffle (gram text
+    * never leaves the map side; ~n_tokens digests per doc) → grams with
+    * count > 1 join back skinny on digest → per-doc interval union. The
+    * union of fixed-length intervals at sorted starts needs no interval
+    * tree: covered = Σ min(w, next_start − start) with the last span
+    * contributing w — ONE lead() window per doc, all exact integers.
+    * `dup_frac` is the one float (round(dup/n, 4), an IEEE division of
+    * exact longs). Docs shorter than w tokens emit zero grams and report
+    * zeros — the left join back to the doc spine keeps them.
+    *
+    * At 100 TB this is the scan-shaped operator it should be: no
+    * all-pairs stage anywhere; state per gram digest is one count, per
+    * doc its own duplicated starts. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    require(w >= 2 && w <= 1024, s"dupSpans: w must be in [2, 1024], got $w")
+    val toked = df.select(col(idCol), expr(toksOf(textCol)).as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
+    val spine = toked.select(col(idCol), col("n_tokens"),
+      greatest(col("n_tokens") - (w - 1), lit(0L)).as("n_grams"))
+    val grams = toked.filter(col("n_tokens") >= w)
+      .select(col(idCol), posexplode(
+        expr(s"transform(sequence(0, size(toks) - $w), " +
+          s"i -> md5(array_join(slice(toks, i + 1, $w), ' ')))"))
+        .as(Seq("start", "dig")))
+      .select(col(idCol), col("start").cast("long").as("start"), col("dig"))
+    val dupDigs = grams.groupBy(col("dig")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("dig"))
+    val wNext = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    val cov = grams.join(dupDigs, "dig")
+      .withColumn("nxt", lead(col("start"), 1).over(wNext))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(coalesce(least(lit(w.toLong), col("nxt") - col("start")),
+          lit(w.toLong))).as("dup_tokens"))
+    spine.join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(round(col("dup_tokens").cast("double") /
+          nullif(col("n_tokens"), lit(0L)), 4), lit(0.0)).as("dup_frac"))
+  }
+
+  private val q157: Q = (s, d) =>
+    dupSpans(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Native codegen'd [[graft.functions.CharNgrams]] — the HOF form
     * (`transform(sequence(...), i -> substring(...))`) interpreted its
     * lambda once per character position, the dominant cost of q41/q44.
@@ -1152,6 +1206,7 @@ object TextAnalysis {
     "q40_token_stats" -> q40,
     "q102_chunking" -> q102,
     "q143_chunk_dedup" -> q143,
+    "q157_dup_spans" -> q157,
     "q41_trigram_profile" -> q41,
     "q42_quality_score" -> q42,
     "q43_fingerprint" -> q43,
@@ -1664,6 +1719,39 @@ object TextAnalysis {
              string_agg(CASE WHEN keep THEN chunk_text END, ' '
                         ORDER BY chunk_id) AS dedup_text
       FROM marked GROUP BY doc_id ORDER BY doc_id""",
+    // Replays dupSpans: same tokenize, same sliding 8-gram md5 digests,
+    // count > 1 anywhere in the corpus, and the identical fixed-length
+    // interval union (Σ min(8, next_start − start), last span = 8). All
+    // integers except the final round(dup/n, 4) division of exact longs.
+    "q157_dup_spans" -> """
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents),
+      b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+      g0 AS (SELECT doc_id, toks,
+                    unnest(range(0, greatest(len(toks) - 7, 0))) AS start
+             FROM t),
+      g AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+                   md5(array_to_string(
+                     toks[CAST(start + 1 AS INT):CAST(start + 8 AS INT)], ' ')) AS dig
+            FROM g0),
+      c AS (SELECT dig FROM g GROUP BY dig HAVING count(*) > 1),
+      ds AS (SELECT g.doc_id, g.start,
+                    lead(g.start) OVER (PARTITION BY g.doc_id ORDER BY g.start)
+                      AS nxt
+             FROM g JOIN c USING (dig)),
+      cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+                     CAST(sum(coalesce(least(8, nxt - start), 8)) AS BIGINT)
+                       AS dup_tokens
+              FROM ds GROUP BY doc_id)
+      SELECT b.doc_id, b.n_tokens,
+             greatest(b.n_tokens - 7, CAST(0 AS BIGINT)) AS n_grams,
+             coalesce(cov.n_dup_grams, CAST(0 AS BIGINT)) AS n_dup_grams,
+             coalesce(cov.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+             coalesce(round(CAST(cov.dup_tokens AS DOUBLE)
+                            / nullif(b.n_tokens, 0), 4), 0.0) AS dup_frac
+      FROM b LEFT JOIN cov USING (doc_id)
+      ORDER BY b.doc_id""",
     "q102_chunking" -> """
       WITH t AS (SELECT doc_id,
                         list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -159,4 +159,28 @@ class CurationOpsSpec extends SparkSpec {
     // sketch must therefore equal gy's sketch position-for-position.
     assert(out(("gx", "gy")) == ((1.0, 1.0)))
   }
+
+  /** dupSpans (q157): cross-doc shared span, internal period-8 repetition
+    * (overlapping spans must UNION, not sum), and a short doc reporting
+    * zeros. */
+  test("dupSpans: coverage union over cross-doc and internal repeats") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x a b c d e f g h y z"),
+      // period-8 repetition: dup grams at starts 0,1,8,9 → union covers all 17
+      (3L, "p q r s t u v w p q r s t u v w p"),
+      (4L, "too short to gram")) // 4 tokens < w=8
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpans(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // docs 1 and 2 share exactly one 8-gram ("a b c d e f g h")
+    assert(out(1L) == ((10L, 3L, 1L, 8L, 0.8)))
+    assert(out(2L) == ((11L, 4L, 1L, 8L, 0.7273)))
+    // spans [0,7],[1,8],[8,15],[9,16] union to [0,16]: all 17 tokens
+    assert(out(3L) == ((17L, 10L, 4L, 17L, 1.0)))
+    assert(out(4L) == ((4L, 0L, 0L, 0L, 0.0)))
+  }
 }
