@@ -558,6 +558,51 @@ object ScaleSmoke {
       }
       rmTree(new java.io.File(d1)); rmTree(new java.io.File(dk))
     }
+    // kMeans scans the quantized corpus iters+1 times; K× rows should cost
+    // ~K× per scan and nothing worse (centroid state is k·d regardless).
+    // Disjoint vec_ids with copy 0 unshifted → identical seeds at both
+    // scales, so the work per iteration is comparable.
+    section("kmeans") {
+      val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+        .localCheckpoint()
+      val embBlown = (0 until k).map { c =>
+        emb.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ union _).localCheckpoint()
+      time("kMeans 1x", Similarity.kMeans(emb, "vec_id", "embedding"))
+      time(s"kMeans ${k}x (disjoint ids)",
+        Similarity.kMeans(embBlown, "vec_id", "embedding"))
+    }
+    // heavyHitters: pass-1 MG state is ≤ k counters per partition whatever
+    // the row count; the K× corpus only multiplies the two scans. Same
+    // token stream duplicated → identical hitter set, K× counts.
+    section("heavyhit") {
+      def toks(df: DataFrame) = df.select(
+        explode(expr("filter(split(text, ' '), t -> t != '')")).as("token"))
+      time("heavyHitters 1x", Analytics.heavyHitters(toks(base), "token"))
+      time(s"heavyHitters ${k}x (pure duplicates)",
+        Analytics.heavyHitters(toks(blown), "token"))
+    }
+    // kCore on K disjoint copies of the graph: K× nodes and edges, the
+    // SAME peel depth (each copy peels independently) — rounds don't grow
+    // with K, so wall-clock should track edge count, not K × rounds.
+    section("kcore") {
+      val e1 = Graph.custSuppEdges(spark, sfDir).localCheckpoint()
+      val eBlown = (0 until k).map { c =>
+        e1.select(concat(lit(s"$c/"), col("src")).as("src"),
+          concat(lit(s"$c/"), col("dst")).as("dst"))
+      }.reduce(_ union _).localCheckpoint()
+      time("kCore 1x", Graph.kCore(e1, "src", "dst", 4))
+      time(s"kCore ${k}x (disjoint copies)", Graph.kCore(eBlown, "src", "dst", 4))
+    }
+    // dupSpans on the duplicated corpus is its adversarial regime: EVERY
+    // gram becomes corpus-duplicated, so the join-back + per-doc window
+    // runs over the full gram set rather than the usual sparse tail.
+    section("dupspans") {
+      time("dupSpans 1x", TextAnalysis.dupSpans(base, "doc_id", "text"))
+      time(s"dupSpans ${k}x (all grams dup)",
+        TextAnalysis.dupSpans(blown, "doc_id", "text"))
+    }
     spark.stop()
   }
 }
