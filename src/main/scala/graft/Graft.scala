@@ -243,6 +243,12 @@ object Graft {
   def kMeans(df: DataFrame, idCol: String, vecCol: String, k: Int = 8,
       iters: Int = 5, scale: Int = 1000): DataFrame =
     Similarity.kMeans(df, idCol, vecCol, k, iters, scale)
+  def hybridSearch(docs: DataFrame, docId: String, textCol: String,
+      embs: DataFrame, vecId: String, vecCol: String,
+      queryTerms: Seq[String], queryVec: Long, kEach: Int = 20,
+      rrfC: Int = 60): DataFrame =
+    Similarity.hybridSearch(docs, docId, textCol, embs, vecId, vecCol,
+      queryTerms, queryVec, kEach, rrfC)
   def intervalConcurrency(df: DataFrame, startCol: String, endCol: String,
       bucketMicros: Long = 3600000000L): DataFrame =
     Analytics.intervalConcurrency(df, startCol, endCol, bucketMicros)

@@ -139,6 +139,30 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(out((0, 0)) == ((500L, 3L, 0L)))
   }
 
+  /** hybridSearch (q158): a doc ranked by BOTH channels must out-fuse
+    * single-channel docs; RRF values are the hand-computed 1/(60+rank)
+    * sums. */
+  test("hybridSearch fuses lexical and semantic ranks by RRF") {
+    val docs = Seq(
+      (1L, "vector vector vector"), (2L, "vector stuff here"),
+      (3L, "nothing relevant x"), (4L, "more nothing y"))
+      .toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)),  // the query vector
+      (1L, Array(0.0f, 1.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.8f, 0.2f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hybridSearch(docs, "doc_id", "text",
+      embs, "vec_id", "embedding", Seq("vector"), queryVec = 0L, kEach = 2)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getDouble(3)))
+    // lex: d1 (tf 3) rank 1, d2 rank 2; sem: d2 rank 1, d3 rank 2
+    assert(out.toSeq == Seq(
+      (2L, Some(2), Some(1), 0.032522), // 1/62 + 1/61 — found by both
+      (1L, Some(1), None, 0.016393),    // 1/61
+      (3L, None, Some(2), 0.016129)))   // 1/62
+  }
+
   /** The integer formulation's whole point: the result is a pure function
     * of the input SET — any repartitioning (any summation order) yields
     * byte-identical output. */
