@@ -352,6 +352,65 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Exact-threshold set-similarity self-join via PREFIX FILTERING (the
+    * All-Pairs / PPJoin candidate scheme, Bayardo et al. WWW'07) — every
+    * pair of documents whose distinct-token sets have Jaccard ≥ jNum/jDen,
+    * with NO df cap and NO approximation: the complement to
+    * [[ngramJaccard]] (capped postings) and [[minHashLsh]] (probabilistic).
+    *
+    * Tokens order globally by (document frequency ASC, token) — rarest
+    * first. Each document keeps only its PREFIX of that ordering,
+    * p = |s| − ⌈τ·|s|⌉ + 1 tokens, as index postings; the PPJoin lemma
+    * guarantees any pair with J ≥ τ shares at least one prefix token, so
+    * the equality join on prefix postings is a COMPLETE candidate set.
+    * Exact Jaccard then verifies each candidate from the two full token
+    * arrays map-side (array_intersect on broadcast-free joined rows).
+    *
+    * The prefix length is computed in exact integer arithmetic —
+    * p = sz − (sz·jNum + jDen − 1) div jDen + 1 — because a float
+    * ⌈0.9·sz⌉ rounds up on binary-inexact products and would silently
+    * shorten the prefix below the completeness bound.
+    *
+    * Scale (100 TB posture): the index shuffle carries only prefix
+    * postings (≈ (1−τ)·|s| + 1 per doc — at τ=0.9 a ~10× posting
+    * reduction), keyed on each document's RAREST tokens, so hot tokens
+    * never become hot join keys unless they are rare within their own
+    * documents; comparison volume is Σ|posting-list|² over rare tokens,
+    * never n². Verification is one candidate-keyed join + a per-pair
+    * O(|s|) intersect — no second shuffle of the corpus. */
+  def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+      jNum: Int = 9, jDen: Int = 10): DataFrame = {
+    require(jNum >= 1 && jNum <= jDen,
+      s"setSimilarityJoin: threshold must be in (0,1], got $jNum/$jDen")
+    val toks = df.select(col(idCol).as("id"),
+        explode(array_distinct(expr(toksExpr(textCol)))).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df_"))
+    // Per-doc token array in global (df, tok) order + its prefix length.
+    // Checkpointed once: the posting explode and both verify branches read it.
+    val ordered = toks.join(dfreq, "tok")
+      .groupBy(col("id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df_, tok))), x -> x.tok)")
+        .as("stoks"))
+      .select(col("id"), col("stoks"), size(col("stoks")).cast("long").as("sz"))
+      .withColumn("p",
+        col("sz") - expr(s"(sz * $jNum + ${jDen - 1}) div $jDen") + 1L)
+      .localCheckpoint()
+    val pre = ordered
+      .select(col("id"), explode(expr("slice(stoks, 1, cast(p as int))")).as("tok"))
+    val cands = pre.as("x").join(pre.as("y"),
+        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+    cands
+      .join(ordered.select(col("id").as("id1"), col("stoks").as("s1"), col("sz").as("sz1")), "id1")
+      .join(ordered.select(col("id").as("id2"), col("stoks").as("s2"), col("sz").as("sz2")), "id2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("sz1") + col("sz2") - col("inter")), 4))
+      .filter(col("jaccard") >= lit(jNum.toDouble / jDen))
+      .select(col("id1"), col("id2"), col("inter"), col("jaccard"))
+  }
+
   /** Default per-block candidate cap for [[fuzzyJoin]] — shared with the
     * q115 oracle SQL so the gate checks the capped semantics. */
   private[graft] val MaxBlockDf = 50
@@ -763,6 +822,12 @@ object Dedup {
         "doc_id", "text")
         .orderBy(col("id1"), col("id2"))
     }),
+    // The fixture's ~200-token vocabulary is the adversarial regime for
+    // prefix filtering (every token is corpus-hot); τ=0.9 keeps prefixes
+    // at ~3 of ~23 tokens, so the gate exercises real pruning.
+    "q159_setsim_join" -> ((s, d) =>
+      setSimilarityJoin(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id1"), col("id2"))),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -875,6 +940,25 @@ object Dedup {
       FROM est
       WHERE est_jaccard >= 0.35 AND (id1 % 5 = 0 OR id2 % 5 = 0)
       ORDER BY id1, id2""",
+    // INDEPENDENT formulation: brute-force all-pairs exact Jaccard over
+    // distinct-token sets. The Spark side generates candidates by prefix
+    // filtering — agreement certifies the PPJoin completeness lemma (no
+    // pair with J >= 0.9 escapes the prefix index), not just the verify
+    // arithmetic.
+    "q159_setsim_join" -> """
+      WITH sets AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+        FROM documents),
+      pairs AS (
+        SELECT x.doc_id AS id1, y.doc_id AS id2,
+               CAST(len(list_intersect(x.tk, y.tk)) AS BIGINT) AS inter,
+               round(CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
+                     / (len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk))),
+                     4) AS jaccard
+        FROM sets x JOIN sets y ON x.doc_id < y.doc_id)
+      SELECT id1, id2, inter, jaccard FROM pairs
+      WHERE jaccard >= 0.9 ORDER BY id1, id2""",
     // Replays the exact-collapse: LSH runs over one representative per
     // md5(text) group (as the Spark side does), so the gate is exact even
     // for corpora with duplicated too-short-to-shingle or NULL texts.

@@ -215,6 +215,53 @@ class PipelineOpsSpec extends SparkSpec {
       Set((4L, 5L, 1.0)))
   }
 
+  test("setSimilarityJoin: equals brute-force all-pairs Jaccard on a seeded corpus") {
+    import spark.implicits._
+    // 60 docs over a 12-token vocab — the tiny-vocabulary adversarial
+    // regime where every token is corpus-hot and prefixes barely prune.
+    // Sizes span 1..24 to cross every ⌈τ·sz⌉ integer boundary (incl. the
+    // sz=10/20 values where a float ceil(0.9·sz) rounds UP and would
+    // shorten the prefix below the completeness bound).
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 'l').map(_.toString)
+    val docs = ((1L to 58L).map { i =>
+      val n = 1 + rnd.nextInt(24)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((59L, ""), (60L, "a b c d e f g h i j"))).toDF("doc_id", "text")
+    val got = Dedup.setSimilarityJoin(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val sets = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').filter(_.nonEmpty).toSet)
+    val want = (for {
+      (i1, s1) <- sets; (i2, s2) <- sets if i1 < i2
+      inter = (s1 intersect s2).size.toLong
+      union = (s1 union s2).size
+      if union > 0
+      j = BigDecimal(inter.toDouble / union)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.9
+    } yield (i1, i2, inter, j)).toSet
+    assert(got == want, "prefix-filtered join must equal brute force exactly")
+    assert(want.nonEmpty, "fixture must actually exercise the threshold")
+  }
+
+  test("setSimilarityJoin: prefix postings shrink the index ~(1-tau)x") {
+    import spark.implicits._
+    // 40 docs × 20 distinct tokens each; at τ=0.9 each doc indexes
+    // p = 20 − 18 + 1 = 3 postings — the shuffle carries 3/20 of the corpus.
+    val docs = (1L to 40L).map { i =>
+      (i, (0 until 20).map(t => s"t${(i + t) % 50}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val plan = Dedup.setSimilarityJoin(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("slice"), "candidate index must explode only the prefix slice")
+    // identical docs always survive (completeness sanity at the extreme)
+    val dup = Seq((1L, "p q r s t u v w x y"), (2L, "p q r s t u v w x y"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.setSimilarityJoin(dup, "doc_id", "text").collect()
+    assert(pairs.length == 1 && pairs.head.getDouble(3) == 1.0)
+  }
+
   test("ngramJaccard df-cap drops frequent shingles from the join fan-out") {
     import spark.implicits._
     // 'x y z' appears in every doc (boilerplate); each doc also has a unique
