@@ -798,8 +798,99 @@ object Relational {
   private val q133: Q = (s, d) =>
     profileTable(Tables.orders(s, d), profiledCols)
 
+  // ------------------------------------------------ data-quality checks --
+
+  /** Declarative data-quality constraint (the Deequ/Great-Expectations
+    * surface): each check computes a satisfaction RATIO in [0, 1] and
+    * passes iff `round(ratio, 6) >= minRatio`. */
+  sealed trait QualityCheck { def name: String; def minRatio: Double }
+  /** Fraction of rows with a non-null value. */
+  final case class Complete(column: String, minRatio: Double = 1.0)
+      extends QualityCheck { val name = s"complete($column)" }
+  /** Distinct values / total rows (1.0 ⇔ the column is a key). */
+  final case class Distinctness(column: String, minRatio: Double = 1.0)
+      extends QualityCheck { val name = s"distinct($column)" }
+  /** Fraction of rows whose value is in the accepted set (null fails). */
+  final case class InSet(column: String, allowed: Seq[String],
+      minRatio: Double = 1.0)
+      extends QualityCheck { val name = s"in_set($column)" }
+  /** Fraction of rows with lo <= value <= hi (null fails). */
+  final case class InRange(column: String, lo: Double, hi: Double,
+      minRatio: Double = 1.0)
+      extends QualityCheck { val name = s"in_range($column)" }
+  /** Fraction of rows whose value exists in `dimCol` of `dim` (null FK
+    * fails; the FK side never shuffles — the distinct dim-key frame
+    * broadcasts). */
+  final case class RefIntegrity(column: String, dim: DataFrame,
+      dimCol: String, minRatio: Double = 1.0)
+      extends QualityCheck { val name = s"ref_integrity($column)" }
+
+  /** Constraint-validation suite over one table: every row-local check
+    * folds into ONE full-scan aggregate (ratios are sums of exact 0/1
+    * doubles — order-independent, cross-engine exact), unpivoted via
+    * `stack`; each referential check adds one broadcast left join + a
+    * 1-row aggregate. Output: (check_name, metric, passed), one row per
+    * check — the shape a pipeline gates a 100 TB ingest on without ever
+    * collecting the corpus. */
+  def validate(df: DataFrame, checks: Seq[QualityCheck]): DataFrame = {
+    require(checks.nonEmpty, "validate: checks must be non-empty")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"validate: duplicate check names in ${checks.map(_.name)}")
+    val local = checks.filter(!_.isInstanceOf[RefIntegrity])
+    val refs = checks.collect { case r: RefIntegrity => r }
+    val ratioOf: QualityCheck => Column = {
+      case Complete(c, _) =>
+        count(col(c)).cast("double") / count(lit(1))
+      case Distinctness(c, _) =>
+        countDistinct(col(c)).cast("double") / count(lit(1))
+      case InSet(c, vals, _) =>
+        avg(when(col(c).isin(vals: _*), 1.0d).otherwise(0.0d))
+      case InRange(c, lo, hi, _) =>
+        avg(when(col(c) >= lo && col(c) <= hi, 1.0d).otherwise(0.0d))
+      case r: RefIntegrity =>
+        throw new IllegalStateException(s"ref check ${r.name} is not row-local")
+    }
+    val localFrame: Option[DataFrame] = Option.when(local.nonEmpty) {
+      val one = df.agg(ratioOf(local.head).as("c0"),
+        local.tail.zipWithIndex.map { case (ch, i) =>
+          ratioOf(ch).as(s"c${i + 1}")
+        }: _*)
+      val stackArgs = local.zipWithIndex
+        .map { case (ch, i) => s"'${ch.name}', c$i" }.mkString(", ")
+      one.select(expr(s"stack(${local.size}, $stackArgs)")
+        .as(Seq("check_name", "metric")))
+    }
+    val refFrames = refs.map { r =>
+      val keys = r.dim.select(col(r.dimCol).as("__dim_key")).distinct()
+      df.join(broadcast(keys), col(r.column) === col("__dim_key"), "left")
+        .agg(avg(when(col("__dim_key").isNotNull, 1.0d).otherwise(0.0d))
+          .as("metric"))
+        .select(lit(r.name).as("check_name"), col("metric"))
+    }
+    val thrCol = checks.foldLeft(lit(null).cast("double")) { (acc, ch) =>
+      when(col("check_name") === ch.name, lit(ch.minRatio)).otherwise(acc)
+    }
+    (localFrame.toSeq ++ refFrames).reduce(_ unionByName _)
+      .select(col("check_name"), round(col("metric"), 6).as("metric"))
+      .withColumn("min_ratio", thrCol)
+      .withColumn("passed", col("metric") >= col("min_ratio"))
+      .orderBy(col("check_name"))
+  }
+
+  /** The orders-table validation suite: 4 passing + 2 failing constraints
+    * (a gate with no failing branch proves nothing). */
+  private val q160: Q = (s, d) =>
+    validate(Tables.orders(s, d), Seq(
+      Complete("o_custkey"),
+      Distinctness("o_orderkey"),
+      InSet("o_orderstatus", Seq("O", "F", "P")),
+      InSet("o_orderpriority", Seq("1-URGENT", "2-HIGH"), minRatio = 0.95),
+      InRange("o_totalprice", 0.0, 100000.0, minRatio = 0.5),
+      RefIntegrity("o_custkey", Tables.customer(s, d), "c_custkey")))
+
   val queries: Map[String, Q] = Map(
     "q133_profile" -> q133,
+    "q160_validate" -> q160,
     "q29_csv_scan" -> q29,
     "q30_json_scan" -> q30,
     "q93_orc_scan" -> q93,
@@ -861,6 +952,38 @@ object Relational {
   val oracles: Map[String, String] = Map(
     // Replays profileTable column-by-column; counts CAST to BIGINT
     // (HUGEINT in DuckDB), min/max only for the BIGINT columns.
+    // Replays each constraint's ratio as its own scalar aggregate — Spark
+    // computes them fused in ONE stack-unpivoted scan, so agreement also
+    // certifies the fused form.
+    "q160_validate" -> """
+      WITH m AS (
+        SELECT 'complete(o_custkey)' AS check_name,
+               round(CAST(count(o_custkey) AS DOUBLE) / count(*), 6) AS metric,
+               CAST(1.0 AS DOUBLE) AS min_ratio FROM orders
+        UNION ALL
+        SELECT 'distinct(o_orderkey)',
+               round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6),
+               CAST(1.0 AS DOUBLE) FROM orders
+        UNION ALL
+        SELECT 'in_set(o_orderstatus)',
+               round(avg(CASE WHEN o_orderstatus IN ('O','F','P')
+                         THEN 1.0 ELSE 0.0 END), 6), CAST(1.0 AS DOUBLE) FROM orders
+        UNION ALL
+        SELECT 'in_set(o_orderpriority)',
+               round(avg(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1.0 ELSE 0.0 END), 6), CAST(0.95 AS DOUBLE) FROM orders
+        UNION ALL
+        SELECT 'in_range(o_totalprice)',
+               round(avg(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 100000
+                         THEN 1.0 ELSE 0.0 END), 6), CAST(0.5 AS DOUBLE) FROM orders
+        UNION ALL
+        SELECT 'ref_integrity(o_custkey)',
+               round(avg(CASE WHEN c.c_custkey IS NOT NULL
+                         THEN 1.0 ELSE 0.0 END), 6), CAST(1.0 AS DOUBLE)
+        FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey)
+      SELECT check_name, metric, min_ratio, metric >= min_ratio AS passed
+      FROM m ORDER BY check_name""",
     "q133_profile" -> {
       def row(c: String, integral: Boolean) = {
         val mn = if (integral) s"CAST(min($c) AS BIGINT)" else "CAST(NULL AS BIGINT)"

@@ -19,6 +19,43 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.oracles.keySet == Relational.queries.keySet)
   }
 
+  test("validate: single fused scan for row-local checks, nulls fail closed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = Seq(
+      (Some(1L), Some("a"), Some(5.0)),
+      (Some(2L), Some("b"), Some(50.0)),
+      (Some(2L), None, None),
+      (None, Some("z"), Some(-1.0))).toDF("k", "s", "x")
+    val dim = Seq(1L, 2L).toDF("key")
+    val rep = Relational.validate(t, Seq(
+      Relational.Complete("k", minRatio = 0.9),
+      Relational.Distinctness("k", minRatio = 0.6),
+      Relational.InSet("s", Seq("a", "b"), minRatio = 0.5),
+      Relational.InRange("x", 0.0, 100.0, minRatio = 0.5),
+      Relational.RefIntegrity("k", dim, "key", minRatio = 0.7)))
+    val rows = rep.collect().map(r =>
+      r.getString(0) -> ((r.getDouble(1), r.getBoolean(3)))).toMap
+    // completeness 3/4; distinct 2/4; in_set 2/4 (null + 'z' fail);
+    // in_range 2/4 (null + -1 fail); ref 3/4 (null FK fails)
+    assert(rows("complete(k)") == ((0.75, false)))
+    assert(rows("distinct(k)") == ((0.5, false)))
+    assert(rows("in_set(s)") == ((0.5, true)))
+    assert(rows("in_range(x)") == ((0.5, true)))
+    assert(rows("ref_integrity(k)") == ((0.75, true)))
+    // the four row-local checks fuse into ONE scan of the input
+    val localOnly = Relational.validate(t, Seq(
+      Relational.Complete("k"), Relational.Distinctness("k"),
+      Relational.InSet("s", Seq("a")), Relational.InRange("x", 0.0, 1.0)))
+    val scans = localOnly.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(scans.size == 1, s"row-local checks must fuse into one scan, saw ${scans.size}")
+    intercept[IllegalArgumentException] {
+      Relational.validate(t, Seq(Relational.Complete("k"), Relational.Complete("k")))
+    }
+  }
+
   test("q01 groups are the 6 returnflag/linestatus combos") {
     val rows = Relational.queries("q01_pricing_summary")(spark, sf0001).collect()
     assert(rows.length == 6)
