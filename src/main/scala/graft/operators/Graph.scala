@@ -295,6 +295,53 @@ object Graph {
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Deterministic synchronous label propagation (community detection,
+    * Raghavan et al. 2007 made reproducible): every node starts labeled
+    * with its own id; each round, every node adopts the most frequent
+    * label among its neighbors' PREVIOUS-round labels, ties broken to the
+    * smallest label. The async/random-order variants of LPA are
+    * notoriously run-dependent — the synchronous update + total-order
+    * tie-break makes round t a pure function of the input edge set, so
+    * the DuckDB oracle replays every round exactly.
+    *
+    * Scale shape (the [[pageRank]] discipline): one equality join +
+    * one (node, label)-bounded vote aggregate + one argmax collapse per
+    * round, all keyed on node ids; per-round localCheckpoint with eager
+    * release. The argmax is `min(struct(-cnt, lbl))` — a plain mergeable
+    * aggregate, never a per-node sort. Output: (node, lbl) after
+    * `rounds` rounds. */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"labelPropagation: rounds must be in [1, 16], got $rounds")
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint()
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    Dedup.unpersistBlocks(e0)
+    // Symmetry ⇒ every node occurs as a source, so the initial label
+    // frame is also the node list; no node can lose its vote row later.
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = und.join(labels, und("a") === labels("node"))
+        .groupBy(und("b").as("node2"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val next = votes
+        .groupBy(col("node2").as("node"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lbl"))
+        .localCheckpoint()
+      Dedup.unpersistBlocks(labels)
+      labels = next
+    }
+    Dedup.unpersistBlocks(und)
+    labels
+  }
+
   private val q110: Q = (s, d) =>
     pageRank(custSuppEdges(s, d), "src", "dst")
 
@@ -309,11 +356,16 @@ object Graph {
     kCore(custSuppEdges(s, d), "src", "dst", k = 4)
       .orderBy(col("node"))
 
+  private val q161: Q = (s, d) =>
+    labelPropagation(custSuppEdges(s, d), "src", "dst")
+      .orderBy(col("node"))
+
   val queries: Map[String, Q] = Map(
     "q110_pagerank" -> q110,
     "q111_triangles" -> q111,
     "q139_bfs_paths" -> q139,
     "q156_kcore" -> q156,
+    "q161_label_propagation" -> q161,
   )
 
   /** The oracle replays the integer recurrence with DuckDB's `//` floor
@@ -388,7 +440,31 @@ object Graph {
              n_triangles
       FROM t""",
     "q156_kcore" -> kcoreSql(4, 8),
+    "q161_label_propagation" -> lpaSql(3),
   )
+
+  /** The q161 oracle: each synchronous round replayed as a vote CTE +
+    * a row_number argmax with the same (cnt DESC, lbl ASC) tie-break. */
+  private def lpaSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""v$i AS (SELECT u.b AS node, l.lbl, count(*) AS cnt
+             FROM e u JOIN l${i - 1} l ON u.a = l.node GROUP BY u.b, l.lbl),
+      l$i AS (SELECT node, lbl FROM (
+                SELECT node, lbl,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, lbl) AS rn
+                FROM v$i) WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e0 AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                                  's:' || CAST(l_suppkey AS VARCHAR) AS b
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                  WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'),
+      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+      $steps
+      SELECT node, lbl FROM l$rounds ORDER BY node"""
+  }
 
   /** The q156 oracle: the same peel, unrolled to `maxRounds` survivor
     * sets. The k-core's uniqueness (and the monotone no-op behaviour of

@@ -109,4 +109,39 @@ class GraphSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(run(edges.repartition(1)) == run(edges.repartition(16)))
   }
+
+  test("labelPropagation: equals a driver-side synchronous replay on a seeded graph") {
+    val rnd = new scala.util.Random(7)
+    val raw = (1 to 120).map(_ =>
+      (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}")).distinct
+    val edges = raw.toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // independent replay: adjacency sets, 3 synchronous rounds,
+    // (max count, then min label) argmax
+    val und = raw.filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.distinct).toMap
+    var lbl: Map[String, String] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = adj.map { case (n, ns) =>
+        val cnts = ns.groupBy(lbl).view.mapValues(_.size).toSeq
+        n -> cnts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got == lbl, "synchronous LPA must equal the hand replay exactly")
+  }
+
+  test("labelPropagation: disjoint cliques converge to per-clique min label; partition-invariant") {
+    val k1 = for (i <- 1 to 4; j <- 1 to 4 if i < j) yield (s"a$i", s"a$j")
+    val k2 = for (i <- 1 to 4; j <- 1 to 4 if i < j) yield (s"b$i", s"b$j")
+    val edges = (k1 ++ k2).toDF("src", "dst")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Graph.labelPropagation(e, "src", "dst", rounds = 4)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val r1 = run(edges.repartition(1))
+    assert(r1.filter(_._1.startsWith("a")).values.toSet == Set("a1"))
+    assert(r1.filter(_._1.startsWith("b")).values.toSet == Set("b1"))
+    assert(r1 == run(edges.repartition(16)))
+  }
 }
