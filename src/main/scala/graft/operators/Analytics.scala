@@ -1192,6 +1192,50 @@ object Analytics {
       "start_us", "end_us")
       .orderBy(col("bucket_us"))
 
+  // -------------------------------------------- resample + LOCF gap fill --
+
+  /** Time-series resampling to a dense per-key hourly grid with
+    * last-observation-carried-forward gap fill — the metric-pipeline
+    * normalizer (dashboards, anomaly detectors, and feature windows all
+    * assume a gap-free grid).
+    *
+    * Values sum as DECIMAL(14,2) — exact, order-independent (a double sum
+    * would wobble in the last bits with partial-aggregation order and
+    * break the cross-engine hash). The corpus collapses FIRST to the
+    * (key, hour)-bounded aggregate, which is checkpointed once: the
+    * bounds pass and the spine join both read the collapsed frame, never
+    * the raw events again. The spine explodes per-key `sequence(d0, d1,
+    * 1 hour)` map-side; the LOCF window sorts only the dense grid
+    * (span-hours rows per key, NOT event rows). A key's first grid hour
+    * has an observation by construction, so `filled_sum` is never null.
+    *
+    * Output per (key, hour): event count, the hour's exact sum (null on
+    * gaps), the carried-forward sum, and the gap flag. */
+  def resampleLocf(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val agg = df
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valCol).cast("decimal(14,2)")).as("bucket_sum"))
+      .localCheckpoint()
+    val bounds = agg.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("d0"), max(col("bucket")).as("d1"))
+    val spine = bounds.select(col(keyCol),
+      explode(expr("sequence(d0, d1, interval 1 hour)")).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(agg, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("bucket_sum"),
+        last(col("bucket_sum"), ignoreNulls = true).over(w).as("filled_sum"),
+        col("n_events").isNull.as("is_gap"))
+  }
+
+  private val q162: Q = (s, d) =>
+    resampleLocf(Tables.events(s, d), "event_type", "ts", "value")
+      .orderBy(col("event_type"), col("bucket"))
+
   // ------------------------------------------------------- grouped trend --
 
   /** Per-group ordinary-least-squares fit — slope, intercept, R², pair
@@ -1289,6 +1333,7 @@ object Analytics {
     "q140_concurrency" -> q140,
     "q141_trend" -> q141,
     "q142_outliers" -> q142,
+    "q162_resample_locf" -> q162,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -1296,6 +1341,30 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // The dense grid + LOCF replayed with generate_series and DuckDB's
+    // IGNORE NULLS window; DECIMAL sums keep both engines exact.
+    "q162_resample_locf" -> """
+      WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(CAST(value AS DECIMAL(14,2))) AS bucket_sum
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, min(bucket) AS d0, max(bucket) AS d1
+            FROM agg GROUP BY 1),
+      spine AS (SELECT event_type,
+                       unnest(generate_series(d0, d1, INTERVAL 1 HOUR)) AS bucket
+                FROM b)
+      SELECT s.event_type, s.bucket,
+             coalesce(a.n_events, 0) AS n_events,
+             a.bucket_sum,
+             last_value(a.bucket_sum IGNORE NULLS)
+               OVER (PARTITION BY s.event_type ORDER BY s.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_sum,
+             a.n_events IS NULL AS is_gap
+      FROM spine s LEFT JOIN agg a
+        ON s.event_type = a.event_type AND s.bucket = a.bucket
+      ORDER BY s.event_type, s.bucket""",
     // Rebuilds the identical HLL register file: same 60-bit md5, same
     // reg/word split, same bin()-length integer ranks, same INTEGER
     // Σ 2^(53-mj). The raw estimate's ONE float op — numerator / s_reg —

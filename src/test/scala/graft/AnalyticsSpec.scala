@@ -514,4 +514,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("resampleLocf: dense grid, LOCF across gaps, exact decimal sums") {
+    import java.sql.Timestamp
+    val rows = Seq(
+      ("k", Timestamp.valueOf("2024-01-01 00:10:00"), 1.25),
+      ("k", Timestamp.valueOf("2024-01-01 00:40:00"), 2.50),
+      ("k", Timestamp.valueOf("2024-01-01 03:05:00"), 10.00),
+      ("solo", Timestamp.valueOf("2024-01-02 07:30:00"), 7.77)
+    ).toDF("key", "ts", "v")
+    val out = Analytics.resampleLocf(rows, "key", "ts", "v")
+      .orderBy(col("key"), col("bucket")).collect()
+    val k = out.filter(_.getString(0) == "k")
+    assert(k.length == 4, "grid must span hours 00..03 densely")
+    assert(k.map(_.getLong(2)).toSeq == Seq(2L, 0L, 0L, 1L))
+    assert(k.map(_.getBoolean(5)).toSeq == Seq(false, true, true, false))
+    // exact decimal: 1.25 + 2.50 = 3.75 carried through both gap hours
+    assert(k.map(r => Option(r.getDecimal(4)).map(_.toPlainString).orNull).toSeq ==
+      Seq("3.75", "3.75", "3.75", "10.00"))
+    assert(k.map(r => Option(r.getDecimal(3)).map(_.toPlainString)).toSeq ==
+      Seq(Some("3.75"), None, None, Some("10.00")))
+    val solo = out.filter(_.getString(0) == "solo")
+    assert(solo.length == 1 && !solo.head.getBoolean(5)
+      && solo.head.getDecimal(4).toPlainString == "7.77")
+  }
 }
