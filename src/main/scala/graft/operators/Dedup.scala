@@ -459,6 +459,60 @@ object Dedup {
         col("dist"))
   }
 
+  /** Sorted-neighborhood entity resolution (Hernández & Stolfo 1995) —
+    * the OTHER classic blocking scheme: sort the corpus by a sorting key,
+    * slide a window of `w` positions, compare only window pairs. Where
+    * [[fuzzyJoin]]'s prefix blocking misses pairs differing inside the
+    * prefix, SNM catches any pair the sort order puts near each other —
+    * the two are complementary passes in production ER.
+    *
+    * The global sort index is assigned scale-correctly: range partition +
+    * within-partition sort on the TOTAL key (sk, id), then the two-pass
+    * `zipWithIndex` (per-partition counts → broadcast offsets) — never a
+    * single-partition row_number window. Window pairs come from an
+    * EQUALITY join on the rank block `rk div w` (a pair ≤ w−1 apart spans
+    * at most two adjacent blocks, so x joins blocks {b, b+1}), then the
+    * exact rank-distance filter and the thresholded codegen
+    * `levenshtein(·, ·, maxDist)` (early-exits past the bound) — 2·w
+    * candidates per row, O(n·w) total, never n².
+    *
+    * Output: (id1, id2, gap, dist) rank-ordered — id1 is the earlier
+    * record in sort order. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+      w: Int = 5, maxDist: Int = 3): DataFrame = {
+    require(w >= 2 && w <= 1000, s"sortedNeighborhood: w must be in [2, 1000], got $w")
+    val s = df.sparkSession
+    val base = df.filter(col(keyCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(keyCol).cast("string").as("sk"))
+    val sorted = base.repartitionByRange(col("sk"), col("id"))
+      .sortWithinPartitions(col("sk"), col("id"))
+    // zipWithIndex = the canonical two-pass global index (count pass +
+    // offset broadcast) over the range-partitioned total order; the total
+    // (sk, id) key makes the index partition-boundary-independent.
+    val indexed = s.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getString(1), i)
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sk",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("rk",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .withColumn("blk", expr(s"rk div $w"))
+      .localCheckpoint()
+    val right = indexed.select(col("id").as("id2"), col("sk").as("sk2"),
+      col("rk").as("rk2"), col("blk").as("blk2"))
+    indexed.join(right,
+        (col("blk") === col("blk2") || col("blk") + 1 === col("blk2")) &&
+          col("rk2") > col("rk") && col("rk2") - col("rk") < w)
+      .withColumn("dist", expr(s"levenshtein(sk, sk2, $maxDist)"))
+      .filter(col("dist") >= 0)
+      .select(col("id").as("id1"), col("id2"),
+        (col("rk2") - col("rk")).cast("int").as("gap"), col("dist"))
+  }
+
   /** Connected components over a pair/edge DataFrame by min-label
     * propagation: every node starts labeled with itself; each iteration
     * takes the min of its own and its neighbors' labels; fixpoint = the
@@ -828,6 +882,12 @@ object Dedup {
     "q159_setsim_join" -> ((s, d) =>
       setSimilarityJoin(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("id1"), col("id2"))),
+    // customer names (Customer#000000042) are the classic SNM fixture: the
+    // sort packs edit-distance-1..3 variants into adjacent ranks, so every
+    // window position carries real comparisons.
+    "q163_sorted_neighborhood" -> ((s, d) =>
+      sortedNeighborhood(Tables.customer(s, d), "c_custkey", "c_name")
+        .orderBy(col("id1"), col("id2"))),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -959,6 +1019,22 @@ object Dedup {
         FROM sets x JOIN sets y ON x.doc_id < y.doc_id)
       SELECT id1, id2, inter, jaccard FROM pairs
       WHERE jaccard >= 0.9 ORDER BY id1, id2""",
+    // INDEPENDENT formulation: the window join is a rank-distance
+    // predicate over a row_number total order — no rank-block decomposition.
+    // Agreement certifies the block-join's pair completeness (every pair
+    // < w apart lands in the same or adjacent rk div w block).
+    "q163_sorted_neighborhood" -> """
+      WITH base AS (
+        SELECT CAST(c_custkey AS BIGINT) AS id, CAST(c_name AS VARCHAR) AS sk
+        FROM customer WHERE c_name IS NOT NULL),
+      ranked AS (
+        SELECT id, sk, row_number() OVER (ORDER BY sk, id) - 1 AS rk FROM base)
+      SELECT a.id AS id1, b.id AS id2,
+             CAST(b.rk - a.rk AS INT) AS gap,
+             CAST(levenshtein(a.sk, b.sk) AS INT) AS dist
+      FROM ranked a JOIN ranked b ON b.rk > a.rk AND b.rk - a.rk < 5
+      WHERE levenshtein(a.sk, b.sk) <= 3
+      ORDER BY id1, id2""",
     // Replays the exact-collapse: LSH runs over one representative per
     // md5(text) group (as the Spark side does), so the gate is exact even
     // for corpora with duplicated too-short-to-shingle or NULL texts.

@@ -602,6 +602,41 @@ class PipelineOpsSpec extends SparkSpec {
       "cap must keep the lowest-id rows per block")
   }
 
+  test("sortedNeighborhood: equals brute-force windowed scan; blocks lose no pairs") {
+    import spark.implicits._
+    // 26 sort-adjacent variants force pairs across every rk div w block
+    // boundary; the two null keys must be dropped, not sorted first.
+    val rows = (0 until 26).map(i => (i.toLong, f"name$i%02d")) ++
+      Seq((100L, "name07x"), (101L, "mame00"), (102L, null), (103L, null))
+    val df = rows.toDF("id", "sk")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val w = 3
+    val ranked = rows.filter(_._2 != null).sortBy(r => (r._2, r._1)).zipWithIndex
+    val expect = (for {
+      ((i1, s1), r1) <- ranked; ((i2, s2), r2) <- ranked
+      if r2 > r1 && r2 - r1 < w && lev(s1, s2) <= 2
+    } yield (i1, i2, (r2 - r1).toInt, lev(s1, s2))).toSet
+    val got = Dedup.sortedNeighborhood(df, "id", "sk", w = w, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == expect, s"SNM diverged: ${got.size} vs ${expect.size} pairs")
+    // Block-boundary sanity: some expected pair must span adjacent blocks
+    // (different rk div w), else the test never exercised the 2-block join.
+    val rk = ranked.map { case ((id, _), r) => id -> r }.toMap
+    assert(expect.exists { case (a, b, _, _) => rk(a) / w != rk(b) / w },
+      "fixture must contain a cross-block pair")
+    // SNM catches the prefix-divergent pair blocking misses: "mame00" sorts
+    // adjacent to name00 (gap 1) though their 4-char prefixes differ.
+    assert(got.exists { case (a, b, _, _) => Set(a, b).contains(101L) },
+      "sort-key adjacency must catch the short-prefix variant")
+  }
+
   test("vocabCoverage: hand replay, total order, coverage reaches 1.0 at full vocab") {
     import spark.implicits._
     val docs = Seq(
