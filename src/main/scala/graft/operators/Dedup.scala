@@ -513,6 +513,58 @@ object Dedup {
         (col("rk2") - col("rk")).cast("int").as("gap"), col("dist"))
   }
 
+  /** Fellegi–Sunter probabilistic record-linkage scoring (JASA 1969) over
+    * blocked candidate pairs — the decision layer of the ER stack that
+    * [[sortedNeighborhood]]/[[fuzzyJoin]] are the candidate layer of.
+    *
+    * Per comparison field i the match weight is log2(m/uᵢ) on agreement and
+    * log2((1−m)/(1−uᵢ)) on disagreement, where the u-probability (chance
+    * agreement of two RANDOM records) is estimated exactly from the field's
+    * value distribution: uᵢ = Σ_v (n_v/n)². That sum is one bounded groupBy
+    * + one scalar aggregate per field — the classic unsupervised u-estimate
+    * (the m-probability is supplied; EM refinement needs labeled truth).
+    * NULL field values never "agree" (SQL null semantics → disagreement
+    * weight), matching the published treatment of missing values as
+    * non-informative disagreement.
+    *
+    * Scale shape: candidates are O(n·w) from SNM blocking; u-stats are one
+    * 1-row aggregate per field; scoring is two skinny hash joins keyed on
+    * id (fields travel, never the blocking keys). Scores round to 6 dp
+    * before output so both engines hash identically. */
+  def linkageScore(df: DataFrame, idCol: String, keyCol: String,
+      fields: Seq[String], m: Double = 0.95, w: Int = 5,
+      maxDist: Int = 3): DataFrame = {
+    require(fields.nonEmpty && m > 0 && m < 1,
+      s"linkageScore: need fields and m in (0,1), got $fields, $m")
+    val cand = sortedNeighborhood(df, idCol, keyCol, w, maxDist)
+      .select("id1", "id2")
+    val n = df.count().toDouble
+    // uᵢ = Σ_v (n_v / n)² over the field's value histogram — one bounded
+    // groupBy + scalar agg per field; ≤ |fields| driver scalars total.
+    // Each count normalizes to a frequency BEFORE squaring: Σ n_v² as an
+    // integer would overflow 64 bits past n ≈ 3·10⁹ rows.
+    val u = fields.map { f =>
+      val s = df.filter(col(f).isNotNull).groupBy(col(f)).count()
+        .agg(sum(pow(col("count") / n, 2))).head()
+      f -> (if (s.isNullAt(0)) 0.0 else s.getDouble(0))
+    }.toMap
+    val a = df.select(col(idCol).cast("long").as("id1") +:
+      fields.map(f => col(f).as(s"a_$f")): _*)
+    val b = df.select(col(idCol).cast("long").as("id2") +:
+      fields.map(f => col(f).as(s"b_$f")): _*)
+    val weighted = fields.map { f =>
+      val uf = u(f)
+      val agree = math.log(m / uf) / math.log(2.0)
+      val disagree = math.log((1 - m) / (1 - uf)) / math.log(2.0)
+      (when(col(s"a_$f") === col(s"b_$f"), lit(agree)).otherwise(lit(disagree)),
+        when(col(s"a_$f") === col(s"b_$f"), 1).otherwise(0))
+    }
+    cand.join(a, "id1").join(b, "id2")
+      .select(col("id1"), col("id2"),
+        round(weighted.map(_._1).reduce(_ + _), 6).as("score"),
+        weighted.map(_._2).reduce(_ + _).cast("int").as("n_agree"))
+  }
+
   /** Connected components over a pair/edge DataFrame by min-label
     * propagation: every node starts labeled with itself; each iteration
     * takes the min of its own and its neighbors' labels; fixpoint = the
@@ -888,6 +940,15 @@ object Dedup {
     "q163_sorted_neighborhood" -> ((s, d) =>
       sortedNeighborhood(Tables.customer(s, d), "c_custkey", "c_name")
         .orderBy(col("id1"), col("id2"))),
+    // nationkey (25 values), mktsegment (5) and a coarse balance bucket give
+    // three fields with genuinely different u-probabilities, so agreement
+    // patterns spread scores instead of collapsing to one weight.
+    "q164_linkage_score" -> ((s, d) =>
+      linkageScore(
+        Tables.customer(s, d)
+          .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("int")),
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment", "bal_bucket"))
+        .orderBy(col("id1"), col("id2"))),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1034,6 +1095,40 @@ object Dedup {
              CAST(levenshtein(a.sk, b.sk) AS INT) AS dist
       FROM ranked a JOIN ranked b ON b.rk > a.rk AND b.rk - a.rk < 5
       WHERE levenshtein(a.sk, b.sk) <= 3
+      ORDER BY id1, id2""",
+    // Replays the full FS pipeline: SNM candidates, per-field u = Σ(n_v/n)²
+    // from the value histogram, log2 agree/disagree weights, 6-dp rounding.
+    "q164_linkage_score" -> """
+      WITH base AS (
+        SELECT CAST(c_custkey AS BIGINT) AS id, CAST(c_name AS VARCHAR) AS sk,
+               c_nationkey AS f1, c_mktsegment AS f2,
+               CAST(floor(c_acctbal / 1000) AS INT) AS f3
+        FROM customer),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+      ranked AS (SELECT id, sk, row_number() OVER (ORDER BY sk, id) - 1 AS rk
+                 FROM base WHERE sk IS NOT NULL),
+      cand AS (SELECT a.id AS id1, b.id AS id2
+               FROM ranked a JOIN ranked b ON b.rk > a.rk AND b.rk - a.rk < 5
+               WHERE levenshtein(a.sk, b.sk) <= 3),
+      u1 AS (SELECT sum(pow(cnt / n, 2)) AS u FROM
+             (SELECT count(*) AS cnt FROM base WHERE f1 IS NOT NULL GROUP BY f1), nn),
+      u2 AS (SELECT sum(pow(cnt / n, 2)) AS u FROM
+             (SELECT count(*) AS cnt FROM base WHERE f2 IS NOT NULL GROUP BY f2), nn),
+      u3 AS (SELECT sum(pow(cnt / n, 2)) AS u FROM
+             (SELECT count(*) AS cnt FROM base WHERE f3 IS NOT NULL GROUP BY f3), nn)
+      SELECT id1, id2,
+             round(
+               (CASE WHEN a.f1 = b.f1 THEN log2(0.95 / u1.u)
+                     ELSE log2((1 - 0.95) / (1 - u1.u)) END) +
+               (CASE WHEN a.f2 = b.f2 THEN log2(0.95 / u2.u)
+                     ELSE log2((1 - 0.95) / (1 - u2.u)) END) +
+               (CASE WHEN a.f3 = b.f3 THEN log2(0.95 / u3.u)
+                     ELSE log2((1 - 0.95) / (1 - u3.u)) END), 6) AS score,
+             CAST((CASE WHEN a.f1 = b.f1 THEN 1 ELSE 0 END) +
+                  (CASE WHEN a.f2 = b.f2 THEN 1 ELSE 0 END) +
+                  (CASE WHEN a.f3 = b.f3 THEN 1 ELSE 0 END) AS INT) AS n_agree
+      FROM cand JOIN base a ON cand.id1 = a.id JOIN base b ON cand.id2 = b.id,
+           u1, u2, u3
       ORDER BY id1, id2""",
     // Replays the exact-collapse: LSH runs over one representative per
     // md5(text) group (as the Spark side does), so the gate is exact even

@@ -637,6 +637,32 @@ class PipelineOpsSpec extends SparkSpec {
       "sort-key adjacency must catch the short-prefix variant")
   }
 
+  test("linkageScore: hand-replayed FS weights; null fields disagree; u from histogram") {
+    import spark.implicits._
+    // 6 records, one SNM-adjacent name cluster; field f has values
+    // x,x,x,y,y,null -> u = (3/6)^2 + (2/6)^2 = 13/36 over n = 6 (nulls
+    // count in n, not in the histogram).
+    val rows = Seq(
+      (1L, "dup00", "x"), (2L, "dup00x", "x"), (3L, "dup01", "x"),
+      (4L, "dup02", "y"), (5L, "dup03", "y"), (6L, "zzz", null))
+    val df = rows.toDF("id", "nm", "f")
+    val got = Dedup.linkageScore(df, "id", "nm", Seq("f"), m = 0.9, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(p => (p._1, p._2)).toList
+    val u = 13.0 / 36.0
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val agree = r6(math.log(0.9 / u) / math.log(2.0))
+    val disagree = r6(math.log(0.1 / (1 - u)) / math.log(2.0))
+    // SNM pairs at w=3, d<=3 over sort order dup00,dup00x,dup01,dup02,dup03,zzz:
+    // agreement on f for (1,2),(1,3),(2,3),(4,5); disagreement for
+    // (2,4),(3,4),(3,5); zzz is > maxDist from every neighbor.
+    val expect = List(
+      (1L, 2L, agree, 1), (1L, 3L, agree, 1), (2L, 3L, agree, 1),
+      (2L, 4L, disagree, 0), (3L, 4L, disagree, 0), (3L, 5L, disagree, 0),
+      (4L, 5L, agree, 1))
+    assert(got == expect, s"FS replay diverged:\n$got\nvs\n$expect")
+  }
+
   test("vocabCoverage: hand replay, total order, coverage reaches 1.0 at full vocab") {
     import spark.implicits._
     val docs = Seq(
