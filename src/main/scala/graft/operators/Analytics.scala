@@ -648,6 +648,53 @@ object Analytics {
       Seq("signup", "view", "click", "purchase"), maxGapSec = Some(3600L))
       .orderBy(col("stage"))
 
+  // ------------------------------------------------------- co-occurrence --
+
+  /** Item co-occurrence projection of a (basket, item) relation — the
+    * bipartite→item-graph projection collaborative filtering and
+    * related-items features start from. For every item pair sharing a
+    * basket: support (co-basket count) and lift = n_ij·N / (n_i·n_j).
+    *
+    * The scale hazard is the per-basket pair blowup (a power-law basket
+    * with 10⁶ items mints 10¹² pairs): the basket is capped to its
+    * `maxItemsPerBasket` smallest items FIRST (row_number ≤ m compiles to
+    * WindowGroupLimit — each map task prunes before the exchange), so the
+    * self-join on basket id fans out ≤ m²/2 per basket, Σ bounded. The
+    * marginals are one bounded groupBy joined back on item (skinny,
+    * AQE-broadcast when small); lift arithmetic runs in double — integer
+    * n_i·n_j overflows 64 bits past ~3·10⁹ baskets. */
+  def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
+      maxItemsPerBasket: Int = 100): DataFrame = {
+    require(maxItemsPerBasket >= 2,
+      s"coOccurrence: maxItemsPerBasket must be >= 2, got $maxItemsPerBasket")
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("it"))
+      .filter(col("b").isNotNull && col("it").isNotNull).distinct()
+    val capped = bi
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("b")).orderBy(col("it"))))
+      .filter(col("rn") <= maxItemsPerBasket).drop("rn")
+      .localCheckpoint()
+    val n = capped.select("b").distinct().count().toDouble
+    val pairs = capped.select(col("b"), col("it").as("item1"))
+      .join(capped.select(col("b"), col("it").as("item2")), "b")
+      .filter(col("item1") < col("item2"))
+      .groupBy("item1", "item2").agg(count(lit(1)).as("n_baskets"))
+    val marg = capped.groupBy(col("it")).agg(count(lit(1)).as("m"))
+    pairs
+      .join(marg.select(col("it").as("item1"), col("m").as("m1")), "item1")
+      .join(marg.select(col("it").as("item2"), col("m").as("m2")), "item2")
+      .select(col("item1"), col("item2"), col("n_baskets"),
+        round(col("n_baskets").cast("double") * n /
+          (col("m1").cast("double") * col("m2").cast("double")), 6).as("lift"))
+  }
+
+  private val q165: Q = (s, d) =>
+    coOccurrence(
+      Tables.events(s, d).withColumn("item",
+        from_json(col("props"), lit("k INT")).getField("k")),
+      "user_id", "item")
+      .orderBy(col("item1"), col("item2"))
+
   // ------------------------------------------------------------- upsert --
 
   /** CDC latest-wins merge (MERGE INTO compaction semantics without a
@@ -1334,6 +1381,7 @@ object Analytics {
     "q141_trend" -> q141,
     "q142_outliers" -> q142,
     "q162_resample_locf" -> q162,
+    "q165_cooccurrence" -> q165,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -1341,6 +1389,31 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Replays the capped bipartite projection: distinct (basket, item),
+    // per-basket smallest-m cap, self-join pair counts, double lift.
+    "q165_cooccurrence" -> """
+      WITH bi AS (
+        SELECT DISTINCT user_id AS b,
+               CAST(json_extract_string(props, '$.k') AS INT) AS it
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL),
+      capped AS (
+        SELECT b, it FROM (
+          SELECT b, it, row_number() OVER (PARTITION BY b ORDER BY it) AS rn
+          FROM bi) WHERE rn <= 100),
+      nn AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM capped),
+      pairs AS (
+        SELECT x.it AS item1, y.it AS item2, count(*) AS n_baskets
+        FROM capped x JOIN capped y ON x.b = y.b AND x.it < y.it
+        GROUP BY 1, 2),
+      marg AS (SELECT it, count(*) AS m FROM capped GROUP BY 1)
+      SELECT item1, item2, CAST(p.n_baskets AS BIGINT) AS n_baskets,
+             round(CAST(p.n_baskets AS DOUBLE) * n
+                   / (CAST(m1.m AS DOUBLE) * CAST(m2.m AS DOUBLE)), 6) AS lift
+      FROM pairs p JOIN marg m1 ON p.item1 = m1.it
+                   JOIN marg m2 ON p.item2 = m2.it, nn
+      ORDER BY item1, item2""",
     // The dense grid + LOCF replayed with generate_series and DuckDB's
     // IGNORE NULLS window; DECIMAL sums keep both engines exact.
     "q162_resample_locf" -> """

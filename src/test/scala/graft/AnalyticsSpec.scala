@@ -538,4 +538,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(solo.length == 1 && !solo.head.getBoolean(5)
       && solo.head.getDecimal(4).toPlainString == "7.77")
   }
+
+  test("coOccurrence: hand replay; basket cap prunes pairs; duplicate rows collapse") {
+    import spark.implicits._
+    // baskets: u1 {a,b,c}, u2 {a,b}, u3 {b,c}, u4 {a} — with duplicate
+    // (u1,a) rows that must collapse before counting.
+    val rows = Seq(("u1", "a"), ("u1", "a"), ("u1", "b"), ("u1", "c"),
+      ("u2", "a"), ("u2", "b"), ("u3", "b"), ("u3", "c"), ("u4", "a"))
+    val df = rows.toDF("b", "it")
+    val got = Analytics.coOccurrence(df, "b", "it")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(p => (p._1, p._2)).toList
+    // marginals a=3, b=3, c=2, N=4; lift(ab)=2*4/9, lift(ac)=1*4/6, lift(bc)=2*4/6
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == List(("a", "b", 2L, r6(8.0 / 9)), ("a", "c", 1L, r6(4.0 / 6)),
+      ("b", "c", 2L, r6(8.0 / 6))), s"co-occurrence replay diverged: $got")
+    // cap = 2 keeps each basket's two SMALLEST items: u1 -> {a,b}, so (a,c)
+    // and (b,c) lose u1's contribution and c's marginal drops to 1.
+    val capped = Analytics.coOccurrence(df, "b", "it", maxItemsPerBasket = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2)).toList
+    assert(capped == List(("a", "b", 2L), ("b", "c", 1L)),
+      s"cap must prune deterministically: $capped")
+  }
 }
