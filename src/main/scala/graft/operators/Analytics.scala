@@ -648,6 +648,65 @@ object Analytics {
       Seq("signup", "view", "click", "purchase"), maxGapSec = Some(3600L))
       .orderBy(col("stage"))
 
+  // --------------------------------------------------------- attribution --
+
+  /** Session-scoped first/last-touch conversion attribution — the marketing
+    * question on top of sessionization: for every conversion event, which
+    * touch channel opened the session and which one preceded the
+    * conversion? Conversions with no touch earlier in their session
+    * attribute to 'direct'.
+    *
+    * One exchange total: the session assignment hash-partitions on user,
+    * and the (user, session) attribution windows are satisfied by that same
+    * partitioning (a user's sessions are co-located), so Spark adds only a
+    * sort. First/last touch are `first/last(when(touch, type), ignoreNulls)`
+    * over the session prefix frame — the conversion row's own expression is
+    * NULL (its type is not a touch type), so a touch never attributes to
+    * itself. The final roll-up is a channels-bounded aggregate over two
+    * skinny (channel, flag) projections of the conversion rows. */
+  def touchAttribution(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, conversionType: String,
+      touchTypes: Seq[String],
+      gapMicros: Long = 30L * 60L * 1000000L): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      s"touchAttribution: touch types $touchTypes must exclude $conversionType")
+    val w = Window.partitionBy(col(userCol)).orderBy(col("us"), col(idCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSid = df
+      .select(col(userCol), col(idCol), col(typeCol).as("et"),
+        unix_micros(col(tsCol)).as("us"))
+      .filter(col("et") === conversionType || col("et").isInCollection(touchTypes))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapMicros,
+          1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+    val ws = Window.partitionBy(col(userCol), col("sid"))
+      .orderBy(col("us"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touchCh = when(col("et").isInCollection(touchTypes), col("et"))
+    // Both flags leave each conversion row via ONE exploded 2-struct array —
+    // a self-union here would re-run the whole window pipeline per branch
+    // (Spark does not materialize the shared subtree; only the exchange is
+    // reused, the sorts and window passes double).
+    withSid
+      .withColumn("first_ch", first(touchCh, ignoreNulls = true).over(ws))
+      .withColumn("last_ch", last(touchCh, ignoreNulls = true).over(ws))
+      .filter(col("et") === conversionType)
+      .select(explode(array(
+        struct(coalesce(col("first_ch"), lit("direct")).as("channel"),
+          lit(1L).as("f"), lit(0L).as("l")),
+        struct(coalesce(col("last_ch"), lit("direct")).as("channel"),
+          lit(0L).as("f"), lit(1L).as("l")))).as("x"))
+      .groupBy(col("x.channel").as("channel"))
+      .agg(sum(col("x.f")).as("first_touch"), sum(col("x.l")).as("last_touch"))
+  }
+
+  private val q166: Q = (s, d) =>
+    touchAttribution(Tables.events(s, d), "user_id", "ts", "event_id",
+      "event_type", "purchase", Seq("signup", "view", "click"))
+      .orderBy(col("channel"))
+
   // ------------------------------------------------------- co-occurrence --
 
   /** Item co-occurrence projection of a (basket, item) relation — the
@@ -1382,6 +1441,7 @@ object Analytics {
     "q142_outliers" -> q142,
     "q162_resample_locf" -> q162,
     "q165_cooccurrence" -> q165,
+    "q166_attribution" -> q166,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -1389,6 +1449,41 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Replays session assignment (lag + prefix sum), the IGNORE NULLS
+    // first/last touch over the session prefix, and the two-flag roll-up.
+    "q166_attribution" -> """
+      WITH base AS (
+        SELECT user_id, event_id, event_type AS et, epoch_us(ts) AS us
+        FROM events
+        WHERE event_type IN ('purchase', 'signup', 'view', 'click')),
+      sid AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM (
+          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END AS new_s
+          FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) AS prev_us
+                FROM base))),
+      attrib AS (
+        SELECT et,
+               first_value(CASE WHEN et <> 'purchase' THEN et END IGNORE NULLS)
+                 OVER (PARTITION BY user_id, sid ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS first_ch,
+               last_value(CASE WHEN et <> 'purchase' THEN et END IGNORE NULLS)
+                 OVER (PARTITION BY user_id, sid ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS last_ch
+        FROM sid),
+      conv AS (SELECT coalesce(first_ch, 'direct') AS fc,
+                      coalesce(last_ch, 'direct') AS lc
+               FROM attrib WHERE et = 'purchase'),
+      flags AS (
+        SELECT fc AS channel, 1 AS f, 0 AS l FROM conv
+        UNION ALL
+        SELECT lc, 0, 1 FROM conv)
+      SELECT channel, CAST(sum(f) AS BIGINT) AS first_touch,
+             CAST(sum(l) AS BIGINT) AS last_touch
+      FROM flags GROUP BY channel ORDER BY channel""",
     // Replays the capped bipartite projection: distinct (basket, item),
     // per-basket smallest-m cap, self-join pair counts, double lift.
     "q165_cooccurrence" -> """

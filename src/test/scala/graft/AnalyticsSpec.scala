@@ -539,6 +539,40 @@ class AnalyticsSpec extends SparkSpec {
       && solo.head.getDecimal(4).toPlainString == "7.77")
   }
 
+  test("touchAttribution: first/last split, direct fallback, session isolation, one exchange") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      // u1 session A: view -> click -> purchase (first=view, last=click)
+      (1L, ts(0), "u1", "view"), (2L, ts(1), "u1", "click"),
+      (3L, ts(2), "u1", "purchase"),
+      // u1 session B (90 min later): bare purchase -> direct, twice
+      (4L, ts(2), "u1", "purchase"), // same session A: also view/click
+      (5L, Timestamp.valueOf("2024-01-01 13:00:00"), "u1", "purchase"),
+      // u2: click then purchase NEXT session -> that click must not leak
+      (6L, ts(0), "u2", "click"),
+      (7L, Timestamp.valueOf("2024-01-01 12:00:00"), "u2", "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Analytics.touchAttribution(rows, "user_id", "ts", "event_id",
+      "event_type", "purchase", Seq("view", "click"))
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toList
+    // conversions: id3 (view/click), id4 (view/click), id5 direct, id7 direct
+    assert(got == List(("click", 0L, 2L), ("direct", 2L, 2L), ("view", 2L, 0L)),
+      s"attribution replay diverged: $got")
+    // the session windows must ride the user-key exchange (sort only), and
+    // the two-flag explode must NOT duplicate the window pipeline: exactly
+    // two distinct shuffles — user key + final channels roll-up.
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = raw"Exchange hashpartitioning\(([^,)]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exchanges.size <= 2,
+      s"expected <= 2 distinct exchange keys (user sort + rollup), got $exchanges")
+    assert("(?m)^\\s*\\+?-? ?Union".r.findFirstIn(plan).isEmpty,
+      "two-flag fan-out must explode, not self-union (doubles the window pass)")
+  }
+
   test("coOccurrence: hand replay; basket cap prunes pairs; duplicate rows collapse") {
     import spark.implicits._
     // baskets: u1 {a,b,c}, u2 {a,b}, u3 {b,c}, u4 {a} — with duplicate
