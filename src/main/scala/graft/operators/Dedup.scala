@@ -411,6 +411,56 @@ object Dedup {
       .select(col("id1"), col("id2"), col("inter"), col("jaccard"))
   }
 
+  /** Asymmetric containment (quote / subset) join: all ORDERED pairs
+    * (x, y) with C(x→y) = |Sx ∩ Sy| / |Sx| ≥ cNum/cDen over distinct
+    * 3-gram shingle sets. Containment is what symmetric Jaccard cannot
+    * see: a paragraph quoted inside a much larger document has J ≈ 0 but
+    * C ≈ 1 — the dedup signal for quote/inclusion detection (and the
+    * asymmetric half of Broder's resemblance/containment pair, 1997).
+    *
+    * Prefix filtering adapts to the asymmetric threshold: only the
+    * CONTAINED side is prefix-indexed (p = |Sx| − ⌈τ·|Sx|⌉ + 1 rarest
+    * shingles, exact integer arithmetic), joined against the candidate
+    * container's FULL posting list — by pigeonhole, y missing any
+    * ⌈τ·|Sx|⌉-sized share of Sx still hits one of p prefix shingles, so
+    * the candidate set is complete. Ordering the prefix by (df ASC,
+    * digest) keeps hot shingles out of the small side of the join.
+    *
+    * Shuffles carry 32-char digests, never gram text; verification is one
+    * map-side array_intersect over the two digest arrays. */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+      cNum: Int = 4, cDen: Int = 5): DataFrame = {
+    require(cNum >= 1 && cNum <= cDen,
+      s"containmentJoin: threshold must be in (0,1], got $cNum/$cDen")
+    val dig = shingled(df, idCol, textCol)
+      .select(col(idCol).as("id"), md5(col("sh")).as("h"))
+    val dfreq = dig.groupBy(col("h")).agg(count(lit(1)).as("df_"))
+    val ordered = dig.join(dfreq, "h")
+      .groupBy(col("id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df_, h))), x -> x.h)")
+        .as("hs"))
+      .select(col("id"), col("hs"), size(col("hs")).cast("long").as("sz"))
+      .withColumn("p",
+        col("sz") - expr(s"(sz * $cNum + ${cDen - 1}) div $cDen") + 1L)
+      .localCheckpoint()
+    val pre = ordered
+      .select(col("id"), explode(expr("slice(hs, 1, cast(p as int))")).as("h"))
+    val cands = pre.as("x")
+      .join(dig.select(col("id").as("yid"), col("h")), "h")
+      .filter(col("id") =!= col("yid"))
+      .select(col("id").as("id1"), col("yid").as("id2"))
+      .distinct()
+    cands
+      .join(ordered.select(col("id").as("id1"), col("hs").as("s1"),
+        col("sz").as("sz1")), "id1")
+      .join(ordered.select(col("id").as("id2"), col("hs").as("s2")), "id2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sz1"), 4))
+      .filter(col("containment") >= lit(cNum.toDouble / cDen))
+      .select(col("id1"), col("id2"), col("inter"), col("containment"))
+  }
+
   /** Default per-block candidate cap for [[fuzzyJoin]] — shared with the
     * q115 oracle SQL so the gate checks the capped semantics. */
   private[graft] val MaxBlockDf = 50
@@ -949,6 +999,11 @@ object Dedup {
           .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("int")),
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment", "bal_bucket"))
         .orderBy(col("id1"), col("id2"))),
+    // the exact-dup clusters give C = 1.0 both directions; τ = 0.8 also
+    // admits genuine partial containments without flooding the fixture.
+    "q167_containment" -> ((s, d) =>
+      containmentJoin(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id1"), col("id2"))),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1095,6 +1150,25 @@ object Dedup {
              CAST(levenshtein(a.sk, b.sk) AS INT) AS dist
       FROM ranked a JOIN ranked b ON b.rk > a.rk AND b.rk - a.rk < 5
       WHERE levenshtein(a.sk, b.sk) <= 3
+      ORDER BY id1, id2""",
+    // INDEPENDENT formulation: brute-force ordered-pairs containment over
+    // distinct shingle LISTS (no digests, no prefix index) — agreement
+    // certifies the asymmetric prefix-filter completeness lemma.
+    "q167_containment" -> """
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> list_aggregate(tk[i:i+2], 'string_agg', ' '))) AS s
+        FROM toks WHERE len(tk) >= 3)
+      SELECT x.doc_id AS id1, y.doc_id AS id2,
+             CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
+             round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s), 4)
+               AS containment
+      FROM sh x JOIN sh y ON x.doc_id <> y.doc_id
+      WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s), 4)
+            >= 0.8
       ORDER BY id1, id2""",
     // Replays the full FS pipeline: SNM candidates, per-field u = Σ(n_v/n)²
     // from the value histogram, log2 agree/disagree weights, 6-dp rounding.

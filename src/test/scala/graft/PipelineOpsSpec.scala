@@ -637,6 +637,33 @@ class PipelineOpsSpec extends SparkSpec {
       "sort-key adjacency must catch the short-prefix variant")
   }
 
+  test("containmentJoin: quote detected one direction; equals brute force; short docs drop") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon"
+    val rows = Seq(
+      (1L, quote), // fully quoted inside 2
+      (2L, s"intro words here $quote and a long tail of unrelated tokens"),
+      (3L, "totally disjoint content with many extra words"),
+      (4L, "xy yz")) // < 3 tokens -> no shingles -> absent
+    val df = rows.toDF("doc_id", "text")
+    def shingles(t: String) =
+      t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val expect = (for {
+      (i1, t1) <- rows; (i2, t2) <- rows
+      if i1 != i2 && shingles(t1).nonEmpty && shingles(t2).nonEmpty
+      c = shingles(t1).intersect(shingles(t2)).size.toDouble / shingles(t1).size
+      if BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.8
+    } yield (i1, i2)).toSet
+    val got = Dedup.containmentJoin(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"containment diverged: $got vs $expect")
+    // the asymmetry IS the feature: 1 ⊂ 2 but not 2 ⊂ 1 (Jaccard would
+    // score this pair ~0.2 and symmetric joins at τ=0.8 would miss it).
+    assert(got.contains((1L, 2L)) && !got.contains((2L, 1L)),
+      "quote must be contained one direction only")
+  }
+
   test("linkageScore: hand-replayed FS weights; null fields disagree; u from histogram") {
     import spark.implicits._
     // 6 records, one SNM-adjacent name cluster; field f has values
