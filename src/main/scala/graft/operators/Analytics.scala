@@ -1342,6 +1342,67 @@ object Analytics {
     resampleLocf(Tables.events(s, d), "event_type", "ts", "value")
       .orderBy(col("event_type"), col("bucket"))
 
+  // -------------------------------------------------- seasonal decompose --
+
+  /** STL-lite additive seasonal decomposition over the dense hourly grid:
+    * value = trend + seasonal + remainder. Trend is a centered moving
+    * average (±period/2 rows, partial frames at the series edges use the
+    * rows available — the standard min_periods=1 treatment); seasonal is
+    * the per-(key, hour-of-period) mean of the detrended series; remainder
+    * is what's left. The anomaly/forecast preprocessing step every metric
+    * stack runs after [[resampleLocf]]'s gridding.
+    *
+    * Missing hours ZERO-fill (a gap in an event sum means nothing
+    * happened), unlike the LOCF gauge semantics — the grid still comes
+    * from the same spine machinery.
+    *
+    * Cross-engine exactness discipline: a naive `avg(double)` here is NOT
+    * hash-stable — Spark's sliding-frame accumulator and DuckDB's segment
+    * tree sum doubles in different orders, and round(6) amplifies a 1e-15
+    * divergence to 1e-6 whenever an average lands near a rounding
+    * boundary (observed on the sf0.01 fixture). Instead every mean is
+    * computed as cast(EXACT decimal sum AS double) / count — one IEEE
+    * division of identical operands, bit-identical in both engines — and
+    * every subtraction runs in decimal: trend and seasonal re-enter the
+    * pipeline as DECIMAL(18,6) (the rounded double's exact 6-dp value),
+    * so detrending and the remainder are exact decimal arithmetic with no
+    * accumulated FP at all.
+    *
+    * Shape: one key exchange (trend window), one (key, hod) bounded
+    * aggregate (≤ keys × period rows, AQE-broadcast on the way back). The
+    * trended frame is checkpointed — it feeds both the seasonal aggregate
+    * and the final join, and Spark would otherwise re-run the spine +
+    * window pipeline per branch. */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, period: Int = 24): DataFrame = {
+    require(period >= 2 && period % 2 == 0,
+      s"seasonalDecompose: period must be even and >= 2, got $period")
+    val half = period / 2
+    val grid = resampleLocf(df, keyCol, tsCol, valCol)
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("bucket_sum"), lit(0).cast("decimal(14,2)")).as("v"))
+    val wt = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(-half, half)
+    val trended = grid
+      .withColumn("trend",
+        round(sum(col("v")).over(wt).cast("double")
+          / count(lit(1)).over(wt), 6).cast("decimal(18,6)"))
+      .withColumn("hod", hour(col("bucket")) % period)
+      .localCheckpoint()
+    val seas = trended.groupBy(col(keyCol), col("hod"))
+      .agg(round(sum(col("v") - col("trend")).cast("double")
+        / count(lit(1)), 6).cast("decimal(18,6)").as("seasonal"))
+    trended.join(seas, Seq(keyCol, "hod"))
+      .select(col(keyCol), col("bucket"), col("v").cast("double").as("value"),
+        col("trend").cast("double").as("trend"),
+        col("seasonal").cast("double").as("seasonal"),
+        (col("v") - col("trend") - col("seasonal")).cast("double").as("remainder"))
+  }
+
+  private val q168: Q = (s, d) =>
+    seasonalDecompose(Tables.events(s, d), "event_type", "ts", "value")
+      .orderBy(col("event_type"), col("bucket"))
+
   // ------------------------------------------------------- grouped trend --
 
   /** Per-group ordinary-least-squares fit — slope, intercept, R², pair
@@ -1442,6 +1503,7 @@ object Analytics {
     "q162_resample_locf" -> q162,
     "q165_cooccurrence" -> q165,
     "q166_attribution" -> q166,
+    "q168_seasonal" -> q168,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -1449,6 +1511,37 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Replays the zero-filled DECIMAL grid, the trend as ONE IEEE division
+    // of the exact frame sum, decimal detrending, and the decimal
+    // remainder — both engines see identical doubles at every round().
+    "q168_seasonal" -> """
+      WITH agg AS (
+        SELECT event_type AS k, date_trunc('hour', ts) AS bucket,
+               sum(CAST(value AS DECIMAL(14,2))) AS bs
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT k, min(bucket) AS d0, max(bucket) AS d1 FROM agg GROUP BY 1),
+      spine AS (SELECT k, unnest(generate_series(d0, d1, INTERVAL 1 HOUR)) AS bucket
+                FROM b),
+      grid AS (SELECT s.k, s.bucket,
+                      coalesce(a.bs, CAST(0 AS DECIMAL(14,2))) AS v
+               FROM spine s LEFT JOIN agg a ON s.k = a.k AND s.bucket = a.bucket),
+      tr AS (SELECT k, bucket, v,
+                    CAST(round(CAST(sum(v) OVER fr AS DOUBLE)
+                               / count(*) OVER fr, 6) AS DECIMAL(18,6)) AS trend,
+                    hour(bucket) % 24 AS hod
+             FROM grid
+             WINDOW fr AS (PARTITION BY k ORDER BY bucket
+                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      se AS (SELECT k, hod,
+                    CAST(round(CAST(sum(v - trend) AS DOUBLE)
+                               / count(*), 6) AS DECIMAL(18,6)) AS seasonal
+             FROM tr GROUP BY 1, 2)
+      SELECT tr.k AS event_type, tr.bucket, CAST(tr.v AS DOUBLE) AS value,
+             CAST(tr.trend AS DOUBLE) AS trend,
+             CAST(se.seasonal AS DOUBLE) AS seasonal,
+             CAST(tr.v - tr.trend - se.seasonal AS DOUBLE) AS remainder
+      FROM tr JOIN se ON tr.k = se.k AND tr.hod = se.hod
+      ORDER BY event_type, bucket""",
     // Replays session assignment (lag + prefix sum), the IGNORE NULLS
     // first/last touch over the session prefix, and the two-flag roll-up.
     "q166_attribution" -> """

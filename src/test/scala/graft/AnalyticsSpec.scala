@@ -539,6 +539,31 @@ class AnalyticsSpec extends SparkSpec {
       && solo.head.getDecimal(4).toPlainString == "7.77")
   }
 
+  test("seasonalDecompose: flat series is pure trend; identity holds exactly; gaps zero-fill") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // key "flat": constant 5.00/hour for 48h -> trend = 5, seasonal = 0,
+    // remainder = 0 everywhere. key "gap": hours 0 and 2 only -> hour 1
+    // zero-fills (NOT LOCF).
+    val rows = (0 until 48).map(h =>
+      ("flat", Timestamp.valueOf(f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:30:00"), 5.0)) ++
+      Seq(("gap", Timestamp.valueOf("2024-01-01 00:10:00"), 9.0),
+        ("gap", Timestamp.valueOf("2024-01-01 02:10:00"), 3.0))
+    val out = Analytics.seasonalDecompose(rows.toDF("k", "ts", "v"), "k", "ts", "v")
+      .orderBy(col("k"), col("bucket")).collect()
+    val flat = out.filter(_.getString(0) == "flat")
+    assert(flat.length == 48)
+    assert(flat.forall(r => r.getDouble(3) == 5.0 && r.getDouble(4) == 0.0
+      && r.getDouble(5) == 0.0), "constant series must decompose to pure trend")
+    val gap = out.filter(_.getString(0) == "gap")
+    assert(gap.length == 3 && gap(1).getDouble(2) == 0.0,
+      s"missing hour must zero-fill, got ${gap.toSeq}")
+    // additive identity is exact by construction (decimal subtraction)
+    assert(out.forall(r =>
+      math.abs(r.getDouble(2) - r.getDouble(3) - r.getDouble(4) - r.getDouble(5)) < 1e-9),
+      "value = trend + seasonal + remainder must hold")
+  }
+
   test("touchAttribution: first/last split, direct fallback, session isolation, one exchange") {
     import spark.implicits._
     import java.sql.Timestamp
