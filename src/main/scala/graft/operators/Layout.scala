@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
+import scala.jdk.CollectionConverters._
+
 /** Data-layout operators (north-star extension, SURVEY §2.3 family):
   * Z-order (Morton) multi-dimensional clustering.
   *
@@ -57,8 +59,79 @@ object Layout {
       .limit(100)
   }
 
+  /** Zone-map skipping effectiveness — the diagnostic that justifies a
+    * layout choice BEFORE rewriting 100 TB: simulate the file boundaries a
+    * layout would produce (global order → rowsPerFile-sized files), take
+    * each file's (x, y) min/max zone map, and count how many files a grid
+    * of box predicates would have to scan. A z-order layout yields tight
+    * boxes on BOTH dimensions; a linear (x, y) sort yields full-width y
+    * ranges, so y-selective boxes hit every file — this operator puts the
+    * number on that claim, per layout, per box.
+    *
+    * The global file rank uses the same scale-correct two-pass machinery
+    * as the SNM sort (range partition + per-partition counts + offset
+    * broadcast via zipWithIndex) — never a single-partition row_number.
+    * Zone maps are one bounded groupBy (n_files rows); the box workload is
+    * a grid² literal frame cross-joined against the zone maps
+    * (broadcast-tiny by construction). All arithmetic is integer-exact. */
+  def skipStats(df: DataFrame, xCol: String, yCol: String,
+      rowsPerFile: Int = 1000, grid: Int = 4): DataFrame = {
+    require(rowsPerFile >= 1 && grid >= 1 && grid <= 64,
+      s"skipStats: need rowsPerFile >= 1 and grid in [1,64], got $rowsPerFile, $grid")
+    val s = df.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val base = df
+      .select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull).distinct()
+      .withColumn("zval", call_function("graft_zvalue", col("x"), col("y")))
+      .localCheckpoint()
+    val Array(b) = base.agg(min("x"), max("x"), min("y"), max("y")).collect()
+    val (x0, x1, y0, y1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val xw = (x1 - x0) / grid + 1
+    val yw = (y1 - y0) / grid + 1
+    val boxes = s.createDataFrame(
+      (for (i <- 0 until grid; j <- 0 until grid) yield
+        org.apache.spark.sql.Row((i * grid + j).toLong,
+          x0 + i * xw, x0 + (i + 1) * xw - 1,
+          y0 + j * yw, y0 + (j + 1) * yw - 1)).toList.asJava,
+      org.apache.spark.sql.types.StructType(
+        Seq("box_id", "xlo", "xhi", "ylo", "yhi").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    def zones(order: Seq[Column], layout: String): DataFrame = {
+      val sorted = base.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+      val ranked = s.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), i / rowsPerFile)
+        },
+        org.apache.spark.sql.types.StructType(
+          Seq("x", "y", "file_id").map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      ranked.groupBy(col("file_id"))
+        .agg(min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .withColumn("layout", lit(layout))
+    }
+    val zm = zones(Seq(col("zval"), col("x"), col("y")), "zorder")
+      .unionAll(zones(Seq(col("x"), col("y")), "linear"))
+    val files = zm.groupBy(col("layout")).agg(count(lit(1)).as("n_files"))
+    zm.join(broadcast(boxes),
+        col("min_x") <= col("xhi") && col("max_x") >= col("xlo") &&
+          col("min_y") <= col("yhi") && col("max_y") >= col("ylo"))
+      .groupBy(col("layout"), col("box_id"))
+      .agg(count(lit(1)).as("files_hit"))
+      .join(files, "layout")
+      .select(col("layout"), col("box_id"), col("files_hit"), col("n_files"))
+  }
+
+  private val q169: Q = (s, d) =>
+    skipStats(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
+      .orderBy(col("layout"), col("box_id"))
+
   val queries: Map[String, Q] = Map(
     "q112_zorder" -> q112,
+    "q169_skip_stats" -> q169,
   )
 
   /** DuckDB replay of the magic-mask interleave: each spread step is the
@@ -82,5 +155,43 @@ object Layout {
       WITH d AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem)
       SELECT pk, sk, ${duckSpread("pk")} | (${duckSpread("sk")} << 1) AS zval
       FROM d ORDER BY zval, pk, sk LIMIT 100""",
+    // Full replay: ranks via row_number over each layout's total order,
+    // simulated 1000-row files, per-file zone maps, 4x4 integer box grid.
+    "q169_skip_stats" -> s"""
+      WITH d AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS x,
+                        CAST(l_suppkey AS BIGINT) AS y
+                 FROM lineitem
+                 WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+      z AS (SELECT x, y, ${duckSpread("x")} | (${duckSpread("y")} << 1) AS zval
+            FROM d),
+      bounds AS (SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+                 FROM d),
+      boxes AS (SELECT CAST(i * 4 + j AS BIGINT) AS box_id,
+                       x0 + i * ((x1 - x0) // 4 + 1) AS xlo,
+                       x0 + (i + 1) * ((x1 - x0) // 4 + 1) - 1 AS xhi,
+                       y0 + j * ((y1 - y0) // 4 + 1) AS ylo,
+                       y0 + (j + 1) * ((y1 - y0) // 4 + 1) - 1 AS yhi
+                FROM bounds, range(0, 4) t1(i), range(0, 4) t2(j)),
+      rz AS (SELECT x, y,
+                    (row_number() OVER (ORDER BY zval, x, y) - 1) // 1000 AS file_id
+             FROM z),
+      rl AS (SELECT x, y,
+                    (row_number() OVER (ORDER BY x, y) - 1) // 1000 AS file_id
+             FROM d),
+      zm AS (
+        SELECT 'zorder' AS layout, file_id, min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y FROM rz GROUP BY 2
+        UNION ALL
+        SELECT 'linear', file_id, min(x), max(x), min(y), max(y)
+        FROM rl GROUP BY 2),
+      files AS (SELECT layout, count(*) AS n_files FROM zm GROUP BY 1)
+      SELECT zm.layout, b.box_id, CAST(count(*) AS BIGINT) AS files_hit,
+             f.n_files
+      FROM zm JOIN boxes b
+        ON zm.min_x <= b.xhi AND zm.max_x >= b.xlo
+       AND zm.min_y <= b.yhi AND zm.max_y >= b.ylo
+      JOIN files f ON zm.layout = f.layout
+      GROUP BY zm.layout, b.box_id, f.n_files
+      ORDER BY zm.layout, b.box_id""",
   )
 }

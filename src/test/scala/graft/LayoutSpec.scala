@@ -57,4 +57,24 @@ class LayoutSpec extends SparkSpec {
     // and the clustering loses no rows
     assert(zorder.count() == 256L * 256L)
   }
+
+  test("skipStats: z-order zone maps dominate linear on box workloads") {
+    import spark.implicits._
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val out = Layout.skipStats(grid, "x", "y", rowsPerFile = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (z, l) = out.partition(_._1 == "zorder")
+    // 4096 rows / 256 per file = 16 files per layout, 16 boxes each
+    assert(z.length == 16 && l.length == 16)
+    assert(out.forall(_._4 == 16L), "both layouts must simulate 16 files")
+    val zHits = z.map(_._3).sum
+    val lHits = l.map(_._3).sum
+    info(s"total files hit over 16 boxes: zorder=$zHits linear=$lHits")
+    // z-order: each 16x16 box = exactly one 256-row z-block -> 1 file/box.
+    assert(zHits == 16, s"z-order must prune to one file per box, got $zHits")
+    // linear x-sort: every file spans the full y range -> every y-selective
+    // box hits every file whose x range overlaps (4 files per box).
+    assert(lHits == 64, s"linear must scan 4 files per box, got $lHits")
+  }
 }
