@@ -707,6 +707,47 @@ object Analytics {
       "event_type", "purchase", Seq("signup", "view", "click"))
       .orderBy(col("channel"))
 
+  // ---------------------------------------------------------- path mining --
+
+  /** Session path mining: the most frequent length-3 event-type paths users
+    * take WITHIN a session — the navigation-pattern diagnostic product
+    * analytics runs before funnel design (which fixed sequence is worth a
+    * funnel? this query's output). Paths crossing a session boundary never
+    * count.
+    *
+    * Shape: the session assignment and the two lead() windows share the
+    * single user-key exchange (subset partitioning ⇒ sorts only); the
+    * boundary filter is `lead(sid, 2) = sid` on the SAME window pass; the
+    * roll-up aggregate is bounded by |event types|³ keys and the final
+    * top-k is TakeOrderedAndProject (per-partition partial top-k, never a
+    * global sort materialization). The (n DESC, path ASC) total order
+    * makes the k-cut deterministic. */
+  def sessionPaths(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, k: Int = 20,
+      gapMicros: Long = 30L * 60L * 1000000L): DataFrame = {
+    require(k >= 1, s"sessionPaths: k must be >= 1, got $k")
+    val w = Window.partitionBy(col(userCol)).orderBy(col("us"), col(idCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(userCol), col(idCol), col(typeCol).as("et"),
+        unix_micros(col(tsCol)).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapMicros,
+          1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+      .withColumn("et2", lead(col("et"), 1).over(w))
+      .withColumn("et3", lead(col("et"), 2).over(w))
+      .withColumn("sid3", lead(col("sid"), 2).over(w))
+      .filter(col("sid3") === col("sid"))
+      .select(concat_ws(">", col("et"), col("et2"), col("et3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  private val q170: Q = (s, d) =>
+    sessionPaths(Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
+
   // ------------------------------------------------------- co-occurrence --
 
   /** Item co-occurrence projection of a (basket, item) relation — the
@@ -1504,6 +1545,7 @@ object Analytics {
     "q165_cooccurrence" -> q165,
     "q166_attribution" -> q166,
     "q168_seasonal" -> q168,
+    "q170_session_paths" -> q170,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -1511,6 +1553,31 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Replays session assignment + the two leads on the same user order;
+    // the sid equality keeps paths inside one session; (n DESC, path) cut.
+    "q170_session_paths" -> """
+      WITH base AS (
+        SELECT user_id, event_id, event_type AS et, epoch_us(ts) AS us
+        FROM events),
+      sid AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM (
+          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END AS new_s
+          FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) AS prev_us
+                FROM base))),
+      tri AS (
+        SELECT et,
+               lead(et, 1) OVER w AS et2, lead(et, 2) OVER w AS et3,
+               sid, lead(sid, 2) OVER w AS sid3
+        FROM sid
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      SELECT concat_ws('>', et, et2, et3) AS path,
+             CAST(count(*) AS BIGINT) AS n
+      FROM tri WHERE sid3 = sid
+      GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
     // Replays the zero-filled DECIMAL grid, the trend as ONE IEEE division
     // of the exact frame sum, decimal detrending, and the decimal
     // remainder — both engines see identical doubles at every round().

@@ -539,6 +539,32 @@ class AnalyticsSpec extends SparkSpec {
       && solo.head.getDecimal(4).toPlainString == "7.77")
   }
 
+  test("sessionPaths: trigrams stop at session boundaries; (n desc, path) cut") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      // u1 session A: a b c d -> paths a>b>c, b>c>d
+      (1L, ts(0), "u1", "a"), (2L, ts(1), "u1", "b"),
+      (3L, ts(2), "u1", "c"), (4L, ts(3), "u1", "d"),
+      // u1 session B (2h later): c d e -> c>d>e; the cross-boundary
+      // trigrams (c d | c), (d | c d) must NOT appear
+      (5L, Timestamp.valueOf("2024-01-01 12:30:00"), "u1", "c"),
+      (6L, Timestamp.valueOf("2024-01-01 12:31:00"), "u1", "d"),
+      (7L, Timestamp.valueOf("2024-01-01 12:32:00"), "u1", "e"),
+      // u2 repeats a b c -> a>b>c reaches n=2
+      (8L, ts(0), "u2", "a"), (9L, ts(1), "u2", "b"), (10L, ts(2), "u2", "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Analytics.sessionPaths(rows, "user_id", "ts", "event_id",
+      "event_type", k = 2).collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List(("a>b>c", 2L), ("b>c>d", 1L)),
+      s"path mining diverged: $got")
+    val all = Analytics.sessionPaths(rows, "user_id", "ts", "event_id",
+      "event_type").collect().map(_.getString(0)).toSet
+    assert(all == Set("a>b>c", "b>c>d", "c>d>e"),
+      s"cross-boundary paths must be excluded: $all")
+  }
+
   test("seasonalDecompose: flat series is pure trend; identity holds exactly; gaps zero-fill") {
     import spark.implicits._
     import java.sql.Timestamp
