@@ -707,6 +707,76 @@ object Analytics {
       "event_type", "purchase", Seq("signup", "view", "click"))
       .orderBy(col("channel"))
 
+  // ------------------------------------------------------- robust outliers --
+
+  /** MAD-based robust outliers (Iglewicz–Hoaglin modified z-score): rows
+    * with |0.6745·(v − median) / MAD| > cutoff per key, where MAD is the
+    * median absolute deviation. The robust complement to q142's
+    * mean/stddev z-score — one 12σ spike inflates a stddev enough to hide
+    * a 4σ one, while the median/MAD pair doesn't move.
+    *
+    * Exactness: percentile() and quantile_cont interpolate identically
+    * over identical doubles, and each row's z is pure scalar arithmetic on
+    * those — both engines produce bit-identical values before the 6-dp
+    * round. Groups with MAD = 0 (a majority-constant key) are dropped
+    * whole: the modified z-score is undefined there.
+    *
+    * Shape: two keyed exact-percentile aggregates (median, then MAD over
+    * the deviations), each a keys-bounded stats frame AQE-broadcast back —
+    * the q142 discipline, never a per-key window sort of the corpus. The
+    * skinny (key, id, v) projection re-reads the pruned scan rather than
+    * checkpointing n rows. */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+      idCol: String, cutoff: Double = 3.5): DataFrame = {
+    require(cutoff > 0, s"madOutliers: cutoff must be > 0, got $cutoff")
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(idCol), col(valCol).cast("double").as("v"))
+    val med = base.groupBy(col(keyCol))
+      .agg(percentile(col("v"), lit(0.5)).as("m"))
+    val withMed = base.join(med, keyCol)
+    val mad = withMed.groupBy(col(keyCol))
+      .agg(percentile(abs(col("v") - col("m")), lit(0.5)).as("mad"))
+      .filter(col("mad") > 0)
+    withMed.join(mad, keyCol)
+      .withColumn("z",
+        round(lit(0.6745) * (col("v") - col("m")) / col("mad"), 6))
+      .filter(abs(col("z")) > cutoff)
+      .select(col(keyCol), col(idCol), col("v"), col("z"))
+  }
+
+  private val q172: Q = (s, d) =>
+    madOutliers(Tables.events(s, d), "event_type", "value", "event_id")
+      .orderBy(col("event_type"), col("event_id"))
+
+  // --------------------------------------------------------- discretization --
+
+  /** Equal-frequency discretization (the feature-engineering binning that
+    * beats equal-width on skewed columns): per key, NTILE(b) over the
+    * (value, id) total order, then per-bin boundaries and exact decimal
+    * mass. The id tiebreak makes the bin assignment a pure function of the
+    * data — without it, equal values straddling a bin edge land
+    * nondeterministically.
+    *
+    * One keyed window exchange (NTILE is a single pass over each key's
+    * sort), one (key, bin)-bounded aggregate — ≤ keys × b rows out. */
+  def equalFreqBins(df: DataFrame, keyCol: String, valCol: String,
+      idCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"equalFreqBins: bins must be >= 2, got $bins")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("v"), col(idCol))
+    df.filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(idCol),
+        col(valCol).cast("decimal(14,2)").as("v"))
+      .withColumn("bin", ntile(bins).over(w))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"), sum(col("v")).as("mass"))
+  }
+
+  private val q171: Q = (s, d) =>
+    equalFreqBins(Tables.events(s, d), "event_type", "value", "event_id")
+      .orderBy(col("event_type"), col("bin"))
+
   // ---------------------------------------------------------- path mining --
 
   /** Session path mining: the most frequent length-3 event-type paths users
@@ -1546,6 +1616,8 @@ object Analytics {
     "q166_attribution" -> q166,
     "q168_seasonal" -> q168,
     "q170_session_paths" -> q170,
+    "q171_equal_freq_bins" -> q171,
+    "q172_mad_outliers" -> q172,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -1553,6 +1625,37 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // quantile_cont interpolates exactly like Spark's percentile(); every
+    // z is scalar arithmetic on identical doubles, same parenthesization.
+    "q172_mad_outliers" -> """
+      WITH base AS (
+        SELECT event_type, event_id, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL),
+      med AS (SELECT event_type, quantile_cont(v, 0.5) AS m
+              FROM base GROUP BY 1),
+      mad AS (SELECT b.event_type, quantile_cont(abs(v - m), 0.5) AS mad
+              FROM base b JOIN med USING (event_type) GROUP BY 1),
+      z AS (SELECT b.event_type, b.event_id, b.v,
+                   round(0.6745 * (b.v - m) / mad, 6) AS z
+            FROM base b JOIN med USING (event_type)
+                        JOIN mad USING (event_type)
+            WHERE mad > 0)
+      SELECT event_type, event_id, v, z FROM z
+      WHERE abs(z) > 3.5 ORDER BY event_type, event_id""",
+    // Replays the decimal cast, the (v, id)-ordered NTILE, and the exact
+    // per-bin decimal aggregate.
+    "q171_equal_freq_bins" -> """
+      WITH v AS (
+        SELECT event_type, event_id, CAST(value AS DECIMAL(14,2)) AS v
+        FROM events WHERE value IS NOT NULL),
+      binned AS (
+        SELECT event_type, v,
+               ntile(10) OVER (PARTITION BY event_type ORDER BY v, event_id)
+                 AS bin
+        FROM v)
+      SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+             min(v) AS lo, max(v) AS hi, sum(v) AS mass
+      FROM binned GROUP BY 1, 2 ORDER BY event_type, bin""",
     // Replays session assignment + the two leads on the same user order;
     // the sid equality keeps paths inside one session; (n DESC, path) cut.
     "q170_session_paths" -> """

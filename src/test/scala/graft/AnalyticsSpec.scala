@@ -539,6 +539,35 @@ class AnalyticsSpec extends SparkSpec {
       && solo.head.getDecimal(4).toPlainString == "7.77")
   }
 
+  test("equalFreqBins: ntile fill order, deterministic edge ties, exact decimal mass") {
+    import spark.implicits._
+    // 7 values, 3 bins -> sizes 3,2,2; the duplicate 2.0 values at the
+    // bin-1/bin-2 edge must split by id (ids 3 then 4).
+    val df = Seq((1L, 1.0), (2L, 1.5), (3L, 2.0), (4L, 2.0), (5L, 3.0),
+      (6L, 4.0), (7L, 5.0)).map { case (i, v) => ("k", i, v) }
+      .toDF("key", "id", "v")
+    val out = Analytics.equalFreqBins(df, "key", "v", "id", bins = 3)
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getInt(1), r.getLong(2),
+        r.getDecimal(3).toPlainString, r.getDecimal(4).toPlainString))
+    assert(out.toList == List((1, 3L, "1.00", "2.00"), (2, 2L, "2.00", "3.00"),
+      (3, 2L, "4.00", "5.00")), s"binning diverged: ${out.toList}")
+  }
+
+  test("madOutliers: catches the spike stddev z-scores dilute; MAD=0 groups drop") {
+    import spark.implicits._
+    // 12 ones + one 100: median = 1, MAD = 0 -> whole group drops (the
+    // documented undefined case). With varied data: median 5, MAD 2 ->
+    // only the 100 crosses 3.5.
+    val const = (1L to 12L).map(i => ("const", i, 1.0)) :+ (("const", 13L, 100.0))
+    val varied = Seq(1.0, 3.0, 3.0, 5.0, 5.0, 7.0, 7.0, 9.0, 100.0)
+      .zipWithIndex.map { case (v, i) => ("varied", i.toLong + 1, v) }
+    val out = Analytics.madOutliers((const ++ varied).toDF("k", "id", "v"),
+      "k", "v", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toList == List(("varied", 9L)),
+      s"expected exactly the varied-group spike: ${out.toList}")
+  }
+
   test("sessionPaths: trigrams stop at session boundaries; (n desc, path) cut") {
     import spark.implicits._
     import java.sql.Timestamp
