@@ -61,11 +61,67 @@ object Skew {
       .drop("_salt")
   }
 
-  val queries: Map[String, Q] = Map("q32_salted_agg" -> q32)
+  /** Join-key skew profile — the diagnostic run BEFORE choosing between a
+    * plain shuffle join, AQE skew handling, or manual salting: the top-k
+    * heaviest keys with their share of the table and the cumulative share,
+    * plus the global (rows, distinct-keys) context on every row.
+    *
+    * Shape: one keyed count aggregate (map-side partial), one 2-row-ish
+    * global aggregate, then TakeOrderedAndProject keeps only k rows under
+    * the (cnt DESC, key ASC) total order — the rank/cum-share window runs
+    * AFTER the k-cut, so its single-partition frame holds exactly k rows
+    * (bounded by construction, the warning-free regime). Shares are one
+    * IEEE division each — bit-identical cross-engine. */
+  def keySkewProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"keySkewProfile: k must be >= 1, got $k")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key"))
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("share",
+        round(col("cnt").cast("double") / col("total_rows"), 6))
+      .withColumn("cum_share",
+        round(sum(col("cnt")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .cast("double") / col("total_rows"), 6))
+      .select(col("rank"), col("key"), col("cnt"), col("total_rows"),
+        col("n_keys"), col("share"), col("cum_share"))
+  }
+
+  private val q173: Q = (s, d) =>
+    keySkewProfile(Tables.orders(s, d), "o_custkey")
+      .orderBy(col("rank"))
+
+  val queries: Map[String, Q] = Map(
+    "q32_salted_agg" -> q32,
+    "q173_key_skew" -> q173,
+  )
 
   val oracles: Map[String, String] = Map(
     "q32_salted_agg" -> """
       SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS total
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // Replays count -> k-cut -> rank/cumulative share; single divisions.
+    "q173_key_skew" -> """
+      WITH counts AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS cnt
+        FROM orders GROUP BY 1),
+      totals AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+                        CAST(count(*) AS BIGINT) AS n_keys FROM counts),
+      top AS (SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT 10)
+      SELECT CAST(row_number() OVER ord AS INT) AS rank, key,
+             CAST(cnt AS BIGINT) AS cnt, total_rows, n_keys,
+             round(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+             round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, key
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / total_rows, 6) AS cum_share
+      FROM top, totals
+      WINDOW ord AS (ORDER BY cnt DESC, key)
+      ORDER BY rank""",
   )
 }

@@ -66,4 +66,21 @@ class SkewSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("keySkewProfile: hot key ranks first with exact shares; k-cut ties by key") {
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "a", "b", "b", "c", "d"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "i")
+    val out = Skew.keySkewProfile(df, "k", k = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toList
+    // 12 rows, 5 keys; ties a/b (2 each) cut alphabetically at k=3
+    assert(out == List(
+      (1, "hot", 6L, 12L, 5L, 0.5, 0.5),
+      (2, "a", 2L, 12L, 5L, round6(2.0 / 12), round6(8.0 / 12)),
+      (3, "b", 2L, 12L, 5L, round6(2.0 / 12), round6(10.0 / 12))),
+      s"skew profile diverged: $out")
+  }
+
+  private def round6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
