@@ -707,6 +707,50 @@ object Analytics {
       "event_type", "purchase", Seq("signup", "view", "click"))
       .orderBy(col("channel"))
 
+  // ---------------------------------------------------------- active users --
+
+  /** Rolling active users — DAU and trailing-W-day WAU per calendar day,
+    * the canonical engagement metric. An exact rolling DISTINCT cannot ride
+    * a window frame (distinct doesn't decompose over sliding sums); the
+    * scale-correct exact form is contribution fan-out: each distinct
+    * (user, day) activity row contributes to days d..d+W−1, so WAU(d) =
+    * |distinct users in the W-day explode at d|. That is 2 distinct
+    * shuffles + a W× fan-out of already-deduped (user, day) pairs — the
+    * accepted exact cost; the sketch alternative (HLL per day, union over
+    * the window) is the approximate path q135/q138 already provide.
+    *
+    * Days outside [min, max] of observed activity are clipped (a trailing
+    * window at the corpus edge reports only observed days); days inside
+    * the span with no activity still appear via the day spine, with
+    * DAU = 0 and whatever WAU the window carries. */
+  def activeUsers(df: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"activeUsers: windowDays must be >= 1, got $windowDays")
+    val ud = df.filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+      .localCheckpoint()
+    val Array(b) = ud.agg(min("day"), max("day")).collect()
+    val (d0, d1) = (b.getDate(0), b.getDate(1))
+    val spine = ud.sparkSession.range(1)
+      .select(explode(expr(s"sequence(date'$d0', date'$d1', interval 1 day)"))
+        .as("day"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("u"), explode(expr(
+        s"sequence(day, date_add(day, ${windowDays - 1}), interval 1 day)"))
+        .as("day"))
+      .filter(col("day") <= lit(d1))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    spine.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+  }
+
+  private val q174: Q = (s, d) =>
+    activeUsers(Tables.events(s, d), "user_id", "ts").orderBy(col("day"))
+
   // ------------------------------------------------------- robust outliers --
 
   /** MAD-based robust outliers (Iglewicz–Hoaglin modified z-score): rows
@@ -1618,6 +1662,7 @@ object Analytics {
     "q170_session_paths" -> q170,
     "q171_equal_freq_bins" -> q171,
     "q172_mad_outliers" -> q172,
+    "q174_active_users" -> q174,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -1625,6 +1670,27 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Replays the contribution fan-out (distinct (user, day) -> d..d+6),
+    // the clip at the observed max day, and the day spine.
+    "q174_active_users" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL),
+      b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+      spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+                  AS day FROM b),
+      dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+      contrib AS (
+        SELECT DISTINCT u, unnest(generate_series(day, day + 6,
+                                  INTERVAL 1 DAY))::DATE AS day
+        FROM ud),
+      wau AS (SELECT c.day, count(*) AS wau
+              FROM contrib c, b WHERE c.day <= b.d1 GROUP BY 1)
+      SELECT s.day, CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+             CAST(coalesce(wau.wau, 0) AS BIGINT) AS wau
+      FROM spine s LEFT JOIN dau ON s.day = dau.day
+                   LEFT JOIN wau ON s.day = wau.day
+      ORDER BY s.day""",
     // quantile_cont interpolates exactly like Spark's percentile(); every
     // z is scalar arithmetic on identical doubles, same parenthesization.
     "q172_mad_outliers" -> """

@@ -552,11 +552,18 @@ object Dedup {
           org.apache.spark.sql.types.LongType, nullable = false))))
       .withColumn("blk", expr(s"rk div $w"))
       .localCheckpoint()
+    // The probe side explodes into ITS OWN block and the next one, so the
+    // adjacent-block pairing is a single EQUI-join key. The tempting
+    // `blk = blk2 OR blk + 1 = blk2` predicate is not extractable as a
+    // hash-join key — Catalyst falls back to a nested-loop join and the
+    // operator silently goes O(n²) (observed: a 15k-row input pinned a
+    // core for minutes; the exploded form runs in seconds).
+    val probe = indexed.select(col("id"), col("sk"), col("rk"),
+      explode(array(col("blk"), col("blk") + 1)).as("jb"))
     val right = indexed.select(col("id").as("id2"), col("sk").as("sk2"),
-      col("rk").as("rk2"), col("blk").as("blk2"))
-    indexed.join(right,
-        (col("blk") === col("blk2") || col("blk") + 1 === col("blk2")) &&
-          col("rk2") > col("rk") && col("rk2") - col("rk") < w)
+      col("rk").as("rk2"), col("blk").as("jb"))
+    probe.join(right, "jb")
+      .filter(col("rk2") > col("rk") && col("rk2") - col("rk") < w)
       .withColumn("dist", expr(s"levenshtein(sk, sk2, $maxDist)"))
       .filter(col("dist") >= 0)
       .select(col("id").as("id1"), col("id2"),

@@ -539,6 +539,27 @@ class AnalyticsSpec extends SparkSpec {
       && solo.head.getDecimal(4).toPlainString == "7.77")
   }
 
+  test("activeUsers: WAU carries 7 days, dead days stay in the spine, edge clips") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")
+    // u1 on day 1 (twice — must dedup), u2 on day 3, u1 again on day 10
+    val df = Seq((1L, t(1)), (1L, t(1)), (2L, t(3)), (1L, t(10)))
+      .toDF("user_id", "ts")
+    val out = Analytics.activeUsers(df, "user_id", "ts")
+      .orderBy(col("day")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toList
+    assert(out.length == 10, "spine must span days 1..10 only (clip at max)")
+    val byDay = out.map(r => r._1.takeRight(2).toInt -> (r._2, r._3)).toMap
+    assert(byDay(1) == (1L, 1L) && byDay(3) == (1L, 2L),
+      s"day-3 WAU must include u1 (day 1) + u2: $out")
+    assert(byDay(7) == (0L, 2L) && byDay(8) == (0L, 1L),
+      "u1's day-1 activity must leave WAU after day 7; u2 after day 9")
+    assert(byDay(2) == (0L, 1L), "dead day keeps spine row with DAU 0")
+    assert(byDay(9) == (0L, 1L) && byDay(10) == (1L, 1L),
+      "u2 expires after day 9; day 10 holds only the returning u1")
+  }
+
   test("equalFreqBins: ntile fill order, deterministic edge ties, exact decimal mass") {
     import spark.implicits._
     // 7 values, 3 bins -> sizes 3,2,2; the duplicate 2.0 values at the
