@@ -707,6 +707,51 @@ object Analytics {
       "event_type", "purchase", Seq("signup", "view", "click"))
       .orderBy(col("channel"))
 
+  // -------------------------------------------------------- target encoding --
+
+  /** K-fold out-of-fold target encoding with additive smoothing — the
+    * leakage-safe categorical feature: a row in fold f is encoded by the
+    * target mean of its category computed WITHOUT fold f, shrunk toward
+    * the global mean by `priorWeight` pseudo-observations
+    * (enc = (Σ_oof + w·ḡ) / (n_oof + w), Micci-Barreca 2001). Emitted as
+    * the (category, fold) lookup table a trainer joins — k·|cats| rows,
+    * never a per-row frame.
+    *
+    * The fold is the cross-engine md5 hash of the id (the q48 split
+    * contract): deterministic, reproducible, oracle-replayable. Exactness:
+    * fold/category sums are DECIMAL; the out-of-fold numerator is a
+    * decimal subtraction; the global mean and the final encoding are each
+    * ONE IEEE division over identical operands — bit-identical before
+    * round(6). Shape: one (cat, fold) aggregate, re-aggregated to cat
+    * totals (partials, not a rescan), 1-row global frame broadcast. */
+  def targetEncode(df: DataFrame, catCol: String, idCol: String,
+      targetCol: String, folds: Int = 5, priorWeight: Int = 20): DataFrame = {
+    require(folds >= 2 && priorWeight >= 0,
+      s"targetEncode: need folds >= 2, priorWeight >= 0, got $folds, $priorWeight")
+    val base = df
+      .filter(col(catCol).isNotNull && col(targetCol).isNotNull)
+      .select(col(catCol).as("cat"),
+        col(targetCol).cast("decimal(14,2)").as("t"),
+        expr(s"pmod(${CrossHash.h60Expr(idCol)}, $folds)").as("fold"))
+    val g = base.agg(
+      (sum(col("t")).cast("double") / count(lit(1))).as("gm"))
+    val cf = base.groupBy(col("cat"), col("fold"))
+      .agg(sum(col("t")).as("fs"), count(lit(1)).as("fn"))
+    val c = cf.groupBy(col("cat"))
+      .agg(sum(col("fs")).as("ts"), sum(col("fn")).as("tn"))
+    cf.join(c, "cat").crossJoin(broadcast(g))
+      .select(col("cat"), col("fold").cast("int").as("fold"),
+        round(((col("ts") - col("fs")).cast("double")
+          + lit(priorWeight) * col("gm"))
+          / (col("tn") - col("fn") + priorWeight), 6).as("encoding"),
+        (col("tn") - col("fn")).as("oof_n"))
+  }
+
+  private val q175: Q = (s, d) =>
+    targetEncode(Tables.orders(s, d), "o_orderpriority", "o_orderkey",
+      "o_totalprice")
+      .orderBy(col("cat"), col("fold"))
+
   // ---------------------------------------------------------- active users --
 
   /** Rolling active users — DAU and trailing-W-day WAU per calendar day,
@@ -1663,6 +1708,7 @@ object Analytics {
     "q171_equal_freq_bins" -> q171,
     "q172_mad_outliers" -> q172,
     "q174_active_users" -> q174,
+    "q175_target_encode" -> q175,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -1670,6 +1716,25 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Replays the md5 fold, the decimal fold/category sums, and the two
+    // single IEEE divisions (global mean, encoding).
+    "q175_target_encode" -> s"""
+      WITH base AS (
+        SELECT o_orderpriority AS cat, CAST(o_totalprice AS DECIMAL(14,2)) AS t,
+               ${h60("CAST(o_orderkey AS VARCHAR)")} % 5 AS fold
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      g AS (SELECT CAST(sum(t) AS DOUBLE) / count(*) AS gm FROM base),
+      cf AS (SELECT cat, fold, sum(t) AS fs, count(*) AS fn
+             FROM base GROUP BY 1, 2),
+      c AS (SELECT cat, sum(fs) AS ts, CAST(sum(fn) AS BIGINT) AS tn
+            FROM cf GROUP BY 1)
+      SELECT cf.cat, CAST(cf.fold AS INT) AS fold,
+             round((CAST(c.ts - cf.fs AS DOUBLE) + 20 * gm)
+                   / (c.tn - cf.fn + 20), 6) AS encoding,
+             CAST(c.tn - cf.fn AS BIGINT) AS oof_n
+      FROM cf JOIN c ON cf.cat = c.cat, g
+      ORDER BY cf.cat, cf.fold""",
     // Replays the contribution fan-out (distinct (user, day) -> d..d+6),
     // the clip at the observed max day, and the day spine.
     "q174_active_users" -> """

@@ -539,6 +539,35 @@ class AnalyticsSpec extends SparkSpec {
       && solo.head.getDecimal(4).toPlainString == "7.77")
   }
 
+  test("targetEncode: out-of-fold means replayed in Scala; smoothing pulls to global") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd",
+      i.toDouble)).toDF("id", "cat", "t")
+    // recover each row's fold through the same published md5 contract
+    val folds = df.selectExpr("id", "cat", "t",
+      s"pmod(${graft.operators.CrossHash.h60Expr("id")}, 5) as fold")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val gm = folds.map(_._3).sum / folds.length
+    def expected(cat: String, fold: Long): Double = {
+      val inCat = folds.filter(_._2 == cat)
+      val oof = inCat.filter(_._4 != fold)
+      val e = (oof.map(_._3).sum + 20 * gm) / (oof.length + 20)
+      BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Analytics.targetEncode(df, "cat", "id", "t")
+      .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got.nonEmpty && got.forall { case ((c, f), (enc, n)) =>
+      math.abs(enc - expected(c, f.toLong)) < 1e-6 &&
+        n == folds.count(r => r._2 == c && r._4 != f.toLong)
+    }, s"OOF encoding replay diverged: $got")
+    // heavy prior crushes category signal toward the global mean
+    val heavy = Analytics.targetEncode(df, "cat", "id", "t",
+      priorWeight = 1000000).collect().map(_.getDouble(2))
+    assert(heavy.forall(e => math.abs(e - gm) < 0.1),
+      "priorWeight >> n must pull encodings to the global mean")
+  }
+
   test("activeUsers: WAU carries 7 days, dead days stay in the spine, edge clips") {
     import spark.implicits._
     import java.sql.Timestamp
