@@ -780,6 +780,79 @@ object TextAnalysis {
     vocabCoverage(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("rank"))
 
+  // -------------------------------------------------------- BPE induction --
+
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+    * subword-vocabulary induction step of every modern tokenizer, run as
+    * iterative Spark jobs (the reference's O12 multi-job driver shape).
+    * Each round counts adjacent symbol pairs weighted by word frequency,
+    * merges the (count DESC, pair ASC) argmax everywhere it occurs
+    * greedily left-to-right, and repeats; the output is the ordered merge
+    * table (step, lhs, rhs, merged, pair_count) a tokenizer replays.
+    *
+    * The corpus collapses ONCE to the word-frequency table (vocab-bounded
+    * — the 100 TB contract: every round thereafter touches |vocab| rows,
+    * never the corpus; the per-round driver traffic is the single argmax
+    * row). Words are lowercase-alpha only ([a-z]+): that is the symbol-
+    * alphabet contract that keeps merge literals safely embeddable in
+    * both engines' fold expressions (no metacharacters, and the '!'
+    * merge marker stays outside the alphabet).
+    *
+    * The greedy merge is the SAME delimited-string fold in both engines
+    * (aggregate() here, list_reduce in the oracle): symbols join on the
+    * U+001F unit separator; a tail matching lhs followed by rhs rewrites to merged+'!'
+    * (the marker blocks a freshly-merged symbol from re-merging — the
+    * run-parity rule aaaa→[aa][aa]); markers strip at the end. Each round
+    * checkpoints the |vocab| frame and releases the previous one. */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"bpeMerges: rounds must be in [1, 64], got $rounds")
+    val s = docs.sparkSession
+    val sep = "\u001f"
+    var words = docs
+      .select(explode(expr(
+        s"filter(split(lower($textCol), '[^a-z]+'), w -> w != '')")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("syms", expr("filter(split(w, ''), c -> c != '')"))
+      .localCheckpoint()
+    val recs = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      val top = words
+        .select(col("n"), explode(expr(
+          // sequence(1, 0) counts DOWN in Spark — a 1-symbol word must
+          // yield an empty pair array, not an out-of-bounds probe.
+          """CASE WHEN size(syms) >= 2
+             THEN transform(sequence(1, size(syms) - 1),
+                            i -> struct(syms[i-1] as l, syms[i] as r))
+             ELSE array() END""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        recs += ((r, a, b, a + b, cnt))
+        val fold = s"""aggregate(syms, '', (acc, x) ->
+          CASE WHEN endswith(acc, '$sep$a') AND x = '$b'
+               THEN concat(left(acc, length(acc) - ${a.length + 1}), '$sep$a$b!')
+               ELSE concat(acc, '$sep', x) END)"""
+        val next = words
+          .withColumn("syms", expr(
+            s"filter(split(replace($fold, '!', ''), '$sep'), t -> t != '')"))
+          .localCheckpoint()
+        graft.operators.Dedup.unpersistBlocks(words)
+        words = next
+      }
+    }
+    graft.operators.Dedup.unpersistBlocks(words)
+    import s.implicits._
+    recs.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  private val q176: Q = (s, d) =>
+    bpeMerges(Tables.documents(s, d), "text").orderBy(col("step"))
+
   // ------------------------------------------------------- corpus mixing --
 
   /** Deterministic corpus mixture resampling — the "data mixing" step of
@@ -1182,6 +1255,7 @@ object TextAnalysis {
     invertedIndex(Tables.documents(s, d), "doc_id", "text")
 
   val queries: Map[String, Q] = Map(
+    "q176_bpe_merges" -> q176,
     "q122_boilerplate" -> q122,
     "q123_char_entropy" -> q123,
     "q126_pmi" -> q126,
@@ -1214,7 +1288,43 @@ object TextAnalysis {
     "q107_lm_quality" -> q107,
   )
 
+  /** The q176 oracle, generated per round: pair counts from the previous
+    * round's symbol lists, the (cnt DESC, l, r) argmax, and the IDENTICAL
+    * delimited-string greedy fold via list_reduce (lhs/rhs enter as column
+    * refs, so no literal-escaping concern on the SQL side at all). */
+  private def bpeOracleSql(rounds: Int): String = {
+    val sep = ""
+    def mergeExpr(prev: String) = s"""list_filter(string_split(replace(
+      list_reduce(list_prepend('', $prev.syms),
+        (acc, x) -> CASE WHEN ends_with(acc, '$sep' || m.l) AND x = m.r
+                    THEN left(acc, CAST(length(acc) - length(m.l) - 1 AS INT))
+                         || '$sep' || m.l || m.r || '!'
+                    ELSE acc || '$sep' || x END), '!', ''), '$sep'),
+      t -> t <> '')"""
+    val init = s"""w0 AS (
+      SELECT w, count(*) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS w FROM documents) GROUP BY w),
+    s0 AS (SELECT w, n, list_filter(string_split(w, ''), c -> c <> '') AS syms
+           FROM w0)"""
+    val roundCtes = (1 to rounds).map { k =>
+      val p = k - 1
+      s"""p$k AS (
+      SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        SELECT n, unnest(list_transform(range(2, len(syms) + 1),
+               i -> struct_pack(l := syms[i-1], r := syms[i]))) AS u
+        FROM s$p) GROUP BY 1, 2),
+    m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+    s$k AS (SELECT w, n, ${mergeExpr(s"s$p")} AS syms FROM s$p, m$k m)"""
+    }
+    val unions = (1 to rounds).map { k =>
+      s"SELECT $k AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM m$k"
+    }.mkString("\n    UNION ALL\n    ")
+    s"WITH ${(init +: roundCtes).mkString(",\n    ")}\n    $unions\n    ORDER BY step"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q176_bpe_merges" -> bpeOracleSql(6),
     // Replays removeBoilerplate: same non-overlapping token windows (list
     // slices clamp like Spark's slice), df over md5 digests, NOT-IN
     // anti-join, ordered string_agg reassembly. Counts are HUGEINT in

@@ -637,6 +637,21 @@ class PipelineOpsSpec extends SparkSpec {
       "sort-key adjacency must catch the short-prefix variant")
   }
 
+  test("bpeMerges: hand-replayed rounds — greedy runs, multi-char merges, tie order") {
+    import spark.implicits._
+    // corpus: "abab abab aaaa cd" -> pairs r1: (a,b)x4, (b,a)x2, (a,a)x3,
+    // (c,d)x1 -> merge1 = ab(4). r2 symbols: [ab,ab]x2, [a,a,a,a], [c,d]:
+    // pairs (ab,ab)x2, (a,a)x3, (c,d)x1 -> merge2 = aa(3) (greedy run
+    // aaaa -> [aa][aa]). r3: (ab,ab)x2, (aa,aa)x1, (c,d)x1 -> merge3 =
+    // abab(2). r4: (aa,aa)x1, (c,d)x1 -> tie: (aa,aa) < (c,d) -> aaaa.
+    val docs = Seq("abab abab aaaa cd", "").toDF("text")
+    val out = TextAnalysis.bpeMerges(docs, "text", rounds = 4)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toList
+    assert(out == List((1, "ab", 4L), (2, "aa", 3L), (3, "abab", 2L),
+      (4, "aaaa", 1L)), s"BPE replay diverged: $out")
+  }
+
   test("containmentJoin: quote detected one direction; equals brute force; short docs drop") {
     import spark.implicits._
     val quote = "alpha beta gamma delta epsilon"
