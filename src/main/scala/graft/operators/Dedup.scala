@@ -352,58 +352,73 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** Exact-threshold set-similarity self-join via PREFIX FILTERING (the
-    * All-Pairs / PPJoin candidate scheme, Bayardo et al. WWW'07) — every
+  /** Exact-threshold set-similarity self-join via PIGEONHOLE SIGNATURE
+    * partitioning (the PartEnum family, Arasu et al. VLDB'06) — every
     * pair of documents whose distinct-token sets have Jaccard ≥ jNum/jDen,
     * with NO df cap and NO approximation: the complement to
     * [[ngramJaccard]] (capped postings) and [[minHashLsh]] (probabilistic).
     *
-    * Tokens order globally by (document frequency ASC, token) — rarest
-    * first. Each document keeps only its PREFIX of that ordering,
-    * p = |s| − ⌈τ·|s|⌉ + 1 tokens, as index postings; the PPJoin lemma
-    * guarantees any pair with J ≥ τ shares at least one prefix token, so
-    * the equality join on prefix postings is a COMPLETE candidate set.
-    * Exact Jaccard then verifies each candidate from the two full token
-    * arrays map-side (array_intersect on broadcast-free joined rows).
+    * Why not prefix filtering: All-Pairs/PPJoin keys candidates on single
+    * tokens, and on a homogeneous corpus (tiny shared vocabulary — the
+    * regime this operator is gated on) even the globally rarest token
+    * carries thousands of prefix postings, so the candidate join goes
+    * Σ df² ≈ n² (measured: one hot token = 3 816 postings → 14.6M join
+    * rows from that key alone at sf0.1; 45M total, 73 s). Pigeonhole
+    * partitioning keys candidates on WHOLE part-content digests instead:
+    * J ≥ τ bounds the symmetric difference by
+    * d ≤ (|A|+|B|)(1−τ)/(1+τ) ≤ k = ⌊2·maxSz·(jDen−jNum)/(jDen+jNum)⌋,
+    * so hashing the token UNIVERSE into m = k+1 parts leaves at least one
+    * part untouched by the difference — the two sets have IDENTICAL
+    * content in that part (possibly both-empty), and the equality join on
+    * (part, md5(sorted part content)) is a COMPLETE candidate set. A
+    * digest only gets hot when many documents share identical part
+    * content — near-duplicate families that belong in the output anyway.
+    * (Degenerate corpora whose sets are far smaller than m leave most
+    * parts empty and degrade toward all-pairs among the empty-part docs;
+    * the both-empty signature cannot be dropped without losing
+    * completeness.)
     *
-    * The prefix length is computed in exact integer arithmetic —
-    * p = sz − (sz·jNum + jDen − 1) div jDen + 1 — because a float
-    * ⌈0.9·sz⌉ rounds up on binary-inexact products and would silently
-    * shorten the prefix below the completeness bound.
+    * k derives from the corpus MAX set size in exact integer arithmetic
+    * (floats would round the bound the wrong way); the size-ratio filter
+    * sz·jNum ≤ sz'·jDen (both directions) prunes at join time. Exact
+    * Jaccard then verifies each candidate from the two full token arrays
+    * map-side (array_intersect on the joined rows).
     *
-    * Scale (100 TB posture): the index shuffle carries only prefix
-    * postings (≈ (1−τ)·|s| + 1 per doc — at τ=0.9 a ~10× posting
-    * reduction), keyed on each document's RAREST tokens, so hot tokens
-    * never become hot join keys unless they are rare within their own
-    * documents; comparison volume is Σ|posting-list|² over rare tokens,
-    * never n². Verification is one candidate-keyed join + a per-pair
-    * O(|s|) intersect — no second shuffle of the corpus. */
+    * Scale (100 TB posture): the signature shuffle carries m digests per
+    * document (each 32 chars — token text never shuffles after the digest
+    * build); comparison volume is Σ|signature-group|², and signature
+    * groups are near-dup families, never vocabulary hot spots. One
+    * candidate-keyed join + a per-pair O(|s|) intersect — no second
+    * shuffle of the corpus. */
   def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
       jNum: Int = 9, jDen: Int = 10): DataFrame = {
     require(jNum >= 1 && jNum <= jDen,
       s"setSimilarityJoin: threshold must be in (0,1], got $jNum/$jDen")
-    val toks = df.select(col(idCol).as("id"),
-        explode(array_distinct(expr(toksExpr(textCol)))).as("tok"))
-    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df_"))
-    // Per-doc token array in global (df, tok) order + its prefix length.
-    // Checkpointed once: the posting explode and both verify branches read it.
-    val ordered = toks.join(dfreq, "tok")
-      .groupBy(col("id"))
-      .agg(expr("transform(array_sort(collect_list(struct(df_, tok))), x -> x.tok)")
-        .as("stoks"))
-      .select(col("id"), col("stoks"), size(col("stoks")).cast("long").as("sz"))
-      .withColumn("p",
-        col("sz") - expr(s"(sz * $jNum + ${jDen - 1}) div $jDen") + 1L)
+    val sets = df.select(col(idCol).as("id"),
+        expr(s"array_sort(array_distinct(${toksExpr(textCol)}))").as("stoks"))
+      .filter(size(col("stoks")) > 0)
+      .withColumn("sz", size(col("stoks")).cast("long"))
       .localCheckpoint()
-    val pre = ordered
-      .select(col("id"), explode(expr("slice(stoks, 1, cast(p as int))")).as("tok"))
-    val cands = pre.as("x").join(pre.as("y"),
-        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
+    val maxSz = sets.agg(max(col("sz"))).head().getLong(0)
+    val m = (2L * maxSz * (jDen - jNum) / (jDen + jNum)).toInt + 1
+    val sigs = sets
+      .select(col("id"), col("sz"),
+        explode(expr(
+          s"""transform(sequence(0, ${m - 1}), part -> struct(part,
+              md5(concat_ws('\\u001f',
+                filter(stoks, t -> pmod(xxhash64(t), $m) = part))) as sig))"""))
+        .as("ps"))
+      .select(col("id"), col("sz"), col("ps.part").as("part"), col("ps.sig").as("sig"))
+    val cands = sigs.as("x").join(sigs.as("y"),
+        col("x.part") === col("y.part") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id") &&
+          col("x.sz") * jNum <= col("y.sz") * jDen &&
+          col("y.sz") * jNum <= col("x.sz") * jDen)
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
     cands
-      .join(ordered.select(col("id").as("id1"), col("stoks").as("s1"), col("sz").as("sz1")), "id1")
-      .join(ordered.select(col("id").as("id2"), col("stoks").as("s2"), col("sz").as("sz2")), "id2")
+      .join(sets.select(col("id").as("id1"), col("stoks").as("s1"), col("sz").as("sz1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("stoks").as("s2"), col("sz").as("sz2")), "id2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       .withColumn("jaccard", round(col("inter").cast("double")
         / (col("sz1") + col("sz2") - col("inter")), 4))

@@ -245,16 +245,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture must actually exercise the threshold")
   }
 
-  test("setSimilarityJoin: prefix postings shrink the index ~(1-tau)x") {
+  test("setSimilarityJoin: signature join keys on digests, not tokens; dups survive") {
     import spark.implicits._
-    // 40 docs × 20 distinct tokens each; at τ=0.9 each doc indexes
-    // p = 20 − 18 + 1 = 3 postings — the shuffle carries 3/20 of the corpus.
+    // The hot-token regime that breaks prefix filtering: every doc shares
+    // token 'hot'. The signature join must key on whole part-content
+    // digests, so 'hot' alone never becomes a join key — only docs with an
+    // identical part survive to verify.
     val docs = (1L to 40L).map { i =>
-      (i, (0 until 20).map(t => s"t${(i + t) % 50}").mkString(" "))
+      (i, s"hot u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h u${i}i")
     }.toDF("doc_id", "text")
+    val out = Dedup.setSimilarityJoin(docs, "doc_id", "text").collect()
+    assert(out.isEmpty, "one shared token must not produce J >= 0.9 pairs")
     val plan = Dedup.setSimilarityJoin(docs, "doc_id", "text")
       .queryExecution.optimizedPlan.toString
-    assert(plan.contains("slice"), "candidate index must explode only the prefix slice")
+    assert(plan.contains("md5") && plan.contains("pmod"),
+      "candidates must join on pigeonhole part digests")
     // identical docs always survive (completeness sanity at the extreme)
     val dup = Seq((1L, "p q r s t u v w x y"), (2L, "p q r s t u v w x y"))
       .toDF("doc_id", "text")
