@@ -447,8 +447,11 @@ object Dedup {
       cNum: Int = 4, cDen: Int = 5): DataFrame = {
     require(cNum >= 1 && cNum <= cDen,
       s"containmentJoin: threshold must be in (0,1], got $cNum/$cDen")
+    // checkpointed: df build, the ordered arrays, and the candidate probe
+    // all read it — without this the shingle explode + md5 runs three times
     val dig = shingled(df, idCol, textCol)
       .select(col(idCol).as("id"), md5(col("sh")).as("h"))
+      .localCheckpoint()
     val dfreq = dig.groupBy(col("h")).agg(count(lit(1)).as("df_"))
     val ordered = dig.join(dfreq, "h")
       .groupBy(col("id"))
