@@ -342,6 +342,48 @@ object Graph {
     labels
   }
 
+  /** Two-layer neighborhood feature aggregation — the message-passing
+    * primitive GNN feature pipelines run at scale (GraphSAGE/GCN style,
+    * sum aggregator, WITH repetition — layer 2 aggregates the neighbors'
+    * layer-1 aggregates, not the distinct 2-hop set, which is what makes
+    * each layer ONE equality join + one keyed sum instead of a transitive
+    * closure). Output per node: degree, 1-hop feature sum, 2-hop sum.
+    *
+    * Features ride as DECIMAL(14,2): layer sums stay exact under any
+    * join/aggregation order, so the gate needs no FP tolerance at all.
+    * Scale shape: symmetrized distinct edge list checkpointed once; each
+    * layer shuffles on the node id only (the feature column is the only
+    * payload); hub fan-out is bounded by the edge list itself — the same
+    * cost PageRank's rank propagation pays per round. */
+  def neighborhoodAgg(edges: DataFrame, src: String, dst: String,
+      features: DataFrame, nodeCol: String, featCol: String): DataFrame = {
+    val e = edges.select(col(src).as("a"), col(dst).as("b"))
+    val und = e.unionAll(e.select(col("b"), col("a")))
+      .distinct().localCheckpoint()
+    val f = features.select(col(nodeCol).as("n"),
+      col(featCol).cast("decimal(14,2)").as("f"))
+    val h1 = und.join(f, col("b") === col("n"))
+      .groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"), sum(col("f")).as("h1"))
+      .localCheckpoint()
+    val h2 = und.join(h1.select(col("node").as("b2"), col("h1").as("nh1")),
+        col("b") === col("b2"))
+      .groupBy(col("a").as("node"))
+      .agg(sum(col("nh1")).as("h2"))
+    h1.join(h2, "node")
+      .select(col("node"), col("deg"), col("h1"), col("h2"))
+  }
+
+  private val q177: Q = (s, d) => {
+    val feats = Tables.customer(s, d)
+      .select(concat(lit("c:"), col("c_custkey")).as("n"),
+        col("c_acctbal").as("f"))
+      .unionAll(Tables.supplier(s, d)
+        .select(concat(lit("s:"), col("s_suppkey")), col("s_acctbal")))
+    neighborhoodAgg(custSuppEdges(s, d), "src", "dst", feats, "n", "f")
+      .orderBy(col("node"))
+  }
+
   private val q110: Q = (s, d) =>
     pageRank(custSuppEdges(s, d), "src", "dst")
 
@@ -366,6 +408,7 @@ object Graph {
     "q139_bfs_paths" -> q139,
     "q156_kcore" -> q156,
     "q161_label_propagation" -> q161,
+    "q177_neighborhood_agg" -> q177,
   )
 
   /** The oracle replays the integer recurrence with DuckDB's `//` floor
@@ -396,6 +439,27 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // Replays the two message-passing layers: symmetrized distinct edges,
+    // exact decimal feature sums layer over layer.
+    "q177_neighborhood_agg" -> """
+      WITH e0 AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                                  's:' || CAST(l_suppkey AS VARCHAR) AS b
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                  WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'),
+      und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      f AS (SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS n,
+                   CAST(c_acctbal AS DECIMAL(14,2)) AS f FROM customer
+            UNION ALL
+            SELECT 's:' || CAST(s_suppkey AS VARCHAR),
+                   CAST(s_acctbal AS DECIMAL(14,2)) FROM supplier),
+      h1 AS (SELECT und.a AS node, CAST(count(*) AS BIGINT) AS deg,
+                    sum(f.f) AS h1
+             FROM und JOIN f ON und.b = f.n GROUP BY und.a),
+      h2 AS (SELECT und.a AS node, sum(h1.h1) AS h2
+             FROM und JOIN h1 ON und.b = h1.node GROUP BY und.a)
+      SELECT h1.node, h1.deg, h1.h1, h2.h2
+      FROM h1 JOIN h2 ON h1.node = h2.node
+      ORDER BY h1.node""",
     "q110_pagerank" -> pagerankSql(3, 85),
     // Replays BFS levels by the INDEPENDENT recursive-CTE formulation:
     // (node, walk-length) pairs with UNION dedup, min(dist) per node ≡

@@ -144,4 +144,22 @@ class GraphSpec extends SparkSpec {
     assert(r1.filter(_._1.startsWith("b")).values.toSet == Set("b1"))
     assert(r1 == run(edges.repartition(16)))
   }
+
+  test("neighborhoodAgg: hand replay on a path; duplicate edges collapse; exact sums") {
+    import spark.implicits._
+    // path a - b - c (with the a-b edge duplicated and reversed once),
+    // features a=1.10, b=2.20, c=4.40
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"))
+      .toDF("s", "t")
+    val feats = Seq(("a", 1.10), ("b", 2.20), ("c", 4.40)).toDF("n", "f")
+    val out = Graph.neighborhoodAgg(edges, "s", "t", feats, "n", "f")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).toPlainString, r.getDecimal(3).toPlainString))
+      .toMap
+    // h1: a=f(b)=2.20, b=f(a)+f(c)=5.50, c=f(b)=2.20
+    // h2: a=h1(b)=5.50, b=h1(a)+h1(c)=4.40, c=h1(b)=5.50
+    assert(out("a") == (1L, "2.20", "5.50"), s"a diverged: ${out("a")}")
+    assert(out("b") == (2L, "5.50", "4.40"), s"b diverged: ${out("b")}")
+    assert(out("c") == (1L, "2.20", "5.50"), s"c diverged: ${out("c")}")
+  }
 }
