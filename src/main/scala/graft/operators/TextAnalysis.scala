@@ -805,6 +805,43 @@ object TextAnalysis {
     * run-parity rule aaaa→[aa][aa]); markers strip at the end. Each round
     * checkpoints the |vocab| frame and releases the previous one. */
   def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 6): DataFrame = {
+    val (recs, words) = bpeTrain(docs, textCol, rounds)
+    // the merge table is driver-local rows; the word table's final
+    // checkpoint is dead weight on this path
+    graft.operators.Dedup.unpersistBlocks(words)
+    recs
+  }
+
+  /** Subword fertility of the trained BPE vocabulary: per group
+    * (language/domain), words, subword tokens after applying the learned
+    * merges, and fertility = subwords/word — the tokenizer-cost metric
+    * multilingual pipelines budget by (a language at fertility 3 pays 3x
+    * the sequence length of one at 1.2).
+    *
+    * The word->symbol-count table is vocab-bounded and AQE-broadcasts
+    * into the corpus word stream; counts are exact integers and the one
+    * fertility division is a single IEEE op. */
+  def bpeFertility(docs: DataFrame, textCol: String, groupCol: String,
+      rounds: Int = 6): DataFrame = {
+    val wt = bpeTrain(docs, textCol, rounds)._2
+      .select(col("w"), size(col("syms")).cast("long").as("k"))
+    docs.select(col(groupCol).as("grp"), explode(expr(
+        s"filter(split(lower($textCol), '[^a-z]+'), w -> w != '')")).as("w"))
+      .join(wt, "w")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_subwords"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_words"), 6))
+  }
+
+  private val q178: Q = (s, d) =>
+    bpeFertility(Tables.documents(s, d), "text", "lang").orderBy(col("grp"))
+
+  /** The trained state both public forms read: the ordered merge table AND
+    * the post-merge word -> symbols table ([[bpeFertility]] joins the
+    * latter; [[bpeMerges]] emits the former). */
+  private def bpeTrain(docs: DataFrame, textCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 64,
       s"bpeMerges: rounds must be in [1, 64], got $rounds")
     val s = docs.sparkSession
@@ -845,9 +882,8 @@ object TextAnalysis {
         words = next
       }
     }
-    graft.operators.Dedup.unpersistBlocks(words)
     import s.implicits._
-    recs.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+    (recs.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count"), words)
   }
 
   private val q176: Q = (s, d) =>
@@ -1256,6 +1292,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "q176_bpe_merges" -> q176,
+    "q178_bpe_fertility" -> q178,
     "q122_boilerplate" -> q122,
     "q123_char_entropy" -> q123,
     "q126_pmi" -> q126,
@@ -1323,8 +1360,28 @@ object TextAnalysis {
     s"WITH ${(init +: roundCtes).mkString(",\n    ")}\n    $unions\n    ORDER BY step"
   }
 
+  /** The q178 oracle: the same trained CTE chain, joined back into the
+    * corpus word stream for the per-group fertility roll-up. */
+  private def bpeFertilityOracleSql(rounds: Int): String = {
+    val full = bpeOracleSql(rounds)
+    val ctes = full.substring(0, full.lastIndexOf("SELECT 1 AS step"))
+    s"""$ctes,
+    wdocs AS (
+      SELECT lang AS grp,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                    x -> x <> '')) AS w
+      FROM documents),
+    wt AS (SELECT w, len(syms) AS k FROM s$rounds)
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(k) AS BIGINT) AS n_subwords,
+           round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS fertility
+    FROM wdocs JOIN wt USING (w)
+    GROUP BY grp ORDER BY grp"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q176_bpe_merges" -> bpeOracleSql(6),
+    "q178_bpe_fertility" -> bpeFertilityOracleSql(6),
     // Replays removeBoilerplate: same non-overlapping token windows (list
     // slices clamp like Spark's slice), df over md5 digests, NOT-IN
     // anti-join, ordered string_agg reassembly. Counts are HUGEINT in

@@ -657,6 +657,18 @@ class PipelineOpsSpec extends SparkSpec {
       (4, "aaaa", 1L)), s"BPE replay diverged: $out")
   }
 
+  test("bpeFertility: learned merges applied per word; exact counts and division") {
+    import spark.implicits._
+    // same corpus as the bpeMerges spec; after 4 rounds abab -> [abab],
+    // aaaa -> [aaaa], cd -> [c, d]. Corpus words: abab x2, aaaa, cd
+    // -> 4 words, 5 subwords, fertility 1.25.
+    val docs = Seq(("g1", "abab abab aaaa cd")).toDF("lang", "text")
+    val out = TextAnalysis.bpeFertility(docs, "text", "lang", rounds = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toList == List(("g1", 4L, 5L, 1.25)),
+      s"fertility replay diverged: ${out.toList}")
+  }
+
   test("containmentJoin: quote detected one direction; equals brute force; short docs drop") {
     import spark.implicits._
     val quote = "alpha beta gamma delta epsilon"
