@@ -76,6 +76,13 @@ object ExplainDump {
     "q146_binary_source" -> "binaryFile scan over per-blob staged files: pathGlobFilter prunes at listing time; identity from path regex, md5(content) map-side — list, prune, read bytes once",
     "q147_session_funnel" -> "per-event session ids from the ONE user-key sort; funnel stage windows ride the (user, session) sort they created — two bounded-key exchanges total",
     "q149_bloom_filter" -> "ONE md5 per value, k bit positions by the shared K-M derivation; partial DISTINCT bounds every task at ≤ m rows before the single bit exchange; probe joins the ≤ m-row bitset",
+    "q159_setsim_join" -> "pigeonhole signatures: m part digests per doc (32-char md5, token text never shuffles); equality join on (part, sig) + size-ratio prune in the stage; verify joins read the checkpointed sets frame",
+    "q163_sorted_neighborhood" -> "range-partitioned total-order sort + two-pass zipWithIndex rank; adjacent-block pairing as an exploded EQUI-join (an OR-of-equalities here nested-loops to n²); thresholded levenshtein in the stage",
+    "q166_attribution" -> "session ids + both IGNORE NULLS touch windows on ONE user exchange (subset partitioning ⇒ sorts only); two-flag explode — no self-union, no second window pipeline",
+    "q169_skip_stats" -> "two simulated layouts' zone maps as bounded groupBys over zipWithIndex file ranks; broadcast 16-box workload; integer-exact hit counts",
+    "q174_active_users" -> "distinct (user, day) once; WAU = W-day contribution explode + second distinct — the exact rolling-distinct fan-out; day-spine left joins",
+    "q176_bpe_merges" -> "final round of the vocab-bounded iteration: pair explode + |vocab| aggregate + 1-row argmax; greedy merge as a codegen'd aggregate() string fold over the checkpointed word table",
+    "q177_neighborhood_agg" -> "two message-passing layers: node-keyed equality join + exact decimal sum each; symmetrized distinct edge list checkpointed once, read by both layers",
   )
 
   def main(args: Array[String]): Unit = {

@@ -603,6 +603,106 @@ object ScaleSmoke {
       time(s"dupSpans ${k}x (all grams dup)",
         TextAnalysis.dupSpans(blown, "doc_id", "text"))
     }
+    // Round-10b additions (q159 rework + q163..q178). The duplicated
+    // corpus is q159's OUTPUT-quadratic regime by construction (every doc
+    // becomes a K-clique of J=1 pairs — K²/2·n true answers), so the K×
+    // row is expected superlinear in OUTPUT, not in candidate volume; the
+    // signature-group shape is what the row certifies. BPE is the
+    // vocab-bounded flagship: K identical copies leave the word table
+    // bit-identical (only counts scale), so rounds cost the SAME — flat
+    // 1×→K× is the claim.
+    section("setsim") {
+      time("setSimilarityJoin 1x", Dedup.setSimilarityJoin(base, "doc_id", "text"))
+      time(s"setSimilarityJoin ${k}x (K-clique output)",
+        Dedup.setSimilarityJoin(blown, "doc_id", "text"))
+    }
+    section("bpe") {
+      time("bpeMerges 1x", TextAnalysis.bpeMerges(base, "text"))
+      time(s"bpeMerges ${k}x (identical vocab)",
+        TextAnalysis.bpeMerges(blown, "text"))
+      time("bpeFertility 1x", {
+        val d = base.withColumn("lang", lit("x"))
+        TextAnalysis.bpeFertility(d, "text", "lang")
+      })
+    }
+    section("snm") {
+      import graft.operators.Analytics
+      val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_name",
+        "c_nationkey", "c_mktsegment", "c_acctbal")
+      val custBlown = (0 until k).map { c =>
+        cust.select((col("c_custkey") + lit(c * 10000000L)).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      }.reduce(_ union _).localCheckpoint()
+      time("sortedNeighborhood 1x",
+        Dedup.sortedNeighborhood(cust, "c_custkey", "c_name"))
+      time(s"sortedNeighborhood ${k}x (dup names)",
+        Dedup.sortedNeighborhood(custBlown, "c_custkey", "c_name"))
+      time("linkageScore 1x", Dedup.linkageScore(
+        cust.withColumn("bb", floor(col("c_acctbal") / 1000).cast("int")),
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment", "bb")))
+    }
+    section("events10b") {
+      import graft.operators.Analytics
+      val ev8 = Tables.events(spark, sfDir)
+        .select("user_id", "ts", "event_id", "event_type", "value", "props")
+      val ev8Blown = (0 until k).map { c =>
+        ev8.select((col("user_id") + lit(c * 1000000L)).as("user_id"), col("ts"),
+          (col("event_id") + lit(c * 100000000L)).as("event_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ union _).localCheckpoint()
+      time("touchAttribution 1x", Analytics.touchAttribution(ev8, "user_id",
+        "ts", "event_id", "event_type", "purchase", Seq("signup", "view", "click")))
+      time(s"touchAttribution ${k}x (disjoint users)",
+        Analytics.touchAttribution(ev8Blown, "user_id", "ts", "event_id",
+          "event_type", "purchase", Seq("signup", "view", "click")))
+      time("sessionPaths 1x", Analytics.sessionPaths(ev8, "user_id", "ts",
+        "event_id", "event_type"))
+      time(s"sessionPaths ${k}x", Analytics.sessionPaths(ev8Blown, "user_id",
+        "ts", "event_id", "event_type"))
+      time("activeUsers 1x", Analytics.activeUsers(ev8, "user_id", "ts"))
+      time(s"activeUsers ${k}x (20x WAU fan-out)",
+        Analytics.activeUsers(ev8Blown, "user_id", "ts"))
+      time("seasonalDecompose 1x (same grid)",
+        Analytics.seasonalDecompose(ev8, "event_type", "ts", "value"))
+      time(s"seasonalDecompose ${k}x (same grid)",
+        Analytics.seasonalDecompose(ev8Blown, "event_type", "ts", "value"))
+      val withItem = (df: DataFrame) => df.withColumn("item",
+        from_json(col("props"), lit("k INT")).getField("k"))
+      time("coOccurrence 1x", Analytics.coOccurrence(withItem(ev8), "user_id", "item"))
+      time(s"coOccurrence ${k}x (disjoint baskets)",
+        Analytics.coOccurrence(withItem(ev8Blown), "user_id", "item"))
+      time("madOutliers 1x", Analytics.madOutliers(ev8, "event_type", "value", "event_id"))
+      time(s"madOutliers ${k}x", Analytics.madOutliers(ev8Blown, "event_type",
+        "value", "event_id"))
+    }
+    section("gnn") {
+      import graft.operators.Graph
+      val ed = Graph.custSuppEdges(spark, sfDir).localCheckpoint()
+      val edBlown = (0 until k).map { c =>
+        ed.select(concat(lit(s"x$c"), col("src")).as("src"),
+          concat(lit(s"x$c"), col("dst")).as("dst"))
+      }.reduce(_ union _).localCheckpoint()
+      val feats = Tables.customer(spark, sfDir)
+        .select(concat(lit("c:"), col("c_custkey")).as("n"), col("c_acctbal").as("f"))
+        .unionAll(Tables.supplier(spark, sfDir)
+          .select(concat(lit("s:"), col("s_suppkey")), col("s_acctbal")))
+      val featsBlown = (0 until k).map { c =>
+        feats.select(concat(lit(s"x$c"), col("n")).as("n"), col("f"))
+      }.reduce(_ union _).localCheckpoint()
+      time("neighborhoodAgg 1x", Graph.neighborhoodAgg(ed, "src", "dst", feats, "n", "f"))
+      time(s"neighborhoodAgg ${k}x (disjoint copies)",
+        Graph.neighborhoodAgg(edBlown, "src", "dst", featsBlown, "n", "f"))
+    }
+    section("skipstats") {
+      import graft.operators.Layout
+      val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
+      val liBlown = (0 until k).map { c =>
+        li.select((col("l_partkey") + lit(c * 10000000L)).as("l_partkey"),
+          col("l_suppkey"))
+      }.reduce(_ union _).localCheckpoint()
+      time("skipStats 1x", Layout.skipStats(li, "l_partkey", "l_suppkey"))
+      time(s"skipStats ${k}x rows", Layout.skipStats(liBlown, "l_partkey", "l_suppkey"))
+    }
     spark.stop()
   }
 }
