@@ -707,6 +707,52 @@ object Analytics {
       "event_type", "purchase", Seq("signup", "view", "click"))
       .orderBy(col("channel"))
 
+  // ------------------------------------------------------------ grouped AUC --
+
+  /** Grouped ROC-AUC via the tie-aware Mann–Whitney rank-sum identity —
+    * the ranking-quality metric every scoring model ships with:
+    * AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋), with tied scores taking their
+    * average rank.
+    *
+    * Scale shape: the corpus collapses FIRST to (group, score) class
+    * counts — bounded by distinct scores, which is what makes the rank
+    * arithmetic windowable: the per-score average rank is
+    * cum_before + (cnt+1)/2 from a cumulative count over the collapsed
+    * frame, so no per-row ranking window ever touches the corpus. Half
+    * ranks are avoided by carrying DOUBLED ranks (2·cum + cnt + 1) — the
+    * whole identity stays in exact DECIMAL integer arithmetic
+    * (AUC = (2R₊ − n₊(n₊+1)) / (2·n₊·n₋)) until ONE IEEE division,
+    * bit-identical cross-engine before round(6); a decimal division here
+    * would hit the engines' different result-scale rules. Groups with a
+    * single class emit NULL (AUC undefined). */
+  def groupedAuc(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: Column): DataFrame = {
+    val counts = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(scoreCol).cast("double").as("s"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("np_s"),
+        count(lit(1)).as("n_s"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .withColumn("cum", coalesce(sum(col("n_s")).over(w), lit(0L)))
+      .withColumn("rank2", col("cum") * 2 + col("n_s") + 1)
+    ranked.groupBy(col("grp"))
+      .agg(sum(col("np_s").cast("decimal(28,0)") * col("rank2")).as("rpos2"),
+        sum(col("np_s")).as("np"),
+        sum(col("n_s") - col("np_s")).as("nn"))
+      .select(col("grp"), col("np"), col("nn"),
+        when(col("np") > 0 && col("nn") > 0,
+          round((col("rpos2").cast("double")
+            - col("np").cast("double") * (col("np").cast("double") + 1))
+            / (lit(2.0) * col("np").cast("double") * col("nn").cast("double")),
+            6)).as("auc"))
+  }
+
+  private val q179: Q = (s, d) =>
+    groupedAuc(Tables.events(s, d).withColumn("dow", dayofweek(col("ts"))),
+      "dow", "value", col("event_type") === "purchase")
+      .orderBy(col("grp"))
+
   // -------------------------------------------------------- target encoding --
 
   /** K-fold out-of-fold target encoding with additive smoothing — the
@@ -1709,6 +1755,7 @@ object Analytics {
     "q172_mad_outliers" -> q172,
     "q174_active_users" -> q174,
     "q175_target_encode" -> q175,
+    "q179_grouped_auc" -> q179,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -1716,6 +1763,34 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Replays the (group, score) collapse, the doubled-rank cumulative
+    // identity, and the single division; dayofweek: DuckDB is 0-6
+    // Sun-first, Spark 1-7 Sun-first -> +1 aligns them.
+    "q179_grouped_auc" -> """
+      WITH counts AS (
+        SELECT CAST(dayofweek(ts) + 1 AS INT) AS grp, CAST(value AS DOUBLE) AS s,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np_s,
+               count(*) AS n_s
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      ranked AS (
+        SELECT grp, np_s, n_s,
+               coalesce(sum(n_s) OVER (PARTITION BY grp ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum
+        FROM counts),
+      agg AS (
+        SELECT grp,
+               sum(CAST(np_s AS DECIMAL(28,0)) * (cum * 2 + n_s + 1)) AS rpos2,
+               CAST(sum(np_s) AS BIGINT) AS np,
+               CAST(sum(n_s - np_s) AS BIGINT) AS nn
+        FROM ranked GROUP BY grp)
+      SELECT grp, np, nn,
+             CASE WHEN np > 0 AND nn > 0 THEN
+               round((CAST(rpos2 AS DOUBLE)
+                      - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1))
+                     / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+             END AS auc
+      FROM agg ORDER BY grp""",
     // Replays the md5 fold, the decimal fold/category sums, and the two
     // single IEEE divisions (global mean, encoding).
     "q175_target_encode" -> s"""

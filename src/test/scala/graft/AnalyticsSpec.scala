@@ -539,6 +539,24 @@ class AnalyticsSpec extends SparkSpec {
       && solo.head.getDecimal(4).toPlainString == "7.77")
   }
 
+  test("groupedAuc: perfect separation, tie handling, single-class NULL") {
+    import spark.implicits._
+    val rows =
+      // g1: pos {3,4} above neg {1,2} -> AUC 1.0
+      Seq(("g1", 1.0, false), ("g1", 2.0, false), ("g1", 3.0, true), ("g1", 4.0, true),
+        // g2: pos {2,3}, neg {1,2}: wins 3, tie 0.5 of 4 pairs -> 0.875
+        ("g2", 1.0, false), ("g2", 2.0, false), ("g2", 2.0, true), ("g2", 3.0, true),
+        // g3: only negatives -> undefined
+        ("g3", 1.0, false), ("g3", 2.0, false))
+    val out = Analytics.groupedAuc(rows.toDF("g", "score", "lab"),
+      "g", "score", col("lab")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(out("g1") == Some(1.0), s"perfect ranking must score 1.0: $out")
+    assert(out("g2") == Some(0.875), s"tied pair must count half: $out")
+    assert(out("g3").isEmpty, "single-class group must emit NULL")
+  }
+
   test("targetEncode: out-of-fold means replayed in Scala; smoothing pulls to global") {
     import spark.implicits._
     val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd",
