@@ -707,6 +707,64 @@ object Analytics {
       "event_type", "purchase", Seq("signup", "view", "click"))
       .orderBy(col("channel"))
 
+  // ------------------------------------------------------- A/B experiment --
+
+  /** Two-proportion experiment readout — the A/B decision table: per arm
+    * the exposed-user count and conversion rate, plus the treatment-vs-
+    * control absolute lift and the pooled two-proportion z-statistic
+    * (z = (p₁−p₀) / √(p̂(1−p̂)(1/n₀+1/n₁))). Assignment is whatever arm
+    * expression the caller derives — typically the deterministic hash
+    * split (q48's contract), here demonstrated with it.
+    *
+    * Unit = user (conversion deduped per user FIRST — counting events
+    * would let one heavy user move the test). Shape: one distinct
+    * (arm, user, converted?) collapse, one 2-row aggregate, scalar
+    * arithmetic on the 2-row frame. Every statistic is a deterministic
+    * scalar expression over exact counts — IEEE-identical cross-engine
+    * before round(6). */
+  def abTest(df: DataFrame, armCol: Column, userCol: String,
+      convertedCol: Column): DataFrame = {
+    val users = df.filter(col(userCol).isNotNull)
+      .groupBy(armCol.as("arm"), col(userCol).as("u"))
+      .agg(max(when(convertedCol, 1L).otherwise(0L)).as("conv"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .withColumn("rate",
+        round(col("n_conv").cast("double") / col("n_users"), 6))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n_users").as("n0"), col("n_conv").as("c0"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("n_users").as("n1"), col("n_conv").as("c1"))
+    // z is undefined when the pooled rate saturates at 0 or 1 (the √0
+    // denominator; under ANSI even double division throws) — NULL there.
+    val pooled = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+    val stats = a.crossJoin(b)
+      .select(
+        round(col("c1").cast("double") / col("n1")
+          - col("c0").cast("double") / col("n0"), 6).as("lift"),
+        when(col("c0") + col("c1") > 0 &&
+            col("c0") + col("c1") < col("n0") + col("n1"),
+          round((col("c1").cast("double") / col("n1")
+            - col("c0").cast("double") / col("n0"))
+            / sqrt(pooled * (lit(1.0) - pooled)
+              * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6)).as("z"))
+    arms.crossJoin(broadcast(stats))
+      .select(col("arm"), col("n_users"), col("n_conv"), col("rate"),
+        col("lift"), col("z"))
+  }
+
+  // the fixture's users ALL purchase eventually (saturated pooled rate →
+  // z undefined), so the experiment unit is the user-DAY: does this
+  // user convert today? Arms still split by USER (consistent exposure).
+  private val q180: Q = (s, d) =>
+    abTest(
+      Tables.events(s, d).filter(col("user_id").isNotNull)
+        .withColumn("unit",
+          concat_ws("_", col("user_id"), to_date(col("ts")))),
+      expr(s"pmod(${graft.operators.CrossHash.h60Expr("user_id")}, 2)"),
+      "unit", col("event_type") === "purchase")
+      .orderBy(col("arm"))
+
   // ------------------------------------------------------------ grouped AUC --
 
   /** Grouped ROC-AUC via the tie-aware Mann–Whitney rank-sum identity —
@@ -1756,6 +1814,7 @@ object Analytics {
     "q174_active_users" -> q174,
     "q175_target_encode" -> q175,
     "q179_grouped_auc" -> q179,
+    "q180_ab_test" -> q180,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -1763,6 +1822,31 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Replays the per-user conversion collapse, the md5 arm split, and
+    // the pooled two-proportion arithmetic with identical operand order.
+    "q180_ab_test" -> s"""
+      WITH users AS (
+        SELECT ${h60("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+               user_id || '_' || CAST(ts AS DATE) AS u,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      arms AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_conv,
+               round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS rate
+        FROM users GROUP BY arm),
+      a AS (SELECT n_users AS n0, n_conv AS c0 FROM arms WHERE arm = 0),
+      b AS (SELECT n_users AS n1, n_conv AS c1 FROM arms WHERE arm = 1),
+      stats AS (
+        SELECT round(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 6)
+                 AS lift,
+               round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z
+        FROM a, b)
+      SELECT arm, n_users, n_conv, rate, lift, z
+      FROM arms, stats ORDER BY arm""",
     // Replays the (group, score) collapse, the doubled-rank cumulative
     // identity, and the single division; dayofweek: DuckDB is 0-6
     // Sun-first, Spark 1-7 Sun-first -> +1 aligns them.

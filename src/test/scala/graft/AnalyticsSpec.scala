@@ -539,6 +539,29 @@ class AnalyticsSpec extends SparkSpec {
       && solo.head.getDecimal(4).toPlainString == "7.77")
   }
 
+  test("abTest: hand-computed lift and z; events dedup per unit; saturated z is NULL") {
+    import spark.implicits._
+    // arm 0: 4 units, 1 converted; arm 1: 4 units, 3 converted (unit 11
+    // converts via its SECOND event -> per-unit max, not event counts).
+    val rows = Seq((1L, false), (2L, false), (3L, false), (4L, true),
+      (11L, false), (11L, true), (12L, true), (13L, true), (14L, false))
+    val df = rows.toDF("u", "conv")
+    val out = Analytics.abTest(df, (col("u") >= 10).cast("long"), "u", col("conv"))
+      .orderBy(col("arm")).collect()
+    val p0 = 1.0 / 4; val p1 = 3.0 / 4; val pooled = 4.0 / 8
+    val z = (p1 - p0) / math.sqrt(pooled * (1 - pooled) * (1.0 / 4 + 1.0 / 4))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 4L))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.25, 0.75))
+    assert(out.forall(r => r.getDouble(4) == 0.5 && r.getDouble(5) == r6(z)),
+      s"stats diverged: ${out.toSeq}, want z=${r6(z)}")
+    // all units converted -> pooled rate 1 -> z undefined, lift still 0
+    val sat = Seq((1L, true), (2L, true)).toDF("u", "conv")
+    val satOut = Analytics.abTest(sat, col("u") % 2, "u", col("conv")).collect()
+    assert(satOut.forall(r => r.isNullAt(5) && r.getDouble(4) == 0.0),
+      s"saturated pool must NULL the z: ${satOut.toSeq}")
+  }
+
   test("groupedAuc: perfect separation, tie handling, single-class NULL") {
     import spark.implicits._
     val rows =
