@@ -707,6 +707,45 @@ object Analytics {
       "event_type", "purchase", Seq("signup", "view", "click"))
       .orderBy(col("channel"))
 
+  // ------------------------------------------------------ calibration bins --
+
+  /** Calibration (reliability) bins — the third leg of the eval trio
+    * (q179 AUC ranks, q180 tests, this measures whether scores MEAN what
+    * they say): equal-width score bins over the observed [min, max], each
+    * with its exposure count, mean score, and observed positive rate.
+    * A calibrated scorer has mean_score ≈ pos_rate per bin.
+    *
+    * Bin assignment is floor((s − min)/width) on identical doubles —
+    * deterministic cross-engine; the top edge clamps into the last bin.
+    * Scores sum as DECIMAL (order-free exact); mean and rate are one IEEE
+    * division each. Shape: one 2-scalar bounds aggregate broadcast, one
+    * bins-bounded aggregate. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibrationBins: bins must be >= 2, got $bins")
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("s"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+    val bounds = base.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(
+            floor((col("s") - col("lo")) * bins / (col("hi") - col("lo"))),
+            lit(bins - 1)).cast("int")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("s").cast("decimal(14,2)")).as("score_sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("score_sum").cast("double") / col("n"), 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
+  }
+
+  private val q181: Q = (s, d) =>
+    calibrationBins(Tables.events(s, d), "value",
+      col("event_type") === "purchase")
+      .orderBy(col("bin"))
+
   // ------------------------------------------------------- A/B experiment --
 
   /** Two-proportion experiment readout — the A/B decision table: per arm
@@ -1815,6 +1854,7 @@ object Analytics {
     "q175_target_encode" -> q175,
     "q179_grouped_auc" -> q179,
     "q180_ab_test" -> q180,
+    "q181_calibration" -> q181,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -1822,6 +1862,25 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Replays bounds, the identical ((s-lo)*bins)/(hi-lo) bin arithmetic,
+    // decimal score sums, and the two divisions.
+    "q181_calibration" -> """
+      WITH base AS (
+        SELECT CAST(value AS DOUBLE) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL),
+      b AS (SELECT min(s) AS lo, max(s) AS hi FROM base),
+      binned AS (
+        SELECT CASE WHEN hi = lo THEN 0
+                    ELSE CAST(least(floor((s - lo) * 10 / (hi - lo)), 9) AS INT)
+               END AS bin, y, s
+        FROM base, b)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             round(CAST(sum(CAST(s AS DECIMAL(14,2))) AS DOUBLE) / count(*), 6)
+               AS mean_score,
+             round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+      FROM binned GROUP BY bin ORDER BY bin""",
     // Replays the per-user conversion collapse, the md5 arm split, and
     // the pooled two-proportion arithmetic with identical operand order.
     "q180_ab_test" -> s"""

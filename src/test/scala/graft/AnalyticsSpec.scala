@@ -539,6 +539,22 @@ class AnalyticsSpec extends SparkSpec {
       && solo.head.getDecimal(4).toPlainString == "7.77")
   }
 
+  test("calibrationBins: edges clamp, degenerate range, exact rates") {
+    import spark.implicits._
+    // scores 0..10 over 2 bins: [0,5) -> bin0 (0..4), [5,10] -> bin1
+    // (5..10, max clamps); positives = score >= 8.
+    val df = (0 to 10).map(i => (i.toDouble, i >= 8)).toDF("s", "y")
+    val out = Analytics.calibrationBins(df, "s", col("y"), bins = 2)
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toList == List((0, 5L, 0L, 2.0, 0.0), (1, 6L, 3L, 7.5, 0.5)),
+      s"calibration replay diverged: ${out.toList}")
+    // constant score -> single bin 0, no division by zero width
+    val const = Seq((1.0, true), (1.0, false)).toDF("s", "y")
+    val c = Analytics.calibrationBins(const, "s", col("y")).collect()
+    assert(c.length == 1 && c.head.getInt(0) == 0 && c.head.getDouble(4) == 0.5)
+  }
+
   test("abTest: hand-computed lift and z; events dedup per unit; saturated z is NULL") {
     import spark.implicits._
     // arm 0: 4 units, 1 converted; arm 1: 4 units, 3 converted (unit 11
