@@ -62,4 +62,42 @@ class PartitionInvarianceSpec extends SparkSpec {
     val b = rows(Dedup.simHashDedup(docs.repartition(7), "doc_id", "text"))
     assert(a == b)
   }
+
+  // Round-10b exact operators. sortedNeighborhood's global rank is the
+  // partition-sensitive machinery under test (range partition + two-pass
+  // zipWithIndex over a TOTAL order — a partial order would let the rank,
+  // and thus the window pairs, drift with the input layout).
+  test("sortedNeighborhood pairs are partition-invariant") {
+    def cust = Tables.customer(spark, sf0001)
+    val a = rows(Dedup.sortedNeighborhood(cust, "c_custkey", "c_name"))
+    val b = rows(Dedup.sortedNeighborhood(cust.repartition(7), "c_custkey", "c_name"))
+    assert(a == b)
+  }
+
+  test("setSimilarityJoin (pigeonhole) is partition-invariant") {
+    val a = rows(Dedup.setSimilarityJoin(docs, "doc_id", "text"))
+    val b = rows(Dedup.setSimilarityJoin(docs.repartition(7), "doc_id", "text"))
+    assert(a == b)
+  }
+
+  test("containmentJoin is partition-invariant") {
+    val a = rows(Dedup.containmentJoin(docs, "doc_id", "text"))
+    val b = rows(Dedup.containmentJoin(docs.repartition(7), "doc_id", "text"))
+    assert(a == b)
+  }
+
+  test("bpeMerges is partition-invariant") {
+    val a = rows(TextAnalysis.bpeMerges(docs, "text", rounds = 3))
+    val b = rows(TextAnalysis.bpeMerges(docs.repartition(7), "text", rounds = 3))
+    assert(a == b)
+  }
+
+  test("groupedAuc is partition-invariant") {
+    import org.apache.spark.sql.functions._
+    def ev = Tables.events(spark, sf0001)
+    def auc(df: DataFrame) = Analytics.groupedAuc(
+      df.withColumn("dow", dayofweek(col("ts"))), "dow", "value",
+      col("event_type") === "purchase")
+    assert(rows(auc(ev)) == rows(auc(ev.repartition(7))))
+  }
 }
