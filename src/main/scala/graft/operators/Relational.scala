@@ -482,6 +482,25 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** XML source/sink round-trip (Spark 4's NATIVE xml data source — no
+    * external package): customer → row-tagged XML files → schema-forced
+    * read back → the same rollup q93 gates ORC with. Certifies type
+    * fidelity through the XML writer/parser end-to-end; rowTag is the
+    * only option the format needs, and the explicit schema keeps the
+    * read lossless (XML, like CSV/JSON, is schemaless on read). */
+  private val q182: Q = (s, d) => {
+    val tmp = graft.sources.Sources.staging("xml_q182")
+    val cust = Tables.customer(s, d)
+    cust.write.format("xml").option("rowTag", "customer")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(tmp)
+    s.read.format("xml").option("rowTag", "customer")
+      .schema(cust.schema).load(tmp)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** JDBC source/sink under the gate (embedded Derby — the one database in
     * this container): customer → JDBC table → PARTITIONED jdbc scan back
     * (4 range queries on c_custkey, the cluster-parallel read form) →
@@ -894,6 +913,7 @@ object Relational {
     "q29_csv_scan" -> q29,
     "q30_json_scan" -> q30,
     "q93_orc_scan" -> q93,
+    "q182_xml_scan" -> q182,
     "q94_geomean" -> q94,
     "q77_stats_agg" -> q77,
     "q78_time_range_frame" -> q78,
@@ -1011,6 +1031,12 @@ object Relational {
              round(sum(s_acctbal), 2) AS sum_bal
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q93_orc_scan" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             round(sum(c_acctbal), 2) AS sum_bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // like q93: the oracle reads the PARQUET table — agreement certifies
+    // the XML write+read round-trip was lossless.
+    "q182_xml_scan" -> """
       SELECT c_mktsegment, count(*) AS n,
              round(sum(c_acctbal), 2) AS sum_bal
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",

@@ -32,6 +32,15 @@ class SourcesSpec extends SparkSpec {
     assert(sortedRows(back).sameElements(sortedRows(orig)))
   }
 
+  test("xml round-trip preserves customer (native Spark 4 xml source)") {
+    val orig = Tables.customer(spark, sf0001)
+    orig.write.format("xml").option("rowTag", "customer")
+      .mode("overwrite").save(s"$tmp/customer_xml")
+    val back = spark.read.format("xml").option("rowTag", "customer")
+      .schema(orig.schema).load(s"$tmp/customer_xml")
+    assert(sortedRows(back).sameElements(sortedRows(orig)))
+  }
+
   test("parquet round-trip preserves documents") {
     val orig = Tables.documents(spark, sf0001)
     val back = Sources.roundTrip(spark, orig, "parquet", s"$tmp/documents_pq")
