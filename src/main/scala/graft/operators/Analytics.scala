@@ -707,6 +707,62 @@ object Analytics {
       "event_type", "purchase", Seq("signup", "view", "click"))
       .orderBy(col("channel"))
 
+  // ---------------------------------------------------------- Welch t-test --
+
+  /** Welch's unequal-variance t-test on a per-unit metric — the
+    * continuous-outcome companion to [[abTest]]'s proportions: per arm
+    * n/mean/sample-sd, plus the Welch t statistic and Satterthwaite
+    * degrees of freedom.
+    *
+    * The per-unit metric aggregates FIRST (sum per unit — the same
+    * unit-integrity rule as abTest); arm moments ride DECIMAL sums
+    * (v and v² exact at scale 2/4), and every derived statistic is scalar
+    * IEEE arithmetic over those exact sums with identical operand order
+    * in both engines. Degenerate arms (n < 2 or zero variance in both)
+    * emit NULL t/df. */
+  def welchTest(df: DataFrame, armCol: Column, unitCol: String,
+      valueCol: String): DataFrame = {
+    // the per-unit sum narrows to DECIMAL(18,2): its square is then
+    // (37,4), which BOTH engines hold exactly — squaring the wide sum
+    // type would exceed 38 digits and silently round (engine-divergent)
+    val units = df.filter(col(unitCol).isNotNull)
+      .groupBy(armCol.as("arm"), col(unitCol).as("u"))
+      .agg(sum(col(valueCol).cast("decimal(14,2)"))
+        .cast("decimal(18,2)").as("m"))
+    val arms = units.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+        sum(col("m") * col("m")).as("ss"))
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("vr",
+        when(col("n") > 1,
+          (col("ss").cast("double") - col("n") * col("mean") * col("mean"))
+            / (col("n") - 1)))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n").as("n0"), col("mean").as("m0"), col("vr").as("v0"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("n").as("n1"), col("mean").as("m1"), col("vr").as("v1"))
+    val se2 = col("v0") / col("n0") + col("v1") / col("n1")
+    val stats = a.crossJoin(b).select(
+      when(se2 > 0, round((col("m1") - col("m0")) / sqrt(se2), 6)).as("t"),
+      when(se2 > 0, round(se2 * se2 /
+        ((col("v0") / col("n0")) * (col("v0") / col("n0")) / (col("n0") - 1)
+          + (col("v1") / col("n1")) * (col("v1") / col("n1")) / (col("n1") - 1)),
+        6)).as("df"))
+    arms.crossJoin(broadcast(stats))
+      .select(col("arm"), col("n"),
+        round(col("mean"), 6).as("mean"),
+        round(sqrt(col("vr")), 6).as("sd"), col("t"), col("df"))
+  }
+
+  private val q183: Q = (s, d) =>
+    welchTest(
+      Tables.events(s, d).filter(col("user_id").isNotNull)
+        .withColumn("unit",
+          concat_ws("_", col("user_id"), to_date(col("ts")))),
+      expr(s"pmod(${graft.operators.CrossHash.h60Expr("user_id")}, 2)"),
+      "unit", "value")
+      .orderBy(col("arm"))
+
   // ------------------------------------------------------ calibration bins --
 
   /** Calibration (reliability) bins — the third leg of the eval trio
@@ -1855,6 +1911,7 @@ object Analytics {
     "q179_grouped_auc" -> q179,
     "q180_ab_test" -> q180,
     "q181_calibration" -> q181,
+    "q183_welch_test" -> q183,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -1862,6 +1919,35 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Replays the unit metric, the exact (18,2)/(37,4) decimal moments,
+    // and the Welch scalar chain with identical operand order.
+    "q183_welch_test" -> s"""
+      WITH units AS (
+        SELECT ${h60("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+               user_id || '_' || CAST(ts AS DATE) AS u,
+               CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS m
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      arms AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(m) AS DOUBLE) / count(*) AS mean,
+               CASE WHEN count(*) > 1 THEN
+                 (CAST(sum(m * m) AS DOUBLE)
+                  - count(*) * (CAST(sum(m) AS DOUBLE) / count(*))
+                             * (CAST(sum(m) AS DOUBLE) / count(*)))
+                 / (count(*) - 1) END AS vr
+        FROM units GROUP BY arm),
+      a AS (SELECT n AS n0, mean AS m0, vr AS v0 FROM arms WHERE arm = 0),
+      b AS (SELECT n AS n1, mean AS m1, vr AS v1 FROM arms WHERE arm = 1),
+      stats AS (
+        SELECT CASE WHEN v0 / n0 + v1 / n1 > 0 THEN
+                 round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6) END AS t,
+               CASE WHEN v0 / n0 + v1 / n1 > 0 THEN
+                 round((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
+                   / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                      + (v1 / n1) * (v1 / n1) / (n1 - 1)), 6) END AS df
+        FROM a, b)
+      SELECT arm, n, round(mean, 6) AS mean, round(sqrt(vr), 6) AS sd, t, df
+      FROM arms, stats ORDER BY arm""",
     // Replays bounds, the identical ((s-lo)*bins)/(hi-lo) bin arithmetic,
     // decimal score sums, and the two divisions.
     "q181_calibration" -> """

@@ -539,6 +539,32 @@ class AnalyticsSpec extends SparkSpec {
       && solo.head.getDecimal(4).toPlainString == "7.77")
   }
 
+  test("welchTest: hand-computed t and df; per-unit sums; degenerate NULL") {
+    import spark.implicits._
+    // arm 0 metric sums per unit: {1, 2, 3}; arm 1: {4, 6} (unit 12's
+    // metric arrives as two rows 2+4 -> per-unit sum first)
+    val rows = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0),
+      (11L, 4.0), (12L, 2.0), (12L, 4.0))
+    val out = Analytics.welchTest(rows.toDF("u", "v"),
+      (col("u") >= 10).cast("long"), "u", "v")
+      .orderBy(col("arm")).collect()
+    val (m0, v0, n0) = (2.0, 1.0, 3)
+    val (m1, v1, n1) = (5.0, 2.0, 2)
+    val se2 = v0 / n0 + v1 / n1
+    val t = (m1 - m0) / math.sqrt(se2)
+    val dfW = se2 * se2 / (math.pow(v0 / n0, 2) / (n0 - 1) + math.pow(v1 / n1, 2) / (n1 - 1))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(r => (r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((3L, 2.0), (2L, 5.0)))
+    assert(out.forall(r => r.getDouble(4) == r6(t) && r.getDouble(5) == r6(dfW)),
+      s"Welch stats diverged: ${out.toSeq}; want t=${r6(t)}, df=${r6(dfW)}")
+    // both arms constant -> zero pooled variance -> NULL t/df
+    val const = Seq((1L, 5.0), (2L, 5.0), (11L, 5.0), (12L, 5.0)).toDF("u", "v")
+    val c = Analytics.welchTest(const, (col("u") >= 10).cast("long"), "u", "v").collect()
+    assert(c.forall(r => r.isNullAt(4) && r.isNullAt(5)),
+      s"zero-variance arms must NULL the test: ${c.toSeq}")
+  }
+
   test("calibrationBins: edges clamp, degenerate range, exact rates") {
     import spark.implicits._
     // scores 0..10 over 2 bins: [0,5) -> bin0 (0..4), [5,10] -> bin1
