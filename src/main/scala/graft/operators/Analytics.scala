@@ -707,6 +707,58 @@ object Analytics {
       "event_type", "purchase", Seq("signup", "view", "click"))
       .orderBy(col("channel"))
 
+  // ---------------------------------------------------------- KS drift test --
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the distribution-
+    * drift detector (did this feature's distribution move between
+    * snapshots/arms?): D = max over values of |F̂₁(v) − F̂₀(v)|, located.
+    *
+    * Everything up to the last step is INTEGER-exact: the corpus
+    * collapses to per-value class counts, cumulative counts use the
+    * two-level prefix-sum shape (per-⌊v⌋-bucket local running sums +
+    * broadcast bucket offsets — q140's discipline, never a single-
+    * partition global window), and the sup picks argmax of
+    * |c₁·n₀ − c₀·n₁| in DECIMAL integer arithmetic (the cross-product
+    * overflows 64 bits past ~3·10⁹ rows) with the value as tie-break —
+    * a deterministic TakeOrderedAndProject. ONE IEEE division at the
+    * end. */
+  def ksTest(df: DataFrame, armCol: Column, valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(armCol.cast("long").as("arm"), col(valueCol).cast("double").as("v"))
+    val counts = base.groupBy(col("v"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("d0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("d1"))
+      .withColumn("bucket", floor(col("v")).cast("long"))
+      .localCheckpoint()
+    val wLoc = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = counts
+      .withColumn("l0", sum(col("d0")).over(wLoc))
+      .withColumn("l1", sum(col("d1")).over(wLoc))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.groupBy(col("bucket"))
+      .agg(sum(col("d0")).as("b0"), sum(col("d1")).as("b1"))
+      .withColumn("o0", coalesce(sum(col("b0")).over(wOff), lit(0L)))
+      .withColumn("o1", coalesce(sum(col("b1")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("o0"), col("o1"))
+    val totals = counts.agg(sum(col("d0")).as("n0"), sum(col("d1")).as("n1"))
+    local.join(broadcast(offsets), "bucket").crossJoin(broadcast(totals))
+      .withColumn("dint",
+        abs((col("o1") + col("l1")).cast("decimal(19,0)") * col("n0")
+          - (col("o0") + col("l0")).cast("decimal(19,0)") * col("n1")))
+      .orderBy(col("dint").desc, col("v"))
+      .limit(1)
+      .select(col("n0"), col("n1"), col("v").as("at_v"),
+        round(col("dint").cast("double")
+          / (col("n0").cast("double") * col("n1").cast("double")), 6).as("ks"))
+  }
+
+  private val q184: Q = (s, d) =>
+    ksTest(
+      Tables.events(s, d).filter(col("event_type").isin("click", "purchase")),
+      col("event_type") === "purchase", "value")
+
   // ---------------------------------------------------------- Welch t-test --
 
   /** Welch's unequal-variance t-test on a per-unit metric — the
@@ -1912,6 +1964,7 @@ object Analytics {
     "q180_ab_test" -> q180,
     "q181_calibration" -> q181,
     "q183_welch_test" -> q183,
+    "q184_ks_test" -> q184,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -1919,6 +1972,34 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Replays the per-value class counts, plain global cumulative windows
+    // (the oracle need not be scale-shaped), the integer cross-product
+    // argmax with value tie-break, and the single division.
+    "q184_ks_test" -> """
+      WITH base AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS arm,
+               CAST(value AS DOUBLE) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+          AND value IS NOT NULL),
+      counts AS (
+        SELECT v, sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS d0,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS d1
+        FROM base GROUP BY v),
+      cum AS (
+        SELECT v,
+               sum(d0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c0,
+               sum(d1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1
+        FROM counts),
+      t AS (SELECT CAST(sum(d0) AS BIGINT) AS n0,
+                   CAST(sum(d1) AS BIGINT) AS n1 FROM counts)
+      SELECT n0, n1, v AS at_v,
+             round(CAST(abs(CAST(c1 AS DECIMAL(19,0)) * n0
+                            - CAST(c0 AS DECIMAL(19,0)) * n1) AS DOUBLE)
+                   / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 6) AS ks
+      FROM cum, t
+      ORDER BY abs(CAST(c1 AS DECIMAL(19,0)) * n0
+                   - CAST(c0 AS DECIMAL(19,0)) * n1) DESC, v
+      LIMIT 1""",
     // Replays the unit metric, the exact (18,2)/(37,4) decimal moments,
     // and the Welch scalar chain with identical operand order.
     "q183_welch_test" -> s"""

@@ -539,6 +539,24 @@ class AnalyticsSpec extends SparkSpec {
       && solo.head.getDecimal(4).toPlainString == "7.77")
   }
 
+  test("ksTest: hand-computed sup and location; identical samples give 0") {
+    import spark.implicits._
+    // arm0 = {1,2,3,4}, arm1 = {3,4,5,6}: ECDF gap peaks at v=2
+    // (F0=0.5, F1=0) and stays 0.5 through v in [2,4); sup located at the
+    // SMALLEST v attaining it (tie-break).
+    val rows = Seq((0L, 1.0), (0L, 2.0), (0L, 3.0), (0L, 4.0),
+      (1L, 3.0), (1L, 4.0), (1L, 5.0), (1L, 6.0))
+    val out = Analytics.ksTest(rows.toDF("a", "v"), col("a") === 1, "v").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      (4L, 4L, 2.0, 0.5), s"KS replay diverged: $r")
+    // identical samples -> D = 0 (any location)
+    val same = Seq((0L, 1.0), (0L, 2.0), (1L, 1.0), (1L, 2.0)).toDF("a", "v")
+    val s2 = Analytics.ksTest(same, col("a") === 1, "v").collect().head
+    assert(s2.getDouble(3) == 0.0, s"identical samples must give D=0: $s2")
+  }
+
   test("welchTest: hand-computed t and df; per-unit sums; degenerate NULL") {
     import spark.implicits._
     // arm 0 metric sums per unit: {1, 2, 3}; arm 1: {4, 6} (unit 12's
