@@ -707,6 +707,55 @@ object Analytics {
       "event_type", "purchase", Seq("signup", "view", "click"))
       .orderBy(col("channel"))
 
+  // ------------------------------------------------------------------ PSI --
+
+  /** Population Stability Index — the binned drift score model-monitoring
+    * dashboards alarm on (PSI = Σ (p₁−p₀)·ln(p₁/p₀); < 0.1 stable,
+    * > 0.25 shifted): per equal-width bin over the COMBINED [min, max],
+    * both samples' counts, rates, and the PSI term, with the total on
+    * every row. Complements [[ksTest]]: KS is exact and binless but gives
+    * one number; PSI's per-bin terms say WHERE the shift lives.
+    *
+    * Empty-bin smoothing: rates clamp to ≥ 1e-6 (the standard treatment —
+    * ln(0) is the alternative). Bin assignment is the q181 floor
+    * arithmetic on identical doubles; rates are one IEEE division each;
+    * the 10-term total rides sum(double)+round(6) (the established q77
+    * discipline — bounded term count, bounded magnitude). */
+  def psi(df: DataFrame, armCol: Column, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"psi: bins must be >= 2, got $bins")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(armCol.cast("long").as("arm"), col(valueCol).cast("double").as("s"))
+    val bounds = base.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val binned = base.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(
+            floor((col("s") - col("lo")) * bins / (col("hi") - col("lo"))),
+            lit(bins - 1)).cast("int")))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+    val totals = binned.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    val terms = binned.crossJoin(broadcast(totals))
+      .withColumn("p0",
+        greatest(col("c0").cast("double") / col("n0"), lit(1e-6)))
+      .withColumn("p1",
+        greatest(col("c1").cast("double") / col("n1"), lit(1e-6)))
+      .withColumn("term",
+        round((col("p1") - col("p0")) * log(col("p1") / col("p0")), 6))
+    val total = terms.agg(round(sum(col("term")), 6).as("psi_total"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("c0"), col("c1"),
+        round(col("p0"), 6).as("p0"), round(col("p1"), 6).as("p1"),
+        col("term"), col("psi_total"))
+  }
+
+  private val q185: Q = (s, d) =>
+    psi(Tables.events(s, d).filter(col("event_type").isin("click", "purchase")),
+      col("event_type") === "purchase", "value")
+      .orderBy(col("bin"))
+
   // ---------------------------------------------------------- KS drift test --
 
   /** Exact two-sample Kolmogorov–Smirnov statistic — the distribution-
@@ -1965,6 +2014,7 @@ object Analytics {
     "q181_calibration" -> q181,
     "q183_welch_test" -> q183,
     "q184_ks_test" -> q184,
+    "q185_psi" -> q185,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -1972,6 +2022,37 @@ object Analytics {
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
   val oracles: Map[String, String] = Map(
+    // Replays bounds, the q181 bin arithmetic, the clamped rates, and the
+    // rounded per-term/total chain (terms pre-rounded before the total).
+    "q185_psi" -> """
+      WITH base AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS arm,
+               CAST(value AS DOUBLE) AS s
+        FROM events WHERE event_type IN ('click', 'purchase')
+          AND value IS NOT NULL),
+      b AS (SELECT min(s) AS lo, max(s) AS hi FROM base),
+      binned AS (
+        SELECT CASE WHEN hi = lo THEN 0
+                    ELSE CAST(least(floor((s - lo) * 10 / (hi - lo)), 9) AS INT)
+               END AS bin,
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+        FROM base, b GROUP BY 1),
+      t AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+                   CAST(sum(c1) AS BIGINT) AS n1 FROM binned),
+      terms AS (
+        SELECT bin, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+               greatest(CAST(c0 AS DOUBLE) / n0, 1e-6) AS p0,
+               greatest(CAST(c1 AS DOUBLE) / n1, 1e-6) AS p1
+        FROM binned, t),
+      tt AS (
+        SELECT bin, c0, c1, p0, p1,
+               round((p1 - p0) * ln(p1 / p0), 6) AS term
+        FROM terms),
+      tot AS (SELECT round(sum(term), 6) AS psi_total FROM tt)
+      SELECT bin, c0, c1, round(p0, 6) AS p0, round(p1, 6) AS p1, term,
+             psi_total
+      FROM tt, tot ORDER BY bin""",
     // Replays the per-value class counts, plain global cumulative windows
     // (the oracle need not be scale-shaped), the integer cross-product
     // argmax with value tie-break, and the single division.

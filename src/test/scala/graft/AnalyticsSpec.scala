@@ -539,6 +539,28 @@ class AnalyticsSpec extends SparkSpec {
       && solo.head.getDecimal(4).toPlainString == "7.77")
   }
 
+  test("psi: identical distributions score 0; shifted mass produces the textbook terms") {
+    import spark.implicits._
+    // identical samples -> every p0 = p1 -> all terms 0, total 0
+    val same = (1 to 10).flatMap(i => Seq((0L, i.toDouble), (1L, i.toDouble)))
+    val s0 = Analytics.psi(same.toDF("a", "v"), col("a") === 1, "v", bins = 5)
+      .collect()
+    assert(s0.forall(r => r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0),
+      s"identical samples must give PSI 0: ${s0.toSeq}")
+    // arm1 shifts all mass to the top half: hand-compute one term
+    val shifted = ((1 to 8).map(i => (0L, i.toDouble)) ++
+      (5 to 8).map(i => (1L, i.toDouble))).toDF("a", "v")
+    val out = Analytics.psi(shifted, col("a") === 1, "v", bins = 2)
+      .orderBy(col("bin")).collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // bin0: p0=0.5, p1=1e-6; bin1: p0=0.5, p1=1.0
+    val t0 = r6((1e-6 - 0.5) * math.log(1e-6 / 0.5))
+    val t1 = r6((1.0 - 0.5) * math.log(1.0 / 0.5))
+    assert(out.map(_.getDouble(5)).toSeq == Seq(t0, t1),
+      s"terms diverged: ${out.toSeq}; want $t0, $t1")
+    assert(out.forall(_.getDouble(6) == r6(t0 + t1)))
+  }
+
   test("ksTest: hand-computed sup and location; identical samples give 0") {
     import spark.implicits._
     // arm0 = {1,2,3,4}, arm1 = {3,4,5,6}: ECDF gap peaks at v=2
