@@ -173,4 +173,23 @@ class EmbeddingOpsSpec extends SparkSpec {
         .orderBy(col("cluster"), col("pos")).collect().toSeq
     assert(run(emb.repartition(7)) == run(emb.coalesce(1)))
   }
+
+  test("annRecall: hits replayed against independently-computed channel outputs") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val pred = col("vec_id") < 5
+    val out = Similarity.annRecall(emb, "vec_id", "label", "embedding", 64, pred)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 10 && out.forall(r => r._3 >= 0 && r._3 <= 10
+      && r._4 == r._3 / 10.0), s"audit shape/bounds broke: ${out.toSeq}")
+    // replay one method's hits from the channel outputs themselves
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.knnBruteForce(emb, "vec_id", "embedding", pred))
+    val ivf = pairs(Similarity.ivfSearch(emb, "vec_id", "label", "embedding", pred))
+    val want = ivf.groupBy(_._1).map { case (q, ps) =>
+      q -> ps.count(exact.contains).toLong }
+    val got = out.filter(_._1 == "ivf").map(r => r._2 -> r._3).toMap
+    assert(got == (0L until 5L).map(q => q -> want.getOrElse(q, 0L)).toMap,
+      s"ivf hits diverged: $got vs $want")
+  }
 }
