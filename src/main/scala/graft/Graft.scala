@@ -296,4 +296,91 @@ object Graft {
     MapReduceJob(mappers, reducers, mapper, reducer)
   def minimalUniquePrefix(spark: SparkSession, lines: Dataset[String]): Option[Int] =
     UniquePrefix.solve(spark, lines)
+
+  // entity resolution / exact set similarity (round 10b)
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+      w: Int = 5, maxDist: Int = 3): DataFrame =
+    Dedup.sortedNeighborhood(df, idCol, keyCol, w, maxDist)
+  def linkageScore(df: DataFrame, idCol: String, keyCol: String,
+      fields: Seq[String], m: Double = 0.95): DataFrame =
+    Dedup.linkageScore(df, idCol, keyCol, fields, m)
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+      cNum: Int = 4, cDen: Int = 5): DataFrame =
+    Dedup.containmentJoin(df, idCol, textCol, cNum, cDen)
+  def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+      jNum: Int = 9, jDen: Int = 10): DataFrame =
+    Dedup.setSimilarityJoin(df, idCol, textCol, jNum, jDen)
+
+  // time series / product analytics
+  def resampleLocf(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = Analytics.resampleLocf(df, keyCol, tsCol, valCol)
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, period: Int = 24): DataFrame =
+    Analytics.seasonalDecompose(df, keyCol, tsCol, valCol, period)
+  def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
+      maxItemsPerBasket: Int = 100): DataFrame =
+    Analytics.coOccurrence(df, basketCol, itemCol, maxItemsPerBasket)
+  def touchAttribution(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, conversionType: String,
+      touchTypes: Seq[String]): DataFrame =
+    Analytics.touchAttribution(df, userCol, tsCol, idCol, typeCol,
+      conversionType, touchTypes)
+  def sessionPaths(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, k: Int = 20): DataFrame =
+    Analytics.sessionPaths(df, userCol, tsCol, idCol, typeCol, k)
+  def activeUsers(df: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame =
+    Analytics.activeUsers(df, userCol, tsCol, windowDays)
+
+  // feature engineering / robust stats
+  def equalFreqBins(df: DataFrame, keyCol: String, valCol: String,
+      idCol: String, bins: Int = 10): DataFrame =
+    Analytics.equalFreqBins(df, keyCol, valCol, idCol, bins)
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+      idCol: String, cutoff: Double = 3.5): DataFrame =
+    Analytics.madOutliers(df, keyCol, valCol, idCol, cutoff)
+  def targetEncode(df: DataFrame, catCol: String, idCol: String,
+      targetCol: String, folds: Int = 5, priorWeight: Int = 20): DataFrame =
+    Analytics.targetEncode(df, catCol, idCol, targetCol, folds, priorWeight)
+  def keySkewProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame =
+    Skew.keySkewProfile(df, keyCol, k)
+  def skipStats(df: DataFrame, xCol: String, yCol: String,
+      rowsPerFile: Int = 1000, grid: Int = 4): DataFrame =
+    Layout.skipStats(df, xCol, yCol, rowsPerFile, grid)
+
+  // tokenizer training
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 6): DataFrame =
+    TextAnalysis.bpeMerges(docs, textCol, rounds)
+  def bpeFertility(docs: DataFrame, textCol: String, groupCol: String,
+      rounds: Int = 6): DataFrame =
+    TextAnalysis.bpeFertility(docs, textCol, groupCol, rounds)
+
+  // graph features
+  def neighborhoodAgg(edges: DataFrame, src: String, dst: String,
+      features: DataFrame, nodeCol: String, featCol: String): DataFrame =
+    Graph.neighborhoodAgg(edges, src, dst, features, nodeCol, featCol)
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+      rounds: Int = 3): DataFrame =
+    Graph.labelPropagation(edges, src, dst, rounds)
+
+  // evaluation / experimentation / drift
+  def groupedAuc(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: Column): DataFrame =
+    Analytics.groupedAuc(df, groupCol, scoreCol, labelCol)
+  def abTest(df: DataFrame, armCol: Column, unitCol: String,
+      convertedCol: Column): DataFrame =
+    Analytics.abTest(df, armCol, unitCol, convertedCol)
+  def welchTest(df: DataFrame, armCol: Column, unitCol: String,
+      valueCol: String): DataFrame =
+    Analytics.welchTest(df, armCol, unitCol, valueCol)
+  def ksTest(df: DataFrame, armCol: Column, valueCol: String): DataFrame =
+    Analytics.ksTest(df, armCol, valueCol)
+  def psi(df: DataFrame, armCol: Column, valueCol: String,
+      bins: Int = 10): DataFrame = Analytics.psi(df, armCol, valueCol, bins)
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: Column,
+      bins: Int = 10): DataFrame =
+    Analytics.calibrationBins(df, scoreCol, labelCol, bins)
+  def annRecall(df: DataFrame, idCol: String, partCol: String,
+      vecCol: String, dim: Int, isQuery: Column, k: Int = 10): DataFrame =
+    Similarity.annRecall(df, idCol, partCol, vecCol, dim, isQuery, k)
 }

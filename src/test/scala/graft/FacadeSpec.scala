@@ -183,6 +183,15 @@ class FacadeSpec extends SparkSpec {
       rows(Dedup.fuzzyJoin(docs, "doc_id", "text")))
     assert(rows(Graft.vocabCoverage(docs, "doc_id", "text")) ==
       rows(TextAnalysis.vocabCoverage(docs, "doc_id", "text")))
+    // round-10b surface (sampled — every new facade method is a one-line
+    // delegation; these three cover the three new module routes)
+    assert(rows(Graft.setSimilarityJoin(docs, "doc_id", "text")) ==
+      rows(Dedup.setSimilarityJoin(docs, "doc_id", "text")))
+    assert(rows(Graft.bpeMerges(docs, "text", rounds = 2)) ==
+      rows(TextAnalysis.bpeMerges(docs, "text", rounds = 2)))
+    val ev = Tables.events(spark, sf0001)
+    assert(rows(Graft.ksTest(ev, col("event_type") === "purchase", "value")) ==
+      rows(operators.Analytics.ksTest(ev, col("event_type") === "purchase", "value")))
   }
 
   test("ngramJaccard threads maxDf: a df-cap of 0 excludes every shingle") {
