@@ -1076,6 +1076,9 @@ object Analytics {
       .distinct()
       .localCheckpoint()
     val Array(b) = ud.agg(min("day"), max("day")).collect()
+    // no activity at all: an empty spine, not a null DATE literal
+    if (b.isNullAt(0))
+      return ud.select(col("day"), lit(0L).as("dau"), lit(0L).as("wau")).limit(0)
     val (d0, d1) = (b.getDate(0), b.getDate(1))
     val spine = ud.sparkSession.range(1)
       .select(explode(expr(s"sequence(date'$d0', date'$d1', interval 1 day)"))

@@ -399,7 +399,12 @@ object Dedup {
       .filter(size(col("stoks")) > 0)
       .withColumn("sz", size(col("stoks")).cast("long"))
       .localCheckpoint()
-    val maxSz = sets.agg(max(col("sz"))).head().getLong(0)
+    val maxRow = sets.agg(max(col("sz"))).head()
+    // empty corpus: the bound is undefined and there is nothing to join
+    if (maxRow.isNullAt(0))
+      return sets.select(col("id").as("id1"), col("id").as("id2"),
+        col("sz").as("inter"), lit(0.0).as("jaccard")).limit(0)
+    val maxSz = maxRow.getLong(0)
     val m = (2L * maxSz * (jDen - jNum) / (jDen + jNum)).toInt + 1
     val sigs = sets
       .select(col("id"), col("sz"),

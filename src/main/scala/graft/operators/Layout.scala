@@ -86,6 +86,10 @@ object Layout {
       .withColumn("zval", call_function("graft_zvalue", col("x"), col("y")))
       .localCheckpoint()
     val Array(b) = base.agg(min("x"), max("x"), min("y"), max("y")).collect()
+    // empty input: no files to map, no boxes to probe
+    if (b.isNullAt(0))
+      return base.select(lit("zorder").as("layout"), col("x").as("box_id"),
+        col("y").as("files_hit"), col("zval").as("n_files")).limit(0)
     val (x0, x1, y0, y1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     val xw = (x1 - x0) / grid + 1
     val yw = (y1 - y0) / grid + 1

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Dedup, Graph, Layout, Similarity, Skew, TextAnalysis}
+
+/** Degenerate-input contracts for the round-10b operators: an EMPTY input
+  * must yield an empty (or well-defined) result, never a crash. Under ANSI
+  * mode (Spark 4's default) this is a real failure class — an eagerly
+  * evaluated broadcast/collect of a 0/0 division or a null bound throws at
+  * runtime (the q180 saturated-pool crash was exactly this family). */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs0 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def ev0 =
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("ER / similarity operators return empty on empty input") {
+    assert(Dedup.sortedNeighborhood(docs0, "doc_id", "text").isEmpty)
+    assert(Dedup.setSimilarityJoin(docs0, "doc_id", "text").isEmpty)
+    assert(Dedup.containmentJoin(docs0, "doc_id", "text").isEmpty)
+    assert(Dedup.linkageScore(docs0, "doc_id", "text", Seq("text")).isEmpty)
+  }
+
+  test("analytics operators tolerate empty input") {
+    assert(Analytics.coOccurrence(docs0.toDF("b", "it"), "b", "it").isEmpty)
+    assert(Analytics.touchAttribution(ev0, "user_id", "ts", "event_id",
+      "event_type", "purchase", Seq("view")).isEmpty)
+    assert(Analytics.sessionPaths(ev0, "user_id", "ts", "event_id",
+      "event_type").isEmpty)
+    assert(Analytics.seasonalDecompose(ev0, "event_type", "ts", "value").isEmpty)
+    assert(Analytics.equalFreqBins(ev0, "event_type", "value", "event_id").isEmpty)
+    assert(Analytics.madOutliers(ev0, "event_type", "value", "event_id").isEmpty)
+    assert(Analytics.activeUsers(ev0, "user_id", "ts").isEmpty)
+    assert(Analytics.targetEncode(ev0, "event_type", "event_id", "value").isEmpty)
+    assert(Analytics.groupedAuc(ev0, "event_type", "value", lit(true)).isEmpty)
+    assert(Analytics.ksTest(ev0, lit(true), "value").isEmpty)
+    assert(Analytics.psi(ev0, lit(true), "value").isEmpty)
+    assert(Analytics.calibrationBins(ev0, "value", lit(true)).isEmpty)
+    assert(Analytics.abTest(ev0, lit(0L), "user_id", lit(true)).isEmpty)
+    assert(Analytics.welchTest(ev0, lit(0L), "user_id", "value").isEmpty)
+  }
+
+  test("graph / layout / text / skew operators tolerate empty input") {
+    val e0 = Seq.empty[(String, String)].toDF("src", "dst")
+    val f0 = Seq.empty[(String, Double)].toDF("n", "f")
+    assert(Graph.neighborhoodAgg(e0, "src", "dst", f0, "n", "f").isEmpty)
+    assert(Layout.skipStats(docs0.toDF("x", "y"), "x", "y").isEmpty)
+    assert(Skew.keySkewProfile(docs0, "doc_id").isEmpty)
+    assert(TextAnalysis.bpeMerges(docs0, "text").isEmpty)
+    assert(TextAnalysis.bpeFertility(docs0, "text", "doc_id").isEmpty)
+  }
+}
