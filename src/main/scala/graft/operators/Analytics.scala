@@ -113,9 +113,17 @@ object Analytics {
       .filter(col(valueCol).isNotNull).distinct()
     val h = du.withColumn("hv", expr(CrossHash.h60Expr(valueCol)))
     val rn = row_number().over(Window.partitionBy(groupCol).orderBy(col("hv")))
-    val sk = h.withColumn("rn", rn).filter(col("rn") <= k)
+    // EXACT MODE for small groups (standard theta-sketch semantics): a
+    // group with fewer than k distinct values retains its entire set, so
+    // theta = 2^60 — the kth-min theta would treat the full set as a
+    // p-sample and systematically inflate estimates by ~(j+1)/j.
+    val sk = h.withColumn("rn", rn)
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .filter(col("rn") <= k)
       .groupBy(col(groupCol))
-      .agg(sort_array(collect_list(col("hv"))).as("arr"), max(col("hv")).as("th"))
+      .agg(sort_array(collect_list(col("hv"))).as("arr"),
+        when(first(col("nd")) < k, lit(1152921504606846976L))
+          .otherwise(max(col("hv"))).as("th"))
     val a = sk.select(col(groupCol).as("grp1"), col("arr").as("arr1"),
       col("th").as("th1"))
     val b = sk.select(col(groupCol).as("grp2"), col("arr").as("arr2"),
@@ -614,21 +622,32 @@ object Analytics {
     * (user, session) key it created — two exchanges total, each on a
     * bounded key, stages still share one window pass (q69's discipline).
     * Times ride as integer epoch micros end-to-end (exact cross-engine). */
-  def sessionFunnel(df: DataFrame, userCol: String, tsCol: String,
-      idCol: String, typeCol: String, stages: Seq[String],
-      gapMicros: Long = 30L * 60L * 1000000L): DataFrame = {
-    require(gapMicros > 0, s"sessionFunnel: gapMicros must be > 0, got $gapMicros")
+  /** The ONE shared session-id assignment: annotates a frame already
+    * carrying (userCol, idCol, "us" epoch-micros) with the lag-flag +
+    * running-sum `sid` over the single user-key sort. Every sessionized
+    * operator (funnel, attribution, path mining, the sessionize roll-up)
+    * derives from this pass — one definition, one set of gap semantics. */
+  private def withSessionIds(df: DataFrame, userCol: String, idCol: String,
+      gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, s"session assignment: gapMicros must be > 0, got $gapMicros")
     val w = Window.partitionBy(col(userCol)).orderBy(col("us"), col(idCol))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withSid = df
-      .select(col(userCol), col(idCol), col(typeCol),
-        unix_micros(col(tsCol)).as("us"))
-      .withColumn("prev_us", lag(col("us"), 1).over(w))
+    df.withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("new_s",
         when(col("prev_us").isNull || col("us") - col("prev_us") > gapMicros,
           1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
       .drop("prev_us", "new_s")
+  }
+
+  def sessionFunnel(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, stages: Seq[String],
+      gapMicros: Long = 30L * 60L * 1000000L): DataFrame = {
+    val withSid = withSessionIds(
+      df.select(col(userCol), col(idCol), col(typeCol),
+        unix_micros(col(tsCol)).as("us")),
+      userCol, idCol, gapMicros)
+      .withColumnRenamed("sid", "session_id")
     funnel(withSid, Seq(userCol, "session_id"), "us", idCol, typeCol, stages)
       .select(col("stage"), col("n_users").as("n_sessions"))
   }
@@ -670,17 +689,12 @@ object Analytics {
       gapMicros: Long = 30L * 60L * 1000000L): DataFrame = {
     require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
       s"touchAttribution: touch types $touchTypes must exclude $conversionType")
-    val w = Window.partitionBy(col(userCol)).orderBy(col("us"), col(idCol))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withSid = df
-      .select(col(userCol), col(idCol), col(typeCol).as("et"),
-        unix_micros(col(tsCol)).as("us"))
-      .filter(col("et") === conversionType || col("et").isInCollection(touchTypes))
-      .withColumn("prev_us", lag(col("us"), 1).over(w))
-      .withColumn("new_s",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > gapMicros,
-          1L).otherwise(0L))
-      .withColumn("sid", sum(col("new_s")).over(wRun))
+    val withSid = withSessionIds(
+      df.select(col(userCol), col(idCol), col(typeCol).as("et"),
+          unix_micros(col(tsCol)).as("us"))
+        .filter(col("et") === conversionType ||
+          col("et").isInCollection(touchTypes)),
+      userCol, idCol, gapMicros)
     val ws = Window.partitionBy(col(userCol), col("sid"))
       .orderBy(col("us"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -826,7 +840,7 @@ object Analytics {
     // the per-unit sum narrows to DECIMAL(18,2): its square is then
     // (37,4), which BOTH engines hold exactly — squaring the wide sum
     // type would exceed 38 digits and silently round (engine-divergent)
-    val units = df.filter(col(unitCol).isNotNull)
+    val units = df.filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(armCol.as("arm"), col(unitCol).as("u"))
       .agg(sum(col(valueCol).cast("decimal(14,2)"))
         .cast("decimal(18,2)").as("m"))
@@ -838,10 +852,14 @@ object Analytics {
         when(col("n") > 1,
           (col("ss").cast("double") - col("n") * col("mean") * col("mean"))
             / (col("n") - 1)))
+    // 1-row global aggregates (null-filled on a missing arm) — same
+    // missing-arm null propagation as [[abTest]]
     val a = arms.filter(col("arm") === 0)
-      .select(col("n").as("n0"), col("mean").as("m0"), col("vr").as("v0"))
+      .agg(first(col("n")).as("n0"), first(col("mean")).as("m0"),
+        first(col("vr")).as("v0"))
     val b = arms.filter(col("arm") === 1)
-      .select(col("n").as("n1"), col("mean").as("m1"), col("vr").as("v1"))
+      .agg(first(col("n")).as("n1"), first(col("mean")).as("m1"),
+        first(col("vr")).as("v1"))
     val se2 = col("v0") / col("n0") + col("v1") / col("n1")
     val stats = a.crossJoin(b).select(
       when(se2 > 0, round((col("m1") - col("m0")) / sqrt(se2), 6)).as("t"),
@@ -927,10 +945,14 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
       .withColumn("rate",
         round(col("n_conv").cast("double") / col("n_users"), 6))
+    // each side is a GLOBAL aggregate — always exactly one row, null-filled
+    // when the arm is absent, so a missing arm NULLs lift/z through normal
+    // null propagation instead of erasing every output row (a filter +
+    // crossJoin here returns 0 rows for the present arm too)
     val a = arms.filter(col("arm") === 0)
-      .select(col("n_users").as("n0"), col("n_conv").as("c0"))
+      .agg(first(col("n_users")).as("n0"), first(col("n_conv")).as("c0"))
     val b = arms.filter(col("arm") === 1)
-      .select(col("n_users").as("n1"), col("n_conv").as("c1"))
+      .agg(first(col("n_users")).as("n1"), first(col("n_conv")).as("c1"))
     // z is undefined when the pooled rate saturates at 0 or 1 (the √0
     // denominator; under ANSI even double division throws) — NULL there.
     val pooled = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
@@ -1189,14 +1211,10 @@ object Analytics {
       gapMicros: Long = 30L * 60L * 1000000L): DataFrame = {
     require(k >= 1, s"sessionPaths: k must be >= 1, got $k")
     val w = Window.partitionBy(col(userCol)).orderBy(col("us"), col(idCol))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(userCol), col(idCol), col(typeCol).as("et"),
-        unix_micros(col(tsCol)).as("us"))
-      .withColumn("prev_us", lag(col("us"), 1).over(w))
-      .withColumn("new_s",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > gapMicros,
-          1L).otherwise(0L))
-      .withColumn("sid", sum(col("new_s")).over(wRun))
+    withSessionIds(
+      df.select(col(userCol), col(idCol), col(typeCol).as("et"),
+        unix_micros(col(tsCol)).as("us")),
+      userCol, idCol, gapMicros)
       .withColumn("et2", lead(col("et"), 1).over(w))
       .withColumn("et3", lead(col("et"), 2).over(w))
       .withColumn("sid3", lead(col("sid"), 2).over(w))
@@ -1455,16 +1473,10 @@ object Analytics {
     * every clickstream pipeline runs at fact-table scale. */
   def sessionize(df: DataFrame, userCol: String, tsCol: String,
       idCol: String, gapMicros: Long = 30L * 60L * 1000000L): DataFrame = {
-    require(gapMicros > 0, s"sessionize: gapMicros must be > 0, got $gapMicros")
-    val w = Window.partitionBy(col(userCol))
-      .orderBy(col("us"), col(idCol))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(userCol), col(idCol), unix_micros(col(tsCol)).as("us"))
-      .withColumn("prev_us", lag(col("us"), 1).over(w))
-      .withColumn("new_s",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > gapMicros,
-          1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_s")).over(wRun))
+    withSessionIds(
+      df.select(col(userCol), col(idCol), unix_micros(col(tsCol)).as("us")),
+      userCol, idCol, gapMicros)
+      .withColumnRenamed("sid", "session_id")
       .groupBy(col(userCol), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("us")).as("start_us"), max(col("us")).as("end_us"))
@@ -2091,7 +2103,8 @@ object Analytics {
         SELECT ${h60("CAST(user_id AS VARCHAR)")} % 2 AS arm,
                user_id || '_' || CAST(ts AS DATE) AS u,
                CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS m
-        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2),
       arms AS (
         SELECT arm, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(m) AS DOUBLE) / count(*) AS mean,
@@ -2101,8 +2114,10 @@ object Analytics {
                              * (CAST(sum(m) AS DOUBLE) / count(*)))
                  / (count(*) - 1) END AS vr
         FROM units GROUP BY arm),
-      a AS (SELECT n AS n0, mean AS m0, vr AS v0 FROM arms WHERE arm = 0),
-      b AS (SELECT n AS n1, mean AS m1, vr AS v1 FROM arms WHERE arm = 1),
+      a AS (SELECT max(n) AS n0, max(mean) AS m0, max(vr) AS v0
+            FROM arms WHERE arm = 0),
+      b AS (SELECT max(n) AS n1, max(mean) AS m1, max(vr) AS v1
+            FROM arms WHERE arm = 1),
       stats AS (
         SELECT CASE WHEN v0 / n0 + v1 / n1 > 0 THEN
                  round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6) END AS t,
@@ -2145,8 +2160,10 @@ object Analytics {
                CAST(sum(conv) AS BIGINT) AS n_conv,
                round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS rate
         FROM users GROUP BY arm),
-      a AS (SELECT n_users AS n0, n_conv AS c0 FROM arms WHERE arm = 0),
-      b AS (SELECT n_users AS n1, n_conv AS c1 FROM arms WHERE arm = 1),
+      a AS (SELECT max(n_users) AS n0, max(n_conv) AS c0
+            FROM arms WHERE arm = 0),
+      b AS (SELECT max(n_users) AS n1, max(n_conv) AS c1
+            FROM arms WHERE arm = 1),
       stats AS (
         SELECT round(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 6)
                  AS lift,
@@ -2709,8 +2726,11 @@ object Analytics {
       r AS (SELECT grp, hv,
                    row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
             FROM h),
-      sk AS (SELECT grp, list(hv ORDER BY hv) AS arr, max(hv) AS th
-             FROM r WHERE rn <= 32 GROUP BY grp),
+      nd AS (SELECT grp, count(*) AS nd FROM h GROUP BY grp),
+      sk AS (SELECT r.grp, list(hv ORDER BY hv) AS arr,
+                    CASE WHEN max(nd.nd) < 32 THEN 1152921504606846976
+                         ELSE max(hv) END AS th
+             FROM r JOIN nd ON r.grp = nd.grp WHERE rn <= 32 GROUP BY r.grp),
       p AS (SELECT a.grp AS grp1, b.grp AS grp2,
                    least(a.th, b.th) AS theta,
                    list_filter(a.arr, h -> h <= least(a.th, b.th)) AS fa,

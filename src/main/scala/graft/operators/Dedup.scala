@@ -555,8 +555,11 @@ object Dedup {
       w: Int = 5, maxDist: Int = 3): DataFrame = {
     require(w >= 2 && w <= 1000, s"sortedNeighborhood: w must be in [2, 1000], got $w")
     val s = df.sparkSession
+    // id must survive the long cast (a string id nulls out silently) — a
+    // null here would NPE inside the rank map on the executor
     val base = df.filter(col(keyCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(keyCol).cast("string").as("sk"))
+      .filter(col("id").isNotNull)
     val sorted = base.repartitionByRange(col("sk"), col("id"))
       .sortWithinPartitions(col("sk"), col("id"))
     // zipWithIndex = the canonical two-pass global index (count pass +
@@ -623,10 +626,17 @@ object Dedup {
     // groupBy + scalar agg per field; ≤ |fields| driver scalars total.
     // Each count normalizes to a frequency BEFORE squaring: Σ n_v² as an
     // integer would overflow 64 bits past n ≈ 3·10⁹ rows.
+    // u clamps into [1e-9, 1 - 1e-9]: a constant field (u = 1) would give
+    // log2((1-m)/(1-u)) = +Inf and a DISAGREEMENT would maximally boost
+    // the score; an all-null field (u = 0) is the mirror hazard on the
+    // agreement weight. Clamped, both weights stay finite (a near-constant
+    // field's agreement weight goes ~0 or negative — correctly
+    // uninformative under the FS model).
     val u = fields.map { f =>
       val s = df.filter(col(f).isNotNull).groupBy(col(f)).count()
         .agg(sum(pow(col("count") / n, 2))).head()
-      f -> (if (s.isNullAt(0)) 0.0 else s.getDouble(0))
+      val raw = if (s.isNullAt(0)) 0.0 else s.getDouble(0)
+      f -> math.min(math.max(raw, 1e-9), 1 - 1e-9)
     }.toMap
     val a = df.select(col(idCol).cast("long").as("id1") +:
       fields.map(f => col(f).as(s"a_$f")): _*)
@@ -1008,9 +1018,9 @@ object Dedup {
         "doc_id", "text")
         .orderBy(col("id1"), col("id2"))
     }),
-    // The fixture's ~200-token vocabulary is the adversarial regime for
-    // prefix filtering (every token is corpus-hot); τ=0.9 keeps prefixes
-    // at ~3 of ~23 tokens, so the gate exercises real pruning.
+    // The fixture's ~200-token vocabulary is the regime that broke prefix
+    // filtering (every token corpus-hot -> Σdf² ≈ n²) and motivated the
+    // pigeonhole signature scheme; the gate runs in exactly that regime.
     "q159_setsim_join" -> ((s, d) =>
       setSimilarityJoin(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("id1"), col("id2"))),
@@ -1147,10 +1157,10 @@ object Dedup {
       WHERE est_jaccard >= 0.35 AND (id1 % 5 = 0 OR id2 % 5 = 0)
       ORDER BY id1, id2""",
     // INDEPENDENT formulation: brute-force all-pairs exact Jaccard over
-    // distinct-token sets. The Spark side generates candidates by prefix
-    // filtering — agreement certifies the PPJoin completeness lemma (no
-    // pair with J >= 0.9 escapes the prefix index), not just the verify
-    // arithmetic.
+    // distinct-token sets. The Spark side generates candidates by
+    // pigeonhole signature partitioning — agreement certifies the
+    // completeness lemma (no pair with J >= 0.9 escapes the m universe
+    // hash-parts), not just the verify arithmetic.
     "q159_setsim_join" -> """
       WITH sets AS (
         SELECT doc_id,
@@ -1174,7 +1184,8 @@ object Dedup {
         SELECT CAST(c_custkey AS BIGINT) AS id, CAST(c_name AS VARCHAR) AS sk
         FROM customer WHERE c_name IS NOT NULL),
       ranked AS (
-        SELECT id, sk, row_number() OVER (ORDER BY sk, id) - 1 AS rk FROM base)
+        SELECT id, sk, row_number() OVER (ORDER BY sk, id) - 1 AS rk FROM base
+        WHERE id IS NOT NULL)
       SELECT a.id AS id1, b.id AS id2,
              CAST(b.rk - a.rk AS INT) AS gap,
              CAST(levenshtein(a.sk, b.sk) AS INT) AS dist
@@ -1210,15 +1221,15 @@ object Dedup {
         FROM customer),
       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
       ranked AS (SELECT id, sk, row_number() OVER (ORDER BY sk, id) - 1 AS rk
-                 FROM base WHERE sk IS NOT NULL),
+                 FROM base WHERE sk IS NOT NULL AND id IS NOT NULL),
       cand AS (SELECT a.id AS id1, b.id AS id2
                FROM ranked a JOIN ranked b ON b.rk > a.rk AND b.rk - a.rk < 5
                WHERE levenshtein(a.sk, b.sk) <= 3),
-      u1 AS (SELECT sum(pow(cnt / n, 2)) AS u FROM
+      u1 AS (SELECT least(greatest(sum(pow(cnt / n, 2)), 1e-9), 1 - 1e-9) AS u FROM
              (SELECT count(*) AS cnt FROM base WHERE f1 IS NOT NULL GROUP BY f1), nn),
-      u2 AS (SELECT sum(pow(cnt / n, 2)) AS u FROM
+      u2 AS (SELECT least(greatest(sum(pow(cnt / n, 2)), 1e-9), 1 - 1e-9) AS u FROM
              (SELECT count(*) AS cnt FROM base WHERE f2 IS NOT NULL GROUP BY f2), nn),
-      u3 AS (SELECT sum(pow(cnt / n, 2)) AS u FROM
+      u3 AS (SELECT least(greatest(sum(pow(cnt / n, 2)), 1e-9), 1 - 1e-9) AS u FROM
              (SELECT count(*) AS cnt FROM base WHERE f3 IS NOT NULL GROUP BY f3), nn)
       SELECT id1, id2,
              round(

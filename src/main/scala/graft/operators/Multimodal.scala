@@ -133,13 +133,17 @@ object Multimodal {
     val fp = s"${Files.size(src)}_${md5hex.take(16)}"
     val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
     val base = Paths.get(sys.props("java.io.tmpdir"))
-    val dir = base.resolve(s"graft_bin_$safe$fp")
+    // '-' cannot appear in `safe` (the sanitizer maps it to '_'), so it is
+    // an unambiguous path/fingerprint separator: without it, the stale
+    // reclaim below would prefix-match ANOTHER fixture whose sanitized
+    // path extends this one (…/sf1 vs …/sf1_v2) and delete its staging
+    val dir = base.resolve(s"graft_bin_$safe-$fp")
     val marker = dir.resolve("_STAGED")
     if (!Files.exists(marker)) {
       // Reclaim dirs staged for OLDER contents of this same fixture path.
       val stale = base.toFile.listFiles()
       if (stale != null) stale.filter { f =>
-        f.isDirectory && f.getName.startsWith(s"graft_bin_$safe") &&
+        f.isDirectory && f.getName.startsWith(s"graft_bin_$safe-") &&
           f.getName != dir.getFileName.toString
       }.foreach(deleteRecursively)
       val tmp = Files.createTempDirectory(base, s"graft_bin_stage_")
@@ -158,8 +162,11 @@ object Multimodal {
       // concurrent stager won the race, keep the winner and drop ours.
       if (Files.exists(dir) && !Files.exists(marker)) deleteRecursively(dir.toFile)
       try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      // DirectoryNotEmptyException is Linux's actual signal for this race:
+      // rename(2) onto an existing non-empty dir fails ENOTEMPTY, not EEXIST
       catch { case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.AccessDeniedException =>
+                   _: java.nio.file.AccessDeniedException |
+                   _: java.nio.file.DirectoryNotEmptyException =>
         if (Files.exists(marker)) deleteRecursively(tmp.toFile)
         else throw new IllegalStateException(
           s"binaryStageDir: $dir exists without a _STAGED marker after move race")
