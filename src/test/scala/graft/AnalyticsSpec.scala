@@ -644,6 +644,18 @@ class AnalyticsSpec extends SparkSpec {
       s"saturated pool must NULL the z: ${satOut.toSeq}")
   }
 
+  test("abTest/welchTest: a missing arm keeps the present arm's row with NULL stats") {
+    import spark.implicits._
+    val oneArm = Seq((1L, true), (2L, false), (3L, true)).toDF("u", "conv")
+    val ab = Analytics.abTest(oneArm, lit(0L), "u", col("conv")).collect()
+    assert(ab.length == 1 && ab.head.getLong(1) == 3L && ab.head.isNullAt(5),
+      s"single-arm abTest must keep the arm row and NULL z: ${ab.toSeq}")
+    val wt = Analytics.welchTest(Seq((1L, 2.0), (2L, 4.0)).toDF("u", "v"),
+      lit(0L), "u", "v").collect()
+    assert(wt.length == 1 && wt.head.getLong(1) == 2L && wt.head.isNullAt(4),
+      s"single-arm welchTest must keep the arm row and NULL t: ${wt.toSeq}")
+  }
+
   test("groupedAuc: perfect separation, tie handling, single-class NULL") {
     import spark.implicits._
     val rows =

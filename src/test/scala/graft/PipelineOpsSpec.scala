@@ -696,6 +696,19 @@ class PipelineOpsSpec extends SparkSpec {
       "quote must be contained one direction only")
   }
 
+  test("linkageScore: constant field stays finite (u clamps below 1)") {
+    import spark.implicits._
+    // 'c' is constant across rows and null on one: without the clamp the
+    // disagreement weight is log2(0.05/0) = +Inf and the null pair would
+    // score as the strongest possible match.
+    val df = Seq((1L, "dup00", "x"), (2L, "dup00x", "x"), (3L, "dup01", null))
+      .toDF("id", "nm", "c")
+    val out = Dedup.linkageScore(df, "id", "nm", Seq("c"), m = 0.9, w = 3)
+      .collect().map(_.getDouble(2))
+    assert(out.nonEmpty && out.forall(s => !s.isInfinite && !s.isNaN),
+      s"constant-field weights must stay finite: ${out.toSeq}")
+  }
+
   test("linkageScore: hand-replayed FS weights; null fields disagree; u from histogram") {
     import spark.implicits._
     // 6 records, one SNM-adjacent name cluster; field f has values
