@@ -655,6 +655,35 @@ object Dedup {
         weighted.map(_._2).reduce(_ + _).cast("int").as("n_agree"))
   }
 
+  /** Dedup-pipeline quality audit: precision / recall / F1 of the MinHash-
+    * LSH candidate pairs against the exact (capped) shingle-Jaccard truth —
+    * the companion of the ANN recall audit for the dedup stack, and the
+    * number a 100 TB pipeline owner needs before trusting the cheap
+    * probabilistic pass. Both channels are deterministic, so the audit is
+    * hash-exact and sits under the oracle gate.
+    *
+    * One row out: pair counts, true positives (a left-semi join on the
+    * checkpointed truth pairs), and the three statistics as guarded scalar
+    * divisions (empty channels → NULL, not a division error). */
+  def dedupAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val truth = ngramJaccard(docs, idCol, textCol)
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val approx = minHashLsh(docs, idCol, textCol)
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nA = approx.agg(count(lit(1)).as("n_approx"))
+    val tp = approx.join(truth, Seq("id1", "id2"), "left_semi")
+      .agg(count(lit(1)).as("tp"))
+    val p = col("tp").cast("double") / col("n_approx")
+    val r = col("tp").cast("double") / col("n_truth")
+    nT.crossJoin(nA).crossJoin(tp)
+      .select(col("n_truth"), col("n_approx"), col("tp"),
+        when(col("n_approx") > 0, round(p, 6)).as("precision"),
+        when(col("n_truth") > 0, round(r, 6)).as("recall"),
+        when(col("n_approx") > 0 && col("n_truth") > 0 && col("tp") > 0,
+          round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
+  }
+
   /** Connected components over a pair/edge DataFrame by min-label
     * propagation: every node starts labeled with itself; each iteration
     * takes the min of its own and its neighbors' labels; fixpoint = the
@@ -1044,6 +1073,8 @@ object Dedup {
     "q167_containment" -> ((s, d) =>
       containmentJoin(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("id1"), col("id2"))),
+    "q187_dedup_audit" -> ((s, d) =>
+      dedupAudit(Tables.documents(s, d), "doc_id", "text")),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1135,7 +1166,37 @@ object Dedup {
               JOIN sig s1 ON s1.doc_id = id1
               JOIN sig s2 ON s2.doc_id = id2)"""
 
+  /** q187: both channels' CTE chains in one statement (minhash defines
+    * `toks`; the capped-truth chain reuses it, so its own copy is cut). */
+  private def dedupAuditSql: String = {
+    val cappedNoToks = duckCappedSets.substring(duckCappedSets.indexOf("shx AS"))
+    s"""
+      WITH ${duckMinhashCtes()},
+      $cappedNoToks,
+      tr AS (SELECT x.doc_id AS id1, y.doc_id AS id2
+             FROM sets x JOIN sets y ON x.doc_id < y.doc_id
+             WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.sh, y.sh))), 4) >= 0.5),
+      ap AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.35),
+      ct AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr),
+      ca AS (SELECT CAST(count(*) AS BIGINT) AS n_approx FROM ap),
+      tpc AS (SELECT CAST(count(*) AS BIGINT) AS tp
+              FROM ap JOIN tr USING (id1, id2))
+      SELECT n_truth, n_approx, tp,
+             CASE WHEN n_approx > 0
+                  THEN round(CAST(tp AS DOUBLE) / n_approx, 6) END AS precision,
+             CASE WHEN n_truth > 0
+                  THEN round(CAST(tp AS DOUBLE) / n_truth, 6) END AS recall,
+             CASE WHEN n_approx > 0 AND n_truth > 0 AND tp > 0
+                  THEN round(2.0 * (CAST(tp AS DOUBLE) / n_approx)
+                             * (CAST(tp AS DOUBLE) / n_truth)
+                             / (CAST(tp AS DOUBLE) / n_approx
+                                + CAST(tp AS DOUBLE) / n_truth), 6) END AS f1
+      FROM ct, ca, tpc"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q187_dedup_audit" -> dedupAuditSql,
     // Replays the digest grouping: keeper per md5(text), not per raw text.
     "q50_exact_dedup" -> """
       SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,

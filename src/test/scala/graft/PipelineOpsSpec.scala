@@ -696,6 +696,24 @@ class PipelineOpsSpec extends SparkSpec {
       "quote must be contained one direction only")
   }
 
+  test("dedupAudit: P/R/F1 replayed from independently-collected channels") {
+    val docs = Tables.documents(spark, sf0001)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Dedup.ngramJaccard(docs, "doc_id", "text")
+      .select("id1", "id2"))
+    val ap = pairs(Dedup.minHashLsh(docs, "doc_id", "text")
+      .select("id1", "id2"))
+    val tp = ap.intersect(truth).size
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Dedup.dedupAudit(docs, "doc_id", "text").collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      (truth.size.toLong, ap.size.toLong, tp.toLong), s"counts diverged: $row")
+    assert(row.getDouble(3) == r6(tp.toDouble / ap.size) &&
+      row.getDouble(4) == r6(tp.toDouble / truth.size), s"P/R diverged: $row")
+    assert(truth.nonEmpty && ap.nonEmpty, "fixture must exercise both channels")
+  }
+
   test("linkageScore: constant field stays finite (u clamps below 1)") {
     import spark.implicits._
     // 'c' is constant across rows and null on one: without the clamp the
