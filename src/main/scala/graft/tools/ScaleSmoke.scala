@@ -693,6 +693,51 @@ object ScaleSmoke {
       time(s"neighborhoodAgg ${k}x (disjoint copies)",
         Graph.neighborhoodAgg(edBlown, "src", "dst", featsBlown, "n", "f"))
     }
+    // The evaluation/experimentation/drift family: every member collapses
+    // the corpus to a bounded frame (score/bin/arm/value counts) before any
+    // statistics, so 20x disjoint copies must be scan-linear with flat tails.
+    section("eval") {
+      import graft.operators.Analytics
+      val ev9 = Tables.events(spark, sfDir)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+      val ev9Blown = (0 until k).map { c =>
+        ev9.select((col("user_id") + lit(c * 1000000L)).as("user_id"), col("ts"),
+          (col("event_id") + lit(c * 100000000L)).as("event_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ union _).localCheckpoint()
+      def auc(df: DataFrame) = Analytics.groupedAuc(
+        df.withColumn("dow", dayofweek(col("ts"))), "dow", "value",
+        col("event_type") === "purchase")
+      time("groupedAuc 1x", auc(ev9))
+      time(s"groupedAuc ${k}x", auc(ev9Blown))
+      def ks(df: DataFrame) = Analytics.ksTest(
+        df.filter(col("event_type").isin("click", "purchase")),
+        col("event_type") === "purchase", "value")
+      time("ksTest 1x", ks(ev9))
+      time(s"ksTest ${k}x", ks(ev9Blown))
+      def ab(df: DataFrame) = Analytics.abTest(
+        df.filter(col("user_id").isNotNull).withColumn("unit",
+          concat_ws("_", col("user_id"), to_date(col("ts")))),
+        expr(s"pmod(${graft.operators.CrossHash.h60Expr("user_id")}, 2)"),
+        "unit", col("event_type") === "purchase")
+      time("abTest 1x", ab(ev9))
+      time(s"abTest ${k}x", ab(ev9Blown))
+      time("psi 1x", Analytics.psi(
+        ev9.filter(col("event_type").isin("click", "purchase")),
+        col("event_type") === "purchase", "value"))
+      time(s"psi ${k}x", Analytics.psi(
+        ev9Blown.filter(col("event_type").isin("click", "purchase")),
+        col("event_type") === "purchase", "value"))
+      time("targetEncode 1x", Analytics.targetEncode(ev9, "event_type",
+        "event_id", "value"))
+      time(s"targetEncode ${k}x", Analytics.targetEncode(ev9Blown, "event_type",
+        "event_id", "value"))
+    }
+    section("audit") {
+      time("dedupAudit 1x", Dedup.dedupAudit(base, "doc_id", "text"))
+      time(s"dedupAudit ${k}x (20x dup clusters)",
+        Dedup.dedupAudit(blown, "doc_id", "text"))
+    }
     section("skipstats") {
       import graft.operators.Layout
       val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
