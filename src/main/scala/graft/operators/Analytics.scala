@@ -721,6 +721,53 @@ object Analytics {
       "event_type", "purchase", Seq("signup", "view", "click"))
       .orderBy(col("channel"))
 
+  // -------------------------------------------------------------- Benford --
+
+  /** Benford first-digit conformance — the forensic data-quality check
+    * (fabricated or unit-mixed numeric columns drift from the log
+    * distribution): per (group, digit 1..9) the observed count and share
+    * vs the Benford expectation log10(1+1/d), plus the group's mean
+    * absolute deviation on every row (Nigrini's MAD: < 0.006 close
+    * conformance, > 0.015 nonconformance).
+    *
+    * The digit spine is groups × 1..9 (absent digits count as deviation —
+    * dropping them would understate MAD); expectations are Scala-computed
+    * literals EMBEDDED in both plans, so both engines compare against
+    * bit-identical constants; shares are one division each and the MAD
+    * window averages 9 such doubles (round-6 absorbs term order). Shape:
+    * one (group, digit)-bounded aggregate + a 9-row-per-group window. */
+  def benford(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull && abs(col(valueCol)) >= 1)
+      .select(col(groupCol).as("grp"),
+        substring(floor(abs(col(valueCol))).cast("long").cast("string"), 1, 1)
+          .cast("int").as("d"))
+    val counts = base.groupBy(col("grp"), col("d")).agg(count(lit(1)).as("n"))
+    val spine = counts.select(col("grp")).distinct()
+      .crossJoin(spark_range_digits(df))
+    val expected = (1 to 9).map(d => math.log10(1 + 1.0 / d))
+    val expCol = element_at(
+      array(expected.map(lit): _*), col("d"))
+    val wg = Window.partitionBy(col("grp"))
+    val shares = spine.join(counts, Seq("grp", "d"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("total", sum(col("n")).over(wg))
+      .withColumn("share", col("n").cast("double") / col("total"))
+      .withColumn("dev", abs(col("share") - expCol))
+    shares
+      .withColumn("mad", round(avg(col("dev")).over(wg), 6))
+      .select(col("grp"), col("d"), col("n"),
+        round(col("share"), 6).as("share"),
+        round(expCol, 6).as("expected"), col("mad"))
+  }
+
+  private def spark_range_digits(df: DataFrame): DataFrame =
+    df.sparkSession.range(1, 10).select(col("id").cast("int").as("d"))
+
+  private val q188: Q = (s, d) =>
+    benford(Tables.orders(s, d), "o_orderpriority", "o_totalprice")
+      .orderBy(col("grp"), col("d"))
+
   // ------------------------------------------------------------------ PSI --
 
   /** Population Stability Index — the binned drift score model-monitoring
@@ -2030,13 +2077,42 @@ object Analytics {
     "q183_welch_test" -> q183,
     "q184_ks_test" -> q184,
     "q185_psi" -> q185,
+    "q188_benford" -> q188,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
     * (same formulation the dedup/contamination oracles replay). */
   private def h60(e: String): String = CrossHash.h60DuckDb(e)
 
+  /** q188: the Benford expectations enter BOTH plans as the same Scala-
+    * computed double literals (shortest round-trip repr parses to the
+    * identical binary double in DuckDB). */
+  private def benfordOracleSql: String = {
+    val vals = (1 to 9).map(d => s"($d, ${math.log10(1 + 1.0 / d)})").mkString(", ")
+    s"""
+      WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(left(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
+                    AS VARCHAR), 1) AS INT) AS d
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1),
+      counts AS (SELECT grp, d, count(*) AS n FROM base GROUP BY 1, 2),
+      expd(d, e) AS (VALUES $vals),
+      spine AS (SELECT DISTINCT grp FROM counts),
+      j AS (SELECT s.grp, expd.d, CAST(expd.e AS DOUBLE) AS e,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM spine s CROSS JOIN expd
+            LEFT JOIN counts c ON s.grp = c.grp AND expd.d = c.d),
+      sh AS (SELECT grp, d, e, n,
+                    CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY grp) AS share
+             FROM j)
+      SELECT grp, d, n, round(share, 6) AS share, round(e, 6) AS expected,
+             round(avg(abs(share - e)) OVER (PARTITION BY grp), 6) AS mad
+      FROM sh ORDER BY grp, d"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q188_benford" -> benfordOracleSql,
     // Replays bounds, the q181 bin arithmetic, the clamped rates, and the
     // rounded per-term/total chain (terms pre-rounded before the total).
     "q185_psi" -> """

@@ -83,6 +83,8 @@ object ExplainDump {
     "q174_active_users" -> "distinct (user, day) once; WAU = W-day contribution explode + second distinct — the exact rolling-distinct fan-out; day-spine left joins",
     "q176_bpe_merges" -> "final round of the vocab-bounded iteration: pair explode + |vocab| aggregate + 1-row argmax; greedy merge as a codegen'd aggregate() string fold over the checkpointed word table",
     "q177_neighborhood_agg" -> "two message-passing layers: node-keyed equality join + exact decimal sum each; symmetrized distinct edge list checkpointed once, read by both layers",
+    "q184_ks_test" -> "per-value class counts; two-level integer prefix sums (bucket-local windows + broadcast offsets); decimal cross-product argmax as TakeOrderedAndProject; one division",
+    "q187_dedup_audit" -> "both channels checkpointed as skinny pair frames; TP = one left-semi; the statistics run on a 1-row crossJoin chain",
   )
 
   def main(args: Array[String]): Unit = {

@@ -644,6 +644,27 @@ class AnalyticsSpec extends SparkSpec {
       s"saturated pool must NULL the z: ${satOut.toSeq}")
   }
 
+  test("benford: perfect Benford sample scores MAD 0; missing digits count") {
+    import spark.implicits._
+    // 1000 values distributed exactly per Benford (301, 176, 125, 97, 79,
+    // 67, 58, 51, 46 ≈ round(1000·log10(1+1/d))): shares equal the
+    // expectation to < 5e-4, so MAD < 5e-4 — near-conformance.
+    val benfordCounts = (1 to 9).map(d => d -> math.round(1000 * math.log10(1 + 1.0 / d)).toInt)
+    val good = benfordCounts.flatMap { case (d, c) =>
+      Seq.fill(c)(("good", d * 100.0 + 1)) }
+    // "bad": every value starts with digit 9 -> 8 missing digits must
+    // still appear as spine rows with share 0 and full deviation.
+    val bad = Seq.fill(50)(("bad", 900.0))
+    val out = Analytics.benford((good ++ bad).toDF("g", "v"), "g", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(5)))
+    val goodMad = out.filter(_._1 == "good").head._4
+    assert(goodMad < 5e-4, s"Benford-shaped sample must conform, MAD=$goodMad")
+    val badRows = out.filter(_._1 == "bad")
+    assert(badRows.length == 9 && badRows.count(_._3 == 0L) == 8,
+      s"missing digits must appear with n=0: ${badRows.toSeq}")
+    assert(badRows.head._4 > 0.015, "all-9s sample must flag nonconformance")
+  }
+
   test("abTest/welchTest: a missing arm keeps the present arm's row with NULL stats") {
     import spark.implicits._
     val oneArm = Seq((1L, true), (2L, false), (3L, true)).toDF("u", "conv")
