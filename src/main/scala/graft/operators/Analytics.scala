@@ -553,6 +553,20 @@ object Analytics {
   def funnelStages(events: DataFrame, keyCols: Seq[String], timeCol: String,
       rowIdCol: String, typeCol: String, stages: Seq[String],
       maxGapSec: Option[Long] = None): DataFrame = {
+    val staged = stagedFrame(events, keyCols, timeCol, rowIdCol, typeCol,
+      stages, maxGapSec)
+    val stageSum = stages.indices
+      .map(i => when(max(col(s"t${i + 1}")).isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    staged.groupBy(keyCols.map(col): _*).agg(stageSum.cast("int").as("stage"))
+  }
+
+  /** The shared ordered-gating pass: every event row annotated with the
+    * running first-completion time t1..tN of each stage (the single
+    * (key, time) sort both [[funnelStages]] and [[funnelLatency]] ride). */
+  private def stagedFrame(events: DataFrame, keyCols: Seq[String],
+      timeCol: String, rowIdCol: String, typeCol: String,
+      stages: Seq[String], maxGapSec: Option[Long]): DataFrame = {
     require(stages.nonEmpty, "funnel: stages must be non-empty")
     // A repeated stage name would let ONE event satisfy two consecutive
     // gates in the same window pass (the running state includes the current
@@ -586,7 +600,7 @@ object Analytics {
           s"funnel: maxGapSec needs a timestamp or numeric time column, got $other")
       }
     }
-    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (st, i)) =>
+    stages.zipWithIndex.foldLeft(events) { case (df, (st, i)) =>
       val hit = col(typeCol) === st
       val valid =
         if (i == 0) hit
@@ -596,11 +610,52 @@ object Analytics {
         }
       df.withColumn(s"t${i + 1}", min(when(valid, tVal)).over(w))
     }
-    val stageSum = stages.indices
-      .map(i => when(max(col(s"t${i + 1}")).isNotNull, 1).otherwise(0))
-      .reduce(_ + _)
-    staged.groupBy(keyCols.map(col): _*).agg(stageSum.cast("int").as("stage"))
   }
+
+  /** Funnel stage-to-stage latency percentiles — the "WHERE does the
+    * funnel stall" companion to the stage counts: for each consecutive
+    * stage pair, how long converting keys took (p25/p50/p75/p90 of the
+    * first-completion gap), in the time column's units (micros for
+    * timestamps).
+    *
+    * Rides the SAME single (key, time) sort as [[funnelStages]] (the
+    * shared gating pass), then one per-key min per stage and a
+    * stages-bounded exact-percentile aggregate — percentile() over
+    * integer micros interpolates identically cross-engine. */
+  def funnelLatency(events: DataFrame, keyCols: Seq[String], timeCol: String,
+      rowIdCol: String, typeCol: String, stages: Seq[String],
+      maxGapSec: Option[Long] = None): DataFrame = {
+    require(stages.size >= 2, s"funnelLatency: need >= 2 stages, got $stages")
+    val staged = stagedFrame(events, keyCols, timeCol, rowIdCol, typeCol,
+      stages, maxGapSec)
+    val perKey = staged.groupBy(keyCols.map(col): _*)
+      .agg(min(col("t1")).as("t1"),
+        stages.indices.drop(1).map(i => min(col(s"t${i + 1}")).as(s"t${i + 1}")): _*)
+    val gaps = perKey.select(explode(array(
+      (1 until stages.size).map { i =>
+        struct(lit(i).as("step"),
+          (col(s"t${i + 1}") - col(s"t$i")).as("lat"))
+      }: _*)).as("x"))
+      .select(col("x.step").as("step"), col("x.lat").as("lat"))
+      .filter(col("lat").isNotNull)
+    val stageName = (i: Column) => element_at(
+      array(stages.map(lit): _*), i)
+    gaps.groupBy(col("step"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("lat"), lit(0.25)).as("p25"),
+        percentile(col("lat"), lit(0.5)).as("p50"),
+        percentile(col("lat"), lit(0.75)).as("p75"),
+        percentile(col("lat"), lit(0.9)).as("p90"))
+      .select(stageName(col("step")).as("from_stage"),
+        stageName(col("step") + 1).as("to_stage"),
+        col("n"), col("p25"), col("p50"), col("p75"), col("p90"))
+  }
+
+  private val q189: Q = (s, d) =>
+    funnelLatency(Tables.events(s, d).withColumn("day", to_date(col("ts"))),
+      Seq("user_id", "day"), "ts", "event_id", "event_type",
+      Seq("signup", "view", "click", "purchase"))
+      .orderBy(col("from_stage"))
 
   /** signup → view → click → purchase conversion per (user, day) — the
     * daily-conversion grain, which actually distributes keys across all
@@ -2078,6 +2133,7 @@ object Analytics {
     "q184_ks_test" -> q184,
     "q185_psi" -> q185,
     "q188_benford" -> q188,
+    "q189_funnel_latency" -> q189,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -2836,6 +2892,41 @@ object Analytics {
       ORDER BY c.grp1, c.grp2""",
     // CAST(ts AS TIMESTAMP) truncates DuckDB's ns reads to the µs Spark
     // carries, so ordering ties resolve identically (then event_id).
+    // Latency oracle: the same gated running-min chain, but carrying first-
+    // completion TIMES; quantile_cont over integer micros interpolates
+    // exactly like Spark's percentile().
+    "q189_funnel_latency" -> """
+      WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+                        event_type FROM events),
+      a AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+              OVER (PARTITION BY user_id, day ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS t1 FROM e),
+      b AS (SELECT *, min(CASE WHEN event_type = 'view' AND t1 IS NOT NULL
+                          THEN us END)
+              OVER (PARTITION BY user_id, day ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS t2 FROM a),
+      c AS (SELECT *, min(CASE WHEN event_type = 'click' AND t2 IS NOT NULL
+                          THEN us END)
+              OVER (PARTITION BY user_id, day ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS t3 FROM b),
+      f AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t3 IS NOT NULL
+                          THEN us END)
+              OVER (PARTITION BY user_id, day ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS t4 FROM c),
+      k AS (SELECT user_id, day, min(t1) AS t1, min(t2) AS t2,
+                   min(t3) AS t3, min(t4) AS t4 FROM f GROUP BY 1, 2),
+      g AS (
+        SELECT 'signup' AS from_stage, 'view' AS to_stage, t2 - t1 AS lat
+        FROM k WHERE t2 IS NOT NULL
+        UNION ALL
+        SELECT 'view', 'click', t3 - t2 FROM k WHERE t3 IS NOT NULL
+        UNION ALL
+        SELECT 'click', 'purchase', t4 - t3 FROM k WHERE t4 IS NOT NULL)
+      SELECT from_stage, to_stage, CAST(count(*) AS BIGINT) AS n,
+             quantile_cont(lat, 0.25) AS p25, quantile_cont(lat, 0.5) AS p50,
+             quantile_cont(lat, 0.75) AS p75, quantile_cont(lat, 0.9) AS p90
+      FROM g GROUP BY 1, 2 ORDER BY from_stage""",
     "q69_funnel" -> """
       WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                         CAST(ts AS TIMESTAMP) AS ts, event_id,

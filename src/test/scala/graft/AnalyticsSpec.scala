@@ -644,6 +644,27 @@ class AnalyticsSpec extends SparkSpec {
       s"saturated pool must NULL the z: ${satOut.toSeq}")
   }
 
+  test("funnelLatency: hand-computed gaps; gated stage order; non-completers drop") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      // u1: a@0 b@1 c@3 -> a>b gap 60s, b>c gap 120s
+      (1L, ts(0), 1L, "a"), (2L, ts(1), 1L, "b"), (3L, ts(3), 1L, "c"),
+      // u2: b BEFORE a never counts (ordered gating); a@2 b@4 -> gap 120s
+      (4L, ts(0), 2L, "b"), (5L, ts(2), 2L, "a"), (6L, ts(4), 2L, "b"),
+      // u3: a only -> contributes no gaps
+      (7L, ts(0), 3L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Analytics.funnelLatency(rows, Seq("user_id"), "ts", "event_id",
+      "event_type", Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(4))).sortBy(_._1).toList
+    // a>b latencies: u1 60s, u2 120s -> median 90s (micros)
+    assert(out == List(("a", "b", 2L, 90e6), ("b", "c", 1L, 120e6)),
+      s"latency replay diverged: $out")
+  }
+
   test("benford: perfect Benford sample scores MAD 0; missing digits count") {
     import spark.implicits._
     // 1000 values distributed exactly per Benford (301, 176, 125, 97, 79,
