@@ -776,6 +776,39 @@ object Analytics {
       "event_type", "purchase", Seq("signup", "view", "click"))
       .orderBy(col("channel"))
 
+  // ------------------------------------------------------- event cadence --
+
+  /** Inter-event cadence: per event type, the distribution (p25/p50/p75/
+    * p90) of the gap between a user's consecutive events OF THAT TYPE —
+    * the activity-rhythm metric behind churn heuristics and notification
+    * scheduling ([[funnelLatency]] measures gaps BETWEEN stages; this
+    * measures the rhythm WITHIN one).
+    *
+    * One (user, type)-keyed sort carries the lag; gaps are exact integer
+    * micros; the roll-up is a types-bounded exact-percentile aggregate —
+    * percentile ≡ quantile_cont over identical integers. */
+  def eventCadence(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol), col("et"))
+      .orderBy(col("us"), col(idCol))
+    df.filter(col(userCol).isNotNull)
+      .select(col(userCol), col(idCol), col(typeCol).as("et"),
+        unix_micros(col(tsCol)).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("et"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("gap"), lit(0.25)).as("p25"),
+        percentile(col("gap"), lit(0.5)).as("p50"),
+        percentile(col("gap"), lit(0.75)).as("p75"),
+        percentile(col("gap"), lit(0.9)).as("p90"))
+  }
+
+  private val q190: Q = (s, d) =>
+    eventCadence(Tables.events(s, d), "user_id", "ts", "event_id",
+      "event_type")
+      .orderBy(col("et"))
+
   // -------------------------------------------------------------- Benford --
 
   /** Benford first-digit conformance — the forensic data-quality check
@@ -2134,6 +2167,7 @@ object Analytics {
     "q185_psi" -> q185,
     "q188_benford" -> q188,
     "q189_funnel_latency" -> q189,
+    "q190_event_cadence" -> q190,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -2892,6 +2926,18 @@ object Analytics {
       ORDER BY c.grp1, c.grp2""",
     // CAST(ts AS TIMESTAMP) truncates DuckDB's ns reads to the µs Spark
     // carries, so ordering ties resolve identically (then event_id).
+    // Replays the (user, type) lag and the exact-percentile roll-up.
+    "q190_event_cadence" -> """
+      WITH e AS (
+        SELECT event_type AS et, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               us - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                 (PARTITION BY user_id, event_type
+                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS gap
+        FROM events WHERE user_id IS NOT NULL)
+      SELECT et, CAST(count(*) AS BIGINT) AS n,
+             quantile_cont(gap, 0.25) AS p25, quantile_cont(gap, 0.5) AS p50,
+             quantile_cont(gap, 0.75) AS p75, quantile_cont(gap, 0.9) AS p90
+      FROM e WHERE gap IS NOT NULL GROUP BY et ORDER BY et""",
     // Latency oracle: the same gated running-min chain, but carrying first-
     // completion TIMES; quantile_cont over integer micros interpolates
     // exactly like Spark's percentile().

@@ -644,6 +644,23 @@ class AnalyticsSpec extends SparkSpec {
       s"saturated pool must NULL the z: ${satOut.toSeq}")
   }
 
+  test("eventCadence: gaps stay within (user, type); hand-computed median") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      // u1 type a at 0, 1, 3 -> gaps 60s, 120s; u2 type a at 0, 5 -> 300s
+      (1L, ts(0), 1L, "a"), (2L, ts(1), 1L, "a"), (3L, ts(3), 1L, "a"),
+      (4L, ts(0), 2L, "a"), (5L, ts(5), 2L, "a"),
+      // u1 type b interleaved must NOT break type-a gaps; single b -> no gap
+      (6L, ts(2), 1L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Analytics.eventCadence(rows, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toList
+    // type-a gaps {60, 120, 300}s -> median 120s; type b contributes none
+    assert(out == List(("a", 3L, 120e6)), s"cadence replay diverged: $out")
+  }
+
   test("funnelLatency: hand-computed gaps; gated stage order; non-completers drop") {
     import spark.implicits._
     import java.sql.Timestamp
