@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   * The median absorbs one-off stalls, the min shows the steady-state
   * floor; `value` is the sum of medians. Full 3-decimal per-run samples
   * go to bench_out.json (no stdout-tail size cap there).
+  *
+  * Round 11: each query additionally gets ONE untimed warm-up execution
+  * before its timed samples (SPARK_GRAFT_WARMUP=0 disables), so
+  * first-touch JIT/codegen cost is excluded from the reported median —
+  * the r10 q110 profile [7.49, 6.63, 1.20] showed a median-of-3 can
+  * overstate steady state 5× on iterative graph queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,6 +36,7 @@ object Bench {
     // unlike ScaleSmoke, whose heavyweight K× checkpoint fixtures DO need
     // the between-op GC (PERF.md round-8 hygiene notes).
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "0") == "1"
+    val warmupPerQuery = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -77,6 +84,14 @@ object Bench {
     // are unmistakable (null in bench_samples.json, -1.0 only in the stdout
     // median, which is the driver's documented failure encoding).
     def exec(name: String): Seq[Double] = {
+      // Per-query warm-up (round 11): ONE untimed execution before the
+      // timed samples. Graph-family JIT warm-up twice inflated a
+      // median-of-3 into a phantom regression (r10 q110 profile
+      // [7.49, 6.63, 1.20] median-reports 5× its steady-state floor);
+      // discarding sample 0 makes the reported median measure the plan,
+      // not first-touch codegen/classloading. SPARK_GRAFT_WARMUP=0
+      // restores cold-start measurement for solo diagnostics.
+      if (warmupPerQuery && execOnce(name) < 0) return Seq.empty
       val samples = Iterator.continually(execOnce(name))
         .take(runs).takeWhile(_ >= 0).toSeq
       if (samples.size < runs) return Seq.empty

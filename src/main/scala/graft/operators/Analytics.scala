@@ -974,7 +974,16 @@ object Analytics {
       valueCol: String): DataFrame = {
     // the per-unit sum narrows to DECIMAL(18,2): its square is then
     // (37,4), which BOTH engines hold exactly — squaring the wide sum
-    // type would exceed 38 digits and silently round (engine-divergent)
+    // type would exceed 38 digits and silently round (engine-divergent).
+    // Overflow posture: under ANSI mode (Spark 4's default, asserted
+    // here) a unit metric exceeding 10^16 RAISES rather than becoming a
+    // silent NULL that would drop the unit from the arm moments — the
+    // loud failure is the correct one for a test statistic.
+    require(df.sparkSession.conf.get("spark.sql.ansi.enabled", "true")
+      .toBoolean,
+      "welchTest requires ANSI mode: with spark.sql.ansi.enabled=false an " +
+        "overflowing per-unit metric becomes NULL and is silently excluded " +
+        "from the arm moments")
     val units = df.filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(armCol.as("arm"), col(unitCol).as("u"))
       .agg(sum(col(valueCol).cast("decimal(14,2)"))
@@ -1316,10 +1325,14 @@ object Analytics {
     df.filter(col(valCol).isNotNull)
       .select(col(keyCol), col(idCol),
         col(valCol).cast("decimal(14,2)").as("v"))
-      .withColumn("bin", ntile(bins).over(w))
+      // Pin bin to BIGINT (Spark ntile yields int32, DuckDB int64) and the
+      // decimal mass to (38,2) (Spark widens sum(DECIMAL(14,2)) to (24,2),
+      // DuckDB to (38,2)) — the driver's oracle hash is type-sensitive.
+      .withColumn("bin", ntile(bins).over(w).cast("long"))
       .groupBy(col(keyCol), col("bin"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
-        max(col("v")).as("hi"), sum(col("v")).as("mass"))
+        max(col("v")).as("hi"),
+        sum(col("v")).cast("decimal(38,2)").as("mass"))
   }
 
   private val q171: Q = (s, d) =>
@@ -1972,7 +1985,11 @@ object Analytics {
     val agg = df
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col(valCol).cast("decimal(14,2)")).as("bucket_sum"))
+        // Pin the sum to DECIMAL(38,2): Spark widens sum(DECIMAL(14,2)) to
+        // (24,2) while DuckDB widens to (38,2) — the driver's oracle hash
+        // is type-sensitive, so both engines must agree on the output type.
+        sum(col(valCol).cast("decimal(14,2)"))
+          .cast("decimal(38,2)").as("bucket_sum"))
       .localCheckpoint()
     val bounds = agg.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("d0"), max(col("bucket")).as("d1"))

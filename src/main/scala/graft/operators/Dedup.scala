@@ -425,9 +425,15 @@ object Dedup {
       .join(sets.select(col("id").as("id1"), col("stoks").as("s1"), col("sz").as("sz1")), "id1")
       .join(sets.select(col("id").as("id2"), col("stoks").as("s2"), col("sz").as("sz2")), "id2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      // Threshold on the EXACT integer cross-multiplication (J ≥ jNum/jDen
+      // ⇔ inter·jDen ≥ union·jNum): the pigeonhole completeness lemma
+      // covers true J ≥ τ only — filtering on the 4-dp ROUNDED value would
+      // admit pairs with true J ∈ [τ−5e-5, τ) that candidate generation is
+      // allowed to miss. The rounded jaccard is output-only.
+      .filter(col("inter") * jDen >=
+        (col("sz1") + col("sz2") - col("inter")) * jNum)
       .withColumn("jaccard", round(col("inter").cast("double")
         / (col("sz1") + col("sz2") - col("inter")), 4))
-      .filter(col("jaccard") >= lit(jNum.toDouble / jDen))
       .select(col("id1"), col("id2"), col("inter"), col("jaccard"))
   }
 
@@ -478,9 +484,14 @@ object Dedup {
         col("sz").as("sz1")), "id1")
       .join(ordered.select(col("id").as("id2"), col("hs").as("s2")), "id2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      // Exact integer threshold (C ≥ cNum/cDen ⇔ inter·cDen ≥ sz1·cNum) —
+      // same rounding-vs-completeness reasoning as setSimilarityJoin: the
+      // prefix lemma covers true C ≥ τ, so the filter must not admit
+      // round-up pairs the index may miss. Rounded containment is
+      // output-only.
+      .filter(col("inter") * cDen >= col("sz1") * cNum)
       .withColumn("containment",
         round(col("inter").cast("double") / col("sz1"), 4))
-      .filter(col("containment") >= lit(cNum.toDouble / cDen))
       .select(col("id1"), col("id2"), col("inter"), col("containment"))
   }
 
@@ -1230,12 +1241,13 @@ object Dedup {
       pairs AS (
         SELECT x.doc_id AS id1, y.doc_id AS id2,
                CAST(len(list_intersect(x.tk, y.tk)) AS BIGINT) AS inter,
+               CAST(len(x.tk) + len(y.tk) AS BIGINT) AS szsum,
                round(CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
                      / (len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk))),
                      4) AS jaccard
         FROM sets x JOIN sets y ON x.doc_id < y.doc_id)
       SELECT id1, id2, inter, jaccard FROM pairs
-      WHERE jaccard >= 0.9 ORDER BY id1, id2""",
+      WHERE inter * 10 >= (szsum - inter) * 9 ORDER BY id1, id2""",
     // INDEPENDENT formulation: the window join is a rank-distance
     // predicate over a row_number total order — no rank-block decomposition.
     // Agreement certifies the block-join's pair completeness (every pair
@@ -1269,8 +1281,7 @@ object Dedup {
              round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s), 4)
                AS containment
       FROM sh x JOIN sh y ON x.doc_id <> y.doc_id
-      WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s), 4)
-            >= 0.8
+      WHERE len(list_intersect(x.s, y.s)) * 5 >= len(x.s) * 4
       ORDER BY id1, id2""",
     // Replays the full FS pipeline: SNM candidates, per-field u = Σ(n_v/n)²
     // from the value histogram, log2 agree/disagree weights, 6-dp rounding.

@@ -347,7 +347,16 @@ object Graph {
     * sum aggregator, WITH repetition — layer 2 aggregates the neighbors'
     * layer-1 aggregates, not the distinct 2-hop set, which is what makes
     * each layer ONE equality join + one keyed sum instead of a transitive
-    * closure). Output per node: degree, 1-hop feature sum, 2-hop sum.
+    * closure). Output per node: featured-neighbor count, 1-hop feature
+    * sum, 2-hop sum.
+    *
+    * `deg` counts neighbors that HAVE a feature row (the layers join
+    * features inner), not the node's raw degree — with total feature
+    * coverage the two coincide; with partial coverage a node whose
+    * neighbors all lack features is absent from the output, exactly as
+    * a sum-aggregator GNN layer would drop it. Callers needing raw
+    * degree should ensure feature coverage is total (as q177 does by
+    * unioning both node families).
     *
     * Features ride as DECIMAL(14,2): layer sums stay exact under any
     * join/aggregation order, so the gate needs no FP tolerance at all.
@@ -362,14 +371,18 @@ object Graph {
       .distinct().localCheckpoint()
     val f = features.select(col(nodeCol).as("n"),
       col(featCol).cast("decimal(14,2)").as("f"))
+    // Layer sums pinned to DECIMAL(38,2): Spark widens sum(DECIMAL(14,2))
+    // to (24,2) and sum of that to (34,2) while DuckDB widens straight to
+    // (38,2) — the driver's oracle hash is type-sensitive.
     val h1 = und.join(f, col("b") === col("n"))
       .groupBy(col("a").as("node"))
-      .agg(count(lit(1)).as("deg"), sum(col("f")).as("h1"))
+      .agg(count(lit(1)).as("deg"),
+        sum(col("f")).cast("decimal(38,2)").as("h1"))
       .localCheckpoint()
     val h2 = und.join(h1.select(col("node").as("b2"), col("h1").as("nh1")),
         col("b") === col("b2"))
       .groupBy(col("a").as("node"))
-      .agg(sum(col("nh1")).as("h2"))
+      .agg(sum(col("nh1")).cast("decimal(38,2)").as("h2"))
     h1.join(h2, "node")
       .select(col("node"), col("deg"), col("h1"), col("h2"))
   }

@@ -129,7 +129,9 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w))
+      // rn pinned to BIGINT: Spark row_number is int32, DuckDB int64 —
+      // keep both engines' output types identical under the strict gate.
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"))

@@ -74,7 +74,13 @@ object Skew {
     * IEEE division each — bit-identical cross-engine. */
   def keySkewProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     require(k >= 1, s"keySkewProfile: k must be >= 1, got $k")
-    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+    // NULL keys stringify to a sentinel BEFORE the (cnt DESC, key ASC)
+    // k-cut: Spark orders ASC nulls-first, DuckDB nulls-last, so a null
+    // key near the top-k boundary would otherwise rank (and cut)
+    // differently cross-engine. '<null>' sorts like an ordinary string in
+    // both — and NULL is precisely the hot key a skew profile must show.
+    val counts = df
+      .groupBy(coalesce(col(keyCol).cast("string"), lit("<null>")).as("key"))
       .agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum(col("cnt")).as("total_rows"),
       count(lit(1)).as("n_keys"))
@@ -109,7 +115,8 @@ object Skew {
     // Replays count -> k-cut -> rank/cumulative share; single divisions.
     "q173_key_skew" -> """
       WITH counts AS (
-        SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS cnt
+        SELECT coalesce(CAST(o_custkey AS VARCHAR), '<null>') AS key,
+               count(*) AS cnt
         FROM orders GROUP BY 1),
       totals AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
                         CAST(count(*) AS BIGINT) AS n_keys FROM counts),

@@ -1352,7 +1352,9 @@ object TextAnalysis {
                i -> struct_pack(l := syms[i-1], r := syms[i]))) AS u
         FROM s$p) GROUP BY 1, 2),
     m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-    s$k AS (SELECT w, n, ${mergeExpr(s"s$p")} AS syms FROM s$p, m$k m)"""
+    s$k AS (SELECT w, n,
+      CASE WHEN m.l IS NULL THEN s$p.syms ELSE ${mergeExpr(s"s$p")} END AS syms
+      FROM s$p LEFT JOIN m$k m ON TRUE)"""
     }
     val unions = (1 to rounds).map { k =>
       s"SELECT $k AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM m$k"

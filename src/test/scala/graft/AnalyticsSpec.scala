@@ -792,10 +792,10 @@ class AnalyticsSpec extends SparkSpec {
       .toDF("key", "id", "v")
     val out = Analytics.equalFreqBins(df, "key", "v", "id", bins = 3)
       .orderBy(col("bin")).collect()
-      .map(r => (r.getInt(1), r.getLong(2),
+      .map(r => (r.getLong(1), r.getLong(2),
         r.getDecimal(3).toPlainString, r.getDecimal(4).toPlainString))
-    assert(out.toList == List((1, 3L, "1.00", "2.00"), (2, 2L, "2.00", "3.00"),
-      (3, 2L, "4.00", "5.00")), s"binning diverged: ${out.toList}")
+    assert(out.toList == List((1L, 3L, "1.00", "2.00"), (2L, 2L, "2.00", "3.00"),
+      (3L, 2L, "4.00", "5.00")), s"binning diverged: ${out.toList}")
   }
 
   test("madOutliers: catches the spike stddev z-scores dilute; MAD=0 groups drop") {

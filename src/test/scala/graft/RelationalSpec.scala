@@ -73,7 +73,7 @@ class RelationalSpec extends SparkSpec {
   test("q09 rank never exceeds 3 and is dense from 1") {
     import org.apache.spark.sql.functions._
     val df = Relational.queries("q09_window_rank")(spark, sf0001)
-    assert(df.agg(max(col("rn"))).head().getInt(0) <= 3)
+    assert(df.agg(max(col("rn"))).head().getLong(0) <= 3)
     assert(df.filter(col("rn") === 1).count() ==
       df.select(col("o_custkey")).distinct().count())
   }

@@ -38,6 +38,34 @@ def norm(v):
     return v
 
 
+def norm_type(t):
+    """Normalize an Arrow type to the driver's hash granularity.
+
+    The driver's hash is type-sensitive down to decimal precision/scale and
+    integer width; the ONLY divergence it forgives (proven by passing
+    q80/q168 in round 10) is the timestamp unit (Spark parquet = us/ns vs
+    DuckDB = us) and tz annotation. Everything else must match exactly.
+    """
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    return str(t)
+
+
+def type_diffs(got_tbl, exp_tbl, cols):
+    diffs = []
+    gs, es = got_tbl.schema, exp_tbl.schema
+    for c in cols:
+        gt = norm_type(gs.field(c).type)
+        et = norm_type(es.field(c).type)
+        if gt != et:
+            diffs.append(f"{c}: got {gt} != exp {et}")
+    return diffs
+
+
 def main(outdir, sfdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -61,6 +89,12 @@ def main(outdir, sfdir):
         ecols = sorted(exp_tbl.column_names)
         if gcols != ecols:
             print(f"FAIL {name}: columns {gcols} != {ecols}")
+            n_fail += 1
+            continue
+        tdiffs = type_diffs(got_tbl, exp_tbl, gcols)
+        if tdiffs:
+            print(f"FAIL {name}: output type drift (driver hash is "
+                  f"type-sensitive): {'; '.join(tdiffs)}")
             n_fail += 1
             continue
         got = sorted((tuple(norm(r[c]) for c in gcols) for r in got_tbl.to_pylist()),
