@@ -437,6 +437,87 @@ object Dedup {
       .select(col("id1"), col("id2"), col("inter"), col("jaccard"))
   }
 
+  /** [[setSimilarityJoin]] with the production skew valve the uncapped
+    * form is missing at 100 TB: a homogeneous shard (one giant
+    * near-duplicate family) makes the TRUE answer ~K²/2 pairs — no plan
+    * fixes an output that size. `maxFamilySize` caps each signature
+    * family to its first N members (id order, deterministic), so emitted
+    * pairs are ≤ N²/2 per family and candidate compute is bounded the
+    * same way — the member-drop discipline [[minHashLsh]]'s `maxBandDf`
+    * applies to hot bands, here with an explicit per-pair `capped` flag
+    * (true ⇔ some generating family was truncated, i.e. the family's
+    * pair list is knowingly incomplete) instead of a silent drop.
+    *
+    * Two deliberate differences from the uncapped form:
+    *  - the token→part assignment uses the engine-neutral 60-bit md5
+    *    ([[CrossHash]]) instead of xxhash64, so the DuckDB oracle can
+    *    replay the FAMILIES (and therefore the cap and the flag) exactly
+    *    — the cap's semantics sit under the hash gate, not just its
+    *    arithmetic;
+    *  - recall inside truncated families is intentionally partial: pairs
+    *    among dropped members are gone (flagged via `capped` on the
+    *    surviving pairs). That is the valve's contract — bound the
+    *    answer, say where it was bounded.
+    *
+    * Per-token md5 is hoisted once into a parts array (`tp`); each of the
+    * m family signatures then md5-hashes the zip-filtered token subset —
+    * one digest per (doc, part), never m digests per token. */
+  def setSimilarityJoinCapped(df: DataFrame, idCol: String, textCol: String,
+      jNum: Int = 9, jDen: Int = 10, maxFamilySize: Int = 8): DataFrame = {
+    require(jNum >= 1 && jNum <= jDen,
+      s"setSimilarityJoinCapped: threshold must be in (0,1], got $jNum/$jDen")
+    require(maxFamilySize >= 2,
+      s"setSimilarityJoinCapped: maxFamilySize must be >= 2, got $maxFamilySize")
+    val sets = df.select(col(idCol).as("id"),
+        expr(s"array_sort(array_distinct(${toksExpr(textCol)}))").as("stoks"))
+      .filter(size(col("stoks")) > 0)
+      .withColumn("sz", size(col("stoks")).cast("long"))
+      .localCheckpoint()
+    val maxRow = sets.agg(max(col("sz"))).head()
+    if (maxRow.isNullAt(0))
+      return sets.select(col("id").as("id1"), col("id").as("id2"),
+        col("sz").as("inter"), lit(0.0).as("jaccard"),
+        lit(false).as("capped")).limit(0)
+    val maxSz = maxRow.getLong(0)
+    val m = (2L * maxSz * (jDen - jNum) / (jDen + jNum)).toInt + 1
+    val h60t = CrossHash.h60Expr("t")
+    val sigs = sets
+      .withColumn("tp", expr(s"transform(stoks, t -> pmod($h60t, $m))"))
+      .select(col("id"), col("sz"),
+        explode(expr(
+          s"""transform(sequence(0, ${m - 1}), part -> struct(part,
+              md5(concat_ws('\\u001f',
+                zip_with(stoks, tp, (t, p) -> if(p = part, t, null)))) as sig))"""))
+          .as("ps"))
+      .select(col("id"), col("sz"), col("ps.part").as("part"),
+        col("ps.sig").as("sig"))
+    val fam = Window.partitionBy(col("part"), col("sig"))
+    val kept = sigs
+      .withColumn("rk", row_number().over(fam.orderBy(col("id"))))
+      .withColumn("fsz", count(lit(1)).over(fam))
+      .filter(col("rk") <= maxFamilySize)
+      .withColumn("trunc", col("fsz") > maxFamilySize)
+    val cands = kept.as("x").join(kept.as("y"),
+        col("x.part") === col("y.part") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id") &&
+          col("x.sz") * jNum <= col("y.sz") * jDen &&
+          col("y.sz") * jNum <= col("x.sz") * jDen)
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+      .agg(max(col("x.trunc")).as("capped"))
+    cands
+      .join(sets.select(col("id").as("id1"), col("stoks").as("s1"),
+        col("sz").as("sz1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("stoks").as("s2"),
+        col("sz").as("sz2")), "id2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .filter(col("inter") * jDen >=
+        (col("sz1") + col("sz2") - col("inter")) * jNum)
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("sz1") + col("sz2") - col("inter")), 4))
+      .select(col("id1"), col("id2"), col("inter"), col("jaccard"),
+        col("capped"))
+  }
+
   /** Asymmetric containment (quote / subset) join: all ORDERED pairs
     * (x, y) with C(x→y) = |Sx ∩ Sy| / |Sx| ≥ cNum/cDen over distinct
     * 3-gram shingle sets. Containment is what symmetric Jaccard cannot
@@ -493,6 +574,60 @@ object Dedup {
       .withColumn("containment",
         round(col("inter").cast("double") / col("sz1"), 4))
       .select(col("id1"), col("id2"), col("inter"), col("containment"))
+  }
+
+  /** [[containmentJoin]] with the posting-list valve — the containment
+    * side of the q193 discipline. The unbounded family here is a hot
+    * shingle's POSTING LIST: a boilerplate 3-gram shared by K documents
+    * makes every probing prefix hit K candidates, and a homogeneous
+    * 100 TB shard sends K toward the shard size. `maxPostings` keeps the
+    * first N container ids per shingle digest (id order, deterministic);
+    * a surviving pair carries `capped` = true when ANY digest that
+    * produced it was truncated — that posting's pair list is knowingly
+    * incomplete. Document frequencies are computed on the FULL digest
+    * table before the cap, so the (df ASC, digest) prefix ordering is
+    * unchanged; true containments whose container sits past the cap in
+    * every probed posting are the documented recall trade. */
+  def containmentJoinCapped(df: DataFrame, idCol: String, textCol: String,
+      cNum: Int = 4, cDen: Int = 5, maxPostings: Int = 8): DataFrame = {
+    require(cNum >= 1 && cNum <= cDen,
+      s"containmentJoinCapped: threshold must be in (0,1], got $cNum/$cDen")
+    require(maxPostings >= 1,
+      s"containmentJoinCapped: maxPostings must be >= 1, got $maxPostings")
+    val dig = shingled(df, idCol, textCol)
+      .select(col(idCol).as("id"), md5(col("sh")).as("h"))
+      .localCheckpoint()
+    val dfreq = dig.groupBy(col("h")).agg(count(lit(1)).as("df_"))
+    val ordered = dig.join(dfreq, "h")
+      .groupBy(col("id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df_, h))), x -> x.h)")
+        .as("hs"))
+      .select(col("id"), col("hs"), size(col("hs")).cast("long").as("sz"))
+      .withColumn("p",
+        col("sz") - expr(s"(sz * $cNum + ${cDen - 1}) div $cDen") + 1L)
+      .localCheckpoint()
+    val pre = ordered
+      .select(col("id"), explode(expr("slice(hs, 1, cast(p as int))")).as("h"))
+    val post = Window.partitionBy(col("h"))
+    val kept = dig.select(col("id").as("yid"), col("h"))
+      .withColumn("rk", row_number().over(post.orderBy(col("yid"))))
+      .withColumn("psz", count(lit(1)).over(post))
+      .filter(col("rk") <= maxPostings)
+      .withColumn("trunc", col("psz") > maxPostings)
+    val cands = pre.join(kept, "h")
+      .filter(col("id") =!= col("yid"))
+      .groupBy(col("id").as("id1"), col("yid").as("id2"))
+      .agg(max(col("trunc")).as("capped"))
+    cands
+      .join(ordered.select(col("id").as("id1"), col("hs").as("s1"),
+        col("sz").as("sz1")), "id1")
+      .join(ordered.select(col("id").as("id2"), col("hs").as("s2")), "id2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .filter(col("inter") * cDen >= col("sz1") * cNum)
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sz1"), 4))
+      .select(col("id1"), col("id2"), col("inter"), col("containment"),
+        col("capped"))
   }
 
   /** Default per-block candidate cap for [[fuzzyJoin]] — shared with the
@@ -1064,6 +1199,22 @@ object Dedup {
     "q159_setsim_join" -> ((s, d) =>
       setSimilarityJoin(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("id1"), col("id2"))),
+    // the capped valve on the same corpus: the fixture's near-dup
+    // families put > 8 members on shared signatures, so the gate
+    // exercises BOTH arms — truncated families (capped=true pairs) and
+    // untouched ones (119 flagged / 42 clean at sf0.01).
+    "q193_setsim_capped" -> ((s, d) =>
+      setSimilarityJoinCapped(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id1"), col("id2"))),
+    // the posting-list valve on the containment index; maxPostings = 2
+    // because the fixture has no exact-dup clusters and its true
+    // containment pairs ride df 2-4 postings — at the default 8 nothing
+    // truncates and the gate would only see the clean arm; at 2 the
+    // df>=3 postings (2175 shingles) truncate and both arms gate.
+    "q194_containment_capped" -> ((s, d) =>
+      containmentJoinCapped(Tables.documents(s, d), "doc_id", "text",
+        maxPostings = 2)
+        .orderBy(col("id1"), col("id2"))),
     // customer names (Customer#000000042) are the classic SNM fixture: the
     // sort packs edit-distance-1..3 variants into adjacent ranks, so every
     // window position carries real comparisons.
@@ -1248,6 +1399,56 @@ object Dedup {
         FROM sets x JOIN sets y ON x.doc_id < y.doc_id)
       SELECT id1, id2, inter, jaccard FROM pairs
       WHERE inter * 10 >= (szsum - inter) * 9 ORDER BY id1, id2""",
+    // REPLAYS the capped variant's full machinery — the engine-neutral
+    // 60-bit md5 token→part assignment, the m-universe family signatures,
+    // the id-ordered member cap at 8, the truncation flag, and the exact
+    // integer verify — so the cap SEMANTICS (which pairs survive a
+    // truncated family, and which pairs carry capped=true) sit under the
+    // hash gate, not just the Jaccard arithmetic.
+    "q193_setsim_capped" -> s"""
+      WITH sets AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                 list_filter(string_split(text, ' '), t -> t <> ''))) AS tk
+        FROM documents),
+      s2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS sz
+             FROM sets WHERE len(tk) > 0),
+      mm AS (SELECT CAST(2 * max(sz) * (10 - 9) // (10 + 9) + 1 AS BIGINT)
+               AS m FROM s2),
+      tp AS (SELECT doc_id, tk, sz,
+                    list_transform(tk, t -> (${duckH60("t")}) % m) AS parts
+             FROM s2, mm),
+      pt AS (SELECT unnest(range(0, m)) AS part FROM mm),
+      fam AS (SELECT doc_id, sz, part,
+                     md5(array_to_string(
+                       list_filter(tk, (t, i) -> parts[i] = part),
+                       chr(31))) AS sig
+              FROM tp, pt),
+      ranked AS (SELECT doc_id, sz, part, sig,
+                        row_number() OVER (PARTITION BY part, sig
+                                           ORDER BY doc_id) AS rk,
+                        count(*) OVER (PARTITION BY part, sig) AS fsz
+                 FROM fam),
+      kept AS (SELECT doc_id, sz, part, sig, fsz > 8 AS trunc
+               FROM ranked WHERE rk <= 8),
+      cand AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+                      bool_or(x.trunc) AS capped
+               FROM kept x JOIN kept y
+                 ON x.part = y.part AND x.sig = y.sig
+                AND x.doc_id < y.doc_id
+                AND x.sz * 9 <= y.sz * 10 AND y.sz * 9 <= x.sz * 10
+               GROUP BY 1, 2)
+      SELECT c.id1, c.id2,
+             CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS inter,
+             round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                   / (a.sz + b.sz - len(list_intersect(a.tk, b.tk))), 4)
+               AS jaccard,
+             c.capped
+      FROM cand c JOIN s2 a ON a.doc_id = c.id1
+                  JOIN s2 b ON b.doc_id = c.id2
+      WHERE len(list_intersect(a.tk, b.tk)) * 10
+            >= (a.sz + b.sz - len(list_intersect(a.tk, b.tk))) * 9
+      ORDER BY id1, id2""",
     // INDEPENDENT formulation: the window join is a rank-distance
     // predicate over a row_number total order — no rank-block decomposition.
     // Agreement certifies the block-join's pair completeness (every pair
@@ -1282,6 +1483,49 @@ object Dedup {
                AS containment
       FROM sh x JOIN sh y ON x.doc_id <> y.doc_id
       WHERE len(list_intersect(x.s, y.s)) * 5 >= len(x.s) * 4
+      ORDER BY id1, id2""",
+    // REPLAYS the capped containment machinery end-to-end: md5 digests,
+    // full-table document frequencies, the (df ASC, digest) struct-sorted
+    // arrays, the exact-integer prefix length, the id-ordered posting cap
+    // at 2 with its truncation flag, and the exact-integer verify.
+    "q194_containment_capped" -> """
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(tk) - 1),
+                 i -> list_aggregate(tk[i:i+2], 'string_agg', ' ')))) AS g
+        FROM toks WHERE len(tk) >= 3),
+      dig AS (SELECT doc_id, md5(g) AS h FROM sh),
+      dfq AS (SELECT h, CAST(count(*) AS BIGINT) AS df_ FROM dig GROUP BY h),
+      ordered AS (
+        SELECT doc_id,
+               list_transform(list_sort(list(struct_pack(d := df_, h := h))),
+                              x -> x.h) AS hs
+        FROM dig JOIN dfq USING (h) GROUP BY doc_id),
+      o2 AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS sz,
+                    CAST(len(hs) AS BIGINT)
+                      - (CAST(len(hs) AS BIGINT) * 4 + 4) // 5 + 1 AS p
+             FROM ordered),
+      pre AS (SELECT doc_id, unnest(hs[1:CAST(p AS INT)]) AS h FROM o2),
+      post AS (SELECT doc_id AS yid, h,
+                      row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk,
+                      count(*) OVER (PARTITION BY h) AS psz
+               FROM dig),
+      kept AS (SELECT yid, h, psz > 2 AS trunc FROM post WHERE rk <= 2),
+      cand AS (SELECT pre.doc_id AS id1, kept.yid AS id2,
+                      bool_or(kept.trunc) AS capped
+               FROM pre JOIN kept USING (h)
+               WHERE pre.doc_id <> kept.yid GROUP BY 1, 2)
+      SELECT c.id1, c.id2,
+             CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+             round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / a.sz, 4)
+               AS containment,
+             c.capped
+      FROM cand c JOIN o2 a ON a.doc_id = c.id1
+                  JOIN o2 b ON b.doc_id = c.id2
+      WHERE len(list_intersect(a.hs, b.hs)) * 5 >= a.sz * 4
       ORDER BY id1, id2""",
     // Replays the full FS pipeline: SNM candidates, per-field u = Σ(n_v/n)²
     // from the value histogram, log2 agree/disagree weights, 6-dp rounding.

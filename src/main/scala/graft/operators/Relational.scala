@@ -484,6 +484,29 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Avro source/sink round-trip — the last first-class Spark batch
+    * format missing from the sources matrix (parquet/csv/json/orc/text/
+    * jdbc/xml/binaryFile all gate already; Spark 4 ships the avro source
+    * inside spark-sql, no external package). Orders rather than customer:
+    * its TIMESTAMP (o_orderdate) and wide DOUBLE (o_totalprice) exercise
+    * Avro's logical-type encoders (timestamp-micros) where a pure
+    * string/int table would not. Oracle reads the PARQUET table —
+    * agreement certifies the Avro write+read was lossless end-to-end. */
+  private val q192: Q = (s, d) => {
+    val tmp = graft.sources.Sources.staging("avro_q192")
+    // Spark 4 ships AvroFileFormat inside spark-sql but does NOT register
+    // the "avro" short name there (DataSourceRegister still lists it as
+    // external) — the fully-qualified provider resolves without any extra
+    // package.
+    graft.sources.Sources.roundTrip(s, Tables.orders(s, d),
+      "org.apache.spark.sql.avro.AvroFileFormat", tmp)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        to_date(min(col("o_orderdate"))).as("first_date"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** XML source/sink round-trip (Spark 4's NATIVE xml data source — no
     * external package): customer → row-tagged XML files → schema-forced
     * read back → the same rollup q93 gates ORC with. Certifies type
@@ -916,6 +939,7 @@ object Relational {
     "q30_json_scan" -> q30,
     "q93_orc_scan" -> q93,
     "q182_xml_scan" -> q182,
+    "q192_avro_scan" -> q192,
     "q94_geomean" -> q94,
     "q77_stats_agg" -> q77,
     "q78_time_range_frame" -> q78,
@@ -1042,6 +1066,13 @@ object Relational {
       SELECT c_mktsegment, count(*) AS n,
              round(sum(c_acctbal), 2) AS sum_bal
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // like q93/q182: the oracle reads the PARQUET table — agreement
+    // certifies the Avro write+read round-trip was lossless.
+    "q192_avro_scan" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS sum_price,
+             CAST(min(o_orderdate) AS DATE) AS first_date
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q94_geomean" -> """
       SELECT p_brand, round(exp(avg(ln(p_retailprice))), 4) AS geo_price,
              count(*) AS n

@@ -83,6 +83,44 @@ object StreamingQueries {
     s.table(name).orderBy(col("window_start"), col("event_type"))
   }
 
+  /** APPEND-mode watermarked tumbling aggregation — the production output
+    * mode for unbounded dashboards, and the missing half of q82 (complete
+    * mode re-emits every window each trigger; append emits each window
+    * EXACTLY ONCE, when the watermark passes its end, then drops its
+    * state). The events table replays as 4 micro-batches so the watermark
+    * genuinely advances mid-run and finalizes windows batch over batch;
+    * after the last file the engine's zero-data batch flushes everything
+    * the final watermark (global max ts − 1 h) closes. Windows still OPEN
+    * at that watermark are withheld — never emitted — which is exactly
+    * what the oracle replays: the tumbling aggregate restricted to
+    * windows with end ≤ max(ts) − 1 h. AppendModeSpec drives the same
+    * plan on a controlled MemoryStream and pins the row-level contract
+    * (no window emitted before the watermark passes its end; exactly-once
+    * emission; late-beyond-watermark rows dropped).
+    *
+    * Scale: state is bounded by the windows inside the watermark horizon
+    * (window × key), the bound complete mode loses — this is the form
+    * that holds on an unbounded 100 TB stream. */
+  private val q191: Q = (s, d) => {
+    val stage = timeChunkedStreamDir(s, d, 4)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+    val name = s"graft_stream_append_${System.nanoTime()}"
+    withStatePartitions(s, 4) {
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name).orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Stream-stream inner join under the REAL streaming runtime: clicks and
     * purchases (two watermarked readStream branches over the same source)
     * joined per user with the event-time interval condition "purchase within
@@ -213,6 +251,50 @@ object StreamingQueries {
       Tables.events(s, d)
         .repartitionByRange(n, col("event_id"))
         .write.mode("overwrite").parquet(dir.toString)
+      Files.write(marker, Array.emptyByteArray)
+    }
+    dir.toString
+  }
+
+  /** [[chunkedStreamDir]]'s TIME-ORDERED sibling for watermark-gated
+    * queries: chunks are `ts`-range-partitioned and their mtimes are set
+    * strictly increasing in range order, so the file source (which orders
+    * by modification time) replays the stream in event-time order. The
+    * event_id-ranged stager is the right fixture for order-INSENSITIVE
+    * state (dedup, upsert, complete-mode windows) precisely because its
+    * chunks interleave time — but under a watermark that interleaving
+    * makes batch 1 advance the watermark to near-final and batches 2..n
+    * arrive almost entirely LATE (dropped). Append-mode finalization
+    * (q191) needs the monotone replay a real event stream has. */
+  private[graft] def timeChunkedStreamDir(s: SparkSession, d: String,
+      n: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcFile = Paths.get(d, "events.parquet")
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(Files.readAllBytes(srcFile)).map("%02x".format(_)).mkString
+    val fp = s"${Files.size(srcFile)}_${md5hex.take(16)}"
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_tchunks_$safe${n}_$fp")
+    val marker = dir.resolve("_STAGED")
+    if (!Files.exists(marker)) {
+      Tables.events(s, d)
+        .repartitionByRange(n, col("ts"))
+        .write.mode("overwrite").parquet(dir.toString)
+      // part-0000k holds the k-th ts range (repartitionByRange assigns
+      // ranges in partition order); pin mtimes strictly increasing in
+      // that order so FileStreamSource's mod-time sort replays them
+      // chronologically even where a filesystem ties timestamps.
+      val stream = Files.list(dir)
+      val sorted =
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator())
+          .asScala.filter(_.getFileName.toString.startsWith("part-")).toSeq
+          .sortBy(_.getFileName.toString)
+        finally stream.close()
+      val base = System.currentTimeMillis()
+      sorted.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+      }
       Files.write(marker, Array.emptyByteArray)
     }
     dir.toString
@@ -560,6 +642,7 @@ object StreamingQueries {
     "q148_stream_dedup_ttl" -> q148,
     "q150_stream_bloom" -> q150,
     "q151_stream_session" -> q151,
+    "q191_stream_append" -> q191,
   )
 
   private val slidingOracle = """
@@ -663,6 +746,22 @@ object StreamingQueries {
       ORDER BY e.est DESC, e.term LIMIT 5""" },
     "q80_tumbling_window" -> tumblingOracle,
     "q82_stream_tumbling" -> tumblingOracle,
+    // q82's tumbling aggregate restricted to watermark-FINALIZED windows:
+    // append mode emits a window only once the watermark (max event time
+    // − 1 h delay) passes its end, so the trailing open windows are
+    // absent from both engines.
+    "q191_stream_append" -> """
+      WITH wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '1 hour'
+                    AS cutoff FROM events),
+      agg AS (
+        SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                 AS TIMESTAMP) AS window_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2)
+      SELECT window_start, event_type, n, total
+      FROM agg, wm
+      WHERE window_start + INTERVAL '1 hour' <= cutoff
+      ORDER BY window_start, event_type""",
     "q87_stream_upsert" -> """
       WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
                         event_id, value FROM events),

@@ -237,12 +237,47 @@ class PipelineOpsSpec extends SparkSpec {
       inter = (s1 intersect s2).size.toLong
       union = (s1 union s2).size
       if union > 0
+      // exact integer threshold (true J >= 9/10), matching the operator:
+      // the rounded j is output-only
+      if inter * 10 >= union * 9
       j = BigDecimal(inter.toDouble / union)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      if j >= 0.9
     } yield (i1, i2, inter, j)).toSet
     assert(got == want, "prefix-filtered join must equal brute force exactly")
     assert(want.nonEmpty, "fixture must actually exercise the threshold")
+  }
+
+  test("setSimilarityJoinCapped: all-duplicates corpus bounds to maxFam^2/2 flagged pairs; clean corpus matches uncapped") {
+    import spark.implicits._
+    // The 100 TB homogeneous-shard nightmare in miniature: 100 IDENTICAL
+    // docs. Uncapped truth is C(100,2) = 4950 pairs; the valve must bound
+    // the answer to C(8,2) = 28 pairs over the first 8 ids, every one
+    // flagged capped (the family knowingly dropped members).
+    val dups = (1L to 100L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.setSimilarityJoinCapped(dups, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    assert(capped.length == 28,
+      s"expected C(8,2)=28 capped pairs, got ${capped.length}")
+    assert(capped.forall(_._3), "every pair from a truncated family must be flagged")
+    assert(capped.forall(p => p._1 <= 8 && p._2 <= 8),
+      "member cap must keep the id-ordered prefix of the family")
+    // A corpus with small duplicate families (< maxFamilySize) must be
+    // untouched: same pairs as the uncapped operator, all flags false.
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'l').map(_.toString)
+    val clean = (1L to 40L).map { i =>
+      val n = 1 + rnd.nextInt(20)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.setSimilarityJoinCapped(clean, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.forall(!_._5), "no family truncates below the cap")
+    val uncapped = Dedup.setSimilarityJoin(clean, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(g => (g._1, g._2, g._3, g._4)).toSet == uncapped.toSet,
+      "below the cap, the valve must be a no-op on the pair set")
   }
 
   test("setSimilarityJoin: signature join keys on digests, not tokens; dups survive") {
@@ -684,8 +719,8 @@ class PipelineOpsSpec extends SparkSpec {
     val expect = (for {
       (i1, t1) <- rows; (i2, t2) <- rows
       if i1 != i2 && shingles(t1).nonEmpty && shingles(t2).nonEmpty
-      c = shingles(t1).intersect(shingles(t2)).size.toDouble / shingles(t1).size
-      if BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.8
+      // exact integer threshold (true C >= 4/5), matching the operator
+      if shingles(t1).intersect(shingles(t2)).size * 5 >= shingles(t1).size * 4
     } yield (i1, i2)).toSet
     val got = Dedup.containmentJoin(df, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -694,6 +729,39 @@ class PipelineOpsSpec extends SparkSpec {
     // score this pair ~0.2 and symmetric joins at τ=0.8 would miss it).
     assert(got.contains((1L, 2L)) && !got.contains((2L, 1L)),
       "quote must be contained one direction only")
+  }
+
+  test("containmentJoinCapped: hot posting truncates to flagged id-prefix; cold corpus matches uncapped") {
+    import spark.implicits._
+    // 20 identical docs: every shingle's posting list holds all 20
+    // containers. At maxPostings=5 each doc still probes and finds the
+    // FIRST FIVE ids (minus itself), every pair flagged — output is
+    // ~20×5 ordered pairs instead of the uncapped 20×19.
+    val dups = (1L to 20L)
+      .map(i => (i, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.containmentJoinCapped(dups, "doc_id", "text",
+        maxPostings = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    assert(capped.forall(_._3), "every pair from a truncated posting is flagged")
+    assert(capped.forall(_._2 <= 5),
+      "containers must come from the id-ordered posting prefix")
+    assert(capped.length == 5 * 4 + 15 * 5,
+      s"ids 1-5 pair among themselves (5x4), ids 6-20 probe all of 1-5: got ${capped.length}")
+    // Cold corpus (all postings below the cap): the valve is a no-op —
+    // identical pair set to containmentJoin, all flags false.
+    val cold = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta many extra words here"),
+      (3L, "totally disjoint content with many extra words")).toDF("doc_id", "text")
+    val got = Dedup.containmentJoinCapped(cold, "doc_id", "text",
+        maxPostings = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    assert(got.forall(!_._3), "no posting truncates below the cap")
+    val want = Dedup.containmentJoin(cold, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(g => (g._1, g._2)).toSet == want,
+      "below the cap, the valve must be a no-op on the pair set")
   }
 
   test("dedupAudit: P/R/F1 replayed from independently-collected channels") {
