@@ -615,6 +615,44 @@ object ScaleSmoke {
       time("setSimilarityJoin 1x", Dedup.setSimilarityJoin(base, "doc_id", "text"))
       time(s"setSimilarityJoin ${k}x (K-clique output)",
         Dedup.setSimilarityJoin(blown, "doc_id", "text"))
+      // The round-11 valve on the same adversarial corpus: every family is
+      // a K-clique, so the capped form must flatten the output-quadratic
+      // regime to <= C(8,2) pairs per family — the row pair (uncapped Kx
+      // vs capped Kx) is the valve doing its one job.
+      time(s"setSimilarityJoinCapped ${k}x (valve on K-cliques)",
+        Dedup.setSimilarityJoinCapped(blown, "doc_id", "text"))
+    }
+    // Containment is OUTPUT-quadratic on the blown corpus by construction
+    // (each K-clique holds K·(K-1) ORDERED containment-1.0 pairs — twice
+    // the setsim count); the uncapped Kx row certifies the prefix-index
+    // shape under that answer size, the capped row the posting valve.
+    section("containment") {
+      time("containmentJoin 1x", Dedup.containmentJoin(base, "doc_id", "text"))
+      time(s"containmentJoin ${k}x (K-clique ordered pairs)",
+        Dedup.containmentJoin(blown, "doc_id", "text"))
+      time(s"containmentJoinCapped ${k}x (posting valve)",
+        Dedup.containmentJoinCapped(blown, "doc_id", "text"))
+    }
+    // XML round-trip at Kx: the write is the scale hazard (row-tag
+    // serialization is pure map-side; the read back must column-prune and
+    // parallelize across the written part files). Timed end-to-end:
+    // write + schema-forced read + rollup.
+    section("xmlrt") {
+      val cust = Tables.customer(spark, sfDir)
+      val custBlownX = (0 until k).map { c =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(c * 10000000L))
+      }.reduce(_ unionAll _).localCheckpoint()
+      def xmlRollup(df: DataFrame, tag: String) = {
+        val tmp = graft.sources.Sources.staging(s"xml_smoke_$tag")
+        df.write.format("xml").option("rowTag", "customer")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).save(tmp)
+        spark.read.format("xml").option("rowTag", "customer")
+          .schema(df.schema).load(tmp)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("s"))
+      }
+      time("xmlRoundTrip 1x", xmlRollup(cust, "1x"))
+      time(s"xmlRoundTrip ${k}x", xmlRollup(custBlownX, "kx"))
     }
     section("bpe") {
       time("bpeMerges 1x", TextAnalysis.bpeMerges(base, "text"))
@@ -639,6 +677,13 @@ object ScaleSmoke {
         Dedup.sortedNeighborhood(custBlown, "c_custkey", "c_name"))
       time("linkageScore 1x", Dedup.linkageScore(
         cust.withColumn("bb", floor(col("c_acctbal") / 1000).cast("int")),
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment", "bb")))
+      // Kx: duplicated names pack SNM windows with real comparisons and
+      // the per-field u-probabilities aggregate 20x the rows into the
+      // same bounded value histograms — window + bounded-frame shapes,
+      // so near-linear is the expectation.
+      time(s"linkageScore ${k}x (dup names)", Dedup.linkageScore(
+        custBlown.withColumn("bb", floor(col("c_acctbal") / 1000).cast("int")),
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment", "bb")))
     }
     section("events10b") {
