@@ -25,6 +25,7 @@ object SparkEntry {
       (operators.Analytics.queries, operators.Analytics.oracles),
       (operators.Packing.queries, operators.Packing.oracles),
       (operators.Skew.queries, operators.Skew.oracles),
+      (operators.Privacy.queries, operators.Privacy.oracles),
       (streaming.StreamingQueries.queries, streaming.StreamingQueries.oracles),
     )
 

@@ -2009,6 +2009,103 @@ object Analytics {
     resampleLocf(Tables.events(s, d), "event_type", "ts", "value")
       .orderBy(col("event_type"), col("bucket"))
 
+  // ------------------------------------------------- CUSUM drift alarms --
+
+  /** CUSUM drift detection per key — the sequential change-point monitor
+    * (Page 1954) run batch-side: S_i = max(0, S_{i-1} + (x_i − μ)) over
+    * each key's time-ordered series, alarming when the cumulative
+    * positive excursion crosses `threshold`. Emits alarm ONSETS only
+    * (S crosses the threshold from below), so output is bounded by the
+    * number of drift episodes, not rows.
+    *
+    * The recursion has the closed form S_i = P_i − min(0, min_{j≤i} P_j)
+    * with P the running sum of deviations — so it needs no sequential
+    * scan, just two cumulative windows over the per-key sort the engine
+    * already does (one exchange on the key, one sort, zero extra
+    * shuffles; at 100 TB each key's series sorts within its partition).
+    *
+    * Exactness discipline: deviations are DECIMAL cents (a double running
+    * sum diverges cross-engine — Spark folds left, DuckDB sums via
+    * segment tree); μ is the per-key mean, one IEEE division rounded to
+    * 2 dp then re-pinned to DECIMAL. Output CUSUM pinned to
+    * DECIMAL(38,2) (the golden-schema discipline). */
+  def cusumAlarms(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, threshold: Int = 300): DataFrame = {
+    require(threshold > 0, s"cusumAlarms: threshold must be > 0, got $threshold")
+    val e = df.select(col(keyCol), col(tsCol), col(idCol),
+      col(valCol).cast("decimal(14,2)").as("_v"))
+    val mu = e.groupBy(col(keyCol))
+      .agg(round(sum(col("_v")).cast("double") / count(lit(1)), 2)
+        .cast("decimal(14,2)").as("_mu"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = lit(threshold).cast("decimal(18,2)")
+    e.join(broadcast(mu), Seq(keyCol))
+      .withColumn("_psum",
+        sum((col("_v") - col("_mu")).cast("decimal(18,2)")).over(wRun))
+      .withColumn("_cusum",
+        col("_psum") - least(lit(0).cast("decimal(28,2)"),
+          min(col("_psum")).over(wRun)))
+      .withColumn("_prev", lag(col("_cusum"), 1).over(w))
+      .filter(col("_cusum") >= h && coalesce(col("_prev") < h, lit(true)))
+      .select(col(keyCol), col(tsCol), col(idCol),
+        col("_cusum").cast("decimal(38,2)").as("cusum"))
+  }
+
+  private val q197: Q = (s, d) =>
+    cusumAlarms(Tables.events(s, d), "event_type", "ts", "event_id", "value")
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
+
+  // ------------------------------------------------- RFM segmentation --
+
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * standard lifecycle-marketing cut: per customer, days since last
+    * order (vs the corpus max date), order count, and exact DECIMAL
+    * revenue, each scored into quintiles, concatenated into the "543"
+    * style segment label.
+    *
+    * One keyed aggregate collapses orders to a customer frame first; the
+    * three ntile windows then run over that bounded frame, each under a
+    * TOTAL order (metric, custkey) so tie placement is deterministic
+    * cross-engine. ntile is cast to BIGINT (the q171 lesson: Spark emits
+    * int32, DuckDB int64). Scores point "5 = best": recency sorts DESC
+    * (most recent customers land in the last bucket), frequency and
+    * monetary ASC (heaviest land last).
+    *
+    * Scale: the quintile windows are single-partition over the CUSTOMER
+    * frame (not orders) — the same global-rank shape as equal-frequency
+    * binning (q171); at true 100 TB customer cardinality the drop-in
+    * replacement is rank-against-broadcast-quantile-bounds, which AQE
+    * keeps exchange-free. */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+      amtCol: String): DataFrame = {
+    val per = orders.groupBy(col(custCol))
+      .agg(max(to_date(col(dateCol))).as("_last"),
+        count(lit(1)).as("frequency"),
+        sum(col(amtCol).cast("decimal(14,2)"))
+          .cast("decimal(38,2)").as("monetary"))
+    val ref = orders.agg(max(to_date(col(dateCol))).as("_ref"))
+    val base = per.crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        datediff(col("_ref"), col("_last")).cast("long"))
+    val wR = Window.orderBy(col("recency_days").desc, col(custCol))
+    val wF = Window.orderBy(col("frequency"), col(custCol))
+    val wM = Window.orderBy(col("monetary"), col(custCol))
+    base
+      .withColumn("r_score", ntile(5).over(wR).cast("long"))
+      .withColumn("f_score", ntile(5).over(wF).cast("long"))
+      .withColumn("m_score", ntile(5).over(wM).cast("long"))
+      .select(col(custCol), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+  }
+
+  private val q198: Q = (s, d) =>
+    rfmSegments(Tables.orders(s, d), "o_custkey", "o_orderdate",
+      "o_totalprice")
+      .orderBy(col("o_custkey"))
+
   // -------------------------------------------------- seasonal decompose --
 
   /** STL-lite additive seasonal decomposition over the dense hourly grid:
@@ -2185,6 +2282,8 @@ object Analytics {
     "q188_benford" -> q188,
     "q189_funnel_latency" -> q189,
     "q190_event_cadence" -> q190,
+    "q197_cusum_drift" -> q197,
+    "q198_rfm_segments" -> q198,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -2219,6 +2318,62 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    // Replays the closed form S_i = P_i − min(0, min_{j≤i} P_j) with the
+    // identical decimal pins, and keeps alarm ONSETS only (first row at or
+    // above the threshold after a sub-threshold row).
+    "q197_cusum_drift" -> """
+      WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                        CAST(value AS DECIMAL(14,2)) AS v
+                 FROM events),
+      st AS (SELECT event_type,
+                    CAST(round(CAST(sum(v) AS DOUBLE) / count(*), 2)
+                         AS DECIMAL(14,2)) AS mu
+             FROM e GROUP BY 1),
+      p AS (SELECT e.event_type, ts, event_id,
+                   sum(CAST(v - mu AS DECIMAL(18,2))) OVER w AS psum
+            FROM e JOIN st USING (event_type)
+            WINDOW w AS (PARTITION BY e.event_type ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)),
+      c AS (SELECT event_type, ts, event_id,
+                   psum - least(CAST(0 AS DECIMAL(18,2)),
+                                min(psum) OVER w2) AS cusum
+            FROM p
+            WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+      o AS (SELECT *, lag(cusum) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS prev
+            FROM c)
+      SELECT event_type, ts, event_id, CAST(cusum AS DECIMAL(38,2)) AS cusum
+      FROM o
+      WHERE cusum >= 300 AND coalesce(prev < 300, TRUE)
+      ORDER BY event_type, ts, event_id""",
+    // Replays collapse-to-customer-frame, the day diff vs the corpus max
+    // date, and the three total-ordered quintile windows (ntile cast to
+    // BIGINT — the q171 int-width lesson).
+    "q198_rfm_segments" -> """
+      WITH per AS (SELECT o_custkey,
+                          max(CAST(o_orderdate AS DATE)) AS last_date,
+                          count(*) AS frequency,
+                          CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+                               AS DECIMAL(38,2)) AS monetary
+                   FROM orders GROUP BY 1),
+      ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_date FROM orders),
+      base AS (SELECT per.*,
+                      date_diff('day', last_date, ref_date) AS recency_days
+               FROM per, ref),
+      sc AS (SELECT *,
+               CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                    AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+                    AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary, o_custkey)
+                    AS BIGINT) AS m_score
+             FROM base)
+      SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+             frequency, monetary, r_score, f_score, m_score,
+             CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS segment
+      FROM sc ORDER BY o_custkey""",
     "q188_benford" -> benfordOracleSql,
     // Replays bounds, the q181 bin arithmetic, the clamped rates, and the
     // rounded per-term/total chain (terms pre-rounded before the total).

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Privacy auditing for training-data release (north-star: a corpus is not
+  * shippable until its re-identification surface is measured). The PII
+  * *scrubbing* operator lives in TextAnalysis (q58); this module holds the
+  * complementary *audit* side — the k-anonymity / l-diversity report a
+  * data-release review runs over the quasi-identifier columns that survive
+  * scrubbing.
+  *
+  * The reference has no privacy surface (it is a sort/shuffle kernel —
+  * MapReduce.h:136-371); this is additive north-star capability, built as
+  * one keyed aggregate so it holds at 100 TB: the shuffle key is the QI
+  * tuple, the audit is a single groupBy with map-side partials, and the
+  * output is bounded by the number of equivalence classes (≪ rows).
+  */
+object Privacy {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** k-anonymity / l-diversity audit over quasi-identifier columns.
+    *
+    * Groups the table by the QI tuple (each row's equivalence class — the
+    * set of records an attacker who knows the QIs cannot tell apart) and
+    * reports, per class: its size, the number of DISTINCT sensitive values
+    * (the class's l-diversity — a k-anonymous class with l = 1 still leaks
+    * the sensitive value outright), whether it violates k-anonymity
+    * (size < k), and the worst-case re-identification probability 1/size.
+    *
+    * Exactly one shuffle (the QI groupBy, with map-side combine); output
+    * is one row per equivalence class. The risk division is a single IEEE
+    * double op — bit-identical cross-engine (keySkewProfile's discipline).
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[Column], sensitiveCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"kAnonymityAudit: k must be >= 2, got $k")
+    require(qiCols.nonEmpty, "kAnonymityAudit: need at least one QI column")
+    df.groupBy(qiCols: _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(sensitiveCol).as("l_distinct"))
+      .withColumn("at_risk", col("class_size") < k)
+      .withColumn("risk",
+        round(lit(1.0) / col("class_size").cast("double"), 4))
+  }
+
+  /** q196: the audit over `customer` with QIs (nation, market segment,
+    * account-balance bucket at $1000 granularity) and the exact balance as
+    * the sensitive attribute. Bucket boundary is floor(acctbal/1000):
+    * 2-dp balances land exactly on a boundary only at integer multiples
+    * of 1000, where the double division is exact in both engines (binary
+    * ratio of representable integers), so the floor is stable. */
+  private val q196: Q = (s, d) =>
+    kAnonymityAudit(Tables.customer(s, d),
+      Seq(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).as("bal_bucket")),
+      col("c_acctbal"), k = 5)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+
+  val queries: Map[String, Q] = Map(
+    "q196_k_anonymity" -> q196,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Same single aggregate, independently formulated: class size, distinct
+    // sensitive values, k-violation flag, 1/size risk.
+    "q196_k_anonymity" -> """
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             count(*) AS class_size,
+             count(DISTINCT c_acctbal) AS l_distinct,
+             (count(*) < 5) AS at_risk,
+             round(1.0 / CAST(count(*) AS DOUBLE), 4) AS risk
+      FROM customer
+      GROUP BY 1, 2, 3
+      ORDER BY c_nationkey, c_mktsegment, bal_bucket""",
+  )
+}

@@ -944,6 +944,55 @@ object TextAnalysis {
     corpusMix(Tables.documents(s, d), "doc_id", "lang", MixWeights.toMap, MixN)
       .orderBy(col("lang"), col("pick_rank"))
 
+  /** Temperature-scaled mixture weights (α-sampling, the XLM-R/mC4
+    * multilingual rebalance): a corpus's natural token share p_g is
+    * flattened to w_g ∝ p_g^α before sampling, boosting low-resource
+    * groups without drowning high-resource ones. α is fixed at 1/2 so the
+    * power is `sqrt` — the one power IEEE 754 requires correctly rounded,
+    * making the whole chain bit-identical cross-engine (an arbitrary
+    * `pow` is not correctly rounded in either engine and would wobble the
+    * hash). Emits, per group: doc/token counts, natural share, the
+    * tempered weight, the per-group sampling rate against a token
+    * `budget` (capped at 1 — you cannot sample more than exists), and the
+    * expected token draw.
+    *
+    * Exactness discipline: p_g is ONE double division; √p_g rounds to
+    * 9 dp and re-pins to DECIMAL so the normalizing sum is exact and
+    * order-independent (the PSI "pre-round the terms" rule); every output
+    * is a single-division round. The whole operator is two tiny keyed
+    * aggregates + broadcast totals — nothing wide ever shuffles, so it
+    * holds verbatim at 100 TB where `df` is the trillion-token crawl. */
+  def temperatureMix(df: DataFrame, groupCol: String, tokensCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"temperatureMix: budget must be > 0, got $budget")
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("_tt"))
+    val sq = per.crossJoin(broadcast(tot))
+      .withColumn("_p", col("n_tokens").cast("double") / col("_tt").cast("double"))
+      .withColumn("_sq", round(sqrt(col("_p")), 9).cast("decimal(10,9)"))
+    val ss = sq.agg(sum(col("_sq")).as("_sqsum"))
+    sq.crossJoin(broadcast(ss))
+      .withColumn("_w", col("_sq").cast("double") / col("_sqsum").cast("double"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        round(col("_p"), 6).as("p_nat"),
+        round(col("_w"), 6).as("weight"),
+        round(least(lit(1.0),
+          col("_w") * budget / col("n_tokens").cast("double")), 6)
+          .as("sample_rate"),
+        floor(least(col("n_tokens").cast("double"), col("_w") * budget))
+          .cast("long").as("exp_tokens"))
+  }
+
+  /** q200's token budget — shared with the oracle SQL. */
+  private[graft] val TempMixBudget = 10000L
+
+  private val q200: Q = (s, d) =>
+    temperatureMix(Tables.documents(s, d), "lang",
+      expr("cast(size(filter(split(text, ' '), t -> t != '')) as bigint)"),
+      TempMixBudget)
+      .orderBy(col("lang"))
+
   /** q122's segmentation/threshold constants — shared with the oracle SQL. */
   private[graft] val BoilerSegTokens = 3
   private[graft] val BoilerMaxDf = 4
@@ -1302,6 +1351,7 @@ object TextAnalysis {
     "q137_inverted_index" -> q137,
     "q118_vocab_coverage" -> q118,
     "q119_corpus_mix" -> q119,
+    "q200_temperature_mix" -> q200,
     "q47_curation" -> q47,
     "q48_hash_split" -> q48,
     "q56_tfidf" -> q56,
@@ -1550,6 +1600,34 @@ object TextAnalysis {
       FROM k ORDER BY rank""",
     // Replays corpusMix: identical literal weights/n, floor quotas over the
     // normalized weights, md5(group|id) draw order with the id tie-break.
+    // Replays the α=1/2 tempering with the identical exactness pins: one
+    // division for p, sqrt (correctly rounded by IEEE in both engines),
+    // 9-dp round re-pinned to DECIMAL before the normalizing sum, then
+    // single-division rounds for every output.
+    "q200_temperature_mix" -> s"""
+      WITH per AS (SELECT lang, count(*) AS n_docs,
+                          CAST(sum(len(list_filter(string_split(text, ' '),
+                                                   x -> x <> ''))) AS BIGINT)
+                            AS n_tokens
+                   FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per),
+      sq AS (SELECT per.*,
+                    CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS p_raw,
+                    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)
+                                    / CAST(tt AS DOUBLE)), 9)
+                         AS DECIMAL(10,9)) AS sqv
+             FROM per, tot),
+      ss AS (SELECT sum(sqv) AS sqsum FROM sq)
+      SELECT lang, n_docs, n_tokens,
+             round(p_raw, 6) AS p_nat,
+             round(CAST(sqv AS DOUBLE) / CAST(sqsum AS DOUBLE), 6) AS weight,
+             round(least(1.0, CAST(sqv AS DOUBLE) / CAST(sqsum AS DOUBLE)
+                              * $TempMixBudget / CAST(n_tokens AS DOUBLE)), 6)
+               AS sample_rate,
+             CAST(floor(least(CAST(n_tokens AS DOUBLE),
+                              CAST(sqv AS DOUBLE) / CAST(sqsum AS DOUBLE)
+                              * $TempMixBudget)) AS BIGINT) AS exp_tokens
+      FROM sq, ss ORDER BY lang""",
     "q119_corpus_mix" -> s"""
       WITH w(lang, wt) AS (VALUES ${MixWeights
         .map { case (g, x) => s"('$g', $x)" }.mkString(", ")}),

@@ -155,6 +155,122 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the production funnel shape
+    * q86's inner join cannot express: "every click, with its conversions
+    * if any, and PROVABLY-unconverted clicks surfaced as null-extended
+    * rows". Matched pairs emit as they arrive (inner semantics); a
+    * null-extended row for an unmatched click emits only once the
+    * watermark PROVES no matching purchase can still arrive — i.e. when
+    * click_ts + 1 h (the far edge of its join interval) falls behind the
+    * global watermark, at which point the engine also evicts the click's
+    * state. Clicks whose interval is still open when the stream drains
+    * are withheld entirely (same trailing-edge rule as q191's open
+    * windows), which is exactly what the oracle replays: matched pairs
+    * unconditionally, plus null rows only for clicks with no match and
+    * click_ts + 1 h < min(max click_ts, max p_ts) − 1 h (the engine's
+    * final watermark under the two branch watermarks' min-policy).
+    * StreamOuterJoinSpec drives the same plan on a MemoryStream pair and
+    * pins the row-level contract (no null row before the watermark
+    * closes the interval; exactly-once null emission; a late match never
+    * resurrects an evicted click).
+    *
+    * Scale: the interval bound + watermarks are what make the join's
+    * state BOUNDED (evictable) on an unbounded stream — each side holds
+    * only rows inside the watermark horizon, the property that lets this
+    * run forever on a 100 TB/day event feed. */
+  private val q195: Q = (s, d) => {
+    val src = eventsStream(s, d)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases, expr(
+      "c_uid = p_uid AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"),
+      "left_outer")
+    val name = s"graft_stream_louter_${System.nanoTime()}"
+    withStatePartitions(s, 4) {
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .groupBy(col("c_uid").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("p_uid")).as("n_matched"),
+        (count(lit(1)) - count(col("p_uid"))).as("n_unmatched"),
+        round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Restart-safe checkpointed streaming parquet sink — the durability
+    * contract every production pipeline (and none of the other streaming
+    * gates — q87 explicitly runs checkpoint-free) actually ships on:
+    * source offsets commit to a checkpointLocation, the file sink commits
+    * files through its `_spark_metadata` transaction log, and a restarted
+    * query RESUMES from the committed offset prefix instead of re-emitting
+    * it. The events table replays as 4 micro-batches; the first query is
+    * stopped mid-stream (after ≥1 committed batch), then a SECOND query
+    * with the same checkpoint drains the rest. Exactly-once holds at
+    * WHATEVER point the stop landed — the committed-prefix + resume
+    * argument — so the final sink contents equal the batch filter with no
+    * duplicate and no hole, which is what the oracle replays.
+    * `spark.read` over the sink dir routes through `_spark_metadata`, so
+    * only sink-committed files count (an uncommitted orphan from the kill
+    * is invisible — the same read path a downstream batch job uses).
+    * CheckpointRecoverySpec drives the stop/restart seam on a controlled
+    * 3-file source and pins the no-dup/no-hole row sets.
+    *
+    * Scale: the checkpoint holds offsets + file-manifest batches (KB per
+    * trigger, independent of data volume); the sink transaction log is
+    * one compact JSON per batch. This is the unbounded-retention shape —
+    * nothing in the recovery path ever rereads history. */
+  private val q199: Q = (s, d) => {
+    import java.nio.file.{Files, Paths}
+    val stage = chunkedStreamDir(s, d, 4)
+    val schema = s.read.parquet(stage).schema
+    val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = Paths.get(stage).getFileName.toString.takeRight(20)
+    val root = Paths.get(sys.props("java.io.tmpdir"), s"graft_ckpt_sink_$safe$fp")
+    val outDir = root.resolve("out"); val ckpt = root.resolve("ckpt")
+    val marker = root.resolve("_DONE")
+    if (!Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      Files.createDirectories(root)
+      def start() = {
+        // chunkedStreamDir stages the already-normalized Tables.events
+        // output, so the stream reads its schema as-is (q191's pattern).
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        src.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+          .writeStream.outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", outDir.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+      }
+      // Run 1: stop after the first committed micro-batch — mid-stream.
+      val q1 = start()
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+               System.nanoTime() < deadline) Thread.sleep(50)
+      } finally q1.stop()
+      // Run 2: same checkpoint — resumes from the committed offsets and
+      // drains the remaining batches.
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      Files.write(marker, Array.emptyByteArray)
+    }
+    s.read.parquet(outDir.toString)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("user_id"))
+  }
+
   /** A stateful streaming query's state partition count is fixed at query
     * start from `spark.sql.shuffle.partitions`, and EVERY state partition
     * pays a store open/commit per micro-batch regardless of content — so
@@ -643,6 +759,8 @@ object StreamingQueries {
     "q150_stream_bloom" -> q150,
     "q151_stream_session" -> q151,
     "q191_stream_append" -> q191,
+    "q195_stream_outer_join" -> q195,
+    "q199_stream_restart" -> q199,
   )
 
   private val slidingOracle = """
@@ -787,6 +905,42 @@ object StreamingQueries {
       ORDER BY g.user_id, hour""",
     "q83_sliding_window" -> slidingOracle,
     "q85_stream_sliding" -> slidingOracle,
+    // Left-outer replay: matched pairs unconditionally (they emit as they
+    // arrive, watermark-independent); null rows only for clicks whose
+    // join interval the FINAL watermark provably closed — cutoff =
+    // min(max click_ts, max p_ts) − 1 h (two branch watermarks, min
+    // policy), null-extended iff click_ts + 1 h < cutoff. Trailing
+    // still-open clicks are withheld by both engines.
+    "q195_stream_outer_join" -> """
+      WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, event_id
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, value
+            FROM events WHERE event_type = 'purchase'),
+      wm AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+                    - INTERVAL '1 hour' AS cutoff),
+      m AS (SELECT c.user_id, c.event_id, p.value
+            FROM c JOIN p ON c.user_id = p.user_id
+             AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL '1 hour'),
+      u AS (SELECT c.user_id, c.event_id FROM c, wm
+            WHERE c.cts + INTERVAL '1 hour' < wm.cutoff
+              AND NOT EXISTS (SELECT 1 FROM p
+                    WHERE p.user_id = c.user_id
+                      AND p.pts >= c.cts
+                      AND p.pts <= c.cts + INTERVAL '1 hour')),
+      rows_all AS (SELECT user_id, value FROM m
+                   UNION ALL
+                   SELECT user_id, CAST(NULL AS DOUBLE) AS value FROM u)
+      SELECT user_id, count(*) AS n_rows,
+             CAST(count(value) AS BIGINT) AS n_matched,
+             CAST(count(*) - count(value) AS BIGINT) AS n_unmatched,
+             round(sum(coalesce(value, 0.0)), 2) AS total_value
+      FROM rows_all GROUP BY user_id ORDER BY user_id""",
+    // The drained checkpointed sink must hold the batch filter exactly
+    // once — no duplicated batch-1 rows from the restart, no hole.
+    "q199_stream_restart" -> """
+      SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id ORDER BY user_id""",
     "q86_stream_join" -> """
       SELECT c.user_id, count(*) AS n_pairs, round(sum(p.value), 2) AS total_value
       FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts FROM events

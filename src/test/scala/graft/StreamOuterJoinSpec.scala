@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Stream-stream LEFT OUTER interval join (q195's row-level contract,
+  * driven on a MemoryStream pair where the watermark can be advanced
+  * precisely):
+  *
+  *  1. a matched (click, purchase) pair emits as soon as both rows have
+  *     arrived — inner semantics, watermark-independent;
+  *  2. NO null-extended row emits while a click's join interval
+  *     [click_ts, click_ts + 1 h] is still open under the watermark —
+  *     the engine cannot yet prove the click unconverted;
+  *  3. once the watermark passes click_ts + 1 h, the unmatched click
+  *     emits null-extended EXACTLY ONCE (with its state evicted);
+  *  4. a purchase arriving after that eviction does not resurrect the
+  *     click — no retro-pair, no duplicate.
+  *
+  * These four properties are exactly what q195's oracle encodes with its
+  * final-watermark cutoff (matched pairs unconditionally; null rows only
+  * for clicks with click_ts + 1 h < min-watermark). */
+class StreamOuterJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("left-outer interval join: pairs emit on arrival, nulls only after the watermark closes the interval, exactly once, no resurrection") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val clicksIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val buysIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val clicks = clicksIn.toDF().toDF("c_uid", "click_ts", "click_id")
+      .withWatermark("click_ts", "10 minutes")
+    val buys = buysIn.toDF().toDF("p_uid", "p_ts", "value")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(buys, expr(
+      "c_uid = p_uid AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"),
+      "left_outer")
+    val name = s"souter_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    def rows() = spark.table(name).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_ => r.getLong(3)),
+        Option(r.get(5)).map(_ => r.getDouble(5))))
+      .toSeq.sortBy(r => (r._1, r._3.getOrElse(-1.0)))
+    try {
+      // User 1 clicks at 10:00 and converts at 10:30; user 2 clicks at
+      // 10:00, never converts. The pair emits immediately; user 2 emits
+      // nothing — its interval [10:00, 11:00] is open at watermark
+      // 10:30 − 10 min = 10:20.
+      clicksIn.addData((1L, ts(10, 0), 101L), (2L, ts(10, 0), 201L))
+      buysIn.addData((1L, ts(10, 30), 5.0))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, Some(1L), Some(5.0))),
+        s"matched pair should emit on arrival, no nulls yet: ${rows()}")
+      // Advance both watermarks past 11:00 (ticks at 11:30 → watermark
+      // 11:20 > 10:00 + 1 h): user 2's click is provably unconverted and
+      // emits null-extended exactly once.
+      clicksIn.addData((9L, ts(11, 30), 901L))
+      buysIn.addData((9L, ts(11, 30), 0.25))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val afterClose = rows()
+      assert(afterClose.count(r => r._1 == 2L && r._2.isEmpty && r._3.isEmpty) == 1,
+        s"unmatched click should null-emit exactly once after its interval closes: $afterClose")
+      // A purchase for user 2 inside the (long-evicted) interval arrives
+      // far late: behind the 11:20 watermark it is dropped — the click is
+      // NOT resurrected into a pair and the null row is not duplicated.
+      buysIn.addData((2L, ts(10, 30), 7.0))
+      q.processAllAvailable()
+      val afterLate = rows()
+      assert(afterLate.count(_._1 == 2L) == 1 &&
+        afterLate.filter(_._1 == 2L).forall(r => r._2.isEmpty && r._3.isEmpty),
+        s"late purchase must not resurrect an evicted click: $afterLate")
+    } finally q.stop()
+  }
+}
