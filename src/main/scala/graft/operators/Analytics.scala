@@ -2009,6 +2009,77 @@ object Analytics {
     resampleLocf(Tables.events(s, d), "event_type", "ts", "value")
       .orderBy(col("event_type"), col("bucket"))
 
+  // ------------------------------------------- resample + linear interp --
+
+  /** [[resampleLocf]]'s INTERPOLATING sibling: gap hours fill with the
+    * straight line between the surrounding observations instead of a
+    * carried-forward step — the gauge-series treatment when the metric is
+    * continuous (a sensor, a rate) rather than a held state. Same
+    * collapsed-aggregate + spine machinery as q162 (events never rescan);
+    * the anchors arrive via two ignore-nulls windows over the dense grid
+    * (last non-null value/hour looking back, first looking forward).
+    *
+    * Interior gaps interpolate v_p + (v_n − v_p) · i/n with i = hours
+    * since the previous anchor, n = anchor-to-anchor hours — computed in
+    * EXACT INTEGER arithmetic, not doubles: with 2-dp anchors and small
+    * n the true value routinely lands exactly on a 4-dp half boundary
+    * (e.g. Δ=0.03 over n=4 → steps of 0.0075), where Spark's
+    * BigDecimal-exact round and DuckDB's multiply-then-std::round
+    * disagree by the multiply's ulp (observed on the fixture:
+    * 10.6338 vs 10.6337). Instead the 4-dp half-up value is the integer
+    * ⌊(200·(vpc·n + Δc·i) + n) / (2n)⌋ over cent-scaled anchors —
+    * bit-identical cross-engine by construction — re-pinned to
+    * DECIMAL(38,4) via an exact small-decimal multiply. A key's
+    * first/last grid hour is observed by construction (the spine spans
+    * min..max of its observations), so v_p/v_n exist for every interior
+    * gap and the quotient's operands are non-negative (truncating and
+    * floor division agree). */
+  def resampleInterp(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val agg = df
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valCol).cast("decimal(14,2)"))
+          .cast("decimal(38,2)").as("bucket_sum"))
+      .localCheckpoint()
+    val bounds = agg.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("d0"), max(col("bucket")).as("d1"))
+    val spine = bounds.select(col(keyCol),
+      explode(expr("sequence(d0, d1, interval 1 hour)")).as("bucket"))
+    val wBack = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(agg, Seq(keyCol, "bucket"), "left")
+      .withColumn("_vp", last(col("bucket_sum"), ignoreNulls = true).over(wBack))
+      .withColumn("_tp", last(when(col("bucket_sum").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wBack))
+      .withColumn("_vn", first(col("bucket_sum"), ignoreNulls = true).over(wFwd))
+      .withColumn("_tn", first(when(col("bucket_sum").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wFwd))
+      .withColumn("_vpc",
+        (col("_vp").cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("_vnc",
+        (col("_vn").cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("_i", expr("timestampdiff(HOUR, _tp, bucket)"))
+      .withColumn("_n", expr("timestampdiff(HOUR, _tp, _tn)"))
+      .withColumn("interp_sum",
+        when(col("bucket_sum").isNotNull,
+          col("bucket_sum").cast("decimal(38,4)"))
+        .otherwise(
+          (expr("(200 * (_vpc * _n + (_vnc - _vpc) * _i) + _n) div (2 * _n)")
+            .cast("decimal(20,0)") * lit(BigDecimal("0.0001")))
+            .cast("decimal(38,4)")))
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("bucket_sum"), col("interp_sum"),
+        col("n_events").isNull.as("is_gap"))
+  }
+
+  private val q202: Q = (s, d) =>
+    resampleInterp(Tables.events(s, d), "event_type", "ts", "value")
+      .orderBy(col("event_type"), col("bucket"))
+
   // ------------------------------------------------- CUSUM drift alarms --
 
   /** CUSUM drift detection per key — the sequential change-point monitor
@@ -2284,6 +2355,7 @@ object Analytics {
     "q190_event_cadence" -> q190,
     "q197_cusum_drift" -> q197,
     "q198_rfm_segments" -> q198,
+    "q202_resample_interp" -> q202,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -2729,6 +2801,50 @@ object Analytics {
       ORDER BY item1, item2""",
     // The dense grid + LOCF replayed with generate_series and DuckDB's
     // IGNORE NULLS window; DECIMAL sums keep both engines exact.
+    // Replays the spine + ignore-nulls anchor windows and the divide-first
+    // interpolation chain with identical operand order.
+    "q202_resample_interp" -> """
+      WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(CAST(value AS DECIMAL(14,2))) AS bucket_sum
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, min(bucket) AS d0, max(bucket) AS d1
+            FROM agg GROUP BY 1),
+      spine AS (SELECT event_type,
+                       unnest(generate_series(d0, d1, INTERVAL 1 HOUR)) AS bucket
+                FROM b),
+      j AS (SELECT s.event_type, s.bucket, a.n_events, a.bucket_sum
+            FROM spine s LEFT JOIN agg a
+              ON s.event_type = a.event_type AND s.bucket = a.bucket),
+      w AS (SELECT *,
+              last_value(bucket_sum IGNORE NULLS) OVER wb AS vp,
+              last_value(CASE WHEN bucket_sum IS NOT NULL THEN bucket END
+                         IGNORE NULLS) OVER wb AS tp,
+              first_value(bucket_sum IGNORE NULLS) OVER wf AS vn,
+              first_value(CASE WHEN bucket_sum IS NOT NULL THEN bucket END
+                          IGNORE NULLS) OVER wf AS tn
+            FROM j
+            WINDOW wb AS (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      c AS (SELECT *,
+              CAST(CAST(vp AS DECIMAL(18,2)) * 100 AS BIGINT) AS vpc,
+              CAST(CAST(vn AS DECIMAL(18,2)) * 100 AS BIGINT) AS vnc,
+              date_diff('hour', tp, bucket) AS i,
+              date_diff('hour', tp, tn) AS n
+            FROM w)
+      SELECT event_type, bucket, coalesce(n_events, 0) AS n_events,
+             bucket_sum,
+             CASE WHEN bucket_sum IS NOT NULL
+                  THEN CAST(bucket_sum AS DECIMAL(38,4))
+                  ELSE CAST(CAST((200 * (vpc * n + (vnc - vpc) * i) + n)
+                                 // (2 * n) AS DECIMAL(20,0))
+                            * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4))
+             END AS interp_sum,
+             n_events IS NULL AS is_gap
+      FROM c ORDER BY event_type, bucket""",
     "q162_resample_locf" -> """
       WITH agg AS (
         SELECT event_type, date_trunc('hour', ts) AS bucket,

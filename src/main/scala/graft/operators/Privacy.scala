@@ -58,8 +58,61 @@ object Privacy {
       col("c_acctbal"), k = 5)
       .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
 
+  /** Generalization-ladder k-anonymization — the *fix* side of [[kAnonymityAudit]]:
+    * walk a fixed coarsening ladder (finer balance buckets → coarser →
+    * suppressed; then nation suppressed; then everything) and publish the
+    * FIRST level at which every equivalence class reaches size k. This is
+    * the classic generalization-lattice walk (Samarati/Sweeney) collapsed
+    * to a total-ordered ladder, and the reference's O12 iterative-driver
+    * shape applied to privacy: each probe is one tiny keyed aggregate
+    * whose 1-row min lands on the driver; the loop re-plans, never
+    * re-reads prior state. Suppressed cells generalize to the '*' string
+    * (all QI columns stringify so every level shares one schema).
+    *
+    * The ladder is guaranteed to terminate satisfied — the last level is
+    * the single whole-table class. Output: the chosen level's classes.
+    *
+    * Scale: probes are count aggregates with map-side partials (the k-min
+    * check could even early-out via `count < k LIMIT 1`); the output is
+    * bounded by the chosen level's class count. */
+  def generalizationLadder(df: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"generalizationLadder: k must be >= 2, got $k")
+    def bucket(w: Int): Column =
+      floor(col("c_acctbal") / w.toDouble).cast("long").cast("string")
+    val star = lit("*")
+    val nation = col("c_nationkey").cast("string")
+    val seg = col("c_mktsegment")
+    val levels: Seq[(Column, Column, Column)] = Seq(
+      (nation, seg, bucket(1000)),
+      (nation, seg, bucket(5000)),
+      (nation, seg, star),
+      (star, seg, bucket(5000)),
+      (star, seg, star),
+      (star, star, star))
+    def classesAt(l: Int): DataFrame = {
+      val (a, b, c) = levels(l)
+      df.groupBy(a.as("qi_nation"), b.as("qi_segment"), c.as("qi_bucket"))
+        .agg(count(lit(1)).as("class_size"))
+        .withColumn("level", lit(l))
+    }
+    val chosen = levels.indices
+      .find { l =>
+        // 1-row driver read per probe — the O12 iterative-driver bound.
+        classesAt(l).agg(min(col("class_size"))).head.getLong(0) >= k
+      }
+      .getOrElse(levels.size - 1)
+    classesAt(chosen)
+      .select(col("level"), col("qi_nation"), col("qi_segment"),
+        col("qi_bucket"), col("class_size"))
+  }
+
+  private val q201: Q = (s, d) =>
+    generalizationLadder(Tables.customer(s, d), k = 5)
+      .orderBy(col("qi_nation"), col("qi_segment"), col("qi_bucket"))
+
   val queries: Map[String, Q] = Map(
     "q196_k_anonymity" -> q196,
+    "q201_generalization" -> q201,
   )
 
   val oracles: Map[String, String] = Map(
@@ -75,5 +128,31 @@ object Privacy {
       FROM customer
       GROUP BY 1, 2, 3
       ORDER BY c_nationkey, c_mktsegment, bal_bucket""",
+    // Replays the whole ladder: every level's classes, per-level min class
+    // size, first satisfying level, then that level's classes.
+    "q201_generalization" -> {
+      val levelSelects = Seq(
+        ("0", "CAST(c_nationkey AS VARCHAR)", "c_mktsegment",
+          "CAST(CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS VARCHAR)"),
+        ("1", "CAST(c_nationkey AS VARCHAR)", "c_mktsegment",
+          "CAST(CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS VARCHAR)"),
+        ("2", "CAST(c_nationkey AS VARCHAR)", "c_mktsegment", "'*'"),
+        ("3", "'*'", "c_mktsegment",
+          "CAST(CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS VARCHAR)"),
+        ("4", "'*'", "c_mktsegment", "'*'"),
+        ("5", "'*'", "'*'", "'*'"))
+        .map { case (l, a, b, c) =>
+          s"""SELECT $l AS level, $a AS qi_nation, $b AS qi_segment,
+                     $c AS qi_bucket, count(*) AS class_size
+              FROM customer GROUP BY 2, 3, 4"""
+        }.mkString("\nUNION ALL\n")
+      s"""
+      WITH alln AS ($levelSelects),
+      mins AS (SELECT level, min(class_size) AS m FROM alln GROUP BY level),
+      chosen AS (SELECT min(level) AS level FROM mins WHERE m >= 5)
+      SELECT a.level, qi_nation, qi_segment, qi_bucket, class_size
+      FROM alln a JOIN chosen c ON a.level = c.level
+      ORDER BY qi_nation, qi_segment, qi_bucket"""
+    },
   )
 }

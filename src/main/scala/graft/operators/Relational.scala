@@ -932,7 +932,65 @@ object Relational {
       InRange("o_totalprice", 0.0, 100000.0, minRatio = 0.5),
       RefIntegrity("o_custkey", Tables.customer(s, d), "c_custkey")))
 
+  /** LATERAL correlated subquery — top-3 customers by balance PER nation
+    * via `, LATERAL (... ORDER BY ... LIMIT 3)`: the SQL-standard
+    * "for-each-row subquery" form (Spark plans it through
+    * DecorrelateInnerQuery → a ranked join, not a per-row re-execution).
+    * Semantically overlaps the window top-k (q16/q26) but exercises a
+    * different planner path — correlated-subquery decorrelation with
+    * LIMIT — which is exactly what a user porting PostgreSQL/DuckDB SQL
+    * brings. The oracle is the INDEPENDENT row_number formulation, so the
+    * gate also certifies the decorrelation is semantics-preserving.
+    * Tie-safety: (c_acctbal DESC, c_name) is a total order. */
+  private val q203: Q = (s, d) => {
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql("""
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """)
+  }
+
+  /** Observed metrics (`df.observe` / CollectMetrics) — the in-flight
+    * data-quality counters a production pipeline attaches to its main
+    * pass: metrics accumulate ON THE EXECUTORS while the action runs (no
+    * second scan) and surface through the listener bus. The gate pins
+    * them EXACT: the observed row re-enters a DataFrame with pinned
+    * types and must hash-match the oracle's direct aggregate — certifying
+    * the metric path (AggregatingAccumulator → listener) computes
+    * precisely what a dedicated aggregation job would. */
+  private val q204: Q = (s, d) => {
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft_obs_${System.nanoTime()}")
+    val li = Tables.lineitem(s, d).observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(col("l_quantity").cast("decimal(14,2)"))
+        .cast("decimal(38,2)").as("qty_sum"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"))
+    li.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qty_sum",
+        org.apache.spark.sql.types.DataTypes.createDecimalType(38, 2)),
+      org.apache.spark.sql.types.StructField("min_price",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("max_price",
+        org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        m("n_rows"), m("qty_sum"), m("min_price"), m("max_price"))), sch)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q203_lateral_topn" -> q203,
+    "q204_observe_metrics" -> q204,
     "q133_profile" -> q133,
     "q160_validate" -> q160,
     "q29_csv_scan" -> q29,
@@ -996,6 +1054,24 @@ object Relational {
   // for timestamp-valued outputs.
 
   val oracles: Map[String, String] = Map(
+    // INDEPENDENT formulation (window top-k, not LATERAL): the gate then
+    // certifies Spark's lateral decorrelation is semantics-preserving.
+    "q203_lateral_topn" -> """
+      WITH r AS (SELECT n.n_name, c.c_name, c.c_acctbal,
+                        row_number() OVER (PARTITION BY n.n_nationkey
+                          ORDER BY c.c_acctbal DESC, c.c_name) AS rk
+                 FROM nation n JOIN customer c
+                   ON c.c_nationkey = n.n_nationkey)
+      SELECT n_name, c_name, c_acctbal FROM r WHERE rk <= 3
+      ORDER BY n_name, c_acctbal DESC, c_name""",
+    // The observed metrics must equal the direct aggregate exactly.
+    "q204_observe_metrics" -> """
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(38,2))
+               AS qty_sum,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price
+      FROM lineitem""",
     // Replays profileTable column-by-column; counts CAST to BIGINT
     // (HUGEINT in DuckDB), min/max only for the BIGINT columns.
     // Replays each constraint's ratio as its own scalar aggregate — Spark

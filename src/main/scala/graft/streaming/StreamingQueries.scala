@@ -155,6 +155,39 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** The q82 tumbling aggregation executed on the ROCKSDB state store —
+    * the production state backend for large state (billions of keys spill
+    * to native disk-backed stores instead of executor heap; the default
+    * HDFSBackedStateStoreProvider keeps every key's state in JVM memory
+    * per partition, the bound that breaks first on a 100 TB stream).
+    * Identical plan and oracle to q82 — the gate certifies backend
+    * equivalence: swapping the provider config changes WHERE state lives,
+    * never what the query computes. */
+  private val q205: Q = (s, d) => {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))
+      val name = s"graft_stream_rocksdb_${System.nanoTime()}"
+      withStatePartitions(s, 4) {
+        val q = agg.writeStream.outputMode(OutputMode.Complete())
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(name).orderBy(col("window_start"), col("event_type"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Stream-stream LEFT OUTER interval join — the production funnel shape
     * q86's inner join cannot express: "every click, with its conversions
     * if any, and PROVABLY-unconverted clicks surfaced as null-extended
@@ -761,6 +794,7 @@ object StreamingQueries {
     "q191_stream_append" -> q191,
     "q195_stream_outer_join" -> q195,
     "q199_stream_restart" -> q199,
+    "q205_stream_rocksdb" -> q205,
   )
 
   private val slidingOracle = """
@@ -864,6 +898,9 @@ object StreamingQueries {
       ORDER BY e.est DESC, e.term LIMIT 5""" },
     "q80_tumbling_window" -> tumblingOracle,
     "q82_stream_tumbling" -> tumblingOracle,
+    // Backend equivalence: the RocksDB-provider run must equal the same
+    // aggregation on the default heap-backed provider (and the batch SQL).
+    "q205_stream_rocksdb" -> tumblingOracle,
     // q82's tumbling aggregate restricted to watermark-FINALIZED windows:
     // append mode emits a window only once the watermark (max event time
     // − 1 h delay) passes its end, so the trailing open windows are
