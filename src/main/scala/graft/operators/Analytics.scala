@@ -2177,6 +2177,103 @@ object Analytics {
       "o_totalprice")
       .orderBy(col("o_custkey"))
 
+  // ------------------------------------------------ multi-action MERGE --
+
+  /** SQL-standard multi-action MERGE semantics as a composable operator —
+    * the [[mergeLatest]] upsert generalized to the full branch set a
+    * lakehouse `MERGE INTO` (or its foreachBatch replay) executes in one
+    * pass: WHEN MATCHED AND op='D' THEN DELETE; WHEN MATCHED THEN UPDATE;
+    * WHEN NOT MATCHED AND op<>'D' THEN INSERT; unmatched target rows pass
+    * through. One full-outer hash join on the key — every branch is a
+    * projection over the joined row, so the whole merge is a single
+    * exchange per side regardless of branch mix, and AQE picks
+    * broadcast when the change feed is small (the common case: a day's
+    * CDC against years of table).
+    *
+    * Balances stay DECIMAL end to end (update = exact cent addition);
+    * each output row carries the branch that produced it. */
+  def mergeActions(target: DataFrame, source: DataFrame, keyCol: String,
+      nameCol: String, balCol: String, opCol: String,
+      deltaCol: String): DataFrame = {
+    val t = target.select(col(keyCol).as("_k"), col(nameCol).as("_name"),
+      col(balCol).cast("decimal(14,2)").as("_bal"))
+    val sSide = source.select(col(keyCol).as("_sk"), col(opCol).as("_op"),
+      col(deltaCol).cast("decimal(14,2)").as("_delta"))
+    t.join(sSide, col("_k") === col("_sk"), "full_outer")
+      .withColumn("action",
+        when(col("_k").isNotNull && col("_sk").isNull, lit("keep"))
+        .when(col("_k").isNotNull && col("_op") === "D", lit("delete"))
+        .when(col("_k").isNotNull, lit("update"))
+        .when(col("_op") =!= "D", lit("insert")))
+      .filter(col("action").isNotNull && col("action") =!= "delete")
+      .select(
+        coalesce(col("_k"), col("_sk")).as("custkey"),
+        when(col("action") === "insert",
+          concat(lit("new-"), col("_sk").cast("string")))
+          .otherwise(col("_name")).as("name"),
+        when(col("action") === "update", col("_bal") + col("_delta"))
+          .when(col("action") === "insert", col("_delta"))
+          .otherwise(col("_bal")).cast("decimal(38,2)").as("balance"),
+        col("action"))
+  }
+
+  /** q208: customer as the target; the change feed derives
+    * deterministically from events — per user: op = 'D' every 7th count,
+    * else upsert with the user's exact value sum as the delta. */
+  private val q208: Q = (s, d) => {
+    val feed = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("value").cast("decimal(14,2)")).cast("decimal(14,2)")
+          .as("delta"))
+      .withColumn("op", when(pmod(col("_n"), lit(7)) === 0, lit("D"))
+        .otherwise(lit("U")))
+      .select(col("user_id").as("c_custkey"), col("op"), col("delta"))
+    mergeActions(Tables.customer(s, d), feed, "c_custkey", "c_name",
+      "c_acctbal", "op", "delta")
+      .orderBy(col("custkey"), col("action"))
+  }
+
+  // ----------------------------------------------------- exact EWMA --
+
+  /** Exponentially-weighted moving average with α = 1/2 over the last 8
+    * observations per key — the smoothing pass behind alerting baselines
+    * and rate dashboards, made EXACT: the α=1/2, window-8 choice gives
+    * integer weights 128,64,…,1 over cent-scaled values, so the weighted
+    * mean is pure 64-bit arithmetic and the 4-dp output is the integer
+    * half-up quotient ⌊(200·num + den)/(2·den)⌋ (q202's trick) — no
+    * float anywhere, bit-identical cross-engine. A leading partial window
+    * (fewer than 8 rows) drops the missing lags from BOTH numerator and
+    * denominator (the standard adjust=True treatment, truncated).
+    *
+    * Shape: one exchange on the key, one sort, an 8-lag chain sharing the
+    * single window frame — at 100 TB each key's series smooths inside its
+    * partition with zero extra shuffles. */
+  def ewmaSmooth(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val base = df.select(col(keyCol), col(tsCol), col(idCol), col(valCol),
+      (col(valCol).cast("decimal(14,2)") * 100).cast("long").as("_vc"))
+    val terms = (0 until 8).map { j =>
+      val wt = 1L << (7 - j)
+      val lj = if (j == 0) col("_vc") else lag(col("_vc"), j).over(w)
+      (when(lj.isNotNull, lj * wt).otherwise(lit(0L)),
+        when(lj.isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    base
+      .withColumn("_num", num).withColumn("_den", den)
+      .withColumn("ewma",
+        (expr("(200 * _num + _den) div (2 * _den)").cast("decimal(20,0)")
+          * lit(BigDecimal("0.0001"))).cast("decimal(38,4)"))
+      .select(col(keyCol), col(tsCol), col(idCol), col(valCol), col("ewma"))
+  }
+
+  private val q207: Q = (s, d) =>
+    ewmaSmooth(Tables.events(s, d), "event_type", "ts", "event_id", "value")
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
+
   // -------------------------------------------------- seasonal decompose --
 
   /** STL-lite additive seasonal decomposition over the dense hourly grid:
@@ -2356,6 +2453,8 @@ object Analytics {
     "q197_cusum_drift" -> q197,
     "q198_rfm_segments" -> q198,
     "q202_resample_interp" -> q202,
+    "q207_ewma_smooth" -> q207,
+    "q208_merge_actions" -> q208,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -2801,6 +2900,60 @@ object Analytics {
       ORDER BY item1, item2""",
     // The dense grid + LOCF replayed with generate_series and DuckDB's
     // IGNORE NULLS window; DECIMAL sums keep both engines exact.
+    // Replays feed derivation + the four-branch merge over one full outer
+    // join, balances as exact decimals.
+    "q208_merge_actions" -> """
+      WITH feed AS (
+        SELECT user_id AS k, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(14,2))
+                 AS delta
+        FROM events GROUP BY 1),
+      f AS (SELECT k, CASE WHEN n % 7 = 0 THEN 'D' ELSE 'U' END AS op, delta
+            FROM feed),
+      t AS (SELECT c_custkey AS k, c_name,
+                   CAST(c_acctbal AS DECIMAL(14,2)) AS bal
+            FROM customer),
+      j AS (SELECT t.k AS tk, t.c_name, t.bal, f.k AS sk, f.op, f.delta
+            FROM t FULL OUTER JOIN f ON t.k = f.k),
+      a AS (SELECT *,
+              CASE WHEN tk IS NOT NULL AND sk IS NULL THEN 'keep'
+                   WHEN tk IS NOT NULL AND op = 'D' THEN 'delete'
+                   WHEN tk IS NOT NULL THEN 'update'
+                   WHEN op <> 'D' THEN 'insert' END AS action
+            FROM j)
+      SELECT coalesce(tk, sk) AS custkey,
+             CASE WHEN action = 'insert' THEN 'new-' || CAST(sk AS VARCHAR)
+                  ELSE c_name END AS name,
+             CAST(CASE WHEN action = 'update' THEN bal + delta
+                       WHEN action = 'insert' THEN delta
+                       ELSE bal END AS DECIMAL(38,2)) AS balance,
+             action
+      FROM a WHERE action IS NOT NULL AND action <> 'delete'
+      ORDER BY custkey, action""",
+    // Replays the 8-lag integer weight chain and the integer half-up
+    // quotient — no float anywhere.
+    "q207_ewma_smooth" -> {
+      val lagTerms = (0 until 8).map { j =>
+        val wt = 1L << (7 - j)
+        val lj = if (j == 0) "vc" else s"lag(vc, $j) OVER w"
+        (s"coalesce($lj * $wt, 0)", s"CASE WHEN $lj IS NOT NULL THEN $wt ELSE 0 END")
+      }
+      val num = lagTerms.map(_._1).mkString(" + ")
+      val den = lagTerms.map(_._2).mkString(" + ")
+      s"""
+      WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                        value,
+                        CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS vc
+                 FROM events),
+      t AS (SELECT event_type, ts, event_id, value,
+                   $num AS num, $den AS den
+            FROM e
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+      SELECT event_type, ts, event_id, value,
+             CAST(CAST((200 * num + den) // (2 * den) AS DECIMAL(20,0))
+                  * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS ewma
+      FROM t ORDER BY event_type, ts, event_id"""
+    },
     // Replays the spine + ignore-nulls anchor windows and the divide-first
     // interpolation chain with identical operand order.
     "q202_resample_interp" -> """

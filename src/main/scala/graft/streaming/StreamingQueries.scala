@@ -795,6 +795,7 @@ object StreamingQueries {
     "q195_stream_outer_join" -> q195,
     "q199_stream_restart" -> q199,
     "q205_stream_rocksdb" -> q205,
+    "q206_stream_topk" -> q206,
   )
 
   private val slidingOracle = """
@@ -972,6 +973,16 @@ object StreamingQueries {
              CAST(count(*) - count(value) AS BIGINT) AS n_unmatched,
              round(sum(coalesce(value, 0.0)), 2) AS total_value
       FROM rows_all GROUP BY user_id ORDER BY user_id""",
+    // The drained final leaderboard per key must equal the batch window
+    // top-k under the identical (value DESC, id ASC) total order.
+    "q206_stream_topk" -> """
+      WITH r AS (SELECT event_type, event_id, value,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY value DESC, event_id) AS rk
+                 FROM events)
+      SELECT event_type, CAST(rk AS INT) AS rank, event_id, value
+      FROM r WHERE rk <= 3
+      ORDER BY event_type, rank""",
     // The drained checkpointed sink must hold the batch filter exactly
     // once — no duplicated batch-1 rows from the restart, no hole.
     "q199_stream_restart" -> """
@@ -1084,6 +1095,64 @@ object StreamingQueries {
 
   /** Event time as epoch *micros* end-to-end — java.sql.Timestamp.getTime is
     * millisecond-precision and would corrupt session starts. */
+  final case class TopEntry(value: Double, id: Long)
+  final case class TopKState(seen: Long, top: List[TopEntry])
+  final case class TopKEmit(event_type: String, seen: Long, top: List[TopEntry])
+
+  /** Streaming per-key top-k via `mapGroupsWithState` — the "current
+    * leaderboard" monitor: state per key is the bounded top-k set under
+    * the TOTAL order (value DESC, id ASC), so the post-drain state is a
+    * pure function of the row SET — arrival order and batch splits cannot
+    * change it, which is what makes it batch-gateable. Each batch emits
+    * the key's refreshed leaderboard stamped with the rows-seen counter;
+    * the drain keeps each key's highest-seen emission (its final state)
+    * and explodes it to ranked rows. Oracle = the batch window top-k.
+    *
+    * Scale: state is k entries per key — constant — and every update
+    * folds the batch in one pass; this is the bounded-state form of a
+    * rank dashboard over an unbounded stream. */
+  def streamingTopK(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val src = eventsStream(spark, d)
+      .select(col("event_type"), col("event_id").cast("long").as("id"),
+        col("value").cast("double").as("value"))
+      .as[(String, Long, Double)]
+    val updated = src.groupByKey(_._1)
+      .mapGroupsWithState[TopKState, TopKEmit](GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, Long, Double)],
+         state: GroupState[TopKState]) =>
+          val prev = state.getOption.getOrElse(TopKState(0L, Nil))
+          var seen = prev.seen
+          var top = prev.top
+          it.foreach { r =>
+            seen += 1
+            top = (TopEntry(r._3, r._2) :: top)
+              .sortBy(e => (-e.value, e.id)).take(k)
+          }
+          val st = TopKState(seen, top)
+          state.update(st)
+          TopKEmit(key, seen, top)
+      }
+    val name = s"graft_stream_topk_${System.nanoTime()}"
+    withStatePartitions(spark, 4) {
+      val q = updated.toDF().writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("seen").desc)
+    spark.table(name)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("event_type"), posexplode(col("top")).as(Seq("_pos", "e")))
+      .select(col("event_type"), (col("_pos") + 1).cast("int").as("rank"),
+        col("e.id").as("event_id"), col("e.value").as("value"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  // def, not val: this sits BELOW the `queries` map in initialization
+  // order — a val here would still be null when the map captures it.
+  private def q206: Q = (s, d) => streamingTopK(s, d)
+
   final case class Event(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
   final case class Session(user_id: Long, start_us: Long, n_events: Int,

@@ -793,6 +793,74 @@ object ScaleSmoke {
       time("skipStats 1x", Layout.skipStats(li, "l_partkey", "l_suppkey"))
       time(s"skipStats ${k}x rows", Layout.skipStats(liBlown, "l_partkey", "l_suppkey"))
     }
+    section("r11ops") {
+      import graft.operators.{Analytics, Privacy}
+      val ev = Tables.events(spark, sfDir)
+      // Same 5 event_type groups, 20x rows: the per-key window series get
+      // 20x deeper — the axis that stresses the cumulative windows.
+      val evBlown = (0 until k).map { c =>
+        ev.select(col("user_id"), col("ts"),
+          (col("event_id") + lit(c * 100000000L)).as("event_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ union _).localCheckpoint()
+      time("cusumAlarms 1x", Analytics.cusumAlarms(ev,
+        "event_type", "ts", "event_id", "value"))
+      time(s"cusumAlarms ${k}x rows", Analytics.cusumAlarms(evBlown,
+        "event_type", "ts", "event_id", "value"))
+      time("resampleInterp 1x", Analytics.resampleInterp(ev,
+        "event_type", "ts", "value"))
+      time(s"resampleInterp ${k}x rows", Analytics.resampleInterp(evBlown,
+        "event_type", "ts", "value"))
+      val ords = Tables.orders(spark, sfDir)
+      val ordsBlown = (0 until k).map { c =>
+        ords.select((col("o_custkey") + lit(c * 10000000L)).as("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      }.reduce(_ union _).localCheckpoint()
+      time("rfmSegments 1x", Analytics.rfmSegments(ords,
+        "o_custkey", "o_orderdate", "o_totalprice"))
+      time(s"rfmSegments ${k}x customers", Analytics.rfmSegments(ordsBlown,
+        "o_custkey", "o_orderdate", "o_totalprice"))
+      val cust = Tables.customer(spark, sfDir)
+      val custBlown = (0 until k).map { c =>
+        cust.select((col("c_custkey") + lit(c * 10000000L)).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+      }.reduce(_ union _).localCheckpoint()
+      time("kAnonymityAudit 1x", Privacy.kAnonymityAudit(cust,
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).as("bal_bucket")),
+        col("c_acctbal"), 5))
+      time(s"kAnonymityAudit ${k}x rows", Privacy.kAnonymityAudit(custBlown,
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).as("bal_bucket")),
+        col("c_acctbal"), 5))
+      time("generalizationLadder 1x", Privacy.generalizationLadder(cust, 5))
+      time(s"generalizationLadder ${k}x rows",
+        Privacy.generalizationLadder(custBlown, 5))
+      time("ewmaSmooth 1x", Analytics.ewmaSmooth(ev,
+        "event_type", "ts", "event_id", "value"))
+      time(s"ewmaSmooth ${k}x rows", Analytics.ewmaSmooth(evBlown,
+        "event_type", "ts", "event_id", "value"))
+      val feed = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("_n"),
+          sum(col("value").cast("decimal(14,2)")).cast("decimal(14,2)")
+            .as("delta"))
+        .withColumn("op", when(pmod(col("_n"), lit(7)) === 0, lit("D"))
+          .otherwise(lit("U")))
+        .select(col("user_id").as("c_custkey"), col("op"), col("delta"))
+      time("mergeActions 1x", Analytics.mergeActions(cust, feed,
+        "c_custkey", "c_name", "c_acctbal", "op", "delta"))
+      time(s"mergeActions ${k}x target", Analytics.mergeActions(custBlown,
+        feed, "c_custkey", "c_name", "c_acctbal", "op", "delta"))
+      time("temperatureMix 1x", TextAnalysis.temperatureMix(base
+        .withColumn("lang", lit("x")), "lang",
+        expr("cast(size(filter(split(text, ' '), t -> t != '')) as bigint)"),
+        10000L))
+      time(s"temperatureMix ${k}x rows", TextAnalysis.temperatureMix(blown
+        .withColumn("lang", lit("x")), "lang",
+        expr("cast(size(filter(split(text, ' '), t -> t != '')) as bigint)"),
+        10000L))
+    }
     spark.stop()
   }
 }
