@@ -2177,6 +2177,151 @@ object Analytics {
       "o_totalprice")
       .orderBy(col("o_custkey"))
 
+  // -------------------------------------------------- winsorization --
+
+  /** Per-group winsorization — the outlier treatment that CLAMPS instead
+    * of dropping (robust means for metrics where every row must count):
+    * values clamp into [p05, p95] of their group, and the group reports
+    * its clamp bounds, clamp counts, and winsorized mean. Exact-percentile
+    * bounds over integer cents (q189's discipline — percentile ≡
+    * quantile_cont over identical integers), quantized INWARD to whole
+    * cents (ceil of the low cut, floor of the high — floor/ceil of
+    * identical doubles is boundary-safe where a 2-dp round is not), so
+    * the clamped column is pure 64-bit integers and the mean is the
+    * integer half-up quotient (q202's trick).
+    *
+    * Shape: one keyed percentile aggregate (groups-bounded), broadcast
+    * back, map-side clamp, one keyed roll-up — two exchanges total on the
+    * same key. */
+  def winsorize(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val base = df.select(col(keyCol),
+      (col(valCol).cast("decimal(14,2)") * 100).cast("long").as("_vc"))
+    val bounds = base.groupBy(col(keyCol))
+      .agg(ceil(percentile(col("_vc"), lit(0.05))).cast("long").as("_lo"),
+        floor(percentile(col("_vc"), lit(0.95))).cast("long").as("_hi"))
+    base.join(broadcast(bounds), Seq(keyCol))
+      .withColumn("_cl", least(greatest(col("_vc"), col("_lo")), col("_hi")))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("_vc") < col("_lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("_vc") > col("_hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        max(col("_lo")).as("_lo"), max(col("_hi")).as("_hi"),
+        sum(col("_cl")).as("_s"))
+      .select(col(keyCol), col("_n").as("n"),
+        col("n_clamped_lo"), col("n_clamped_hi"),
+        (col("_lo").cast("decimal(20,0)") * lit(BigDecimal("0.01")))
+          .cast("decimal(38,2)").as("lo"),
+        (col("_hi").cast("decimal(20,0)") * lit(BigDecimal("0.01")))
+          .cast("decimal(38,2)").as("hi"),
+        (expr("(200 * _s + _n) div (2 * _n)").cast("decimal(20,0)")
+          * lit(BigDecimal("0.0001"))).cast("decimal(38,4)")
+          .as("winsor_mean"))
+  }
+
+  private val q211: Q = (s, d) =>
+    winsorize(Tables.events(s, d), "event_type", "value")
+      .orderBy(col("event_type"))
+
+  // --------------------------------------------- forecast backtest --
+
+  /** Seasonal-naive forecast backtest — the baseline every forecasting
+    * system must beat, measured the way production does: predict each
+    * hour's total with the SAME hour yesterday (lag-24 on the hourly
+    * aggregate), score MAE/MAPE per key over every hour where both sides
+    * exist. The forecast side shifts via a computed equality key (bucket
+    * + 24 h), so the self-join is a plain hash join on (key, hour) — no
+    * window, no skew. Errors are exact DECIMAL diffs; each APE is ONE
+    * IEEE division rounded then DECIMAL-pinned so the MAPE numerator sums
+    * exactly (the PSI pre-round discipline); the final MAE/MAPE means are
+    * integer half-up quotients (q202's trick), because cents/40-style
+    * ratios land exactly on 4-dp halves. */
+  def forecastBacktest(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val agg = df
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("_b"))
+      .agg(sum(col(valCol).cast("decimal(14,2)")).cast("decimal(38,2)")
+        .as("_s"))
+      .localCheckpoint()
+    val fc = agg.select(col(keyCol),
+      (col("_b") + expr("interval 24 hours")).as("_b"), col("_s").as("_f"))
+    agg.join(fc, Seq(keyCol, "_b"))
+      .withColumn("_err", abs(col("_s") - col("_f")))
+      .withColumn("_ape", when(col("_s") =!= 0,
+        round(col("_err").cast("double") / col("_s").cast("double"), 6)
+          .cast("decimal(12,6)")))
+      .withColumn("_errc", (col("_err").cast("decimal(18,2)") * 100)
+        .cast("long"))
+      .withColumn("_apem", (col("_ape").cast("decimal(13,6)") * 1000000)
+        .cast("long"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"), sum(col("_errc")).as("_ec"),
+        count(col("_apem")).as("_na"), sum(col("_apem")).as("_am"))
+      // MAE = errC/(100·n) dollars; its 4-dp half-up value is the integer
+      // ⌊(200·errC + n)/(2n)⌋ (the q202 discipline — sum/40 lands exactly
+      // on 4-dp halves, where the two engines' double rounds disagree;
+      // observed, then designed out). MAPE the same at 6 dp.
+      .select(col(keyCol), col("_n").as("n_eval"),
+        (expr("(200 * _ec + _n) div (2 * _n)").cast("decimal(20,0)")
+          * lit(BigDecimal("0.0001"))).cast("decimal(38,4)").as("mae"),
+        when(col("_na") > 0,
+          (expr("(2 * _am + _na) div (2 * _na)").cast("decimal(20,0)")
+            * lit(BigDecimal("0.000001"))).cast("decimal(38,6)")).as("mape"))
+  }
+
+  private val q210: Q = (s, d) =>
+    forecastBacktest(Tables.events(s, d), "event_type", "ts", "value")
+      .orderBy(col("event_type"))
+
+  // --------------------------------------------- WOE / information value --
+
+  /** Weight-of-evidence feature binning + information value — the
+    * credit-scoring / feature-selection readout: equal-frequency bins
+    * over the feature, per bin the class distributions, WOE =
+    * ln(good% / bad%), and IV = Σ (good% − bad%)·WOE with the standard
+    * strength bands (IV > 0.3 = strong predictor). The discipline is
+    * [[psi]]'s, term for term: clamped (≥1e-6) rates, one division each,
+    * per-term round(6), bounded bins-row total carried on every row —
+    * plus the q171/q198 ntile pins (BIGINT bin under a TOTAL
+    * (feature, id) order).
+    *
+    * Scale: the corpus collapses to the bins-bounded frame right after
+    * the ntile; the quintile window is the q171 global-rank shape with
+    * the same documented 100 TB drop-in (rank vs broadcast quantile
+    * bounds). */
+  def woeIv(df: DataFrame, featureCol: String, idCol: String,
+      labelCol: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"woeIv: bins must be >= 2, got $bins")
+    val w = Window.orderBy(col(featureCol), col(idCol))
+    val binned = df
+      .select(col(featureCol), col(idCol), labelCol.cast("boolean").as("_bad"))
+      .withColumn("bin", ntile(bins).over(w).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_bad"), 1L).otherwise(0L)).as("n_bad"),
+        sum(when(!col("_bad"), 1L).otherwise(0L)).as("n_good"))
+    val totals = binned.agg(sum(col("n_bad")).as("_bt"),
+      sum(col("n_good")).as("_gt"))
+    val terms = binned.crossJoin(broadcast(totals))
+      .withColumn("_db",
+        greatest(col("n_bad").cast("double") / col("_bt"), lit(1e-6)))
+      .withColumn("_dg",
+        greatest(col("n_good").cast("double") / col("_gt"), lit(1e-6)))
+      .withColumn("woe", round(log(col("_dg") / col("_db")), 6))
+      .withColumn("iv_term",
+        round((col("_dg") - col("_db")) * log(col("_dg") / col("_db")), 6))
+    val total = terms.agg(round(sum(col("iv_term")), 6).as("iv_total"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("n"), col("n_bad"), col("n_good"),
+        round(col("_db"), 6).as("dist_bad"),
+        round(col("_dg"), 6).as("dist_good"),
+        col("woe"), col("iv_term"), col("iv_total"))
+  }
+
+  private val q209: Q = (s, d) =>
+    woeIv(Tables.orders(s, d), "o_totalprice", "o_orderkey",
+      col("o_orderstatus") === "F")
+      .orderBy(col("bin"))
+
   // ------------------------------------------------ multi-action MERGE --
 
   /** SQL-standard multi-action MERGE semantics as a composable operator —
@@ -2455,6 +2600,9 @@ object Analytics {
     "q202_resample_interp" -> q202,
     "q207_ewma_smooth" -> q207,
     "q208_merge_actions" -> q208,
+    "q209_woe_iv" -> q209,
+    "q210_forecast_backtest" -> q210,
+    "q211_winsorize" -> q211,
   )
 
   /** DuckDB 15-hex-nibble md5 fold — the cross-engine 60-bit hash
@@ -2900,6 +3048,95 @@ object Analytics {
       ORDER BY item1, item2""",
     // The dense grid + LOCF replayed with generate_series and DuckDB's
     // IGNORE NULLS window; DECIMAL sums keep both engines exact.
+    // Replays the cent-integer quantile bounds (quantile_cont ≡
+    // percentile over identical integers), the inward ceil/floor
+    // quantization, the integer clamp, and the half-up mean.
+    "q211_winsorize" -> """
+      WITH e AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+                          AS vc
+                 FROM events),
+      b AS (SELECT event_type,
+                   CAST(ceil(quantile_cont(vc, 0.05)) AS BIGINT) AS lo,
+                   CAST(floor(quantile_cont(vc, 0.95)) AS BIGINT) AS hi
+            FROM e GROUP BY 1),
+      c AS (SELECT e.event_type, vc, lo, hi,
+                   least(greatest(vc, lo), hi) AS cl
+            FROM e JOIN b USING (event_type)),
+      g AS (SELECT event_type, count(*) AS n,
+                   sum(CASE WHEN vc < lo THEN 1 ELSE 0 END) AS ncl,
+                   sum(CASE WHEN vc > hi THEN 1 ELSE 0 END) AS nch,
+                   max(lo) AS lo, max(hi) AS hi,
+                   CAST(sum(cl) AS BIGINT) AS s
+            FROM c GROUP BY 1)
+      SELECT event_type, n,
+             CAST(ncl AS BIGINT) AS n_clamped_lo,
+             CAST(nch AS BIGINT) AS n_clamped_hi,
+             CAST(CAST(lo AS DECIMAL(20,0)) * CAST(0.01 AS DECIMAL(3,2))
+                  AS DECIMAL(38,2)) AS lo,
+             CAST(CAST(hi AS DECIMAL(20,0)) * CAST(0.01 AS DECIMAL(3,2))
+                  AS DECIMAL(38,2)) AS hi,
+             CAST(CAST((200 * s + n) // (2 * n) AS DECIMAL(20,0))
+                  * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4))
+               AS winsor_mean
+      FROM g ORDER BY event_type""",
+    // Replays the ntile binning (BIGINT, total order), clamped rates, the
+    // ln terms, and the PSI-style pre-rounded bounded total.
+    "q209_woe_iv" -> """
+      WITH b AS (SELECT o_totalprice, o_orderkey,
+                        (o_orderstatus = 'F') AS bad,
+                        CAST(ntile(10) OVER (ORDER BY o_totalprice,
+                                             o_orderkey) AS BIGINT) AS bin
+                 FROM orders),
+      g AS (SELECT bin, count(*) AS n,
+                   sum(CASE WHEN bad THEN 1 ELSE 0 END) AS n_bad,
+                   sum(CASE WHEN bad THEN 0 ELSE 1 END) AS n_good
+            FROM b GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_bad) AS BIGINT) AS bt,
+                     CAST(sum(n_good) AS BIGINT) AS gt FROM g),
+      t AS (SELECT g.*,
+                   greatest(CAST(n_bad AS DOUBLE) / bt, 1e-6) AS db,
+                   greatest(CAST(n_good AS DOUBLE) / gt, 1e-6) AS dg
+            FROM g, tot),
+      tt AS (SELECT *, round(ln(dg / db), 6) AS woe,
+                    round((dg - db) * ln(dg / db), 6) AS iv_term
+             FROM t),
+      iv AS (SELECT round(sum(iv_term), 6) AS iv_total FROM tt)
+      SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_bad AS BIGINT) AS n_bad,
+             CAST(n_good AS BIGINT) AS n_good,
+             round(db, 6) AS dist_bad, round(dg, 6) AS dist_good,
+             woe, iv_term, iv_total
+      FROM tt, iv ORDER BY bin""",
+    // Replays the lag-24 self-join on the shifted equality key, exact
+    // DECIMAL errors, pre-rounded DECIMAL APEs, one division per score.
+    "q210_forecast_backtest" -> """
+      WITH agg AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                          CAST(sum(CAST(value AS DECIMAL(14,2)))
+                               AS DECIMAL(38,2)) AS s
+                   FROM events GROUP BY 1, 2),
+      j AS (SELECT a.event_type, a.s, f.s AS f, abs(a.s - f.s) AS err
+            FROM agg a JOIN agg f
+              ON a.event_type = f.event_type
+             AND a.b = f.b + INTERVAL '24 hours'),
+      t AS (SELECT *, CASE WHEN s <> 0 THEN
+                        CAST(round(CAST(err AS DOUBLE) / CAST(s AS DOUBLE), 6)
+                             AS DECIMAL(12,6)) END AS ape
+            FROM j),
+      g AS (SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(CAST(err AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS ec,
+                   count(ape) AS na,
+                   CAST(sum(CAST(CAST(ape AS DECIMAL(13,6)) * 1000000
+                                 AS BIGINT)) AS BIGINT) AS am
+            FROM t GROUP BY 1)
+      SELECT event_type, n AS n_eval,
+             CAST(CAST((200 * ec + n) // (2 * n) AS DECIMAL(20,0))
+                  * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS mae,
+             CASE WHEN na > 0 THEN
+               CAST(CAST((2 * am + na) // (2 * na) AS DECIMAL(20,0))
+                    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(38,6))
+             END AS mape
+      FROM g ORDER BY event_type""",
     // Replays feed derivation + the four-branch merge over one full outer
     // join, balances as exact decimals.
     "q208_merge_actions" -> """
