@@ -110,9 +110,56 @@ object Privacy {
     generalizationLadder(Tables.customer(s, d), k = 5)
       .orderBy(col("qi_nation"), col("qi_segment"), col("qi_bucket"))
 
+  /** Right-to-be-forgotten purge with audit — the GDPR/CCPA deletion pass
+    * a data platform must run across every derived table: given a
+    * deletion list of subject keys, anti-join each table on its subject
+    * column and emit a per-table audit row (rows before / purged / after,
+    * plus the distinct subjects actually hit — the number the compliance
+    * report wants, which is NOT the list length: subjects with no rows
+    * purge nothing). The purge itself is one anti-join per table with the
+    * deletion list broadcast (the list is always ≪ the tables); the audit
+    * is two counts per table, and nothing rescans a purged table.
+    *
+    * At 100 TB this is the same plan per table — broadcast anti-join,
+    * streamed counts — plus a rewrite of affected files only if the lake
+    * layout partitions by subject (the layout q96 certifies). */
+  def purgeAudit(tables: Seq[(String, DataFrame, String)],
+      subjects: DataFrame, subjectCol: String): DataFrame = {
+    val s = subjects.select(col(subjectCol).as("_subj")).distinct()
+      .localCheckpoint()
+    tables.map { case (name, df, keyCol) =>
+      val hit = df.join(broadcast(s), col(keyCol) === col("_subj"),
+        "left_semi")
+      val kept = df.join(broadcast(s), col(keyCol) === col("_subj"),
+        "left_anti")
+      val stats = df.agg(count(lit(1)).as("rows_before")).crossJoin(
+        hit.agg(count(lit(1)).as("rows_purged"),
+          count_distinct(col(keyCol)).as("subjects_hit"))).crossJoin(
+        kept.agg(count(lit(1)).as("rows_after")))
+      stats.select(lit(name).as("table"), col("rows_before"),
+        col("rows_purged"), col("rows_after"), col("subjects_hit"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** q212: the deletion list derives deterministically (every 13th user);
+    * events and orders are the derived tables (orders keys customers, so
+    * its subject column is o_custkey). */
+  private val q212: Q = (s, d) => {
+    val del = Tables.customer(s, d)
+      .filter(pmod(col("c_custkey"), lit(13)) === 0)
+      .select(col("c_custkey").as("subject"))
+    purgeAudit(Seq(
+      ("events", Tables.events(s, d), "user_id"),
+      ("orders", Tables.orders(s, d), "o_custkey"),
+      ("customer", Tables.customer(s, d), "c_custkey")),
+      del, "subject")
+      .orderBy(col("table"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q196_k_anonymity" -> q196,
     "q201_generalization" -> q201,
+    "q212_gdpr_purge" -> q212,
   )
 
   val oracles: Map[String, String] = Map(
@@ -154,5 +201,35 @@ object Privacy {
       FROM alln a JOIN chosen c ON a.level = c.level
       ORDER BY qi_nation, qi_segment, qi_bucket"""
     },
+    // Per-table before/purged/after + distinct subjects actually hit.
+    "q212_gdpr_purge" -> """
+      WITH del AS (SELECT DISTINCT c_custkey AS subj FROM customer
+                   WHERE c_custkey % 13 = 0),
+      a AS (
+        SELECT 'events' AS tbl, count(*) AS rows_before,
+               sum(CASE WHEN user_id IN (SELECT subj FROM del)
+                        THEN 1 ELSE 0 END) AS rows_purged,
+               count(DISTINCT CASE WHEN user_id IN (SELECT subj FROM del)
+                                   THEN user_id END) AS subjects_hit
+        FROM events
+        UNION ALL
+        SELECT 'orders', count(*),
+               sum(CASE WHEN o_custkey IN (SELECT subj FROM del)
+                        THEN 1 ELSE 0 END),
+               count(DISTINCT CASE WHEN o_custkey IN (SELECT subj FROM del)
+                                   THEN o_custkey END)
+        FROM orders
+        UNION ALL
+        SELECT 'customer', count(*),
+               sum(CASE WHEN c_custkey IN (SELECT subj FROM del)
+                        THEN 1 ELSE 0 END),
+               count(DISTINCT CASE WHEN c_custkey IN (SELECT subj FROM del)
+                                   THEN c_custkey END)
+        FROM customer)
+      SELECT tbl AS "table", rows_before,
+             CAST(rows_purged AS BIGINT) AS rows_purged,
+             CAST(rows_before - rows_purged AS BIGINT) AS rows_after,
+             CAST(subjects_hit AS BIGINT) AS subjects_hit
+      FROM a ORDER BY tbl""",
   )
 }

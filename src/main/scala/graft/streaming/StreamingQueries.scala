@@ -614,6 +614,57 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Streaming quarantine routing (dead-letter queue) — the ingest
+    * guard every production stream runs in front of its good-path sink:
+    * each micro-batch splits ONCE on the contract predicate, the clean
+    * rows land in the main channel, violations land in the DLQ with a
+    * reason column — rows are never dropped silently (the property the
+    * gate certifies: main + DLQ partition the input exactly). Both
+    * channels fold into in-session state per batch (q87's foreachBatch
+    * pattern — a real deployment writes two sinks; the split logic is
+    * identical). The contract here: `value` must be ≤ 200 and `user_id`
+    * present — the tail-value rule genuinely fires on the fixture, so
+    * the DLQ path is exercised, not vacuously green.
+    *
+    * Scale: the split is a map-side filter pair per batch — no state, no
+    * shuffle; DLQ volume is bounded by the violation rate. */
+  private val q213: Q = (s, d) => {
+    val stage = chunkedStreamDir(s, d, 4)
+    val schema = s.read.parquet(stage).schema
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    val bad = col("value") > 200 || col("user_id").isNull
+    var main: DataFrame = null
+    var dlq: DataFrame = null
+    val q = raw.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        def fold(state: DataFrame, add: DataFrame): DataFrame = {
+          val base = if (state != null) state
+            else s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], add.schema)
+          base.unionByName(add).localCheckpoint(true)
+        }
+        main = fold(main, batch.filter(!bad))
+        dlq = fold(dlq, batch.filter(bad)
+          .withColumn("reason",
+            when(col("user_id").isNull, lit("null_user"))
+              .otherwise(lit("value_gt_200"))))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val mainAgg = main.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), lit("main").as("channel"),
+        lit("ok").as("reason"))
+    val dlqAgg = dlq.groupBy(col("event_type"), col("reason"))
+      .agg(count(lit(1)).as("n"), lit("dlq").as("channel"))
+    mainAgg.select(col("channel"), col("event_type"), col("reason"), col("n"))
+      .unionByName(dlqAgg.select(col("channel"), col("event_type"),
+        col("reason"), col("n")))
+      .orderBy(col("channel"), col("event_type"), col("reason"))
+  }
+
   /** The [[sessionize]] typed state machine (`groupByKey.flatMapGroups`
     * per-user ordered fold — the reference's O8 reducer shape with real
     * state) under the hash gate: its sessions must match the SAME lag-based
@@ -796,6 +847,7 @@ object StreamingQueries {
     "q199_stream_restart" -> q199,
     "q205_stream_rocksdb" -> q205,
     "q206_stream_topk" -> q206,
+    "q213_stream_quarantine" -> q213,
   )
 
   private val slidingOracle = """
@@ -973,6 +1025,19 @@ object StreamingQueries {
              CAST(count(*) - count(value) AS BIGINT) AS n_unmatched,
              round(sum(coalesce(value, 0.0)), 2) AS total_value
       FROM rows_all GROUP BY user_id ORDER BY user_id""",
+    // Main + DLQ must partition the input exactly — no silent drops, no
+    // double-routing; reason precedence mirrors the stream's CASE order.
+    "q213_stream_quarantine" -> """
+      WITH c AS (SELECT event_type,
+                        CASE WHEN value > 200 OR user_id IS NULL
+                             THEN 'dlq' ELSE 'main' END AS channel,
+                        CASE WHEN user_id IS NULL THEN 'null_user'
+                             WHEN value > 200 THEN 'value_gt_200'
+                             ELSE 'ok' END AS reason
+                 FROM events)
+      SELECT channel, event_type, reason, count(*) AS n
+      FROM c GROUP BY 1, 2, 3
+      ORDER BY channel, event_type, reason""",
     // The drained final leaderboard per key must equal the batch window
     // top-k under the identical (value DESC, id ASC) total order.
     "q206_stream_topk" -> """
