@@ -196,7 +196,8 @@ object Privacy {
       s"""
       WITH alln AS ($levelSelects),
       mins AS (SELECT level, min(class_size) AS m FROM alln GROUP BY level),
-      chosen AS (SELECT min(level) AS level FROM mins WHERE m >= 5)
+      chosen AS (SELECT coalesce(min(level), 5) AS level
+                 FROM mins WHERE m >= 5)
       SELECT a.level, qi_nation, qi_segment, qi_bucket, class_size
       FROM alln a JOIN chosen c ON a.level = c.level
       ORDER BY qi_nation, qi_segment, qi_bucket"""

@@ -977,9 +977,12 @@ object TextAnalysis {
       .select(col(groupCol), col("n_docs"), col("n_tokens"),
         round(col("_p"), 6).as("p_nat"),
         round(col("_w"), 6).as("weight"),
-        round(least(lit(1.0),
-          col("_w") * budget / col("n_tokens").cast("double")), 6)
-          .as("sample_rate"),
+        // Zero-token group guard: its weight is 0 but 0·B/0 is NaN —
+        // define the rate as 0 (nothing to sample) instead.
+        when(col("n_tokens") > 0,
+          round(least(lit(1.0),
+            col("_w") * budget / col("n_tokens").cast("double")), 6))
+          .otherwise(lit(0.0)).as("sample_rate"),
         floor(least(col("n_tokens").cast("double"), col("_w") * budget))
           .cast("long").as("exp_tokens"))
   }
@@ -1621,9 +1624,10 @@ object TextAnalysis {
       SELECT lang, n_docs, n_tokens,
              round(p_raw, 6) AS p_nat,
              round(CAST(sqv AS DOUBLE) / CAST(sqsum AS DOUBLE), 6) AS weight,
-             round(least(1.0, CAST(sqv AS DOUBLE) / CAST(sqsum AS DOUBLE)
-                              * $TempMixBudget / CAST(n_tokens AS DOUBLE)), 6)
-               AS sample_rate,
+             CASE WHEN n_tokens > 0 THEN
+               round(least(1.0, CAST(sqv AS DOUBLE) / CAST(sqsum AS DOUBLE)
+                                * $TempMixBudget / CAST(n_tokens AS DOUBLE)), 6)
+             ELSE 0.0 END AS sample_rate,
              CAST(floor(least(CAST(n_tokens AS DOUBLE),
                               CAST(sqv AS DOUBLE) / CAST(sqsum AS DOUBLE)
                               * $TempMixBudget)) AS BIGINT) AS exp_tokens
