@@ -43,6 +43,10 @@ object ExplainDump {
     "q109_bm25" -> "literal-term map-side tf (no explode); ONE broadcast stats row; TakeOrderedAndProject top-k",
     "q110_pagerank" -> "final round of the integer-mass iteration: edge join + exact long sum, top-k as TakeOrderedAndProject",
     "q111_triangles" -> "degree-ordered orientation; wedge join + closing LeftSemi — fan-out bounded by oriented out-degree",
+    "q203_lateral_topn" -> "LATERAL correlated LIMIT subquery decorrelated to a ranked join (no per-row re-execution)",
+    "q197_cusum_drift" -> "CUSUM closed form: two cumulative windows sharing ONE per-key sort — zero extra exchanges",
+    "q207_ewma_smooth" -> "8-lag integer-weight chain in one Window over one sort; half-up quotient stays in the stage",
+    "q212_gdpr_purge" -> "per-table broadcast anti/semi joins; deletion list shipped once",
     "q112_zorder" -> "codegen'd graft_zvalue Morton projection inside the stage; TakeOrderedAndProject top-k",
     "q113_sessionize" -> "lag flag + running-sum ids over ONE user-key sort; bounded-key session roll-up",
     "q114_incremental_agg" -> "two batch states merged by key — the delta-refresh plan; the oracle is the full recompute",
