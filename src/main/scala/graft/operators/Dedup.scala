@@ -1147,7 +1147,42 @@ object Dedup {
 
   // ------------------------------------------------- fixture-bound queries
 
+  /** Canonical selection over near-dup clusters — the decision the dedup
+    * PIPELINE actually ships: not "which docs are duplicates" (q54) but
+    * "which member of each cluster survives". The representative is the
+    * best-quality member (here: token count — longest version wins, the
+    * usual crawl heuristic — tie-broken by id for determinism); every doc
+    * maps to its cluster's rep, singletons map to themselves, and `kept`
+    * marks the survivors. Output is the drop/keep manifest a curation run
+    * hands to its writer.
+    *
+    * Shape: the q54 component labels + one token-count projection, then
+    * a single per-component window (clusters are small by construction —
+    * the maxDf cap bounds candidate fan-in) — no new wide exchange beyond
+    * what the component pass already did. */
+  def canonicalPick(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val comps = connectedComponents(
+      ngramJaccard(df, idCol, textCol), "id1", "id2")
+      .select(col("id"), col("component"))
+    val toks = df.select(col(idCol),
+      expr(s"cast(size(filter(split($textCol, ' '), t -> t != '')) as bigint)")
+        .as("n_tok"))
+    val member = toks.join(comps, toks(idCol) === comps("id"), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .drop("id")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_tok").desc, col(idCol))
+    member
+      .withColumn("rep_id", first(col(idCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(idCol), col("component"), col("n_tok"), col("rep_id"),
+        (col(idCol) === col("rep_id")).as("kept"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q214_canonical_pick" -> ((s, d) =>
+      canonicalPick(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "q50_exact_dedup" -> ((s, d) =>
       exactDedup(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))),
     "q51_minhash_lsh" -> ((s, d) =>
@@ -1635,6 +1670,37 @@ object Dedup {
       WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(x.sh, y.sh))), 4) >= 0.5
       ORDER BY id1, id2""",
+    // q54's component chain + token counts + the per-cluster
+    // quality-argmax (n_tok DESC, id) representative.
+    "q214_canonical_pick" -> s"""
+      WITH RECURSIVE $duckCappedSets,
+      edges AS (
+        SELECT x.doc_id AS id1, y.doc_id AS id2
+        FROM sets x JOIN sets y ON x.doc_id < y.doc_id
+        WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.sh, y.sh))), 4) >= 0.5),
+      und AS (SELECT id1 AS a, id2 AS b FROM edges
+              UNION SELECT id2 AS a, id1 AS b FROM edges),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      comp AS (SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+               FROM reach GROUP BY a),
+      tk AS (SELECT doc_id,
+                    CAST(len(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS BIGINT) AS n_tok
+             FROM documents),
+      m AS (SELECT t.doc_id, coalesce(c.component, t.doc_id) AS component,
+                   t.n_tok
+            FROM tk t LEFT JOIN comp c ON t.doc_id = c.doc_id),
+      r AS (SELECT *, first_value(doc_id) OVER (PARTITION BY component
+                        ORDER BY n_tok DESC, doc_id) AS rep_id
+            FROM m)
+      SELECT doc_id, CAST(component AS BIGINT) AS component, n_tok,
+             CAST(rep_id AS BIGINT) AS rep_id,
+             doc_id = rep_id AS kept
+      FROM r ORDER BY doc_id""",
     "q54_neardup_components" -> s"""
       WITH RECURSIVE $duckCappedSets,
       edges AS (

@@ -852,6 +852,12 @@ object ScaleSmoke {
         "c_custkey", "c_name", "c_acctbal", "op", "delta"))
       time(s"mergeActions ${k}x target", Analytics.mergeActions(custBlown,
         feed, "c_custkey", "c_name", "c_acctbal", "op", "delta"))
+      // The blown corpus is canonicalPick's adversarial regime: every doc
+      // sits in a K-sized exact-dup cluster, so component fan-in rides the
+      // same maxDf cap as the q54 chain it reuses.
+      time("canonicalPick 1x", Dedup.canonicalPick(base, "doc_id", "text"))
+      time(s"canonicalPick ${k}x (dup clusters)",
+        Dedup.canonicalPick(blown, "doc_id", "text"))
       time("temperatureMix 1x", TextAnalysis.temperatureMix(base
         .withColumn("lang", lit("x")), "lang",
         expr("cast(size(filter(split(text, ' '), t -> t != '')) as bigint)"),
