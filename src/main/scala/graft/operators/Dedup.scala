@@ -398,6 +398,13 @@ object Dedup {
         expr(s"array_sort(array_distinct(${toksExpr(textCol)}))").as("stoks"))
       .filter(size(col("stoks")) > 0)
       .withColumn("sz", size(col("stoks")).cast("long"))
+      // The verify path never needs the token TEXT — only identity. Hash
+      // each token to 64 bits once here, so the two pair-keyed back-joins
+      // shuffle array<long> instead of array<string> (the same
+      // xxhash64-for-identity step ngramJaccard applies to its shingle
+      // postings; distinct-ness is preserved up to 64-bit collision,
+      // negligible at any real vocabulary).
+      .withColumn("htoks", expr("array_sort(transform(stoks, t -> xxhash64(t)))"))
       .localCheckpoint()
     val maxRow = sets.agg(max(col("sz"))).head()
     // empty corpus: the bound is undefined and there is nothing to join
@@ -422,8 +429,8 @@ object Dedup {
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
     cands
-      .join(sets.select(col("id").as("id1"), col("stoks").as("s1"), col("sz").as("sz1")), "id1")
-      .join(sets.select(col("id").as("id2"), col("stoks").as("s2"), col("sz").as("sz2")), "id2")
+      .join(sets.select(col("id").as("id1"), col("htoks").as("s1"), col("sz").as("sz1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("htoks").as("s2"), col("sz").as("sz2")), "id2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       // Threshold on the EXACT integer cross-multiplication (J ≥ jNum/jDen
       // ⇔ inter·jDen ≥ union·jNum): the pigeonhole completeness lemma
@@ -472,6 +479,10 @@ object Dedup {
         expr(s"array_sort(array_distinct(${toksExpr(textCol)}))").as("stoks"))
       .filter(size(col("stoks")) > 0)
       .withColumn("sz", size(col("stoks")).cast("long"))
+      // verify-path payload: 64-bit token identities, not text (the
+      // setSimilarityJoin shuffle-slimming; identical counts up to
+      // negligible 64-bit collision)
+      .withColumn("htoks", expr("array_sort(transform(stoks, t -> xxhash64(t)))"))
       .localCheckpoint()
     val maxRow = sets.agg(max(col("sz"))).head()
     if (maxRow.isNullAt(0))
@@ -505,9 +516,9 @@ object Dedup {
       .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
       .agg(max(col("x.trunc")).as("capped"))
     cands
-      .join(sets.select(col("id").as("id1"), col("stoks").as("s1"),
+      .join(sets.select(col("id").as("id1"), col("htoks").as("s1"),
         col("sz").as("sz1")), "id1")
-      .join(sets.select(col("id").as("id2"), col("stoks").as("s2"),
+      .join(sets.select(col("id").as("id2"), col("htoks").as("s2"),
         col("sz").as("sz2")), "id2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       .filter(col("inter") * jDen >=
@@ -552,6 +563,11 @@ object Dedup {
       .select(col("id"), col("hs"), size(col("hs")).cast("long").as("sz"))
       .withColumn("p",
         col("sz") - expr(s"(sz * $cNum + ${cDen - 1}) div $cDen") + 1L)
+      // verify-path payload: the digest arrays re-hashed to 64-bit longs —
+      // the pair back-joins ship 8 bytes per shingle instead of a 32-char
+      // digest (identity preserved up to negligible collision; the JOIN
+      // key stays the md5 digest, which the oracle replays)
+      .withColumn("hh", expr("transform(hs, x -> xxhash64(x))"))
       .localCheckpoint()
     val pre = ordered
       .select(col("id"), explode(expr("slice(hs, 1, cast(p as int))")).as("h"))
@@ -561,9 +577,9 @@ object Dedup {
       .select(col("id").as("id1"), col("yid").as("id2"))
       .distinct()
     cands
-      .join(ordered.select(col("id").as("id1"), col("hs").as("s1"),
+      .join(ordered.select(col("id").as("id1"), col("hh").as("s1"),
         col("sz").as("sz1")), "id1")
-      .join(ordered.select(col("id").as("id2"), col("hs").as("s2")), "id2")
+      .join(ordered.select(col("id").as("id2"), col("hh").as("s2")), "id2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       // Exact integer threshold (C ≥ cNum/cDen ⇔ inter·cDen ≥ sz1·cNum) —
       // same rounding-vs-completeness reasoning as setSimilarityJoin: the
@@ -605,6 +621,11 @@ object Dedup {
       .select(col("id"), col("hs"), size(col("hs")).cast("long").as("sz"))
       .withColumn("p",
         col("sz") - expr(s"(sz * $cNum + ${cDen - 1}) div $cDen") + 1L)
+      // verify-path payload: the digest arrays re-hashed to 64-bit longs —
+      // the pair back-joins ship 8 bytes per shingle instead of a 32-char
+      // digest (identity preserved up to negligible collision; the JOIN
+      // key stays the md5 digest, which the oracle replays)
+      .withColumn("hh", expr("transform(hs, x -> xxhash64(x))"))
       .localCheckpoint()
     val pre = ordered
       .select(col("id"), explode(expr("slice(hs, 1, cast(p as int))")).as("h"))
@@ -619,9 +640,9 @@ object Dedup {
       .groupBy(col("id").as("id1"), col("yid").as("id2"))
       .agg(max(col("trunc")).as("capped"))
     cands
-      .join(ordered.select(col("id").as("id1"), col("hs").as("s1"),
+      .join(ordered.select(col("id").as("id1"), col("hh").as("s1"),
         col("sz").as("sz1")), "id1")
-      .join(ordered.select(col("id").as("id2"), col("hs").as("s2")), "id2")
+      .join(ordered.select(col("id").as("id2"), col("hh").as("s2")), "id2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       .filter(col("inter") * cDen >= col("sz1") * cNum)
       .withColumn("containment",
