@@ -278,6 +278,38 @@ object Analytics {
     hllDistinct(Tables.events(s, d), "event_type", "user_id")
       .orderBy(col("event_type"))
 
+  /** Merge two independently-built HLL register files (per-register MAX)
+    * and finalize the union — the cross-snapshot mergeability a sketch
+    * warehouse lives on: yesterday's sketch + today's sketch = the union
+    * sketch WITHOUT rereading either day. Max is idempotent/commutative/
+    * associative, so the merged file is bit-identical to sketching the
+    * union directly — which is exactly what the gate certifies. */
+  private[graft] def hllMerge(a: DataFrame, b: DataFrame,
+      groupCol: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max(col("mj")).as("mj"))
+
+  /** q215: the events table splits into two deterministic "snapshots"
+    * (even/odd event_id — both halves hit every group), each half is
+    * sketched INDEPENDENTLY, the register files merge, and the finalized
+    * union must equal sketching the whole table — so it reuses q135's
+    * oracle verbatim (the q82/q80 gate-sharing pattern). */
+  private val q215: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val half = (p: Int) => ev.filter(pmod(col("event_id"), lit(2)) === p)
+    val merged = hllMerge(
+      hllRegisters(half(0), "event_type", "user_id"),
+      hllRegisters(half(1), "event_type", "user_id"), "event_type")
+    val du = ev.select(col("event_type"), col("user_id"))
+      .filter(col("user_id").isNotNull).distinct()
+    val exact = du.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    exact.join(broadcast(hllFinalize(merged, "event_type")), "event_type")
+      .select(col("event_type"), col("n_exact"), col("m_used"),
+        col("s_reg"), col("hll_est"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------- count-min sketch --
 
   private[graft] val CmDepth = 4
@@ -2562,6 +2594,7 @@ object Analytics {
     "q68_kmv_distinct" -> q68,
     "q152_kmv_setops" -> q152,
     "q135_hll_distinct" -> q135,
+    "q215_hll_merge" -> q215,
     "q136_transitions" -> q136,
     "q125_countmin" -> q125,
     "q149_bloom_filter" -> q149,
@@ -2635,6 +2668,43 @@ object Analytics {
              round(avg(abs(share - e)) OVER (PARTITION BY grp), 6) AS mad
       FROM sh ORDER BY grp, d"""
   }
+
+  /** Shared by q135 and q215 (split-sketch-merge must equal whole-table
+    * sketching — per-register MAX merge is exact). */
+  private val hllOracleSql: String = s"""
+      WITH v AS (SELECT event_type, user_id FROM events
+                 WHERE user_id IS NOT NULL),
+      h AS (SELECT event_type,
+                   ${h60("CAST(user_id AS VARCHAR)")} AS hv FROM v),
+      r AS (SELECT event_type, hv % $HllRegisters AS reg,
+                   hv // $HllRegisters AS w FROM h),
+      k AS (SELECT event_type, reg,
+                   max(CASE WHEN w = 0 THEN $HllMaxRank
+                       ELSE $HllMaxRank - length(bin(w)) END) AS mj
+            FROM r GROUP BY event_type, reg),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m_used,
+                   CAST(sum(CAST(1 AS BIGINT) << ($HllMaxRank - mj))
+                        AS BIGINT) AS s_obs
+            FROM k GROUP BY event_type),
+      e AS (SELECT event_type, m_used,
+                   s_obs + ($HllRegisters - m_used) *
+                     CAST(${1L << HllMaxRank} AS BIGINT) AS s_reg,
+                   $HllRegisters - m_used AS v_empty
+            FROM a),
+      est AS (SELECT event_type, m_used, s_reg,
+                     $HllNumerator / CAST(s_reg AS DOUBLE) AS raw_est,
+                     v_empty
+              FROM e),
+      x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+                     AS n_exact
+            FROM v GROUP BY event_type)
+      SELECT x.event_type, n_exact, m_used, s_reg,
+             round(CASE WHEN raw_est <= $HllSmallRange AND v_empty > 0
+                   THEN ${HllLinear.mkString("[", ", ", "]")}
+                          [CAST(v_empty + 1 AS INT)]
+                   ELSE raw_est END, 2) AS hll_est
+      FROM x JOIN est USING (event_type)
+      ORDER BY event_type"""
 
   val oracles: Map[String, String] = Map(
     // Replays the closed form S_i = P_i − min(0, min_{j≤i} P_j) with the
@@ -3263,40 +3333,8 @@ object Analytics {
     // uses the same folded numerator literal, and the small-range arm
     // picks from the same precomputed m·ln(m/V) literal list (1-based in
     // both engines), so the gate is exact to the 2-dp round.
-    "q135_hll_distinct" -> s"""
-      WITH v AS (SELECT event_type, user_id FROM events
-                 WHERE user_id IS NOT NULL),
-      h AS (SELECT event_type,
-                   ${h60("CAST(user_id AS VARCHAR)")} AS hv FROM v),
-      r AS (SELECT event_type, hv % $HllRegisters AS reg,
-                   hv // $HllRegisters AS w FROM h),
-      k AS (SELECT event_type, reg,
-                   max(CASE WHEN w = 0 THEN $HllMaxRank
-                       ELSE $HllMaxRank - length(bin(w)) END) AS mj
-            FROM r GROUP BY event_type, reg),
-      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m_used,
-                   CAST(sum(CAST(1 AS BIGINT) << ($HllMaxRank - mj))
-                        AS BIGINT) AS s_obs
-            FROM k GROUP BY event_type),
-      e AS (SELECT event_type, m_used,
-                   s_obs + ($HllRegisters - m_used) *
-                     CAST(${1L << HllMaxRank} AS BIGINT) AS s_reg,
-                   $HllRegisters - m_used AS v_empty
-            FROM a),
-      est AS (SELECT event_type, m_used, s_reg,
-                     $HllNumerator / CAST(s_reg AS DOUBLE) AS raw_est,
-                     v_empty
-              FROM e),
-      x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
-                     AS n_exact
-            FROM v GROUP BY event_type)
-      SELECT x.event_type, n_exact, m_used, s_reg,
-             round(CASE WHEN raw_est <= $HllSmallRange AND v_empty > 0
-                   THEN ${HllLinear.mkString("[", ", ", "]")}
-                          [CAST(v_empty + 1 AS INT)]
-                   ELSE raw_est END, 2) AS hll_est
-      FROM x JOIN est USING (event_type)
-      ORDER BY event_type""",
+    "q135_hll_distinct" -> hllOracleSql,
+    "q215_hll_merge" -> hllOracleSql,
     // Replays transitionMatrix: same epoch-micros (us, event_id) order,
     // lead() pairs, count, and the per-src normalizing window over the
     // aggregated frame. count sums are HUGEINT in DuckDB — CAST back.

@@ -988,8 +988,46 @@ object Relational {
         m("n_rows"), m("qty_sum"), m("min_price"), m("max_price"))), sch)
   }
 
+  /** Schema-evolution read — the drift every long-lived lake hits: an
+    * older producer wrote files WITHOUT a column that later files carry.
+    * Two parquet "days" stage from orders (day 0 = even orderkeys with
+    * `o_orderpriority` dropped, day 1 = odd keys, full schema);
+    * `mergeSchema=true` unifies the footers and the missing column reads
+    * as NULL for the old files — certified by rolling the unified frame
+    * up by `coalesce(priority, '<missing>')` against an oracle that
+    * replays the producer split from the original table. Staging is
+    * content-addressed off the fixture (chunkedStreamDir's discipline).
+    *
+    * Scale: schema merge is a FOOTER operation (one task per file reads
+    * kilobytes); the data path is an ordinary pruned columnar scan. */
+  private val q216: Q = (s, d) => {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(d, "orders.parquet")
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(Files.readAllBytes(src)).map("%02x".format(_)).mkString
+    val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_evolve_$safe${md5hex.take(16)}")
+    val marker = dir.resolve("_STAGED")
+    if (!Files.exists(marker)) {
+      val ords = Tables.orders(s, d)
+      ords.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .drop("o_orderpriority")
+        .write.mode("overwrite").parquet(dir.resolve("day=0").toString)
+      ords.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .write.mode("overwrite").parquet(dir.resolve("day=1").toString)
+      Files.write(marker, Array.emptyByteArray)
+    }
+    s.read.option("mergeSchema", "true").parquet(dir.toString)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<missing>")).as("pri"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("pri"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q203_lateral_topn" -> q203,
+    "q216_schema_evolution" -> q216,
     "q204_observe_metrics" -> q204,
     "q133_profile" -> q133,
     "q160_validate" -> q160,
@@ -1064,6 +1102,13 @@ object Relational {
                    ON c.c_nationkey = n.n_nationkey)
       SELECT n_name, c_name, c_acctbal FROM r WHERE rk <= 3
       ORDER BY n_name, c_acctbal DESC, c_name""",
+    // Replays the producer split: even orderkeys lost the column, so
+    // they roll up under the '<missing>' arm.
+    "q216_schema_evolution" -> """
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<missing>'
+                  ELSE o_orderpriority END AS pri,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1 ORDER BY pri""",
     // The observed metrics must equal the direct aggregate exactly.
     "q204_observe_metrics" -> """
       SELECT count(*) AS n_rows,
