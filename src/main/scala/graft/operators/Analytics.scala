@@ -1455,6 +1455,51 @@ object Analytics {
       "user_id", "item")
       .orderBy(col("item1"), col("item2"))
 
+  /** Item-to-user recommendations from the [[coOccurrence]] projection —
+    * the classic neighborhood collaborative filter: a user's candidate
+    * items are everything co-occurring with what they already have,
+    * scored by the SUMMED lift over their items, already-seen items
+    * anti-joined away, top-k per user. Per-item lifts are 6-dp rounded
+    * then DECIMAL-pinned before the per-candidate sum (the PSI pre-round
+    * rule — a double sum over a user's items is order-dependent), so
+    * the (score DESC, item ASC) rank is a deterministic total order.
+    *
+    * Scale: rides coOccurrence's capped pair table (bounded fan-out);
+    * the scoring join keys on item (the co-occurrence table is the small
+    * side — AQE broadcasts it); the top-k is a WindowGroupLimit. */
+  def recommendItems(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int = 3, maxItemsPerBasket: Int = 100): DataFrame = {
+    require(k >= 1, s"recommendItems: k must be >= 1, got $k")
+    val co = coOccurrence(df, basketCol, itemCol, maxItemsPerBasket)
+      .withColumn("_l", col("lift").cast("decimal(12,6)"))
+    val sym = co.select(col("item1").as("_it"), col("item2").as("rec"), col("_l"))
+      .unionByName(co.select(col("item2").as("_it"), col("item1").as("rec"),
+        col("_l")))
+    val seen = df.select(col(basketCol).as("b"), col(itemCol).as("_it"))
+      .filter(col("b").isNotNull && col("_it").isNotNull).distinct()
+      .localCheckpoint()
+    val scored = seen.join(sym, "_it")
+      .groupBy(col("b"), col("rec"))
+      .agg(sum(col("_l")).cast("decimal(38,6)").as("score"),
+        count(lit(1)).as("n_sources"))
+      .join(seen.select(col("b"), col("_it").as("rec")),
+        Seq("b", "rec"), "left_anti")
+    val w = Window.partitionBy(col("b"))
+      .orderBy(col("score").desc, col("rec"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("b").as(basketCol), col("rank").cast("int").as("rank"),
+        col("rec"), col("score"), col("n_sources"))
+  }
+
+  private val q218: Q = (s, d) =>
+    recommendItems(
+      Tables.events(s, d).withColumn("item",
+        from_json(col("props"), lit("k INT")).getField("k")),
+      "user_id", "item")
+      .orderBy(col("user_id"), col("rank"))
+
   // ------------------------------------------------------------- upsert --
 
   /** CDC latest-wins merge (MERGE INTO compaction semantics without a
@@ -1792,6 +1837,140 @@ object Analytics {
   private val q116: Q = (s, d) =>
     scd2(Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
       .orderBy(col("user_id"), col("run"))
+
+  /** CUPED covariate adjustment (Deng et al. 2013) — the variance-
+    * reduction pass every experimentation platform runs before the
+    * t-test: each unit's experiment-period metric y is adjusted by its
+    * PRE-period covariate x (y* = y − θ(x − x̄), θ = cov(x,y)/var(x)
+    * pooled across arms), shrinking variance without biasing the arm
+    * difference. Pre/post split at the corpus time midpoint; arms from
+    * the deterministic md5 unit split (q180's contract).
+    *
+    * Exactness: unit metrics are cent integers; the pooled moments
+    * (Σx, Σy, Σxy, Σx²) are exact DECIMAL sums; θ and x̄ are scalar
+    * double chains with pinned operand order; each unit's y* rounds to
+    * 6 dp and re-pins to DECIMAL so per-arm sums are order-free; means
+    * are integer half-up quotients; the two variances and their ratio
+    * are the one scalar double chain per arm (the Welch discipline).
+    * Zero pre-period variance → θ = 0 (adjustment is a no-op, not a
+    * division error).
+    *
+    * Scale: one unit-keyed aggregate, one 1-row moments broadcast, one
+    * arms-bounded roll-up. */
+  def cuped(df: DataFrame, userCol: String, tsCol: String,
+      valCol: String, armCol: Column): DataFrame = {
+    val b = df.agg(min(unix_micros(col(tsCol))).as("_lo"),
+      max(unix_micros(col(tsCol))).as("_hi"))
+    val units = df.filter(col(userCol).isNotNull)
+      .crossJoin(broadcast(b))
+      .withColumn("_pre", unix_micros(col(tsCol)) * 2 < col("_lo") + col("_hi"))
+      .groupBy(armCol.as("arm"), col(userCol).as("_u"))
+      .agg(
+        coalesce(sum(when(col("_pre"),
+          (col(valCol).cast("decimal(14,2)") * 100).cast("long"))), lit(0L))
+          .as("_xc"),
+        coalesce(sum(when(!col("_pre"),
+          (col(valCol).cast("decimal(14,2)") * 100).cast("long"))), lit(0L))
+          .as("_yc"))
+      .localCheckpoint()
+    val m = units.agg(count(lit(1)).as("_n"),
+      sum(col("_xc")).as("_sx"), sum(col("_yc")).as("_sy"),
+      sum(col("_xc").cast("decimal(18,0)") * col("_yc").cast("decimal(18,0)"))
+        .as("_sxy"),
+      sum(col("_xc").cast("decimal(18,0)") * col("_xc").cast("decimal(18,0)"))
+        .as("_sxx"))
+    val theta = when(
+      col("_sxx").cast("double") * col("_n") -
+        col("_sx").cast("double") * col("_sx").cast("double") =!= 0.0,
+      (col("_sxy").cast("double") * col("_n") -
+        col("_sx").cast("double") * col("_sy").cast("double")) /
+        (col("_sxx").cast("double") * col("_n") -
+          col("_sx").cast("double") * col("_sx").cast("double")))
+      .otherwise(lit(0.0))
+    val adj = units.crossJoin(broadcast(m))
+      .withColumn("_theta", theta)
+      .withColumn("_ystar",
+        round(col("_yc").cast("double") / 100.0 -
+          col("_theta") * (col("_xc").cast("double") / 100.0 -
+            col("_sx").cast("double") / (col("_n") * lit(100.0))), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("_ym", (col("_ystar") * 1000000).cast("long"))
+    adj.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("_yc")).as("_syc"),
+        sum(col("_yc").cast("decimal(18,0)") * col("_yc").cast("decimal(18,0)"))
+          .as("_sy2"),
+        sum(col("_ym")).as("_sym"),
+        sum(col("_ym").cast("decimal(18,0)") * col("_ym").cast("decimal(18,0)"))
+          .as("_sst2m"))
+      .select(col("arm"), col("n_units"),
+        (expr("(2 * _syc * 10000 + n_units) div (2 * n_units)")
+          .cast("decimal(20,0)") * lit(BigDecimal("0.000001")))
+          .cast("decimal(38,6)").as("mean_y"),
+        // Σy* can be NEGATIVE: Spark's `div` truncates toward zero while
+        // DuckDB's `//` floors, so the quotient is written as an explicit
+        // FLOOR division ((num − pmod(num, den)) is exactly divisible and
+        // pmod is non-negative in both engines).
+        (expr("""((2 * _sym + n_units)
+                 - pmod(2 * _sym + n_units, 2 * n_units))
+                div (2 * n_units)""")
+          .cast("decimal(20,0)") * lit(BigDecimal("0.000001")))
+          .cast("decimal(38,6)").as("mean_y_adj"),
+        round(col("_sy2").cast("double") / 10000.0 / col("n_units") -
+          (col("_syc").cast("double") / (col("n_units") * lit(100.0))) *
+          (col("_syc").cast("double") / (col("n_units") * lit(100.0))), 6)
+          .as("var_y"),
+        round(col("_sst2m").cast("double") / 1.0e12 / col("n_units") -
+          (col("_sym").cast("double") / (col("n_units") * lit(1000000.0))) *
+          (col("_sym").cast("double") / (col("n_units") * lit(1000000.0))), 6)
+          .as("var_adj"))
+      .withColumn("var_ratio",
+        when(col("var_y") =!= 0.0,
+          round(col("var_adj") / col("var_y"), 6)))
+  }
+
+  private val q219: Q = (s, d) =>
+    cuped(Tables.events(s, d), "user_id", "ts", "value",
+      expr(s"pmod(${graft.operators.CrossHash.h60Expr("user_id")}, 2)"))
+      .orderBy(col("arm"))
+
+  /** Time-weighted state occupancy over the [[scd2]] intervals — the
+    * state-machine readout (how long does each entity SPEND in each
+    * state, and what share of its observed span): per (key, state), the
+    * summed interval durations against the key's horizon (its last
+    * observed event), plus the share of the key's total span. A state
+    * re-entered across several runs accumulates across all of them; the
+    * final open interval closes at the horizon (zero-width when the
+    * last event itself changed state). Pure integer micros + ONE IEEE
+    * division per row; single-event keys (span 0) report NULL share.
+    *
+    * Scale: rides scd2's one (key, time) sort; the occupancy roll-up is
+    * (key × states)-bounded. */
+  def stateOccupancy(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, stateCol: String): DataFrame = {
+    val iv = scd2(df, keyCol, tsCol, idCol, stateCol)
+    val horizon = df
+      .groupBy(col(keyCol))
+      .agg(max(unix_micros(col(tsCol))).as("_h"),
+        min(unix_micros(col(tsCol))).as("_lo"))
+    iv.join(broadcast(horizon), Seq(keyCol))
+      .withColumn("_occ",
+        coalesce(col("valid_to_us"), col("_h")) - col("valid_from_us"))
+      .groupBy(col(keyCol), col(stateCol))
+      .agg(sum(col("_occ")).as("occupancy_us"),
+        sum(col("n_events")).as("n_events"),
+        max(col("_h") - col("_lo")).as("_span"))
+      .withColumn("share",
+        when(col("_span") > 0,
+          round(col("occupancy_us").cast("double") / col("_span"), 6)))
+      .select(col(keyCol), col(stateCol), col("occupancy_us"),
+        col("n_events"), col("share"))
+  }
+
+  private val q217: Q = (s, d) =>
+    stateOccupancy(Tables.events(s, d), "user_id", "ts", "event_id",
+      "event_type")
+      .orderBy(col("user_id"), col("event_type"))
 
   // ------------------------------------------------------------ skyline --
 
@@ -2595,6 +2774,9 @@ object Analytics {
     "q152_kmv_setops" -> q152,
     "q135_hll_distinct" -> q135,
     "q215_hll_merge" -> q215,
+    "q217_state_occupancy" -> q217,
+    "q218_recommend" -> q218,
+    "q219_cuped" -> q219,
     "q136_transitions" -> q136,
     "q125_countmin" -> q125,
     "q149_bloom_filter" -> q149,
@@ -3093,6 +3275,49 @@ object Analytics {
       FROM flags GROUP BY channel ORDER BY channel""",
     // Replays the capped bipartite projection: distinct (basket, item),
     // per-basket smallest-m cap, self-join pair counts, double lift.
+    // q165's projection chain + symmetrize, DECIMAL-pinned lift sums per
+    // (user, candidate), seen anti-join, (score DESC, rec) top-k.
+    "q218_recommend" -> """
+      WITH bi AS (
+        SELECT DISTINCT user_id AS b,
+               CAST(json_extract_string(props, '$.k') AS INT) AS it
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL),
+      capped AS (
+        SELECT b, it FROM (
+          SELECT b, it, row_number() OVER (PARTITION BY b ORDER BY it) AS rn
+          FROM bi) WHERE rn <= 100),
+      nn AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM capped),
+      pairs AS (
+        SELECT x.it AS item1, y.it AS item2, count(*) AS n_baskets
+        FROM capped x JOIN capped y ON x.b = y.b AND x.it < y.it
+        GROUP BY 1, 2),
+      marg AS (SELECT it, count(*) AS m FROM capped GROUP BY 1),
+      co AS (SELECT item1, item2,
+                    CAST(round(CAST(p.n_baskets AS DOUBLE) * n
+                          / (CAST(m1.m AS DOUBLE) * CAST(m2.m AS DOUBLE)), 6)
+                         AS DECIMAL(12,6)) AS l
+             FROM pairs p JOIN marg m1 ON p.item1 = m1.it
+                          JOIN marg m2 ON p.item2 = m2.it, nn),
+      sym AS (SELECT item1 AS it, item2 AS rec, l FROM co
+              UNION ALL SELECT item2, item1, l FROM co),
+      scored AS (
+        SELECT bi.b, sym.rec,
+               CAST(sum(l) AS DECIMAL(38,6)) AS score,
+               count(*) AS n_sources
+        FROM bi JOIN sym ON bi.it = sym.it
+        GROUP BY bi.b, sym.rec),
+      fresh AS (
+        SELECT s.* FROM scored s
+        WHERE NOT EXISTS (SELECT 1 FROM bi
+                          WHERE bi.b = s.b AND bi.it = s.rec)),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY b
+                             ORDER BY score DESC, rec) AS INT) AS rank
+             FROM fresh)
+      SELECT b AS user_id, rank, rec, score, n_sources
+      FROM rk WHERE rank <= 3
+      ORDER BY user_id, rank""",
     "q165_cooccurrence" -> """
       WITH bi AS (
         SELECT DISTINCT user_id AS b,
@@ -3544,6 +3769,124 @@ object Analytics {
     // = first-row-of-key OR value IS DISTINCT FROM lagged value, running
     // sum → run ids, interval roll-up, lead stitch for valid_to. Window
     // sum of BIGINT is HUGEINT in DuckDB — CAST back.
+    // Replays pre/post cent metrics, exact pooled moments, the θ/x̄
+    // scalar chains with identical operand order, the 6-dp DECIMAL-pinned
+    // y*, half-up means (explicit floor division — Σy* can be negative
+    // and both engines' integer `/` truncate), and the variance chains.
+    "q219_cuped" -> s"""
+      WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+                        max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+                 FROM events),
+      u AS (SELECT ((${graft.operators.CrossHash.h60DuckDb("CAST(user_id AS VARCHAR)")}) % 2) AS arm,
+                   user_id AS uu,
+                   coalesce(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) * 2
+                                          < lo + hi
+                     THEN CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+                     END), 0) AS xc,
+                   coalesce(sum(CASE WHEN NOT (epoch_us(CAST(ts AS TIMESTAMP))
+                                               * 2 < lo + hi)
+                     THEN CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+                     END), 0) AS yc
+            FROM events, b WHERE user_id IS NOT NULL
+            GROUP BY 1, 2),
+      m AS (SELECT count(*) AS n, CAST(sum(xc) AS BIGINT) AS sx,
+                   CAST(sum(yc) AS BIGINT) AS sy,
+                   CAST(sum(CAST(xc AS HUGEINT)
+                            * CAST(yc AS HUGEINT)) AS DECIMAL(38,0))
+                     AS sxy,
+                   CAST(sum(CAST(xc AS HUGEINT)
+                            * CAST(xc AS HUGEINT)) AS DECIMAL(38,0))
+                     AS sxx
+            FROM u),
+      t AS (SELECT CASE WHEN CAST(sxx AS DOUBLE) * n
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                        THEN (CAST(sxy AS DOUBLE) * n
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(sxx AS DOUBLE) * n
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        ELSE 0.0 END AS theta, n, sx
+            FROM m),
+      a AS (SELECT arm, uu, yc,
+                   CAST(round(CAST(yc AS DOUBLE) / 100.0
+                         - theta * (CAST(xc AS DOUBLE) / 100.0
+                                    - CAST(sx AS DOUBLE) / (100.0 * n)), 6)
+                        AS DECIMAL(18,6)) AS ystar
+            FROM u, t),
+      a2 AS (SELECT *, CAST(ystar * 1000000 AS BIGINT) AS ym FROM a),
+      g AS (SELECT arm, count(*) AS n_units,
+                   CAST(sum(yc) AS BIGINT) AS syc,
+                   CAST(sum(CAST(yc AS HUGEINT)
+                            * CAST(yc AS HUGEINT)) AS DECIMAL(38,0))
+                     AS sy2,
+                   CAST(sum(ym) AS BIGINT) AS sym,
+                   CAST(sum(CAST(ym AS HUGEINT) * CAST(ym AS HUGEINT))
+                        AS DECIMAL(38,0)) AS sst2m
+            FROM a2 GROUP BY 1)
+      SELECT arm, n_units,
+             CAST(CAST((2 * syc * 10000 + n_units) // (2 * n_units)
+                       AS DECIMAL(20,0))
+                  * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(38,6)) AS mean_y,
+             CAST(CAST(((2 * sym + n_units)
+                        - ((((2 * sym + n_units) % (2 * n_units))
+                            + (2 * n_units)) % (2 * n_units)))
+                       // (2 * n_units) AS DECIMAL(20,0))
+                  * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(38,6))
+               AS mean_y_adj,
+             round(CAST(sy2 AS DOUBLE) / 10000.0 / n_units
+                   - (CAST(syc AS DOUBLE) / (100.0 * n_units))
+                     * (CAST(syc AS DOUBLE) / (100.0 * n_units)), 6) AS var_y,
+             round(CAST(sst2m AS DOUBLE) / 1e12 / n_units
+                   - (CAST(sym AS DOUBLE) / (1000000.0 * n_units))
+                     * (CAST(sym AS DOUBLE) / (1000000.0 * n_units)), 6)
+               AS var_adj,
+             CASE WHEN round(CAST(sy2 AS DOUBLE) / 10000.0 / n_units
+                   - (CAST(syc AS DOUBLE) / (100.0 * n_units))
+                     * (CAST(syc AS DOUBLE) / (100.0 * n_units)), 6) <> 0
+               THEN round(
+                 round(CAST(sst2m AS DOUBLE) / 1e12 / n_units
+                   - (CAST(sym AS DOUBLE) / (1000000.0 * n_units))
+                     * (CAST(sym AS DOUBLE) / (1000000.0 * n_units)), 6)
+                 / round(CAST(sy2 AS DOUBLE) / 10000.0 / n_units
+                   - (CAST(syc AS DOUBLE) / (100.0 * n_units))
+                     * (CAST(syc AS DOUBLE) / (100.0 * n_units)), 6), 6)
+             END AS var_ratio
+      FROM g ORDER BY arm""",
+    // q116's interval chain + horizon close-out + per-(key, state)
+    // occupancy/share roll-up.
+    "q217_state_occupancy" -> """
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      l AS (SELECT user_id, event_type, us,
+                   CASE WHEN row_number() OVER w = 1
+                          OR lag(event_type) OVER w IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END AS chg,
+                   event_id
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      r AS (SELECT user_id, event_type, us,
+                   CAST(sum(chg) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS run
+            FROM l),
+      g AS (SELECT user_id, run, event_type,
+                   min(us) AS valid_from_us, count(*) AS n_events
+            FROM r GROUP BY user_id, run, event_type),
+      iv AS (SELECT *, lead(valid_from_us) OVER
+                         (PARTITION BY user_id ORDER BY run) AS valid_to_us
+             FROM g),
+      hz AS (SELECT user_id, max(us) AS h, min(us) AS lo FROM e GROUP BY 1),
+      occ AS (SELECT iv.user_id, event_type,
+                     CAST(sum(coalesce(valid_to_us, h) - valid_from_us)
+                          AS BIGINT) AS occupancy_us,
+                     CAST(sum(n_events) AS BIGINT) AS n_events,
+                     CAST(max(h - lo) AS BIGINT) AS span
+              FROM iv JOIN hz ON iv.user_id = hz.user_id
+              GROUP BY iv.user_id, event_type)
+      SELECT user_id, event_type, occupancy_us, n_events,
+             CASE WHEN span > 0 THEN
+               round(CAST(occupancy_us AS DOUBLE) / span, 6) END AS share
+      FROM occ ORDER BY user_id, event_type""",
     "q116_scd2" -> """
       WITH e AS (SELECT user_id, event_id, event_type,
                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
