@@ -1934,6 +1934,62 @@ object Analytics {
       expr(s"pmod(${graft.operators.CrossHash.h60Expr("user_id")}, 2)"))
       .orderBy(col("arm"))
 
+  /** Mix-shift (Oaxaca-Blinder) decomposition of a ratio metric between
+    * two periods — the "WHY did the average move" readout every metrics
+    * review asks for: ΔR splits per segment into a MIX effect
+    * ((w₂−w₁)·r₁ — composition moved), a RATE effect (w₁·(r₂−r₁) — the
+    * segment itself moved), and the interaction ((w₂−w₁)(r₂−r₁)). The
+    * segment rows sum exactly to ΔR by construction. Periods split at
+    * the corpus time midpoint; a segment absent from a period enters
+    * with w = 0, r = 0 (its pre-rate anchors the mix term at zero — the
+    * standard treatment, documented rather than silently dropped).
+    *
+    * Exactness: counts and cent sums are exact; every w/r is ONE IEEE
+    * division; effect products are pinned scalar chains rounded at 6 dp
+    * output-side only. Two bounded aggregates, one segment-keyed outer
+    * join — nothing wide. */
+  def mixShift(df: DataFrame, segCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val b = df.agg(min(unix_micros(col(tsCol))).as("_lo"),
+      max(unix_micros(col(tsCol))).as("_hi"))
+    val seg = df.crossJoin(broadcast(b))
+      .withColumn("_p",
+        when(unix_micros(col(tsCol)) * 2 < col("_lo") + col("_hi"), 1)
+          .otherwise(2))
+      .groupBy(col(segCol), col("_p"))
+      .agg(count(lit(1)).as("_n"),
+        sum((col(valCol).cast("decimal(14,2)") * 100).cast("long")).as("_sc"))
+      .localCheckpoint()
+    val tot = seg.groupBy(col("_p")).agg(sum(col("_n")).as("_np"))
+    val sided = seg.join(broadcast(tot), "_p")
+      .withColumn("_w", col("_n").cast("double") / col("_np"))
+      .withColumn("_r",
+        col("_sc").cast("double") / (col("_n") * lit(100.0)))
+    val p1 = sided.filter(col("_p") === 1).select(col(segCol),
+      col("_n").as("n1"), col("_w").as("_w1"), col("_r").as("_r1"))
+    val p2 = sided.filter(col("_p") === 2).select(col(segCol),
+      col("_n").as("n2"), col("_w").as("_w2"), col("_r").as("_r2"))
+    p1.join(p2, Seq(segCol), "full_outer")
+      .select(col(segCol),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("_w1"), lit(0.0)).as("_w1"),
+        coalesce(col("_w2"), lit(0.0)).as("_w2"),
+        coalesce(col("_r1"), lit(0.0)).as("_r1"),
+        coalesce(col("_r2"), lit(0.0)).as("_r2"))
+      .select(col(segCol), col("n1"), col("n2"),
+        round(col("_w1"), 6).as("w1"), round(col("_w2"), 6).as("w2"),
+        round(col("_r1"), 6).as("r1"), round(col("_r2"), 6).as("r2"),
+        round((col("_w2") - col("_w1")) * col("_r1"), 6).as("mix_effect"),
+        round(col("_w1") * (col("_r2") - col("_r1")), 6).as("rate_effect"),
+        round((col("_w2") - col("_w1")) * (col("_r2") - col("_r1")), 6)
+          .as("interaction"))
+  }
+
+  private val q220: Q = (s, d) =>
+    mixShift(Tables.events(s, d), "event_type", "ts", "value")
+      .orderBy(col("event_type"))
+
   /** Time-weighted state occupancy over the [[scd2]] intervals — the
     * state-machine readout (how long does each entity SPEND in each
     * state, and what share of its observed span): per (key, state), the
@@ -2777,6 +2833,7 @@ object Analytics {
     "q217_state_occupancy" -> q217,
     "q218_recommend" -> q218,
     "q219_cuped" -> q219,
+    "q220_mix_shift" -> q220,
     "q136_transitions" -> q136,
     "q125_countmin" -> q125,
     "q149_bloom_filter" -> q149,
@@ -3773,6 +3830,40 @@ object Analytics {
     // scalar chains with identical operand order, the 6-dp DECIMAL-pinned
     // y*, half-up means (explicit floor division — Σy* can be negative
     // and both engines' integer `/` truncate), and the variance chains.
+    // Replays the midpoint split, the one-division w/r chains, and the
+    // three effect products with identical operand order; absent-period
+    // segments enter with w = 0, r = 0.
+    "q220_mix_shift" -> """
+      WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+                        max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+                 FROM events),
+      seg AS (SELECT event_type,
+                     CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) * 2 < lo + hi
+                          THEN 1 ELSE 2 END AS p,
+                     count(*) AS n,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100
+                                   AS BIGINT)) AS BIGINT) AS sc
+              FROM events, b GROUP BY 1, 2),
+      tot AS (SELECT p, CAST(sum(n) AS BIGINT) AS np FROM seg GROUP BY 1),
+      sided AS (SELECT seg.*, CAST(n AS DOUBLE) / np AS w,
+                       CAST(sc AS DOUBLE) / (n * 100.0) AS r
+                FROM seg JOIN tot USING (p)),
+      p1 AS (SELECT event_type, n AS n1, w AS w1, r AS r1
+             FROM sided WHERE p = 1),
+      p2 AS (SELECT event_type, n AS n2, w AS w2, r AS r2
+             FROM sided WHERE p = 2),
+      j AS (SELECT coalesce(p1.event_type, p2.event_type) AS event_type,
+                   coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
+                   coalesce(w1, 0.0) AS w1, coalesce(w2, 0.0) AS w2,
+                   coalesce(r1, 0.0) AS r1, coalesce(r2, 0.0) AS r2
+            FROM p1 FULL OUTER JOIN p2 ON p1.event_type = p2.event_type)
+      SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             round(w1, 6) AS w1, round(w2, 6) AS w2,
+             round(r1, 6) AS r1, round(r2, 6) AS r2,
+             round((w2 - w1) * r1, 6) AS mix_effect,
+             round(w1 * (r2 - r1), 6) AS rate_effect,
+             round((w2 - w1) * (r2 - r1), 6) AS interaction
+      FROM j ORDER BY event_type""",
     "q219_cuped" -> s"""
       WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
                         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
