@@ -2097,11 +2097,23 @@ object Analytics {
       s"histogramQuantiles: need nBins >= 1 and width > 0, got $nBins/$width")
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"histogramQuantiles: quantiles must be in (0, 1]: $ps")
-    val h = df
-      .withColumn("bin",
+    quantileWalk(histogramState(df, valueCol, lo, width, nBins),
+      lo, width, ps)
+  }
+
+  /** The (bin, n) histogram STATE — the mergeable half of
+    * [[histogramQuantiles]] (bin counts are disjoint sums: two states
+    * merge by adding counts per bin, exactly). */
+  private[graft] def histogramState(df: DataFrame, valueCol: String,
+      lo: Double, width: Double, nBins: Int): DataFrame =
+    df.withColumn("bin",
         least(greatest(floor((col(valueCol) - lo) / width), lit(0L)),
           lit(nBins - 1L)).cast("int"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
+
+  /** The cumulative walk + in-bin interpolation over a histogram state. */
+  private[graft] def quantileWalk(h: DataFrame, lo: Double, width: Double,
+      ps: Seq[Double]): DataFrame = {
     val wc = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = h
@@ -2109,7 +2121,7 @@ object Analytics {
       .withColumn("total",
         sum(col("n")).over(Window.rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
-    val psDf = df.sparkSession.range(1)
+    val psDf = h.sparkSession.range(1)
       .select(explode(array(ps.map(lit(_)): _*)).as("p"))
     cum
       .crossJoin(psDf)
@@ -2119,6 +2131,25 @@ object Analytics {
         round(lit(lo) + lit(width) * (col("bin") +
           (col("p") * col("total") - (col("cum") - col("n"))) / col("n")),
           6).as("q_est"))
+  }
+
+  /** q222: cross-snapshot histogram-state merge — q215's mergeability
+    * certification for the quantile sketch: two deterministic snapshots
+    * (even/odd l_orderkey) build histogram states INDEPENDENTLY, the
+    * states merge by per-bin count addition (exact — disjoint sums),
+    * and the merged walk must equal quantiles over the whole table, so
+    * q120's oracle gates it verbatim. This is the daily-rollup shape: a
+    * quantile dashboard keeps nBins counts per day and answers any date
+    * range by adding states, never rereading data. */
+  private val q222: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def half(p: Int) = histogramState(
+      li.filter(pmod(col("l_orderkey"), lit(2)) === p),
+      "l_extendedprice", 0.0, 5000.0, 20)
+    val merged = half(0).unionByName(half(1))
+      .groupBy(col("bin")).agg(sum(col("n")).as("n"))
+    quantileWalk(merged, 0.0, 5000.0, Seq(0.5, 0.9, 0.95, 0.99))
+      .orderBy(col("p"))
   }
 
   private val q120: Q = (s, d) =>
@@ -2825,6 +2856,7 @@ object Analytics {
     "q116_scd2" -> q116,
     "q117_skyline" -> q117,
     "q120_hist_quantiles" -> q120,
+    "q222_hist_merge" -> q222,
     "q128_group_quantiles" -> q128,
     "q68_kmv_distinct" -> q68,
     "q152_kmv_setops" -> q152,
@@ -2944,6 +2976,29 @@ object Analytics {
                    ELSE raw_est END, 2) AS hll_est
       FROM x JOIN est USING (event_type)
       ORDER BY event_type"""
+
+  /** Shared by q120 and q222 (split-state merge ≡ whole-table histogram
+    * — per-bin count addition is exact). */
+  private val histOracleSql: String = """
+      WITH h AS (SELECT CAST(least(greatest(
+                          floor(l_extendedprice / 5000.0), 0), 19) AS INT)
+                          AS bin,
+                        count(*) AS n
+                 FROM lineitem GROUP BY 1),
+      c AS (SELECT bin, n,
+                   CAST(sum(n) OVER (ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST(sum(n) OVER () AS BIGINT) AS total
+            FROM h),
+      p AS (SELECT CAST(col0 AS DOUBLE) AS p
+            FROM (VALUES (0.5), (0.9), (0.95), (0.99)) v(col0))
+      SELECT p, bin,
+             round(0.0 + 5000.0 * (bin +
+               (p * total - (cum - n)) / n), 6) AS q_est
+      FROM c CROSS JOIN p
+      WHERE (cum - n) < p * total AND cum >= p * total
+      ORDER BY p"""
 
   val oracles: Map[String, String] = Map(
     // Replays the closed form S_i = P_i − min(0, min_{j≤i} P_j) with the
@@ -4320,26 +4375,8 @@ object Analytics {
     // rank r = p × total, and in-bin interpolation — all fixed-order double
     // arithmetic. VALUES literals are DECIMAL in DuckDB — CAST p to DOUBLE
     // so the rank/interpolation arithmetic is IEEE like Spark's.
-    "q120_hist_quantiles" -> """
-      WITH h AS (SELECT CAST(least(greatest(
-                          floor(l_extendedprice / 5000.0), 0), 19) AS INT)
-                          AS bin,
-                        count(*) AS n
-                 FROM lineitem GROUP BY 1),
-      c AS (SELECT bin, n,
-                   CAST(sum(n) OVER (ORDER BY bin
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS cum,
-                   CAST(sum(n) OVER () AS BIGINT) AS total
-            FROM h),
-      p AS (SELECT CAST(col0 AS DOUBLE) AS p
-            FROM (VALUES (0.5), (0.9), (0.95), (0.99)) v(col0))
-      SELECT p, bin,
-             round(0.0 + 5000.0 * (bin +
-               (p * total - (cum - n)) / n), 6) AS q_est
-      FROM c CROSS JOIN p
-      WHERE (cum - n) < p * total AND cum >= p * total
-      ORDER BY p""",
+    "q120_hist_quantiles" -> histOracleSql,
+    "q222_hist_merge" -> histOracleSql,
     "q75_histogram" -> """
       SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 19)
                   AS INT) AS bin,

@@ -545,6 +545,32 @@ object TextAnalysis {
   private val q48: Q = (s, d) =>
     hashSplit(Tables.documents(s, d), "doc_id").orderBy(col("doc_id"))
 
+  /** GROUP-leakage-safe split — [[hashSplit]] keyed on a GROUP column
+    * instead of the row id: every row of a group lands in the same
+    * split, the hygiene an evaluation needs when rows within a group are
+    * correlated (a user's events, a domain's documents — row-level
+    * splitting leaks group signal from train into valid and inflates
+    * eval). Same md5-bucket contract as q48, so the split is
+    * reproducible anywhere and adding data never moves an existing
+    * group. The no-straddle property holds by CONSTRUCTION (the bucket
+    * is a pure function of the group), which is exactly what the oracle
+    * replays — and GroupSplitSpec asserts it directly.
+    *
+    * Scale: a pure map-side projection — no shuffle at all. */
+  def groupSplit(df: DataFrame, groupCol: String, validPct: Int = 10): DataFrame =
+    df.select(df.columns.map(col): _*)
+      .withColumn("bucket",
+        (expr(CrossHash.h60Expr(groupCol)) % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < validPct, "valid").otherwise("train"))
+
+  private val q221: Q = (s, d) =>
+    groupSplit(
+      Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id")),
+      "user_id")
+      .orderBy(col("event_id"))
+
   /** Intra-document repetition signals — the Gopher-style quality-filter
     * family (Rae et al. 2021, §A1.1) a pretraining curation pass applies:
     * fraction of word occurrences taken by the most frequent word, by the
@@ -1357,6 +1383,7 @@ object TextAnalysis {
     "q200_temperature_mix" -> q200,
     "q47_curation" -> q47,
     "q48_hash_split" -> q48,
+    "q221_group_split" -> q221,
     "q56_tfidf" -> q56,
     "q109_bm25" -> q109,
     "q57_repetition" -> q57,
@@ -1864,6 +1891,17 @@ object TextAnalysis {
       ORDER BY bm25 DESC, doc_id LIMIT 20""",
     // Replays hashSplit's md5-derived bucket with the same nibble fold used
     // by the dedup oracles (bit-identical 60-bit integer in both engines).
+    // Group-keyed bucket: every event of a user shares the bucket (and
+    // therefore the split) by construction — the no-straddle replay.
+    "q221_group_split" -> s"""
+      SELECT event_id, user_id,
+             CAST((${CrossHash.h60DuckDb("CAST(user_id AS VARCHAR)")}) % 100
+                  AS INT) AS bucket,
+             CASE WHEN CAST((${CrossHash.h60DuckDb("CAST(user_id AS VARCHAR)")})
+                            % 100 AS INT) < 10
+                  THEN 'valid' ELSE 'train' END AS split
+      FROM events WHERE user_id IS NOT NULL
+      ORDER BY event_id""",
     "q48_hash_split" -> """
       WITH b AS (
         SELECT doc_id,
