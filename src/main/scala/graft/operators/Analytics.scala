@@ -93,6 +93,50 @@ object Analytics {
     kmvDistinct(Tables.events(s, d), "event_type", "user_id")
       .orderBy(col("event_type"))
 
+  /** Per-group min-k hash ROWS — [[kmvSketch]]'s mergeable state (the
+    * k smallest 60-bit hashes per group; two states merge by union →
+    * distinct → re-take min-k, and min-k of a union of min-k sets equals
+    * the union's min-k exactly). */
+  private def kmvState(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame =
+    df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull).distinct()
+      .withColumn("hv", expr(CrossHash.h60Expr(valueCol)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("hv"))))
+      .filter(col("rn") <= k)
+      .select(col(groupCol), col("hv"))
+
+  /** q223: KMV cross-snapshot merge — the q215/q222 mergeability
+    * certification for the min-k sketch. Two deterministic snapshots
+    * (even/odd event_id) build min-k states independently; the merged
+    * state re-takes min-k and finalizes, and must equal sketching the
+    * whole table — q68's oracle gates it verbatim. */
+  private val q223: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val k = 32
+    def half(p: Int) = kmvState(
+      ev.filter(pmod(col("event_id"), lit(2)) === p), "event_type",
+      "user_id", k)
+    val merged = half(0).unionByName(half(1)).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("hv"))))
+      .filter(col("rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("int").as("k_used"), max(col("hv")).as("kth_min"))
+      .withColumn("kmv_est", round(
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+            / col("kth_min").cast("double")), 2))
+    val du = ev.select(col("event_type"), col("user_id"))
+      .filter(col("user_id").isNotNull).distinct()
+    val exact = du.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    exact.join(broadcast(merged), "event_type")
+      .select(col("event_type"), col("n_exact"), col("k_used"),
+        col("kth_min"), col("kmv_est"))
+      .orderBy(col("event_type"))
+  }
+
   /** SET OPERATIONS on KMV samples — the theta-sketch pattern (Apache
     * DataSketches' core idea): for every group pair, trim both min-k hash
     * samples to the SMALLER threshold θ = min(θ_A, θ_B); below θ each
@@ -480,6 +524,50 @@ object Analytics {
         .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok")),
       "tok", CmProbes)
       .orderBy(col("term"))
+
+  /** q224: Bloom cross-snapshot merge — bit-set union of two
+    * independently-built filters IS the union's filter (bit presence is
+    * duplicate-insensitive), so the merged probes reuse q149's oracle
+    * verbatim. */
+  private val q224: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def toks(dfIn: DataFrame) = dfIn
+      .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+    def half(p: Int) =
+      bloomFilter(toks(docs.filter(pmod(col("doc_id"), lit(2)) === p)), "tok")
+    val merged = half(0).unionByName(half(1)).distinct()
+    bloomProbeBits(merged, toks(docs), "tok", CmProbes)
+      .orderBy(col("term"))
+  }
+
+  /** q225: count-min cross-snapshot merge — cell-wise count addition of
+    * two independently-built sketches IS the union's sketch (counts are
+    * disjoint sums per cell), so the merged probes reuse q125's oracle
+    * verbatim. */
+  private val q225: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def toks(dfIn: DataFrame) = dfIn
+      .select(explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+    def half(p: Int) =
+      countMin(toks(docs.filter(pmod(col("doc_id"), lit(2)) === p)), "tok")
+    val merged = half(0).unionByName(half(1))
+      .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    val all = toks(docs)
+    val s2 = docs.sparkSession
+    import s2.implicits._
+    val probed = CmProbes.toDF("term")
+      .select(col("term"), expr(cmHash("term")).as("_h"))
+      .select(col("term"),
+        posexplode(expr(cmCells("_h", CmDepth, CmWidth))).as(Seq("j", "bucket")))
+    val est = probed.join(merged, Seq("j", "bucket"), "left")
+      .groupBy(col("term")).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val exact = all.filter(col("tok").isin(CmProbes: _*))
+      .groupBy(col("tok").as("term")).agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("term"), "left")
+      .select(col("term"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"))
+      .orderBy(col("term"))
+  }
 
   // ------------------------------------------------------- heavy hitters --
 
@@ -2857,6 +2945,9 @@ object Analytics {
     "q117_skyline" -> q117,
     "q120_hist_quantiles" -> q120,
     "q222_hist_merge" -> q222,
+    "q223_kmv_merge" -> q223,
+    "q224_bloom_merge" -> q224,
+    "q225_countmin_merge" -> q225,
     "q128_group_quantiles" -> q128,
     "q68_kmv_distinct" -> q68,
     "q152_kmv_setops" -> q152,
@@ -3000,7 +3091,7 @@ object Analytics {
       WHERE (cum - n) < p * total AND cum >= p * total
       ORDER BY p"""
 
-  val oracles: Map[String, String] = Map(
+  private lazy val oraclesBase: Map[String, String] = Map(
     // Replays the closed form S_i = P_i − min(0, min_{j≤i} P_j) with the
     // identical decimal pins, and keeps alarm ONSETS only (first row at or
     // above the threshold after a sub-threshold row).
@@ -4386,5 +4477,17 @@ object Analytics {
       FROM lineitem
       GROUP BY 1
       ORDER BY bin""",
+  )
+
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    // The sketch-mergeability family (q215/q222's argument, one per
+    // remaining sketch): a split-built, merged sketch must equal the
+    // whole-corpus sketch EXACTLY, so each reuses its batch oracle
+    // verbatim — min-k of a union of min-k sets is the union's min-k
+    // (q223), a bit-set union is the union's bit set (q224), and
+    // cell-wise count addition is the union's cell counts (q225).
+    "q223_kmv_merge" -> oraclesBase("q68_kmv_distinct"),
+    "q224_bloom_merge" -> oraclesBase("q149_bloom_filter"),
+    "q225_countmin_merge" -> oraclesBase("q125_countmin"),
   )
 }
