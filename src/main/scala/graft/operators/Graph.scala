@@ -393,8 +393,9 @@ object Graph {
         col("c_acctbal").as("f"))
       .unionAll(Tables.supplier(s, d)
         .select(concat(lit("s:"), col("s_suppkey")), col("s_acctbal")))
-    neighborhoodAgg(custSuppEdges(s, d), "src", "dst", feats, "n", "f")
-      .orderBy(col("node"))
+    DriverOutput.noDecimals(
+      neighborhoodAgg(custSuppEdges(s, d), "src", "dst", feats, "n", "f")
+        .orderBy(col("node")))
   }
 
   private val q110: Q = (s, d) =>
@@ -470,7 +471,8 @@ object Graph {
              FROM und JOIN f ON und.b = f.n GROUP BY und.a),
       h2 AS (SELECT und.a AS node, sum(h1.h1) AS h2
              FROM und JOIN h1 ON und.b = h1.node GROUP BY und.a)
-      SELECT h1.node, h1.deg, h1.h1, h2.h2
+      SELECT h1.node, h1.deg, CAST(h1.h1 AS DOUBLE) AS h1,
+             CAST(h2.h2 AS DOUBLE) AS h2
       FROM h1 JOIN h2 ON h1.node = h2.node
       ORDER BY h1.node""",
     "q110_pagerank" -> pagerankSql(3, 85),

@@ -983,9 +983,9 @@ object Relational {
         org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("max_price",
         org.apache.spark.sql.types.DoubleType)))
-    s.createDataFrame(
+    DriverOutput.noDecimals(s.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(
-        m("n_rows"), m("qty_sum"), m("min_price"), m("max_price"))), sch)
+        m("n_rows"), m("qty_sum"), m("min_price"), m("max_price"))), sch))
   }
 
   /** Schema-evolution read — the drift every long-lived lake hits: an
@@ -1112,8 +1112,8 @@ object Relational {
     // The observed metrics must equal the direct aggregate exactly.
     "q204_observe_metrics" -> """
       SELECT count(*) AS n_rows,
-             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(38,2))
-               AS qty_sum,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(38,2))
+               AS DOUBLE) AS qty_sum,
              min(l_extendedprice) AS min_price,
              max(l_extendedprice) AS max_price
       FROM lineitem""",

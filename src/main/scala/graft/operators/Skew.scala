@@ -79,6 +79,13 @@ object Skew {
     // key near the top-k boundary would otherwise rank (and cut)
     // differently cross-engine. '<null>' sorts like an ordinary string in
     // both — and NULL is precisely the hot key a skew profile must show.
+    // DOCUMENTED LIMITATION: a genuine string key whose value is literally
+    // "<null>" merges with NULL keys in the profile. This is a diagnostic
+    // readout (which keys are hot), not a data transform, so the conflation
+    // costs at most one blended profile row; callers whose key space can
+    // contain the literal token should pre-map NULLs themselves before
+    // calling. The q173 oracle mirrors the same sentinel, so the gate pins
+    // the choice rather than hiding it.
     val counts = df
       .groupBy(coalesce(col(keyCol).cast("string"), lit("<null>")).as("key"))
       .agg(count(lit(1)).as("cnt"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
@@ -603,6 +603,14 @@ object StreamingQueries {
           .mergeLatest(base, batch, Seq("user_id", "event_type"),
             Seq("ts", "event_id"))
           .drop("_src").localCheckpoint(true)
+        // The superseded state frame's checkpoint blocks are dead the
+        // moment the new frame materializes — release them NOW instead of
+        // waiting for GC + ContextCleaner. Without this, every batch of
+        // every sample leaves a full state copy in the block store; across
+        // a 225-query bench session those dead blocks are exactly the
+        // creeping memory pressure that surfaced as the r11 q141–q145
+        // positional elevation (q143 7.1 s in-session vs 1.2 s solo).
+        if (base != null) graft.operators.Dedup.unpersistBlocks(base)
         ()
       }
       .start()
@@ -628,13 +636,24 @@ object StreamingQueries {
     *
     * Scale: the split is a map-side filter pair per batch — no state, no
     * shuffle; DLQ volume is bounded by the violation rate. */
+  /** The q213 routing predicate, null-safe: a NULL value with a non-null
+    * user must route to a channel, not vanish (NULL > 200 is NULL; NULL OR
+    * false is NULL, which BOTH filter(bad) and filter(!bad) exclude — a
+    * silently dropped row would violate the operator's "main + DLQ
+    * partition the input" contract). coalesce(.., false) mirrors the
+    * oracle's CASE, which routes a NULL-valued row to 'main' because its
+    * WHEN condition is falsy-NULL. Exposed for the partition-property
+    * regression spec. */
+  private[graft] def quarantineBad: Column =
+    coalesce(col("value") > 200, lit(false)) || col("user_id").isNull
+
   private val q213: Q = (s, d) => {
     val stage = chunkedStreamDir(s, d, 4)
     val schema = s.read.parquet(stage).schema
     val raw = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
       .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
-    val bad = col("value") > 200 || col("user_id").isNull
+    val bad = quarantineBad
     var main: DataFrame = null
     var dlq: DataFrame = null
     val q = raw.writeStream.outputMode(OutputMode.Append())
@@ -643,7 +662,12 @@ object StreamingQueries {
           val base = if (state != null) state
             else s.createDataFrame(
               s.sparkContext.emptyRDD[org.apache.spark.sql.Row], add.schema)
-          base.unionByName(add).localCheckpoint(true)
+          val next = base.unionByName(add).localCheckpoint(true)
+          // Release the superseded state frame's blocks eagerly (q87's
+          // discipline) — dead per-batch state copies otherwise accumulate
+          // in the block store for the rest of the bench session.
+          if (state != null) graft.operators.Dedup.unpersistBlocks(state)
+          next
         }
         main = fold(main, batch.filter(!bad))
         dlq = fold(dlq, batch.filter(bad)

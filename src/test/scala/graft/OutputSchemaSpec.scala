@@ -33,6 +33,21 @@ class OutputSchemaSpec extends SparkSpec {
       s"golden entries for deleted queries: ${(golden.keySet -- qs).toSeq.sorted.mkString(", ")}")
   }
 
+  test("no query ships a DECIMAL output column (driver-incompatible class)") {
+    // Round-11 driver evidence: the gate hash canonicalizes DECIMAL cells
+    // scale-insensitively on one side only, so value- and type-identical
+    // decimal outputs still hash-mismatch whenever a cell carries trailing
+    // zeros. Policy: exact decimal arithmetic stays INTERNAL; every final
+    // decimal column casts to DOUBLE (DriverOutput.noDecimals) in both the
+    // Spark plan and the DuckDB oracle.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (_, fn) => operators.DriverOutput.hasDecimal(fn(spark, sf0001))
+    }.map(_._1)
+    assert(offenders.isEmpty,
+      s"DECIMAL in final output schema of: ${offenders.mkString(", ")} — " +
+        "wrap the query in DriverOutput.noDecimals and CAST the oracle")
+  }
+
   test("analyzed output schemas match the golden snapshot exactly") {
     val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

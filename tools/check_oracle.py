@@ -97,6 +97,19 @@ def main(outdir, sfdir):
                   f"type-sensitive): {'; '.join(tdiffs)}")
             n_fail += 1
             continue
+        # Round-11 lesson (VERDICT.md): the driver's hash canonicalizes
+        # DECIMAL cells scale-insensitively on one side only, so ANY decimal
+        # output column is driver-incompatible even when both engines agree
+        # value- and type-exactly. Forbid the class outright.
+        dec_cols = [c for c in gcols
+                    if "decimal" in str(got_tbl.schema.field(c).type).lower()
+                    or "decimal" in str(exp_tbl.schema.field(c).type).lower()]
+        if dec_cols:
+            print(f"FAIL {name}: driver-incompatible DECIMAL output column(s) "
+                  f"{dec_cols} — cast to DOUBLE in both plans "
+                  f"(see DriverOutput.noDecimals)")
+            n_fail += 1
+            continue
         got = sorted((tuple(norm(r[c]) for c in gcols) for r in got_tbl.to_pylist()),
                      key=repr)
         exp = sorted((tuple(norm(r[c]) for c in ecols) for r in exp_tbl.to_pylist()),
