@@ -23,6 +23,18 @@ import org.apache.spark.sql.SparkSession
   * first-touch JIT/codegen cost is excluded from the reported median —
   * the r10 q110 profile [7.49, 6.63, 1.20] showed a median-of-3 can
   * overstate steady state 5× on iterative graph queries.
+  *
+  * Round 13 (VERDICT r12 item 1): a median-of-3 has no outlier defense —
+  * ONE container stall poisons the reported number for a round (r12:
+  * q159 sampled [6.30, 89.30, 7.47], q167 [4.23, 12.46, 7.77], q219
+  * [0.89, 3.15, 4.36] — floors matched r11, medians didn't, and two
+  * operators were flagged perf-weak on unchanged code). Stall defense:
+  * when the initial samples spread >3× (and by >1 s absolute, so
+  * sub-second jitter can't trigger it), the query is re-sampled
+  * SPARK_GRAFT_STALL_EXTRA more times (default 2) and the single worst
+  * sample is dropped before taking the median. Clean queries keep the
+  * plain median-of-`runs` (record continuity with r6–r12); only
+  * stall-suspected ones pay the extra samples.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,6 +49,10 @@ object Bench {
     // the between-op GC (PERF.md round-8 hygiene notes).
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "0") == "1"
     val warmupPerQuery = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
+    // Extra samples taken when a query's initial samples spread >3× (stall
+    // suspicion); 0 disables the defense and restores pure median-of-`runs`.
+    val stallExtra =
+      math.max(0, sys.env.getOrElse("SPARK_GRAFT_STALL_EXTRA", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -92,9 +108,20 @@ object Bench {
       // not first-touch codegen/classloading. SPARK_GRAFT_WARMUP=0
       // restores cold-start measurement for solo diagnostics.
       if (warmupPerQuery && execOnce(name) < 0) return Seq.empty
-      val samples = Iterator.continually(execOnce(name))
+      val first = Iterator.continually(execOnce(name))
         .take(runs).takeWhile(_ >= 0).toSeq
-      if (samples.size < runs) return Seq.empty
+      if (first.size < runs) return Seq.empty
+      // Stall defense (round 13): spread >3× AND >1 s absolute → suspect a
+      // container stall, take extra samples; reporting drops the single max
+      // (see `reported`). A genuine plan cost re-measures high and survives
+      // the drop; a one-off stall doesn't.
+      val samples =
+        if (stallExtra > 0 && runs >= 2 &&
+            first.max > 3 * first.min && first.max - first.min > 1.0) {
+          System.err.println(f"[bench] $name: spread ${first.min}%.2f..${first.max}%.2f s — stall suspected, +$stallExtra samples")
+          first ++ Iterator.continually(execOnce(name))
+            .take(stallExtra).takeWhile(_ >= 0).toSeq
+        } else first
       System.err.println(f"[bench] $name%-28s ${samples.map(s => f"$s%7.2fs").mkString(" ")}")
       // Streaming queries drain into uniquely-named memory-sink temp views
       // (graft_stream_*); each sample registers a new one that would
@@ -122,6 +149,12 @@ object Bench {
       val s = xs.sorted; val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
+    // The reported per-query number: plain median for clean queries; when
+    // the stall defense re-sampled (size > runs), the single worst sample
+    // drops first — a drop-max median over ≥4 samples, which one stalled
+    // sample can no longer poison.
+    def reported(xs: Seq[Double]): Double =
+      if (xs.size > runs) median(xs.sorted.dropRight(1)) else median(xs)
 
     // Warm-up: JVM + codegen + parquet footer caches (not reported).
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -173,9 +206,9 @@ object Bench {
       s"duplicate short query keys: ${prefixes.diff(prefixes.distinct).mkString(",")}")
     val qs = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" +
-          (if (v.isEmpty) "-1.0" else fmt("1", median(v)))
+          (if (v.isEmpty) "-1.0" else fmt("1", reported(v)))
       }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v.nonEmpty => median(v) }.sum
+    val total = results.collect { case (_, v) if v.nonEmpty => reported(v) }.sum
     val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
     // The consumer keeps only a ~2000-char stdout TAIL; at 225 queries the
     // combined line is ~2.7 KB, so its head — which carries "value" — was

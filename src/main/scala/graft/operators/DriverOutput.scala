@@ -22,6 +22,18 @@ import org.apache.spark.sql.types.{DataType, DecimalType}
   * DuckDB's unscaled/10^scale IEEE division (correctly-rounded quotient of
   * two exact operands) yield the same nearest double.
   *
+  * PRECONDITION (r12 ADVICE item 2): the exactness argument above only
+  * holds while the UNSCALED value stays below 2^53 (~9.0e15 — e.g.
+  * 9.0e13 dollars of exact cents). Above that, the int128 unscaled value
+  * is itself rounded to a double first, and DuckDB's two-step
+  * (int128→double, then ÷10^scale) can double-round one ulp away from
+  * BigDecimal.doubleValue's single correctly-rounded conversion. Every
+  * current output is a fixture-bounded sum (≤1e12 unscaled at sf0.1;
+  * ~1e15 at a sf100 extrapolation — still under the line), but a query
+  * whose decimal sum can grow past 2^53 unscaled must round to a fixed
+  * digit count in BOTH engines before the cast instead of relying on
+  * this conversion identity.
+  *
   * The same policy is enforced three ways so the class can never ship
   * again: [[noDecimals]] at the query layer, a decimal-forbid assertion in
   * `SchemaGolden`/`OutputSchemaSpec`, and a schema check in

@@ -593,7 +593,8 @@ object StreamingQueries {
     var state: DataFrame = null
     val q = raw.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val base = if (state != null) state
+        val prev = state
+        val base = if (prev != null) prev
           else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             batch.schema)
         // Materialize BEFORE the micro-batch ends (its frame is not
@@ -610,7 +611,9 @@ object StreamingQueries {
         // a 225-query bench session those dead blocks are exactly the
         // creeping memory pressure that surfaced as the r11 q141–q145
         // positional elevation (q143 7.1 s in-session vs 1.2 s solo).
-        if (base != null) graft.operators.Dedup.unpersistBlocks(base)
+        // Guard on `prev` — only a REAL superseded checkpoint releases;
+        // batch 0's empty placeholder has no blocks (q213's fold pattern).
+        if (prev != null) graft.operators.Dedup.unpersistBlocks(prev)
         ()
       }
       .start()

@@ -867,6 +867,230 @@ object ScaleSmoke {
         expr("cast(size(filter(split(text, ' '), t -> t != '')) as bigint)"),
         10000L))
     }
+    // Round-13 additions (VERDICT r12 item 2): the late-round-11 operator
+    // batch — q203/q204, q209–q212, q215, q217–q225. Same 1×/K×
+    // discipline; each row states the axis scaled and the claim under test.
+    // lateralTopN: K× the candidates per nation (disjoint custkeys, same
+    // 25 nations). Decorrelation rewrites the LATERAL+LIMIT to a per-nation
+    // window top-k, so K× rows ride one bounded-key exchange — near-linear.
+    section("lateral") {
+      Tables.nation(spark, sfDir).createOrReplaceTempView("smoke_nation")
+      val cust = Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val custBlown = (0 until k).map { c =>
+        cust.select((col("c_custkey") + lit(c * 10000000L)).as("c_custkey"),
+          concat(lit(s"$c#"), col("c_name")).as("c_name"),
+          col("c_acctbal"), col("c_nationkey"))
+      }.reduce(_ union _).localCheckpoint()
+      def lateral(cu: DataFrame) = {
+        cu.createOrReplaceTempView("smoke_customer")
+        spark.sql("""
+          SELECT n.n_name, t.c_name, t.c_acctbal
+          FROM smoke_nation n, LATERAL (
+            SELECT c_name, c_acctbal FROM smoke_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+        """)
+      }
+      time("lateralTopN 1x", lateral(cust))
+      time(s"lateralTopN ${k}x candidates", lateral(custBlown))
+    }
+    // observe/CollectMetrics: the metric accumulators ride the main action
+    // (no second scan) — K× rows must cost K× the scan, nothing more.
+    section("observe") {
+      val li = Tables.lineitem(spark, sfDir)
+        .select("l_quantity", "l_extendedprice")
+      val liBlown = (0 until k).map(_ => li).reduce(_ union _).localCheckpoint()
+      var tag = 0
+      def observed(df: DataFrame) = {
+        tag += 1
+        val obs = new org.apache.spark.sql.Observation(s"graft_smoke_obs_$tag")
+        df.observe(obs, count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(14,2)"))
+            .cast("decimal(38,2)").as("qty_sum"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+      }
+      time("observeMetrics 1x", observed(li))
+      time(s"observeMetrics ${k}x rows", observed(liBlown))
+    }
+    // Eval/experiment batch. woeIv's global ntile is its documented
+    // single-partition stage (the q171 rank shape with the 100 TB
+    // broadcast-quantile-bounds drop-in) — the K× row prices exactly that.
+    // forecastBacktest/winsorize/mixShift take K× rows into the SAME key
+    // space (their first aggregate collapses to 1×-sized frames); cuped
+    // takes K× disjoint units (its unit-keyed aggregate grows K×, the
+    // moments frame stays one row).
+    section("r13eval") {
+      import graft.operators.Analytics
+      val ords = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val ordsBlown = (0 until k).map { c =>
+        ords.select((col("o_orderkey") + lit(c * 100000000L)).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+      }.reduce(_ union _).localCheckpoint()
+      time("woeIv 1x", Analytics.woeIv(ords, "o_totalprice", "o_orderkey",
+        col("o_orderstatus") === "F"))
+      time(s"woeIv ${k}x rows (global ntile)", Analytics.woeIv(ordsBlown,
+        "o_totalprice", "o_orderkey", col("o_orderstatus") === "F"))
+      val ev = Tables.events(spark, sfDir)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+      val evRows = (0 until k).map(_ => ev).reduce(_ union _).localCheckpoint()
+      val evUsers = (0 until k).map { c =>
+        ev.select((col("user_id") + lit(c * 1000000L)).as("user_id"), col("ts"),
+          (col("event_id") + lit(c * 100000000L)).as("event_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ union _).localCheckpoint()
+      time("forecastBacktest 1x",
+        Analytics.forecastBacktest(ev, "event_type", "ts", "value"))
+      time(s"forecastBacktest ${k}x rows (same grid)",
+        Analytics.forecastBacktest(evRows, "event_type", "ts", "value"))
+      time("winsorize 1x", Analytics.winsorize(ev, "event_type", "value"))
+      time(s"winsorize ${k}x rows",
+        Analytics.winsorize(evRows, "event_type", "value"))
+      def arm = expr(s"pmod(${graft.operators.CrossHash.h60Expr("user_id")}, 2)")
+      time("cuped 1x", Analytics.cuped(ev, "user_id", "ts", "value", arm))
+      time(s"cuped ${k}x units",
+        Analytics.cuped(evUsers, "user_id", "ts", "value", arm))
+      time("mixShift 1x", Analytics.mixShift(ev, "event_type", "ts", "value"))
+      time(s"mixShift ${k}x rows",
+        Analytics.mixShift(evRows, "event_type", "ts", "value"))
+      // stateOccupancy at K× disjoint keys — the r12 scale fix under test:
+      // the per-key horizon frame must JOIN co-partitioned (no forced
+      // broadcast; that hint was the removed driver-OOM-at-100TB hazard).
+      time("stateOccupancy 1x", Analytics.stateOccupancy(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type"))
+      time(s"stateOccupancy ${k}x keys (no broadcast)",
+        Analytics.stateOccupancy(
+          evUsers.select("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_id", "event_type"))
+      // recommendItems at K× disjoint baskets: the WindowGroupLimit basket
+      // cap bounds the pair exchange per basket, so disjoint baskets scale
+      // linearly.
+      def withItem(df: DataFrame) = df.select(col("user_id"),
+        from_json(col("props"), lit("k INT")).getField("k").as("item"))
+      val evP = Tables.events(spark, sfDir).select("user_id", "props")
+      val evPBlown = (0 until k).map { c =>
+        evP.select((col("user_id") + lit(c * 1000000L)).as("user_id"),
+          col("props"))
+      }.reduce(_ union _).localCheckpoint()
+      time("recommendItems 1x",
+        Analytics.recommendItems(withItem(evP), "user_id", "item"))
+      time(s"recommendItems ${k}x baskets",
+        Analytics.recommendItems(withItem(evPBlown), "user_id", "item"))
+    }
+    // GDPR purge: broadcast anti-join per table + streamed counts — K× the
+    // table rows AND K× the deletion list (still ≪ table, still broadcast).
+    section("purge") {
+      import graft.operators.Privacy
+      val cust = Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val ev = Tables.events(spark, sfDir).select("user_id", "event_id")
+      val custBlown = (0 until k).map { c =>
+        cust.select((col("c_custkey") + lit(c * 10000000L)).as("c_custkey"),
+          col("c_name"), col("c_acctbal"))
+      }.reduce(_ union _).localCheckpoint()
+      val evBlown = (0 until k).map { c =>
+        ev.select((col("user_id") + lit(c * 10000000L)).as("user_id"),
+          (col("event_id") + lit(c * 100000000L)).as("event_id"))
+      }.reduce(_ union _).localCheckpoint()
+      def del(cu: DataFrame) = cu
+        .filter(pmod(col("c_custkey"), lit(13)) === 0)
+        .select(col("c_custkey").as("subject"))
+      time("gdprPurge 1x", Privacy.purgeAudit(Seq(
+        ("events", ev, "user_id"), ("customer", cust, "c_custkey")),
+        del(cust), "subject"))
+      time(s"gdprPurge ${k}x rows (${k}x deletion list)", Privacy.purgeAudit(
+        Seq(("events", evBlown, "user_id"), ("customer", custBlown, "c_custkey")),
+        del(custBlown), "subject"))
+    }
+    // groupSplit is a pure map-side md5 projection — the K× row must show
+    // zero-exchange linear scaling (the cheapest profile in the suite).
+    section("groupsplit") {
+      val ev = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
+        .select("event_id", "user_id")
+      val evBlown = (0 until k).map { c =>
+        ev.select((col("event_id") + lit(c * 100000000L)).as("event_id"),
+          (col("user_id") + lit(c * 1000000L)).as("user_id"))
+      }.reduce(_ union _).localCheckpoint()
+      time("groupSplit 1x", TextAnalysis.groupSplit(ev, "user_id"))
+      time(s"groupSplit ${k}x rows (map-side only)",
+        TextAnalysis.groupSplit(evBlown, "user_id"))
+    }
+    // The sketch-merge family (q215/q222–q225): two independently-built
+    // half states merge into state that is SKETCH-bounded at any K — the
+    // corpus-sized work is only the two half builds; the merge leg is
+    // m/k/nBins/depth×width-bounded by construction. Disjoint users grow
+    // the honest axis (distinct values), duplicated docs grow the scan.
+    section("sketchmerge") {
+      import graft.operators.Analytics
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(spark, sfDir)
+        .select("user_id", "event_type", "event_id")
+      val evBlown = (0 until k).map { c =>
+        ev.select((col("user_id") + lit(c * 1000000L)).as("user_id"),
+          col("event_type"),
+          (col("event_id") + lit(c * 100000000L)).as("event_id"))
+      }.reduce(_ union _).localCheckpoint()
+      def hllM(df: DataFrame) = Analytics.hllFinalize(Analytics.hllMerge(
+        Analytics.hllRegisters(df.filter(pmod(col("event_id"), lit(2)) === 0),
+          "event_type", "user_id"),
+        Analytics.hllRegisters(df.filter(pmod(col("event_id"), lit(2)) === 1),
+          "event_type", "user_id"),
+        "event_type"), "event_type")
+      time("hllMerge 1x", hllM(ev))
+      time(s"hllMerge ${k}x (disjoint users)", hllM(evBlown))
+      def kmvM(df: DataFrame) = {
+        val kk = 32
+        def half(p: Int) = Analytics.kmvState(
+          df.filter(pmod(col("event_id"), lit(2)) === p),
+          "event_type", "user_id", kk)
+        half(0).unionByName(half(1)).distinct()
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("hv"))))
+          .filter(col("rn") <= kk)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_min"))
+      }
+      time("kmvMerge 1x", kmvM(ev))
+      time(s"kmvMerge ${k}x (disjoint users)", kmvM(evBlown))
+      val li = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_extendedprice")
+      val liBlown = (0 until k).map { c =>
+        li.select((col("l_orderkey") + lit(c * 100000000L)).as("l_orderkey"),
+          col("l_extendedprice"))
+      }.reduce(_ union _).localCheckpoint()
+      def histM(df: DataFrame) = {
+        def half(p: Int) = Analytics.histogramState(
+          df.filter(pmod(col("l_orderkey"), lit(2)) === p),
+          "l_extendedprice", 0.0, 5000.0, 20)
+        Analytics.quantileWalk(
+          half(0).unionByName(half(1))
+            .groupBy(col("bin")).agg(sum(col("n")).as("n")),
+          0.0, 5000.0, Seq(0.5, 0.9, 0.95, 0.99))
+      }
+      time("histMerge 1x", histM(li))
+      time(s"histMerge ${k}x rows", histM(liBlown))
+      def toks(df: DataFrame) = df.select(
+        explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+      def bloomM(df: DataFrame) = {
+        def half(p: Int) = Analytics.bloomFilter(
+          toks(df.filter(pmod(col("doc_id"), lit(2)) === p)), "tok")
+        Analytics.bloomProbeBits(half(0).unionByName(half(1)).distinct(),
+          toks(df), "tok", Analytics.CmProbes)
+      }
+      time("bloomMerge 1x", bloomM(base))
+      time(s"bloomMerge ${k}x docs", bloomM(blown))
+      def cmM(df: DataFrame) = {
+        def half(p: Int) = Analytics.countMin(
+          toks(df.filter(pmod(col("doc_id"), lit(2)) === p)), "tok")
+        half(0).unionByName(half(1))
+          .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      }
+      time("countMinMerge 1x", cmM(base))
+      time(s"countMinMerge ${k}x docs", cmM(blown))
+    }
     spark.stop()
   }
 }

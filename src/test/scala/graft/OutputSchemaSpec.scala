@@ -33,29 +33,31 @@ class OutputSchemaSpec extends SparkSpec {
       s"golden entries for deleted queries: ${(golden.keySet -- qs).toSeq.sorted.mkString(", ")}")
   }
 
-  test("no query ships a DECIMAL output column (driver-incompatible class)") {
-    // Round-11 driver evidence: the gate hash canonicalizes DECIMAL cells
-    // scale-insensitively on one side only, so value- and type-identical
-    // decimal outputs still hash-mismatch whenever a cell carries trailing
-    // zeros. Policy: exact decimal arithmetic stays INTERNAL; every final
-    // decimal column casts to DOUBLE (DriverOutput.noDecimals) in both the
-    // Spark plan and the DuckDB oracle.
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).filter {
-      case (_, fn) => operators.DriverOutput.hasDecimal(fn(spark, sf0001))
-    }.map(_._1)
-    assert(offenders.isEmpty,
-      s"DECIMAL in final output schema of: ${offenders.mkString(", ")} — " +
-        "wrap the query in DriverOutput.noDecimals and CAST the oracle")
-  }
-
-  test("analyzed output schemas match the golden snapshot exactly") {
+  test("analyzed output schemas match the golden snapshot exactly, no DECIMAL") {
+    // The DECIMAL check (round-11 driver evidence: the gate hash
+    // canonicalizes DECIMAL cells scale-insensitively on one side only, so
+    // value- and type-identical decimal outputs still hash-mismatch when a
+    // cell carries trailing zeros; policy = exact decimal arithmetic stays
+    // INTERNAL, every final decimal column casts to DOUBLE via
+    // DriverOutput.noDecimals in both the plan and the oracle) rides the
+    // SAME DataFrame build as the golden comparison: streaming query fns
+    // run their stream to completion on invocation, so a separate
+    // per-query decimal pass would double this suite's runtime for a
+    // nearly-redundant check (r12 ADVICE item 1).
     val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        golden.get(name).flatMap { want =>
-          val got = SchemaGolden.canonical(fn(spark, sf0001).schema)
+        val df = fn(spark, sf0001)
+        val decimalErr =
+          if (operators.DriverOutput.hasDecimal(df))
+            Some(s"$name: DECIMAL in final output schema — wrap the query " +
+              "in DriverOutput.noDecimals and CAST the oracle")
+          else None
+        val schemaErr = golden.get(name).flatMap { want =>
+          val got = SchemaGolden.canonical(df.schema)
           if (got == want) None
           else Some(s"$name:\n  got    $got\n  golden $want")
         }
+        decimalErr.toSeq ++ schemaErr.toSeq
     }
     assert(diffs.isEmpty,
       s"${diffs.size} queries drifted from their golden output schema " +
