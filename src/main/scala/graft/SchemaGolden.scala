@@ -1,10 +1,12 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types.StructType
 
-/** Canonical output-schema snapshot for the type-drift regression lock.
+/** Canonical output-schema AND physical-plan snapshots for the drift
+  * regression locks.
   *
-  * The driver's oracle hash is type-sensitive down to decimal
+  * Schemas: the driver's oracle hash is type-sensitive down to decimal
   * precision/scale and integer width (round 10 shipped three queries red
   * on exactly that axis: un-cast sum(DECIMAL) widening and an int32
   * ntile). OutputSchemaSpec compares every query's analyzed schema
@@ -12,7 +14,18 @@ import org.apache.spark.sql.types.StructType
   * refactor that drops a pinning cast fails `sbt test` instead of the
   * driver's gate.
   *
-  * Regenerate (ONLY after deliberately changing a query's output shape):
+  * Plans (round 13, VERDICT r12 item 7): the same discipline for the
+  * PHYSICAL plan shape — operator tree, join strategies, exchange kinds,
+  * scan formats/columns/filter counts. A refactor that silently turns a
+  * BroadcastHashJoin into a SortMergeJoin, drops a WindowGroupLimit, or
+  * adds an exchange fails HERE instead of surfacing as a bench
+  * regression three rounds later. The canonical form is deliberately
+  * insensitive to everything environmental (expression IDs, paths,
+  * partition counts, statistics), so it is stable across sessions and
+  * core counts while staying sensitive to real plan-shape changes.
+  *
+  * Regenerate (ONLY after deliberately changing a query's output shape
+  * or plan):
   *   sbt "runMain graft.SchemaGolden"
   */
 object SchemaGolden {
@@ -22,7 +35,57 @@ object SchemaGolden {
   def canonical(schema: StructType): String =
     schema.fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(", ")
 
+  /** Canonical single-line fingerprint of the INITIAL physical plan —
+    * `executedPlan` after the planner AND the preparation rules
+    * (EnsureRequirements has inserted the exchanges, ReuseExchange has
+    * deduped them) but before any adaptive re-planning or execution: for
+    * AQE-wrapped plans this is `AdaptiveSparkPlanExec.initialPlan`, i.e.
+    * the static decision the lock should pin (plain `sparkPlan` would
+    * miss every Exchange — verified: q01 showed Sort directly over the
+    * partial/final aggregate pair). Node labels carry exactly the
+    * regression-relevant detail: join implementation + join type,
+    * exchange partitioning CLASS (hash/range/single/round-robin — not
+    * partition counts, which vary by session), scan format + read
+    * columns + pushed-filter counts. WholeStageCodegen/InputAdapter
+    * wrappers are transparent (their stage ids shift with unrelated
+    * edits); everything else is the bare nodeName. Depth is a `>` prefix
+    * run so the whole tree fits one golden line per query. */
+  def canonicalPlan(df: DataFrame): String = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins._
+    def label(p: SparkPlan): String = p match {
+      case f: FileSourceScanExec =>
+        s"FileSourceScan:${f.relation.fileFormat.toString}" +
+          s"[${f.output.map(_.name).mkString(",")}]" +
+          s"df=${f.dataFilters.size},pf=${f.partitionFilters.size}"
+      case _: RowDataSourceScanExec => "RowDataSourceScan"
+      case _: RDDScanExec => "RDDScan"
+      case e: ShuffleExchangeExec =>
+        s"Exchange:${e.outputPartitioning.getClass.getSimpleName}"
+      case j: SortMergeJoinExec => s"SortMergeJoin:${j.joinType}"
+      case j: BroadcastHashJoinExec => s"BroadcastHashJoin:${j.joinType}"
+      case j: ShuffledHashJoinExec => s"ShuffledHashJoin:${j.joinType}"
+      case j: BroadcastNestedLoopJoinExec =>
+        s"BroadcastNestedLoopJoin:${j.joinType}"
+      case _: CartesianProductExec => "CartesianProduct"
+      case other => other.nodeName.replace(' ', '_')
+    }
+    def walk(p: SparkPlan, depth: Int): Seq[String] = p match {
+      case w: WholeStageCodegenExec => walk(w.child, depth)
+      case i: InputAdapter => walk(i.child, depth)
+      case _ =>
+        ((">" * depth) + label(p)) +: p.children.flatMap(walk(_, depth + 1))
+    }
+    val root = df.queryExecution.executedPlan match {
+      case a: adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    walk(root, 0).mkString("|")
+  }
+
   val goldenPath = "src/test/resources/golden_schemas.txt"
+  val goldenPlanPath = "src/test/resources/golden_plans.txt"
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -35,18 +98,22 @@ object SchemaGolden {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val built = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val df = fn(spark, sfDir)
       // Decimal outputs are driver-incompatible (round-11 hash evidence);
       // refuse to snapshot one rather than codify a red class.
       require(!graft.operators.DriverOutput.hasDecimal(df),
         s"$name ships a DECIMAL output column — wrap it in " +
           "DriverOutput.noDecimals (and CAST the oracle) before regenerating")
-      s"$name\t${canonical(df.schema)}"
+      (name, canonical(df.schema), canonicalPlan(df))
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(goldenPath),
-      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    println(s"wrote ${lines.size} schemas to $goldenPath")
+      (built.map { case (n, s, _) => s"$n\t$s" }.mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(goldenPlanPath),
+      (built.map { case (n, _, p) => s"$n\t$p" }.mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    println(s"wrote ${built.size} schemas to $goldenPath and plans to $goldenPlanPath")
     spark.stop()
   }
 }

@@ -15,15 +15,19 @@ package graft
   */
 class OutputSchemaSpec extends SparkSpec {
 
-  private lazy val golden: Map[String, String] = {
+  private def goldenFile(resource: String): Map[String, String] = {
     val src = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/golden_schemas.txt"), "UTF-8")
+      getClass.getResourceAsStream(resource), "UTF-8")
     try src.getLines().filter(_.nonEmpty).map { line =>
-      val Array(name, schema) = line.split("\t", 2)
-      name -> schema
+      val Array(name, value) = line.split("\t", 2)
+      name -> value
     }.toMap
     finally src.close()
   }
+  private lazy val golden: Map[String, String] =
+    goldenFile("/golden_schemas.txt")
+  private lazy val goldenPlans: Map[String, String] =
+    goldenFile("/golden_plans.txt")
 
   test("every query has a golden schema and no golden entry is orphaned") {
     val qs = SparkEntry.queries.keySet
@@ -31,19 +35,24 @@ class OutputSchemaSpec extends SparkSpec {
       s"queries missing a golden schema (run `sbt \"runMain graft.SchemaGolden\"`): ${(qs -- golden.keySet).toSeq.sorted.mkString(", ")}")
     assert((golden.keySet -- qs).isEmpty,
       s"golden entries for deleted queries: ${(golden.keySet -- qs).toSeq.sorted.mkString(", ")}")
+    assert((qs -- goldenPlans.keySet).isEmpty,
+      s"queries missing a golden plan (run `sbt \"runMain graft.SchemaGolden\"`): ${(qs -- goldenPlans.keySet).toSeq.sorted.mkString(", ")}")
+    assert((goldenPlans.keySet -- qs).isEmpty,
+      s"golden plan entries for deleted queries: ${(goldenPlans.keySet -- qs).toSeq.sorted.mkString(", ")}")
   }
 
-  test("analyzed output schemas match the golden snapshot exactly, no DECIMAL") {
-    // The DECIMAL check (round-11 driver evidence: the gate hash
-    // canonicalizes DECIMAL cells scale-insensitively on one side only, so
-    // value- and type-identical decimal outputs still hash-mismatch when a
-    // cell carries trailing zeros; policy = exact decimal arithmetic stays
-    // INTERNAL, every final decimal column casts to DOUBLE via
-    // DriverOutput.noDecimals in both the plan and the oracle) rides the
-    // SAME DataFrame build as the golden comparison: streaming query fns
-    // run their stream to completion on invocation, so a separate
-    // per-query decimal pass would double this suite's runtime for a
-    // nearly-redundant check (r12 ADVICE item 1).
+  test("analyzed schemas AND physical plan shapes match golden, no DECIMAL") {
+    // All three checks ride ONE DataFrame build per query: streaming query
+    // fns run their stream to completion on invocation, so each extra
+    // per-query pass would add the full drain cost again (r12 ADVICE
+    // item 1 — the decimal check used to be a second pass).
+    //  - schema: the driver's oracle hash is type-strict (decimal
+    //    precision/scale, int width) — a dropped pinning cast fails here.
+    //  - DECIMAL: gate-incompatible output class (round-11 evidence), must
+    //    go through DriverOutput.noDecimals in plan AND oracle.
+    //  - plan (round 13): the STATIC physical plan shape — a silent
+    //    broadcast→SMJ flip, a lost WindowGroupLimit, or a new exchange
+    //    fails here instead of surfacing as a bench regression later.
     val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val df = fn(spark, sf0001)
@@ -57,10 +66,16 @@ class OutputSchemaSpec extends SparkSpec {
           if (got == want) None
           else Some(s"$name:\n  got    $got\n  golden $want")
         }
-        decimalErr.toSeq ++ schemaErr.toSeq
+        val planErr = goldenPlans.get(name).flatMap { want =>
+          val got = SchemaGolden.canonicalPlan(df)
+          if (got == want) None
+          else Some(s"$name PLAN drift (deliberate? rerun SchemaGolden):\n" +
+            s"  got    $got\n  golden $want")
+        }
+        decimalErr.toSeq ++ schemaErr.toSeq ++ planErr.toSeq
     }
     assert(diffs.isEmpty,
-      s"${diffs.size} queries drifted from their golden output schema " +
-        s"(type-sensitive driver hash!):\n${diffs.mkString("\n")}")
+      s"${diffs.size} queries drifted from their golden schema/plan " +
+        s"snapshot:\n${diffs.mkString("\n")}")
   }
 }
