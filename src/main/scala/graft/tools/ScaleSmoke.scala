@@ -1091,6 +1091,42 @@ object ScaleSmoke {
       time("countMinMerge 1x", cmM(base))
       time(s"countMinMerge ${k}x docs", cmM(blown))
     }
+    // ANN / embedding-similarity family (round 13 — upgrades the former
+    // documented exemptions to measured rows). Disjoint vec_ids with copy
+    // 0 unshifted (so the vec_id < 5 query set is identical at both
+    // scales); identical embeddings make every LSH bucket 20×-hot — the
+    // regime topPairs' maxBucketDf cap and annLsh's candidate-distinct
+    // exist for. knnBruteForce is the documented baseline: fixed query
+    // set × K× corpus must scale linearly in the corpus (the broadcast
+    // side is the 5 queries, never the corpus).
+    section("ann") {
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(spark, sfDir)
+        .select("vec_id", "label", "embedding").localCheckpoint()
+      val embBlown = (0 until k).map { c =>
+        emb.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+          col("label"), col("embedding"))
+      }.reduce(_ union _).localCheckpoint()
+      time("knnBruteForce 1x (5 queries)", Similarity.knnBruteForce(
+        emb, "vec_id", "embedding", col("vec_id") < 5))
+      time(s"knnBruteForce ${k}x corpus (5 queries)", Similarity.knnBruteForce(
+        embBlown, "vec_id", "embedding", col("vec_id") < 5))
+      time("annLsh 1x", Similarity.annLsh(
+        emb, "vec_id", "embedding", 64, col("vec_id") < 5, 10))
+      time(s"annLsh ${k}x corpus (hot buckets)", Similarity.annLsh(
+        embBlown, "vec_id", "embedding", 64, col("vec_id") < 5, 10))
+      time("topPairs 1x", Similarity.topPairs(emb, "vec_id", "embedding", 64))
+      time(s"topPairs ${k}x (${k}x-hot buckets, capped)",
+        Similarity.topPairs(embBlown, "vec_id", "embedding", 64))
+      time("ivfSearch 1x", Similarity.ivfSearch(
+        emb, "vec_id", "label", "embedding", col("vec_id") < 5))
+      time(s"ivfSearch ${k}x corpus", Similarity.ivfSearch(
+        embBlown, "vec_id", "label", "embedding", col("vec_id") < 5))
+      time("semanticDedup 1x", Similarity.semanticDedup(
+        emb, "vec_id", "label", "embedding"))
+      time(s"semanticDedup ${k}x (${k}x dup clusters)", Similarity.semanticDedup(
+        embBlown, "vec_id", "label", "embedding"))
+    }
     spark.stop()
   }
 }

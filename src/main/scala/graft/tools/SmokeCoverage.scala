@@ -46,6 +46,11 @@ object SmokeCoverage {
     "q48_hash_split" -> "groupsplit: groupSplit (identical md5-bucket projection)",
     "q51_minhash_lsh" -> "dedup: minHashLsh",
     "q55_dedup_pipeline" -> "dedup: dedupNearDup",
+    "q60_knn_bruteforce" -> "ann: knnBruteForce (fixed queries x Kx corpus)",
+    "q61_embedding_neardup" -> "ann: topPairs (capped hot buckets)",
+    "q62_ann_lsh" -> "ann: annLsh",
+    "q64_ann_ivf" -> "ann: ivfSearch",
+    "q65_semantic_dedup" -> "ann: semanticDedup",
     "q66_contam" -> "dedup: contamination",
     "q67_corpus" -> "dedup: corpusDecision",
     "q68_kmv_distinct" -> "events: kmv / kmvSketch",
@@ -315,23 +320,9 @@ object SmokeCoverage {
     "q190_event_cadence" -> ("per-user lag over the one user-key sort — " +
       "the smoked sessionize exchange; percentile state is group-bounded"),
     // -- similarity / ANN family --
-    "q60_knn_bruteforce" -> ("documented quadratic BASELINE (broadcast " +
-      "query set × corpus scan) — the scale path is q62/q64; vector-scan " +
-      "cost per row is priced by the smoked kMeans/embeddingCovariance rows"),
-    "q61_embedding_neardup" -> ("LSH-bucketed equality join with per-bucket " +
-      "caps — candidate volume bounded by construction; bucket-join shape " +
-      "shared with the smoked minHashLsh banding (dedup section)"),
-    "q62_ann_lsh" -> ("bucketed equality join, per-bucket candidate caps " +
-      "structural — same banding economics smoked via minHashLsh at K×"),
-    "q63_label_centroids" -> ("assignment is a broadcast-NL join against a " +
-      "KB-sized centroid frame + one bounded roll-up — the exact per-round " +
-      "plan of the smoked kMeans (kmeans section)"),
-    "q64_ann_ivf" -> ("IVF probe prunes to nprobe buckets before the " +
-      "distance scan — candidate bound structural; assignment plan is the " +
-      "smoked kMeans shape"),
-    "q65_semantic_dedup" -> ("centroid-bucketed near-dup: kMeans " +
-      "assignment (smoked) + within-bucket pairs under the same cap " +
-      "discipline as the smoked banding joins"),
+    "q63_label_centroids" -> ("one label-keyed tree-merge aggregate to a " +
+      "broadcast-sized centroid frame — the exact build stage inside the " +
+      "smoked ivfSearch/semanticDedup rows (ann section)"),
     "q158_hybrid_rrf" -> ("RRF fusion of the smoked bm25 (bm25 section) " +
       "and a k-bounded vector top-k; the fusion join carries ≤ 2k rows " +
       "per query"),
