@@ -1560,6 +1560,11 @@ object Analytics {
     require(k >= 1, s"recommendItems: k must be >= 1, got $k")
     val co = coOccurrence(df, basketCol, itemCol, maxItemsPerBasket)
       .withColumn("_l", col("lift").cast("decimal(12,6)"))
+    // The two-select union is NOT a double compute: ReuseExchange dedupes
+    // the branches' identical pair-exchange subtree, so only the cheap
+    // post-shuffle projection runs twice. A single-pass explode(array(
+    // struct..)) rewrite was A/B-measured SLOWER (4.1–4.4 s vs 3.6–4.1 s
+    // solo at sf0.1, round 13) — keep the union form.
     val sym = co.select(col("item1").as("_it"), col("item2").as("rec"), col("_l"))
       .unionByName(co.select(col("item2").as("_it"), col("item1").as("rec"),
         col("_l")))
