@@ -29,13 +29,38 @@ import org.apache.spark.sql.SparkSession
   * q159 sampled [6.30, 89.30, 7.47], q167 [4.23, 12.46, 7.77], q219
   * [0.89, 3.15, 4.36] — floors matched r11, medians didn't, and two
   * operators were flagged perf-weak on unchanged code). Stall defense:
-  * when the initial samples spread >3× (and by >1 s absolute, so
+  * when the initial samples spread >2.5× (and by >1 s absolute, so
   * sub-second jitter can't trigger it), the query is re-sampled
   * SPARK_GRAFT_STALL_EXTRA more times (default 2) and the single worst
   * sample is dropped before taking the median. Clean queries keep the
   * plain median-of-`runs` (record continuity with r6–r12); only
   * stall-suspected ones pay the extra samples.
   */
+/** The stall-defense arithmetic, extracted for unit testing (the defense
+  * only fires on genuinely noisy windows, so a spec is the only place its
+  * edge cases run deterministically). */
+private[graft] object BenchSampling {
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted; val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+  /** True when the initial samples look stall-contaminated: spread >2.5×
+    * AND >1 s absolute (so sub-second jitter on fast queries can never
+    * trigger re-sampling). 2.5×, not 3×: of the three r12 poisoned
+    * profiles this defense exists for, q167's [4.23, 12.46, 7.77] spreads
+    * 2.95× — a 3× gate replays two of three victims and misses the third
+    * (BenchSamplingSpec pins all three). Steady-state profiles sit far
+    * below 2× spread, so the looser gate costs extra samples only on
+    * genuinely suspicious windows. */
+  def stallSuspected(samples: Seq[Double]): Boolean =
+    samples.size >= 2 &&
+      samples.max > 2.5 * samples.min && samples.max - samples.min > 1.0
+  /** Plain median for clean queries (size == runs, record continuity
+    * with r6–r12); drop-max median once the defense re-sampled. */
+  def reported(xs: Seq[Double], runs: Int): Double =
+    if (xs.size > runs) median(xs.sorted.dropRight(1)) else median(xs)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,7 +74,7 @@ object Bench {
     // the between-op GC (PERF.md round-8 hygiene notes).
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "0") == "1"
     val warmupPerQuery = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
-    // Extra samples taken when a query's initial samples spread >3× (stall
+    // Extra samples taken when a query's initial samples spread >2.5× (stall
     // suspicion); 0 disables the defense and restores pure median-of-`runs`.
     val stallExtra =
       math.max(0, sys.env.getOrElse("SPARK_GRAFT_STALL_EXTRA", "2").toInt)
@@ -111,13 +136,12 @@ object Bench {
       val first = Iterator.continually(execOnce(name))
         .take(runs).takeWhile(_ >= 0).toSeq
       if (first.size < runs) return Seq.empty
-      // Stall defense (round 13): spread >3× AND >1 s absolute → suspect a
+      // Stall defense (round 13): spread >2.5× AND >1 s absolute → suspect a
       // container stall, take extra samples; reporting drops the single max
-      // (see `reported`). A genuine plan cost re-measures high and survives
-      // the drop; a one-off stall doesn't.
+      // (see BenchSampling.reported). A genuine plan cost re-measures high
+      // and survives the drop; a one-off stall doesn't.
       val samples =
-        if (stallExtra > 0 && runs >= 2 &&
-            first.max > 3 * first.min && first.max - first.min > 1.0) {
+        if (stallExtra > 0 && runs >= 2 && BenchSampling.stallSuspected(first)) {
           System.err.println(f"[bench] $name: spread ${first.min}%.2f..${first.max}%.2f s — stall suspected, +$stallExtra samples")
           first ++ Iterator.continually(execOnce(name))
             .take(stallExtra).takeWhile(_ >= 0).toSeq
@@ -145,16 +169,7 @@ object Bench {
       if (gcBetween) System.gc()
       samples
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; val n = s.size
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
-    }
-    // The reported per-query number: plain median for clean queries; when
-    // the stall defense re-sampled (size > runs), the single worst sample
-    // drops first — a drop-max median over ≥4 samples, which one stalled
-    // sample can no longer poison.
-    def reported(xs: Seq[Double]): Double =
-      if (xs.size > runs) median(xs.sorted.dropRight(1)) else median(xs)
+    def reported(xs: Seq[Double]): Double = BenchSampling.reported(xs, runs)
 
     // Warm-up: JVM + codegen + parquet footer caches (not reported).
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
