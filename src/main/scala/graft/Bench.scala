@@ -55,10 +55,13 @@ private[graft] object BenchSampling {
   def stallSuspected(samples: Seq[Double]): Boolean =
     samples.size >= 2 &&
       samples.max > 2.5 * samples.min && samples.max - samples.min > 1.0
-  /** Plain median for clean queries (size == runs, record continuity
-    * with r6–r12); drop-max median once the defense re-sampled. */
-  def reported(xs: Seq[Double], runs: Int): Double =
-    if (xs.size > runs) median(xs.sorted.dropRight(1)) else median(xs)
+  /** Plain median for clean queries (record continuity with r6–r12);
+    * drop-max median whenever the stall defense FIRED — keyed on the
+    * flag, not on sample count, so a re-sample whose extra executions
+    * all failed still reports the defended number instead of silently
+    * falling back to the poisoned median (r13 review finding). */
+  def reported(xs: Seq[Double], fired: Boolean): Double =
+    if (fired && xs.size >= 2) median(xs.sorted.dropRight(1)) else median(xs)
 }
 
 object Bench {
@@ -120,11 +123,18 @@ object Bench {
       * timed executions accumulate dead blocks whose memory pressure
       * surfaces as the "warm runs slower than cold" profile r7 measured
       * on q89 (PERF.md). */
-    // A failed query returns Seq.empty — NOT a -1.0 sentinel sample, so the
-    // samples file stays uniformly length-`runs` for successes and failures
-    // are unmistakable (null in bench_samples.json, -1.0 only in the stdout
-    // median, which is the driver's documented failure encoding).
-    def exec(name: String): Seq[Double] = {
+    // A failed query returns Seq.empty — NOT a -1.0 sentinel sample, so
+    // failures are unmistakable (null in bench_samples.json, -1.0 only in
+    // the stdout median, the driver's documented failure encoding).
+    // Successful rows are length `runs` EXCEPT stall-suspected queries,
+    // whose rows carry up to runs+stallExtra samples (ragged on purpose:
+    // the extra samples are the re-sample evidence; the top-level "runs"
+    // field describes the default, not a per-row invariant).
+    // The Boolean is the defense-fired flag: reporting drops the single
+    // worst sample whenever the defense FIRED — even if every extra
+    // execution failed (without the flag, an extras failure would silently
+    // fall back to the exact poisoned median the defense exists to kill).
+    def exec(name: String): (Seq[Double], Boolean) = {
       // Per-query warm-up (round 11): ONE untimed execution before the
       // timed samples. Graph-family JIT warm-up twice inflated a
       // median-of-3 into a phantom regression (r10 q110 profile
@@ -132,19 +142,30 @@ object Bench {
       // discarding sample 0 makes the reported median measure the plan,
       // not first-touch codegen/classloading. SPARK_GRAFT_WARMUP=0
       // restores cold-start measurement for solo diagnostics.
-      if (warmupPerQuery && execOnce(name) < 0) return Seq.empty
+      if (warmupPerQuery && execOnce(name) < 0) return (Seq.empty, false)
       val first = Iterator.continually(execOnce(name))
         .take(runs).takeWhile(_ >= 0).toSeq
-      if (first.size < runs) return Seq.empty
+      if (first.size < runs) return (Seq.empty, false)
       // Stall defense (round 13): spread >2.5× AND >1 s absolute → suspect a
       // container stall, take extra samples; reporting drops the single max
       // (see BenchSampling.reported). A genuine plan cost re-measures high
       // and survives the drop; a one-off stall doesn't.
+      val fired =
+        stallExtra > 0 && runs >= 2 && BenchSampling.stallSuspected(first)
       val samples =
-        if (stallExtra > 0 && runs >= 2 && BenchSampling.stallSuspected(first)) {
+        if (fired) {
           System.err.println(f"[bench] $name: spread ${first.min}%.2f..${first.max}%.2f s — stall suspected, +$stallExtra samples")
-          first ++ Iterator.continually(execOnce(name))
+          val extra = Iterator.continually(execOnce(name))
             .take(stallExtra).takeWhile(_ >= 0).toSeq
+          // An extra that fails is loud, not silent: the initial samples
+          // already proved the query runs, so a re-sample failure is
+          // itself suspicious — and the drop-max report below still
+          // applies via `fired` regardless of how many extras survived.
+          if (extra.size < stallExtra)
+            System.err.println(s"[bench] $name: re-sample FAILED after " +
+              s"${extra.size}/$stallExtra extras — reporting drop-max over " +
+              s"${first.size + extra.size} samples")
+          first ++ extra
         } else first
       System.err.println(f"[bench] $name%-28s ${samples.map(s => f"$s%7.2fs").mkString(" ")}")
       // Streaming queries drain into uniquely-named memory-sink temp views
@@ -167,9 +188,8 @@ object Bench {
       // lazily). Part of the r11 q141–q145 positional-elevation fix.
       org.apache.spark.sql.GraftStateStoreAccess.unloadAll()
       if (gcBetween) System.gc()
-      samples
+      (samples, fired)
     }
-    def reported(xs: Seq[Double]): Double = BenchSampling.reported(xs, runs)
 
     // Warm-up: JVM + codegen + parquet footer caches (not reported).
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -219,11 +239,13 @@ object Bench {
     val prefixes = results.map(_._1.takeWhile(_ != '_'))
     require(prefixes.distinct.size == prefixes.size,
       s"duplicate short query keys: ${prefixes.diff(prefixes.distinct).mkString(",")}")
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, (v, fired)) =>
         "\"" + k.takeWhile(_ != '_') + "\":" +
-          (if (v.isEmpty) "-1.0" else fmt("1", reported(v)))
+          (if (v.isEmpty) "-1.0" else fmt("1", BenchSampling.reported(v, fired)))
       }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v.nonEmpty => reported(v) }.sum
+    val total = results.collect {
+      case (_, (v, fired)) if v.nonEmpty => BenchSampling.reported(v, fired)
+    }.sum
     val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
     // The consumer keeps only a ~2000-char stdout TAIL; at 225 queries the
     // combined line is ~2.7 KB, so its head — which carries "value" — was
@@ -231,13 +253,13 @@ object Bench {
     // the per-query line prints FIRST, then a short, self-contained total
     // line prints LAST, so the total always survives the tail regardless
     // of how many queries the per-query map grows to.
-    val nFailed = results.count(_._2.isEmpty)
+    val nFailed = results.count(_._2._1.isEmpty)
     val shortJson = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","runs":$runs,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
     // Backstop for log-noise-sensitive parsers: the same single line, ALONE
     // in bench_out.json (one parseable JSON document — the file's contract).
     // Full-precision per-run samples go to a separate bench_samples.json so
     // PERF.md analysis can read exact numbers without breaking that contract.
-    val detail = results.map { case (k, v) =>
+    val detail = results.map { case (k, (v, _)) =>
         "\"" + k + "\":" +
           (if (v.isEmpty) "null" else v.map(fmt("3", _)).mkString("[", ",", "]"))
       }.mkString("{", ",", "}")

@@ -37,12 +37,18 @@ object SchemaGolden {
 
   /** Canonical single-line fingerprint of the INITIAL physical plan —
     * `executedPlan` after the planner AND the preparation rules
-    * (EnsureRequirements has inserted the exchanges, ReuseExchange has
-    * deduped them) but before any adaptive re-planning or execution: for
-    * AQE-wrapped plans this is `AdaptiveSparkPlanExec.initialPlan`, i.e.
-    * the static decision the lock should pin (plain `sparkPlan` would
-    * miss every Exchange — verified: q01 showed Sort directly over the
-    * partial/final aggregate pair). Node labels carry exactly the
+    * (EnsureRequirements has inserted the exchanges) but before any
+    * adaptive re-planning or execution: for AQE-wrapped plans this is
+    * `AdaptiveSparkPlanExec.initialPlan`, i.e. the static decision the
+    * lock should pin (plain `sparkPlan` would miss every Exchange —
+    * verified: q01 showed Sort directly over the partial/final aggregate
+    * pair). NOTE on exchange reuse: under AQE, ReuseExchange does NOT
+    * run on the initial plan — identical Exchange subtrees appear
+    * duplicated in the fingerprint (runtime reuse happens in the AQE
+    * stage cache, invisible here), so a duplicated subtree in a golden
+    * is normal, and a lost runtime reuse is NOT something this lock can
+    * catch. Non-AQE plans (exchange-free) never carry reuse nodes
+    * anyway. Node labels carry exactly the
     * regression-relevant detail: join implementation + join type,
     * exchange partitioning CLASS (hash/range/single/round-robin — not
     * partition counts, which vary by session), scan format + read

@@ -868,8 +868,29 @@ object ScaleSmoke {
         10000L))
     }
     // Round-13 additions (VERDICT r12 item 2): the late-round-11 operator
-    // batch — q203/q204, q209–q212, q215, q217–q225. Same 1×/K×
-    // discipline; each row states the axis scaled and the claim under test.
+    // batch — q203/q204, q209–q212, q215, q217–q225 — plus the ANN family.
+    // Same 1×/K× discipline; each row states the axis scaled and the claim
+    // under test. Measurement-basis note (r13 review): in the PRE-r13
+    // sections only the K× fixture is localCheckpointed while the 1× leg
+    // re-reads parquet, so 1× legs there carry the scan cost and the
+    // recorded K×/1× slopes are conservative OVERestimates (the safe
+    // direction). The r13 sections below checkpoint BOTH legs so their
+    // slopes are unbiased; pre-r13 sections keep their historical basis
+    // for cross-round comparability.
+    //
+    // Per-copy id-shifted K× blow-up: a union of k copies with the named
+    // id columns offset per copy (disjoint key spaces), other columns
+    // passed through, checkpointed like every K× fixture here.
+    def blowUp(df: DataFrame, idOffsets: Map[String, Long]): DataFrame =
+      (0 until k).map { c =>
+        df.select(df.columns.map { n =>
+          idOffsets.get(n) match {
+            case Some(off) => (col(n) + lit(c * off)).as(n)
+            case None => col(n)
+          }
+        }.toIndexedSeq: _*)
+      }.reduce(_ union _).localCheckpoint()
+
     // lateralTopN: K× the candidates per nation (disjoint custkeys, same
     // 25 nations). Decorrelation rewrites the LATERAL+LIMIT to a per-nation
     // window top-k, so K× rows ride one bounded-key exchange — near-linear.
@@ -877,11 +898,8 @@ object ScaleSmoke {
       Tables.nation(spark, sfDir).createOrReplaceTempView("smoke_nation")
       val cust = Tables.customer(spark, sfDir)
         .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
-      val custBlown = (0 until k).map { c =>
-        cust.select((col("c_custkey") + lit(c * 10000000L)).as("c_custkey"),
-          concat(lit(s"$c#"), col("c_name")).as("c_name"),
-          col("c_acctbal"), col("c_nationkey"))
-      }.reduce(_ union _).localCheckpoint()
+        .localCheckpoint()
+      val custBlown = blowUp(cust, Map("c_custkey" -> 10000000L))
       def lateral(cu: DataFrame) = {
         cu.createOrReplaceTempView("smoke_customer")
         spark.sql("""
@@ -899,8 +917,8 @@ object ScaleSmoke {
     // (no second scan) — K× rows must cost K× the scan, nothing more.
     section("observe") {
       val li = Tables.lineitem(spark, sfDir)
-        .select("l_quantity", "l_extendedprice")
-      val liBlown = (0 until k).map(_ => li).reduce(_ union _).localCheckpoint()
+        .select("l_quantity", "l_extendedprice").localCheckpoint()
+      val liBlown = blowUp(li, Map.empty)
       var tag = 0
       def observed(df: DataFrame) = {
         tag += 1
@@ -925,22 +943,18 @@ object ScaleSmoke {
       import graft.operators.Analytics
       val ords = Tables.orders(spark, sfDir)
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
-      val ordsBlown = (0 until k).map { c =>
-        ords.select((col("o_orderkey") + lit(c * 100000000L)).as("o_orderkey"),
-          col("o_totalprice"), col("o_orderstatus"))
-      }.reduce(_ union _).localCheckpoint()
+        .localCheckpoint()
+      val ordsBlown = blowUp(ords, Map("o_orderkey" -> 100000000L))
       time("woeIv 1x", Analytics.woeIv(ords, "o_totalprice", "o_orderkey",
         col("o_orderstatus") === "F"))
       time(s"woeIv ${k}x rows (global ntile)", Analytics.woeIv(ordsBlown,
         "o_totalprice", "o_orderkey", col("o_orderstatus") === "F"))
       val ev = Tables.events(spark, sfDir)
         .select("user_id", "ts", "event_id", "event_type", "value")
-      val evRows = (0 until k).map(_ => ev).reduce(_ union _).localCheckpoint()
-      val evUsers = (0 until k).map { c =>
-        ev.select((col("user_id") + lit(c * 1000000L)).as("user_id"), col("ts"),
-          (col("event_id") + lit(c * 100000000L)).as("event_id"),
-          col("event_type"), col("value"))
-      }.reduce(_ union _).localCheckpoint()
+        .localCheckpoint()
+      val evRows = blowUp(ev, Map.empty)
+      val evUsers = blowUp(ev,
+        Map("user_id" -> 1000000L, "event_id" -> 100000000L))
       time("forecastBacktest 1x",
         Analytics.forecastBacktest(ev, "event_type", "ts", "value"))
       time(s"forecastBacktest ${k}x rows (same grid)",
@@ -971,10 +985,8 @@ object ScaleSmoke {
       def withItem(df: DataFrame) = df.select(col("user_id"),
         from_json(col("props"), lit("k INT")).getField("k").as("item"))
       val evP = Tables.events(spark, sfDir).select("user_id", "props")
-      val evPBlown = (0 until k).map { c =>
-        evP.select((col("user_id") + lit(c * 1000000L)).as("user_id"),
-          col("props"))
-      }.reduce(_ union _).localCheckpoint()
+        .localCheckpoint()
+      val evPBlown = blowUp(evP, Map("user_id" -> 1000000L))
       time("recommendItems 1x",
         Analytics.recommendItems(withItem(evP), "user_id", "item"))
       time(s"recommendItems ${k}x baskets",
@@ -985,16 +997,12 @@ object ScaleSmoke {
     section("purge") {
       import graft.operators.Privacy
       val cust = Tables.customer(spark, sfDir)
-        .select("c_custkey", "c_name", "c_acctbal")
+        .select("c_custkey", "c_name", "c_acctbal").localCheckpoint()
       val ev = Tables.events(spark, sfDir).select("user_id", "event_id")
-      val custBlown = (0 until k).map { c =>
-        cust.select((col("c_custkey") + lit(c * 10000000L)).as("c_custkey"),
-          col("c_name"), col("c_acctbal"))
-      }.reduce(_ union _).localCheckpoint()
-      val evBlown = (0 until k).map { c =>
-        ev.select((col("user_id") + lit(c * 10000000L)).as("user_id"),
-          (col("event_id") + lit(c * 100000000L)).as("event_id"))
-      }.reduce(_ union _).localCheckpoint()
+        .localCheckpoint()
+      val custBlown = blowUp(cust, Map("c_custkey" -> 10000000L))
+      val evBlown = blowUp(ev,
+        Map("user_id" -> 10000000L, "event_id" -> 100000000L))
       def del(cu: DataFrame) = cu
         .filter(pmod(col("c_custkey"), lit(13)) === 0)
         .select(col("c_custkey").as("subject"))
@@ -1009,11 +1017,9 @@ object ScaleSmoke {
     // zero-exchange linear scaling (the cheapest profile in the suite).
     section("groupsplit") {
       val ev = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
-        .select("event_id", "user_id")
-      val evBlown = (0 until k).map { c =>
-        ev.select((col("event_id") + lit(c * 100000000L)).as("event_id"),
-          (col("user_id") + lit(c * 1000000L)).as("user_id"))
-      }.reduce(_ union _).localCheckpoint()
+        .select("event_id", "user_id").localCheckpoint()
+      val evBlown = blowUp(ev,
+        Map("event_id" -> 100000000L, "user_id" -> 1000000L))
       time("groupSplit 1x", TextAnalysis.groupSplit(ev, "user_id"))
       time(s"groupSplit ${k}x rows (map-side only)",
         TextAnalysis.groupSplit(evBlown, "user_id"))
@@ -1027,12 +1033,9 @@ object ScaleSmoke {
       import graft.operators.Analytics
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(spark, sfDir)
-        .select("user_id", "event_type", "event_id")
-      val evBlown = (0 until k).map { c =>
-        ev.select((col("user_id") + lit(c * 1000000L)).as("user_id"),
-          col("event_type"),
-          (col("event_id") + lit(c * 100000000L)).as("event_id"))
-      }.reduce(_ union _).localCheckpoint()
+        .select("user_id", "event_type", "event_id").localCheckpoint()
+      val evBlown = blowUp(ev,
+        Map("user_id" -> 1000000L, "event_id" -> 100000000L))
       def hllM(df: DataFrame) = Analytics.hllFinalize(Analytics.hllMerge(
         Analytics.hllRegisters(df.filter(pmod(col("event_id"), lit(2)) === 0),
           "event_type", "user_id"),
@@ -1056,11 +1059,8 @@ object ScaleSmoke {
       time("kmvMerge 1x", kmvM(ev))
       time(s"kmvMerge ${k}x (disjoint users)", kmvM(evBlown))
       val li = Tables.lineitem(spark, sfDir)
-        .select("l_orderkey", "l_extendedprice")
-      val liBlown = (0 until k).map { c =>
-        li.select((col("l_orderkey") + lit(c * 100000000L)).as("l_orderkey"),
-          col("l_extendedprice"))
-      }.reduce(_ union _).localCheckpoint()
+        .select("l_orderkey", "l_extendedprice").localCheckpoint()
+      val liBlown = blowUp(li, Map("l_orderkey" -> 100000000L))
       def histM(df: DataFrame) = {
         def half(p: Int) = Analytics.histogramState(
           df.filter(pmod(col("l_orderkey"), lit(2)) === p),
@@ -1072,6 +1072,9 @@ object ScaleSmoke {
       }
       time("histMerge 1x", histM(li))
       time(s"histMerge ${k}x rows", histM(liBlown))
+      // Both legs on checkpointed frames: baseC is the file-global corpus
+      // re-based to this section's unbiased-slope discipline.
+      val baseC = base.localCheckpoint()
       def toks(df: DataFrame) = df.select(
         explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
       def bloomM(df: DataFrame) = {
@@ -1080,7 +1083,7 @@ object ScaleSmoke {
         Analytics.bloomProbeBits(half(0).unionByName(half(1)).distinct(),
           toks(df), "tok", Analytics.CmProbes)
       }
-      time("bloomMerge 1x", bloomM(base))
+      time("bloomMerge 1x", bloomM(baseC))
       time(s"bloomMerge ${k}x docs", bloomM(blown))
       def cmM(df: DataFrame) = {
         def half(p: Int) = Analytics.countMin(
@@ -1088,7 +1091,7 @@ object ScaleSmoke {
         half(0).unionByName(half(1))
           .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
       }
-      time("countMinMerge 1x", cmM(base))
+      time("countMinMerge 1x", cmM(baseC))
       time(s"countMinMerge ${k}x docs", cmM(blown))
     }
     // ANN / embedding-similarity family (round 13 — upgrades the former
@@ -1103,10 +1106,7 @@ object ScaleSmoke {
       import graft.operators.Similarity
       val emb = Tables.embeddings(spark, sfDir)
         .select("vec_id", "label", "embedding").localCheckpoint()
-      val embBlown = (0 until k).map { c =>
-        emb.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
-          col("label"), col("embedding"))
-      }.reduce(_ union _).localCheckpoint()
+      val embBlown = blowUp(emb, Map("vec_id" -> 1000000L))
       time("knnBruteForce 1x (5 queries)", Similarity.knnBruteForce(
         emb, "vec_id", "embedding", col("vec_id") < 5))
       time(s"knnBruteForce ${k}x corpus (5 queries)", Similarity.knnBruteForce(

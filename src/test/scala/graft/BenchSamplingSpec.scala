@@ -30,12 +30,21 @@ class BenchSamplingSpec extends AnyFunSuite {
   }
 
   test("clean queries keep the plain median (record continuity)") {
-    assert(reported(Seq(1.0, 2.0, 3.0), runs = 3) == 2.0)
+    assert(reported(Seq(1.0, 2.0, 3.0), fired = false) == 2.0)
   }
 
-  test("re-sampled queries drop the single worst sample") {
+  test("fired defense drops the single worst sample") {
     // 5 samples (3 + 2 extra): drop 10.0, median of [1.0,1.1,1.2,1.3] = 1.15
-    assert(reported(Seq(1.0, 10.0, 1.2, 1.1, 1.3), runs = 3) == 1.15)
+    assert(reported(Seq(1.0, 10.0, 1.2, 1.1, 1.3), fired = true) == 1.15)
+  }
+
+  test("fired defense applies even when every extra execution failed") {
+    // The r13 review finding: extras can fail (takeWhile drops them); the
+    // flag — not the sample count — must key the drop-max, or the report
+    // silently falls back to the exact poisoned median. [0.89, 3.15, 4.36]
+    // with no surviving extras: drop 4.36 -> median(0.89, 3.15) = 2.02,
+    // not the poisoned 3.15.
+    assert(reported(Seq(0.89, 3.15, 4.36), fired = true) == 2.02)
   }
 
   test("the r12 poisoned profiles re-sample to their floors") {
@@ -45,7 +54,7 @@ class BenchSamplingSpec extends AnyFunSuite {
       ("q219", Seq(0.89, 3.15, 4.36), Seq(0.9, 0.92), 0.91))  // drop 4.36 → med(0.89,0.9,0.92,3.15)
     for ((name, first, extra, want) <- profiles) {
       assert(stallSuspected(first), s"$name must trigger the defense")
-      val got = reported(first ++ extra, runs = 3)
+      val got = reported(first ++ extra, fired = true)
       assert(math.abs(got - want) < 1e-9,
         s"$name: reported $got, want $want")
       // and in every case the defended number is far below the poisoned
