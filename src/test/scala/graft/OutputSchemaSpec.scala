@@ -29,6 +29,19 @@ class OutputSchemaSpec extends SparkSpec {
   private lazy val goldenPlans: Map[String, String] =
     goldenFile("/golden_plans.txt")
 
+  test("golden plan fingerprints carry no environment leakage") {
+    // The canonicalizer promises session-independence; if an exotic node's
+    // nodeName ever smuggles a temp path, a warehouse dir, or an
+    // expression id into a fingerprint, goldens would break on the next
+    // machine. Static check — no Spark needed.
+    val leaky = goldenPlans.filter { case (_, plan) =>
+      plan.contains("/tmp") || plan.contains("graft_wh") ||
+        plan.contains("file:") || plan.matches(".*#\\d+.*")
+    }.keys
+    assert(leaky.isEmpty,
+      s"environment-specific content in golden plans of: ${leaky.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every query has a golden schema and no golden entry is orphaned") {
     val qs = SparkEntry.queries.keySet
     assert((qs -- golden.keySet).isEmpty,
