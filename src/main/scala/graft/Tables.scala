@@ -45,6 +45,42 @@ object Tables {
     normalizeEventsTs(load(s, d, "events"))
   }
 
+  /** Content fingerprint of a fixture table path, for content-addressed
+    * staging (q216's evolve dir, chunkedStreamDir, binaryStageDir):
+    * returns (totalBytes, md5hex). The driver's testdata ships each table
+    * as a SINGLE parquet file, but a Spark-written copy — e.g. the 10×
+    * scale tier (tools/ScaleTier.scala) — is a DIRECTORY of part files.
+    * For a file this digests the raw bytes (unchanged from the original
+    * per-site hashing, so existing staged dirs stay valid); for a
+    * directory it folds each contained regular file's (relative path,
+    * bytes) in sorted-path order, so a data change, a part rename, or a
+    * part add/remove all change the fingerprint. Bounded driver read of
+    * one fixture table. */
+  private[graft] def fixtureFingerprint(p: java.nio.file.Path): (Long, String) = {
+    import java.nio.file.Files
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var total = 0L
+    if (Files.isDirectory(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      val files =
+        try walk.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(f => (p.relativize(f).toString, f)).toSeq.sortBy(_._1)
+        finally walk.close()
+      files.foreach { case (rel, f) =>
+        md.update(rel.getBytes("UTF-8")); md.update(0.toByte)
+        val bytes = Files.readAllBytes(f)
+        total += bytes.length
+        md.update(bytes)
+      }
+    } else {
+      val bytes = Files.readAllBytes(p)
+      total = bytes.length
+      md.update(bytes)
+    }
+    (total, md.digest().map("%02x".format(_)).mkString)
+  }
+
   /** The ONE place the `ts` physical encoding is adapted — batch loads and
     * every streaming source route through here. */
   private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame = {

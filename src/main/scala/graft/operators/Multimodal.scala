@@ -127,10 +127,9 @@ object Multimodal {
     * point this at shared storage (all executors must reach the dir). */
   private def binaryStageDir(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(d, "documents.parquet")
-    val md5hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(Files.readAllBytes(src)).map("%02x".format(_)).mkString
-    val fp = s"${Files.size(src)}_${md5hex.take(16)}"
+    val (srcSize, md5hex) =
+      graft.Tables.fixtureFingerprint(Paths.get(d, "documents.parquet"))
+    val fp = s"${srcSize}_${md5hex.take(16)}"
     val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
     val base = Paths.get(sys.props("java.io.tmpdir"))
     // '-' cannot appear in `safe` (the sanitizer maps it to '_'), so it is

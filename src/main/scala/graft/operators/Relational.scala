@@ -1002,9 +1002,7 @@ object Relational {
     * kilobytes); the data path is an ordinary pruned columnar scan. */
   private val q216: Q = (s, d) => {
     import java.nio.file.{Files, Paths}
-    val src = Paths.get(d, "orders.parquet")
-    val md5hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(Files.readAllBytes(src)).map("%02x".format(_)).mkString
+    val (_, md5hex) = Tables.fixtureFingerprint(Paths.get(d, "orders.parquet"))
     val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_evolve_$safe${md5hex.take(16)}")

@@ -386,11 +386,11 @@ object StreamingQueries {
     // the cache key must be CONTENT-ADDRESSED ((size, md5) of the fixture,
     // the binaryStageDir discipline): (size, mtime) alone would keep
     // serving stale chunks for a regenerated fixture restored with a
-    // preserved mtime. Hashing is a bounded driver read of the fixture.
-    val srcFile = Paths.get(d, "events.parquet")
-    val md5hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(Files.readAllBytes(srcFile)).map("%02x".format(_)).mkString
-    val fp = s"${Files.size(srcFile)}_${md5hex.take(16)}"
+    // preserved mtime. Hashing is a bounded driver read of the fixture;
+    // fixtureFingerprint also handles directory-shaped fixtures (the
+    // Spark-written 10× scale tier) that a raw readAllBytes rejects.
+    val (srcSize, md5hex) = Tables.fixtureFingerprint(Paths.get(d, "events.parquet"))
+    val fp = s"${srcSize}_${md5hex.take(16)}"
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_chunks_$safe${n}_$fp")
     val marker = dir.resolve("_STAGED")
     if (!Files.exists(marker)) {
@@ -419,10 +419,8 @@ object StreamingQueries {
       n: Int): String = {
     import java.nio.file.{Files, Paths}
     val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val srcFile = Paths.get(d, "events.parquet")
-    val md5hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(Files.readAllBytes(srcFile)).map("%02x".format(_)).mkString
-    val fp = s"${Files.size(srcFile)}_${md5hex.take(16)}"
+    val (srcSize, md5hex) = Tables.fixtureFingerprint(Paths.get(d, "events.parquet"))
+    val fp = s"${srcSize}_${md5hex.take(16)}"
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_tchunks_$safe${n}_$fp")
     val marker = dir.resolve("_STAGED")
     if (!Files.exists(marker)) {
