@@ -2529,6 +2529,52 @@ object Analytics {
     cusumAlarms(Tables.events(s, d), "event_type", "ts", "event_id", "value")
       .orderBy(col("event_type"), col("ts"), col("event_id")))
 
+  // ----------------------------------- scale-safe exact global ntile --
+
+  /** Scale-correct exact global row index under a TOTAL order: range
+    * partition + within-partition sort, then the canonical two-pass
+    * `zipWithIndex` (per-partition counts → broadcast offsets) — the SNM /
+    * zone-map / q163 machinery, generalized to any schema. NEVER a
+    * single-partition `row_number` window: every partition ranks in
+    * parallel and only the per-partition COUNTS cross the driver. The
+    * order must be total (include a unique id) or the index is
+    * partition-boundary-dependent. Index is 1-based (row_number parity).
+    */
+  private def withGlobalIndex(df: DataFrame, order: Seq[Column],
+      idxName: String): DataFrame = {
+    val s = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idxName, org.apache.spark.sql.types.LongType, nullable = false))
+    s.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      schema)
+  }
+
+  /** Exact `ntile(n)` bucket as a pure function of (1-based global rank,
+    * total count) — the SQL-standard distribution both Spark and DuckDB
+    * implement: with q = c div n and rem = c mod n, the first `rem`
+    * buckets hold q+1 rows, the rest q. Combined with [[withGlobalIndex]]
+    * this replaces a single-partition global ntile window with a fully
+    * parallel two-pass plan while staying bit-identical to the window
+    * form (the oracle keeps plain `ntile`): rank ≤ (q+1)·rem lands in
+    * bucket ⌈rank/(q+1)⌉, the rest in rem + ⌈(rank − (q+1)·rem)/q⌉. The
+    * `greatest(q, 1)` guards the (dead when c < n) second branch against
+    * an ANSI divide-by-zero. */
+  private def ntileFromIndex(rnCol: String, ctCol: String, n: Int): Column = {
+    // SQL `div` (exact long division) rather than floor(a / b): a double
+    // quotient of two ~1e12 longs can land one ulp under an exact integer
+    // and floor() to the wrong bucket.
+    val q = s"($ctCol div $n)"
+    val rem = s"($ctCol % $n)"
+    expr(s"CAST(CASE WHEN $rnCol <= ($q + 1) * $rem" +
+      s" THEN ($rnCol + $q) div ($q + 1)" +
+      s" ELSE $rem + (($rnCol - ($q + 1) * $rem + $q - 1) div greatest($q, 1L))" +
+      s" END AS BIGINT)")
+  }
+
   // ------------------------------------------------- RFM segmentation --
 
   /** RFM (recency / frequency / monetary) customer segmentation — the
@@ -2537,19 +2583,17 @@ object Analytics {
     * revenue, each scored into quintiles, concatenated into the "543"
     * style segment label.
     *
-    * One keyed aggregate collapses orders to a customer frame first; the
-    * three ntile windows then run over that bounded frame, each under a
-    * TOTAL order (metric, custkey) so tie placement is deterministic
-    * cross-engine. ntile is cast to BIGINT (the q171 lesson: Spark emits
-    * int32, DuckDB int64). Scores point "5 = best": recency sorts DESC
-    * (most recent customers land in the last bucket), frequency and
-    * monetary ASC (heaviest land last).
-    *
-    * Scale: the quintile windows are single-partition over the CUSTOMER
-    * frame (not orders) — the same global-rank shape as equal-frequency
-    * binning (q171); at true 100 TB customer cardinality the drop-in
-    * replacement is rank-against-broadcast-quantile-bounds, which AQE
-    * keeps exchange-free. */
+    * One keyed aggregate collapses orders to a customer frame first.
+    * Each quintile score is an exact-ntile over a TOTAL order
+    * (metric, custkey) so tie placement is deterministic cross-engine,
+    * computed scale-safely: [[withGlobalIndex]] (range shuffle +
+    * parallel per-partition rank) + [[ntileFromIndex]] — no
+    * single-partition window anywhere, so the plan survives 100×
+    * customer cardinality; the oracle keeps plain `ntile`, which the
+    * formula matches row-for-row. Scores are BIGINT (the q171 lesson:
+    * Spark's ntile emits int32, DuckDB int64) and point "5 = best":
+    * recency sorts DESC (most recent customers land in the last
+    * bucket), frequency and monetary ASC (heaviest land last). */
   def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
       amtCol: String): DataFrame = {
     val per = orders.groupBy(col(custCol))
@@ -2561,13 +2605,23 @@ object Analytics {
     val base = per.crossJoin(broadcast(ref))
       .withColumn("recency_days",
         datediff(col("_ref"), col("_last")).cast("long"))
-    val wR = Window.orderBy(col("recency_days").desc, col(custCol))
-    val wF = Window.orderBy(col("frequency"), col(custCol))
-    val wM = Window.orderBy(col("monetary"), col(custCol))
-    base
-      .withColumn("r_score", ntile(5).over(wR).cast("long"))
-      .withColumn("f_score", ntile(5).over(wF).cast("long"))
-      .withColumn("m_score", ntile(5).over(wM).cast("long"))
+      .select(col(custCol), col("recency_days"), col("frequency"),
+        col("monetary"))
+    // Three total orders → three chained two-pass indices over the same
+    // bounded customer frame (chaining avoids three joins back on the
+    // key; each pass is one parallel range shuffle of a 4-column frame).
+    val i1 = withGlobalIndex(base,
+      Seq(col("recency_days").desc, col(custCol)), "_rnr")
+    val i2 = withGlobalIndex(i1, Seq(col("frequency"), col(custCol)), "_rnf")
+    val i3 = withGlobalIndex(i2, Seq(col("monetary"), col(custCol)), "_rnm")
+      .localCheckpoint()
+    // Total count as a broadcast 1-row frame (max of a 1..c permutation),
+    // off the checkpointed index so the 3-pass chain computes once.
+    val withCt = i3.crossJoin(broadcast(i3.agg(max(col("_rnm")).as("_ct"))))
+    withCt
+      .withColumn("r_score", ntileFromIndex("_rnr", "_ct", 5))
+      .withColumn("f_score", ntileFromIndex("_rnf", "_ct", 5))
+      .withColumn("m_score", ntileFromIndex("_rnm", "_ct", 5))
       .select(col(custCol), col("recency_days"), col("frequency"),
         col("monetary"), col("r_score"), col("f_score"), col("m_score"),
         concat(col("r_score").cast("string"), col("f_score").cast("string"),
@@ -2686,24 +2740,35 @@ object Analytics {
     * plus the q171/q198 ntile pins (BIGINT bin under a TOTAL
     * (feature, id) order).
     *
-    * Scale: the corpus collapses to the bins-bounded frame right after
-    * the ntile; the quintile window is the q171 global-rank shape with
-    * the same documented 100 TB drop-in (rank vs broadcast quantile
-    * bounds). */
+    * Scale: the equal-frequency bin is the exact-ntile distribution but
+    * computed scale-safely — [[withGlobalIndex]] (one parallel range
+    * shuffle of the 3-column projection, per-partition rank, offsets
+    * broadcast) + [[ntileFromIndex]] — never a single-partition window
+    * over the corpus; the corpus then collapses to the bins-bounded
+    * frame in one keyed aggregate. The oracle keeps plain `ntile`,
+    * which the formula matches row-for-row. */
   def woeIv(df: DataFrame, featureCol: String, idCol: String,
       labelCol: Column, bins: Int = 10): DataFrame = {
     require(bins >= 2, s"woeIv: bins must be >= 2, got $bins")
-    val w = Window.orderBy(col(featureCol), col(idCol))
     // Null-safe label: a NULL label must count as ONE of the classes, not
     // neither. Without the coalesce, when(_bad).otherwise / when(!_bad)
     // .otherwise both fall to 0 for NULL (n_bad + n_good < n) while the
     // DuckDB oracle's CASE WHEN bad THEN 0 ELSE 1 counts the row as good —
     // a latent cross-engine divergence. coalesce(.., false) pins the
     // choice (NULL label = good) identically in both engines.
-    val binned = df
+    val base = df
       .select(col(featureCol), col(idCol),
         coalesce(labelCol.cast("boolean"), lit(false)).as("_bad"))
-      .withColumn("bin", ntile(bins).over(w).cast("long"))
+    val indexed = withGlobalIndex(base,
+      Seq(col(featureCol), col(idCol)), "_rn")
+    // Total count via the cheap scalar count (the zipWithIndex shuffle is
+    // already materialized, so this re-walks map outputs, not the scan);
+    // the structural plan fingerprint carries no literals, so the value
+    // embedding is golden-safe.
+    val c = indexed.count()
+    val binned = indexed
+      .withColumn("_ct", lit(c))
+      .withColumn("bin", ntileFromIndex("_rn", "_ct", bins))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("_bad"), 1L).otherwise(0L)).as("n_bad"),

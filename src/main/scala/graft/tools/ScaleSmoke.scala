@@ -932,9 +932,11 @@ object ScaleSmoke {
       time("observeMetrics 1x", observed(li))
       time(s"observeMetrics ${k}x rows", observed(liBlown))
     }
-    // Eval/experiment batch. woeIv's global ntile is its documented
-    // single-partition stage (the q171 rank shape with the 100 TB
-    // broadcast-quantile-bounds drop-in) — the K× row prices exactly that.
+    // Eval/experiment batch. woeIv's equal-frequency bin is the two-pass
+    // global index (range shuffle + parallel per-partition rank) + the
+    // exact-ntile formula — the K× row prices that parallel path (it was
+    // 4.9×/20× super-linear in round 13 when it was still a
+    // single-partition global ntile window; the r14 rewrite is the fix).
     // forecastBacktest/winsorize/mixShift take K× rows into the SAME key
     // space (their first aggregate collapses to 1×-sized frames); cuped
     // takes K× disjoint units (its unit-keyed aggregate grows K×, the
@@ -947,7 +949,7 @@ object ScaleSmoke {
       val ordsBlown = blowUp(ords, Map("o_orderkey" -> 100000000L))
       time("woeIv 1x", Analytics.woeIv(ords, "o_totalprice", "o_orderkey",
         col("o_orderstatus") === "F"))
-      time(s"woeIv ${k}x rows (global ntile)", Analytics.woeIv(ordsBlown,
+      time(s"woeIv ${k}x rows (two-pass rank)", Analytics.woeIv(ordsBlown,
         "o_totalprice", "o_orderkey", col("o_orderstatus") === "F"))
       val ev = Tables.events(spark, sfDir)
         .select("user_id", "ts", "event_id", "event_type", "value")

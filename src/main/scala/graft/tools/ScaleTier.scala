@@ -46,20 +46,20 @@ object ScaleTier {
     * shingle/token sets are disjoint across copies. */
   private[graft] val alpha = "aeiousnrtl"
   private[graft] val targets: Seq[String] = {
-    // Deterministic distinct rotations+swap: rotation by c, with a fixed
-    // transposition applied when c >= alpha.length/2 keeps all ten distinct
-    // even if two rotations coincide (they can't here, but cheap insurance).
-    (0 until 10).map { c =>
-      val rot = alpha.drop(c) + alpha.take(c)
-      if (c == 0) alpha else rot
-    }
+    // Pure rotations. The distinctness invariant is the ALPHABET's: all
+    // ten characters are distinct, so any two different rotations disagree
+    // at every position (a coincidence would need a repeated character at
+    // the rotation distance). Target 0 is the identity rotation — copy 0
+    // stays unperturbed. Pinned by ScaleTierSpec.
+    (0 until 10).map(c => alpha.drop(c) + alpha.take(c))
   }
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_TIER_OUT", "/tmp/graft_sf1")
     val k = sys.env.getOrElse("SPARK_GRAFT_TIER_K", "10").toInt
-    require(k <= 10, s"tier K=$k > 10: only 10 distinct text permutations defined")
+    require(1 <= k && k <= 10,
+      s"tier K=$k out of range: need 1 <= K <= 10 (10 distinct text permutations defined; K=0 would make replicate's reduce over zero copies throw)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-tier")

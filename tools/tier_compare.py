@@ -9,6 +9,12 @@ plus totals. For a K=10 tier, compute-bound queries should grow <= ~10x
 scale-killer candidate worth a plan read. Queries dominated by per-query
 fixed cost (sub-second at sf0.1) will show noisy small ratios - the
 interesting rows are the ones that were already >= ~0.5s at sf0.1.
+
+Key formats differ by construction: bench_out.json "queries" carries the
+SHORT keys (q01) the stdout-tail contract requires, bench_samples.json the
+full names (q01_pricing_summary). Both inputs are normalized to the short
+prefix before matching (r13 ADVICE: unnormalized names never matched, every
+ratio printed inf).
 """
 import json, statistics, sys
 
@@ -18,8 +24,25 @@ base_path = sys.argv[2] if len(sys.argv) > 2 else "bench_samples.json"
 tier = json.load(open(tier_path))
 base = json.load(open(base_path))
 
-tier_q = tier["queries"]
-base_q = {k: statistics.median(v) for k, v in base["queries"].items() if v}
+
+def short(name):
+    return name.split("_", 1)[0]
+
+
+def reported(samples, runs):
+    """Mirror BenchSampling.reported: a row longer than the file's `runs`
+    field is a stall-defended re-sample - drop the single worst sample
+    before the median, exactly as the round record did (r13 ADVICE: a
+    plain median re-includes the stall outlier the defense dropped)."""
+    if runs and len(samples) > runs:
+        samples = sorted(samples)[:-1]
+    return statistics.median(samples)
+
+
+base_runs = base.get("runs")
+base_q = {short(k): reported(v, base_runs)
+          for k, v in base["queries"].items() if v}
+tier_q = {short(k): v for k, v in tier["queries"].items()}
 
 rows = []
 for name, t in sorted(tier_q.items()):
@@ -43,7 +66,10 @@ for ratio, name, t, b in rows:
 
 tt = sum(t for t in tier_q.values() if t is not None and t >= 0)
 bt = sum(base_q.get(n, 0) for n in tier_q)
-print(f"\ntotal tier {tt:.1f}s vs sf0.1 {bt:.1f}s -> {tt / bt:.2f}x for 10x data")
+if bt > 0:
+    print(f"\ntotal tier {tt:.1f}s vs sf0.1 {bt:.1f}s -> {tt / bt:.2f}x for 10x data")
+else:
+    print(f"\ntotal tier {tt:.1f}s (no matching sf0.1 base rows - check key formats)")
 failed = [n for n, t in tier_q.items() if t is None or t < 0]
 if failed:
     print("FAILED:", ", ".join(sorted(failed)))
