@@ -246,7 +246,17 @@ object Bench {
     val total = results.collect {
       case (_, (v, fired)) if v.nonEmpty => BenchSampling.reported(v, fired)
     }.sum
-    val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    // Sum of per-query FLOORS (min sample) alongside the sum of medians
+    // (r13/r14 brief item: three consecutive rounds read 176–180 s hot
+    // medians against a 133–151 s quiet steady band, and arbitrating
+    // "hot window vs real regression" required PERF.md archaeology every
+    // time). The floor is the steady-state estimate the medians converge
+    // to in a quiet window: value ≈ sum_of_mins → the window was quiet;
+    // value ≫ sum_of_mins → container contention, not plan drift.
+    val sumOfMins = results.collect {
+      case (_, (v, _)) if v.nonEmpty => v.min
+    }.sum
+    val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","sum_of_mins":${fmt("2", sumOfMins)},"runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
     // The consumer keeps only a ~2000-char stdout TAIL; at 225 queries the
     // combined line is ~2.7 KB, so its head — which carries "value" — was
     // truncated away in rounds 10 and 11 ("parsed": null). Contract fix:
@@ -254,7 +264,7 @@ object Bench {
     // line prints LAST, so the total always survives the tail regardless
     // of how many queries the per-query map grows to.
     val nFailed = results.count(_._2._1.isEmpty)
-    val shortJson = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","runs":$runs,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
+    val shortJson = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","sum_of_mins":${fmt("2", sumOfMins)},"runs":$runs,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
     // Backstop for log-noise-sensitive parsers: the same single line, ALONE
     // in bench_out.json (one parseable JSON document — the file's contract).
     // Full-precision per-run samples go to a separate bench_samples.json so
@@ -263,10 +273,18 @@ object Bench {
         "\"" + k + "\":" +
           (if (v.isEmpty) "null" else v.map(fmt("3", _)).mkString("[", ",", "]"))
       }.mkString("{", ",", "}")
+    // Persist WHICH queries the stall defense fired on (r14 ADVICE): the
+    // tier_compare mirror used to infer "fired" from row length > runs,
+    // which misreads the case where every extra re-sample failed (row
+    // stays length == runs, yet the round record used the drop-max
+    // median). The explicit list makes the mirror exact.
+    val firedList = results.collect {
+      case (k, (v, true)) if v.nonEmpty => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_samples.json"),
-      (s"""{"metric":"samples","runs":$runs,"queries":$detail}""" + "\n").getBytes("UTF-8"))
+      (s"""{"metric":"samples","runs":$runs,"fired":$firedList,"queries":$detail}""" + "\n").getBytes("UTF-8"))
     // The short total line is the one that must survive the tail; it is
     // bounded (~110 chars) by construction. Warn only if it somehow grows.
     if (shortJson.length > 500)

@@ -1593,6 +1593,80 @@ object Analytics {
       "user_id", "item")
       .orderBy(col("user_id"), col("rank")))
 
+  /** [[recommendItems]] with the production valve the uncapped form is
+    * missing at 100 TB: a per-user cap on candidate-contribution rows.
+    * The scoring join's fan-out per user is |seen_u| × neighbor-degree —
+    * unbounded on BOTH axes (a power user with 10⁶ interactions, a hub
+    * item co-occurring with everything), and it all lands in one user's
+    * aggregation/window state. `maxContribPerUser` keeps each user's
+    * top-N contribution rows by (lift DESC, rec, item) — the
+    * highest-lift evidence, i.e. the rows that can still move the top-k —
+    * and flags the user's recommendations `capped = true` when rows were
+    * dropped, the q193/q194 valve discipline (bound the answer, say
+    * where it was bounded) applied to the recommender.
+    *
+    * Knowingly partial under truncation: a candidate accumulating many
+    * small lifts can lose to one that kept fewer, larger ones — that is
+    * the valve's contract, priced by the flag. The cap order is a TOTAL
+    * order per user ((lift, rec, item) — (rec, item) is unique within a
+    * user by construction), so the surviving set and therefore every
+    * score is deterministic and the DuckDB oracle replays the cap
+    * row-for-row. The anti-join still uses the user's FULL seen set —
+    * truncation may drop candidates, never re-admit owned items.
+    *
+    * Scale: rides [[coOccurrence]]'s capped pair table; the per-user cap
+    * compiles to a (b)-partitioned rank whose state is one user's
+    * contribution list, never the corpus; everything downstream of the
+    * valve is ≤ maxContribPerUser rows per user by construction. */
+  def recommendItemsCapped(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int = 3, maxItemsPerBasket: Int = 100,
+      maxContribPerUser: Int = 4800): DataFrame = {
+    require(k >= 1, s"recommendItemsCapped: k must be >= 1, got $k")
+    require(maxContribPerUser >= 1,
+      s"recommendItemsCapped: maxContribPerUser must be >= 1, got $maxContribPerUser")
+    val co = coOccurrence(df, basketCol, itemCol, maxItemsPerBasket)
+      .withColumn("_l", col("lift").cast("decimal(12,6)"))
+    val sym = co.select(col("item1").as("_it"), col("item2").as("rec"), col("_l"))
+      .unionByName(co.select(col("item2").as("_it"), col("item1").as("rec"),
+        col("_l")))
+    val seen = df.select(col(basketCol).as("b"), col(itemCol).as("_it"))
+      .filter(col("b").isNotNull && col("_it").isNotNull).distinct()
+      .localCheckpoint()
+    // The valve: per-user top-N contribution rows under a total order.
+    // The count-over-same-window sidecar funds the flag (as in q193's
+    // family cap); it forfeits the WindowGroupLimit pushdown, but the
+    // window state is one user's contribution list — already the thing
+    // the cap bounds.
+    val w = Window.partitionBy(col("b"))
+    val kept = seen.join(sym, "_it")
+      .withColumn("_rk", row_number().over(
+        w.orderBy(col("_l").desc, col("rec"), col("_it"))))
+      .withColumn("_nc", count(lit(1)).over(w))
+      .filter(col("_rk") <= maxContribPerUser)
+      .withColumn("_trunc", col("_nc") > maxContribPerUser)
+    val scored = kept
+      .groupBy(col("b"), col("rec"))
+      .agg(sum(col("_l")).cast("decimal(38,6)").as("score"),
+        count(lit(1)).as("n_sources"),
+        bool_or(col("_trunc")).as("capped"))
+      .join(seen.select(col("b"), col("_it").as("rec")),
+        Seq("b", "rec"), "left_anti")
+    val rk = Window.partitionBy(col("b"))
+      .orderBy(col("score").desc, col("rec"))
+    scored
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select(col("b").as(basketCol), col("rank").cast("int").as("rank"),
+        col("rec"), col("score"), col("n_sources"), col("capped"))
+  }
+
+  private val q226: Q = (s, d) => DriverOutput.noDecimals(
+    recommendItemsCapped(
+      Tables.events(s, d).withColumn("item",
+        from_json(col("props"), lit("k INT")).getField("k")),
+      "user_id", "item")
+      .orderBy(col("user_id"), col("rank")))
+
   // ------------------------------------------------------------- upsert --
 
   /** CDC latest-wins merge (MERGE INTO compaction semantics without a
@@ -2540,7 +2614,7 @@ object Analytics {
     * order must be total (include a unique id) or the index is
     * partition-boundary-dependent. Index is 1-based (row_number parity).
     */
-  private def withGlobalIndex(df: DataFrame, order: Seq[Column],
+  private[graft] def withGlobalIndex(df: DataFrame, order: Seq[Column],
       idxName: String): DataFrame = {
     val s = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
@@ -2563,7 +2637,7 @@ object Analytics {
     * bucket ⌈rank/(q+1)⌉, the rest in rem + ⌈(rank − (q+1)·rem)/q⌉. The
     * `greatest(q, 1)` guards the (dead when c < n) second branch against
     * an ANSI divide-by-zero. */
-  private def ntileFromIndex(rnCol: String, ctCol: String, n: Int): Column = {
+  private[graft] def ntileFromIndex(rnCol: String, ctCol: String, n: Int): Column = {
     // SQL `div` (exact long division) rather than floor(a / b): a double
     // quotient of two ~1e12 longs can land one ulp under an exact integer
     // and floor() to the wrong bucket.
@@ -2610,6 +2684,11 @@ object Analytics {
     // Three total orders → three chained two-pass indices over the same
     // bounded customer frame (chaining avoids three joins back on the
     // key; each pass is one parallel range shuffle of a 4-column frame).
+    // NOTE: construction is EAGER — each zipWithIndex triggers a job and
+    // the chain ends in a localCheckpoint, so merely BUILDING this frame
+    // (PlanSpec/ExplainDump/each bench sample) pays all three passes.
+    // Acceptable for the customer-bounded frame; revisit (checkpoint
+    // after i1/i2 too) only if the tier bench prices the recompute.
     val i1 = withGlobalIndex(base,
       Seq(col("recency_days").desc, col(custCol)), "_rnr")
     val i2 = withGlobalIndex(i1, Seq(col("frequency"), col(custCol)), "_rnf")
@@ -2759,12 +2838,18 @@ object Analytics {
     val base = df
       .select(col(featureCol), col(idCol),
         coalesce(labelCol.cast("boolean"), lit(false)).as("_bad"))
+    // localCheckpoint so the count below and every downstream branch share
+    // ONE materialization of the two-pass index (r14 ADVICE: uncached, the
+    // plan carried 4 RDDScan recomputes of the index pipeline and the
+    // count-vs-execution consistency rested on shuffle-file reuse). NOTE:
+    // construction is therefore EAGER — building the frame runs the range
+    // shuffle + zipWithIndex + checkpoint before any action; the count is
+    // a cheap scan of the checkpointed blocks. The structural plan
+    // fingerprint carries no literals, so the value embedding stays
+    // golden-safe.
     val indexed = withGlobalIndex(base,
       Seq(col(featureCol), col(idCol)), "_rn")
-    // Total count via the cheap scalar count (the zipWithIndex shuffle is
-    // already materialized, so this re-walks map outputs, not the scan);
-    // the structural plan fingerprint carries no literals, so the value
-    // embedding is golden-safe.
+      .localCheckpoint()
     val c = indexed.count()
     val binned = indexed
       .withColumn("_ct", lit(c))
@@ -3044,6 +3129,7 @@ object Analytics {
     "q215_hll_merge" -> q215,
     "q217_state_occupancy" -> q217,
     "q218_recommend" -> q218,
+    "q226_recommend_capped" -> q226,
     "q219_cuped" -> q219,
     "q220_mix_shift" -> q220,
     "q136_transitions" -> q136,
@@ -3611,6 +3697,58 @@ object Analytics {
              FROM fresh)
       SELECT b AS user_id, rank, rec, CAST(score AS DOUBLE) AS score,
              n_sources
+      FROM rk WHERE rank <= 3
+      ORDER BY user_id, rank""",
+    // q218's chain with the per-user contribution valve replayed: the
+    // row_number cap under the (lift DESC, rec, it) total order, the
+    // count-over sidecar truncation flag, DECIMAL-pinned score sums over
+    // the SURVIVING rows only, anti-join still against the full seen set.
+    "q226_recommend_capped" -> """
+      WITH bi AS (
+        SELECT DISTINCT user_id AS b,
+               CAST(json_extract_string(props, '$.k') AS INT) AS it
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL),
+      capped AS (
+        SELECT b, it FROM (
+          SELECT b, it, row_number() OVER (PARTITION BY b ORDER BY it) AS rn
+          FROM bi) WHERE rn <= 100),
+      nn AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM capped),
+      pairs AS (
+        SELECT x.it AS item1, y.it AS item2, count(*) AS n_baskets
+        FROM capped x JOIN capped y ON x.b = y.b AND x.it < y.it
+        GROUP BY 1, 2),
+      marg AS (SELECT it, count(*) AS m FROM capped GROUP BY 1),
+      co AS (SELECT item1, item2,
+                    CAST(round(CAST(p.n_baskets AS DOUBLE) * n
+                          / (CAST(m1.m AS DOUBLE) * CAST(m2.m AS DOUBLE)), 6)
+                         AS DECIMAL(12,6)) AS l
+             FROM pairs p JOIN marg m1 ON p.item1 = m1.it
+                          JOIN marg m2 ON p.item2 = m2.it, nn),
+      sym AS (SELECT item1 AS it, item2 AS rec, l FROM co
+              UNION ALL SELECT item2, item1, l FROM co),
+      contrib AS (
+        SELECT bi.b, bi.it, sym.rec, sym.l,
+               row_number() OVER (PARTITION BY bi.b
+                                  ORDER BY sym.l DESC, sym.rec, bi.it) AS rk,
+               count(*) OVER (PARTITION BY bi.b) AS nc
+        FROM bi JOIN sym ON bi.it = sym.it),
+      kept AS (SELECT b, rec, l, (nc > 4800) AS trunc
+               FROM contrib WHERE rk <= 4800),
+      scored AS (
+        SELECT b, rec, CAST(sum(l) AS DECIMAL(38,6)) AS score,
+               count(*) AS n_sources, bool_or(trunc) AS capped
+        FROM kept GROUP BY b, rec),
+      fresh AS (
+        SELECT s.* FROM scored s
+        WHERE NOT EXISTS (SELECT 1 FROM bi
+                          WHERE bi.b = s.b AND bi.it = s.rec)),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY b
+                             ORDER BY score DESC, rec) AS INT) AS rank
+             FROM fresh)
+      SELECT b AS user_id, rank, rec, CAST(score AS DOUBLE) AS score,
+             n_sources, capped
       FROM rk WHERE rank <= 3
       ORDER BY user_id, rank""",
     "q165_cooccurrence" -> """

@@ -993,6 +993,21 @@ object ScaleSmoke {
         Analytics.recommendItems(withItem(evP), "user_id", "item"))
       time(s"recommendItems ${k}x baskets",
         Analytics.recommendItems(withItem(evPBlown), "user_id", "item"))
+      // recommendItemsCapped: the per-user contribution valve (r14 brief
+      // item 5). Two axes: K× disjoint baskets (directly comparable to
+      // the uncapped row above — the slope is user cardinality, per-user
+      // state is valve-bounded either way) and K× rows PER USER
+      // (item-shifted, same users — the power-user axis the valve exists
+      // for: per-user candidate state stays ≤ maxContribPerUser while the
+      // per-user input grows K×, so the slope should be the K× distinct
+      // scan, not the scoring fan-out).
+      time("recommendItemsCapped 1x",
+        Analytics.recommendItemsCapped(withItem(evP), "user_id", "item"))
+      time(s"recommendItemsCapped ${k}x baskets",
+        Analytics.recommendItemsCapped(withItem(evPBlown), "user_id", "item"))
+      val evPItems = blowUp(withItem(evP), Map("item" -> 1000L))
+      time(s"recommendItemsCapped ${k}x rows/user (valve)",
+        Analytics.recommendItemsCapped(evPItems, "user_id", "item"))
     }
     // GDPR purge: broadcast anti-join per table + streamed counts — K× the
     // table rows AND K× the deletion list (still ≪ table, still broadcast).

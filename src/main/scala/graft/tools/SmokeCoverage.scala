@@ -147,6 +147,7 @@ object SmokeCoverage {
     "q215_hll_merge" -> "sketchmerge: hllMerge",
     "q217_state_occupancy" -> "r13eval: stateOccupancy",
     "q218_recommend" -> "r13eval: recommendItems",
+    "q226_recommend_capped" -> "r13eval: recommendItemsCapped",
     "q219_cuped" -> "r13eval: cuped",
     "q220_mix_shift" -> "r13eval: mixShift",
     "q221_group_split" -> "groupsplit: groupSplit",

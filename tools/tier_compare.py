@@ -29,18 +29,23 @@ def short(name):
     return name.split("_", 1)[0]
 
 
-def reported(samples, runs):
-    """Mirror BenchSampling.reported: a row longer than the file's `runs`
-    field is a stall-defended re-sample - drop the single worst sample
-    before the median, exactly as the round record did (r13 ADVICE: a
-    plain median re-includes the stall outlier the defense dropped)."""
-    if runs and len(samples) > runs:
-        samples = sorted(samples)[:-1]
+def reported(samples, runs, fired):
+    """Mirror BenchSampling.reported: drop the single worst sample before
+    the median exactly when the stall defense FIRED on that query. New
+    bench_samples.json files carry the fired set explicitly (r14 ADVICE:
+    inferring it from row length > runs misses the all-extras-failed case,
+    where the row stays length == runs yet the round record used the
+    drop-max median); the length heuristic remains as the fallback for
+    pre-r15 files that lack the field."""
+    if fired or (runs and len(samples) > runs):
+        if len(samples) >= 2:
+            samples = sorted(samples)[:-1]
     return statistics.median(samples)
 
 
 base_runs = base.get("runs")
-base_q = {short(k): reported(v, base_runs)
+base_fired = {short(n) for n in base.get("fired", [])}
+base_q = {short(k): reported(v, base_runs, short(k) in base_fired)
           for k, v in base["queries"].items() if v}
 tier_q = {short(k): v for k, v in tier["queries"].items()}
 
