@@ -1593,35 +1593,46 @@ object Analytics {
       "user_id", "item")
       .orderBy(col("user_id"), col("rank")))
 
-  /** [[recommendItems]] with the production valve the uncapped form is
-    * missing at 100 TB: a per-user cap on candidate-contribution rows.
-    * The scoring join's fan-out per user is |seen_u| × neighbor-degree —
-    * unbounded on BOTH axes (a power user with 10⁶ interactions, a hub
-    * item co-occurring with everything), and it all lands in one user's
-    * aggregation/window state. `maxContribPerUser` keeps each user's
-    * top-N contribution rows by (lift DESC, rec, item) — the
-    * highest-lift evidence, i.e. the rows that can still move the top-k —
-    * and flags the user's recommendations `capped = true` when rows were
-    * dropped, the q193/q194 valve discipline (bound the answer, say
-    * where it was bounded) applied to the recommender.
+  /** [[recommendItems]] with the production valves the uncapped form is
+    * missing at 100 TB. The scoring join's fan-out is |seen_u| ×
+    * neighbor-degree per user — unbounded on BOTH axes (a power user
+    * with 10⁶ interactions, a hub item co-occurring with everything) —
+    * and ranking that stream per user is a corpus-sized sort. Two caps,
+    * applied in the order that keeps every intermediate bounded:
+    *
+    *  1. `maxNeighborsPerItem` — item-kNN truncation, the standard
+    *     neighborhood-CF bound: each item keeps only its top-n
+    *     co-occurrence edges by (lift DESC, rec). This runs on the
+    *     SMALL pair table (already bounded by [[coOccurrence]]'s basket
+    *     cap) as a WindowGroupLimit, and bounds the scoring join's
+    *     output to |seen| × n BEFORE the big join ever happens. The
+    *     first q226 cut ranked raw contributions instead and the 10×
+    *     tier bench priced the mistake at 37× (a 72M-row per-user sort
+    *     at tier; PERF.md round-15 section) — cap the small side, not
+    *     the fan-out.
+    *  2. `maxContribPerUser` — the per-user valve with the explicit
+    *     q193/q194 truncation flag: each user keeps their top-C
+    *     surviving contribution rows under the (lift DESC, rec, item)
+    *     total order ((rec, item) is unique per user by construction),
+    *     `capped = true` on the user's recommendations when rows were
+    *     dropped. The ranked stream is already ≤ |seen_u| × n rows per
+    *     user, so the valve's sort state is bounded by cap 1.
     *
     * Knowingly partial under truncation: a candidate accumulating many
     * small lifts can lose to one that kept fewer, larger ones — that is
-    * the valve's contract, priced by the flag. The cap order is a TOTAL
-    * order per user ((lift, rec, item) — (rec, item) is unique within a
-    * user by construction), so the surviving set and therefore every
-    * score is deterministic and the DuckDB oracle replays the cap
-    * row-for-row. The anti-join still uses the user's FULL seen set —
-    * truncation may drop candidates, never re-admit owned items.
-    *
-    * Scale: rides [[coOccurrence]]'s capped pair table; the per-user cap
-    * compiles to a (b)-partitioned rank whose state is one user's
-    * contribution list, never the corpus; everything downstream of the
-    * valve is ≤ maxContribPerUser rows per user by construction. */
+    * the valve contract (bound the answer, say where it was bounded).
+    * Cap 1 is a structural parameter like `maxItemsPerBasket` (disclosed
+    * here, replayed by the oracle); cap 2 carries the row-level flag.
+    * Both cap orders are TOTAL, so every score is deterministic and the
+    * DuckDB oracle replays both caps row-for-row. The anti-join still
+    * uses the user's FULL seen set — truncation may drop candidates,
+    * never re-admit owned items. */
   def recommendItemsCapped(df: DataFrame, basketCol: String, itemCol: String,
       k: Int = 3, maxItemsPerBasket: Int = 100,
-      maxContribPerUser: Int = 4800): DataFrame = {
+      maxNeighborsPerItem: Int = 50, maxContribPerUser: Int = 2400): DataFrame = {
     require(k >= 1, s"recommendItemsCapped: k must be >= 1, got $k")
+    require(maxNeighborsPerItem >= 1,
+      s"recommendItemsCapped: maxNeighborsPerItem must be >= 1, got $maxNeighborsPerItem")
     require(maxContribPerUser >= 1,
       s"recommendItemsCapped: maxContribPerUser must be >= 1, got $maxContribPerUser")
     val co = coOccurrence(df, basketCol, itemCol, maxItemsPerBasket)
@@ -1629,16 +1640,22 @@ object Analytics {
     val sym = co.select(col("item1").as("_it"), col("item2").as("rec"), col("_l"))
       .unionByName(co.select(col("item2").as("_it"), col("item1").as("rec"),
         col("_l")))
+    // Cap 1: top-n neighbor list per item — a pure row_number filter so
+    // it compiles to WindowGroupLimit over the bounded pair table.
+    val nbr = sym
+      .withColumn("_nr", row_number().over(
+        Window.partitionBy(col("_it")).orderBy(col("_l").desc, col("rec"))))
+      .filter(col("_nr") <= maxNeighborsPerItem)
+      .drop("_nr")
     val seen = df.select(col(basketCol).as("b"), col(itemCol).as("_it"))
       .filter(col("b").isNotNull && col("_it").isNotNull).distinct()
       .localCheckpoint()
-    // The valve: per-user top-N contribution rows under a total order.
-    // The count-over-same-window sidecar funds the flag (as in q193's
-    // family cap); it forfeits the WindowGroupLimit pushdown, but the
-    // window state is one user's contribution list — already the thing
-    // the cap bounds.
+    // Cap 2: per-user top-C surviving contributions under a total order.
+    // The count-over-same-window sidecar funds the flag (q193 family-cap
+    // shape); it forfeits WindowGroupLimit here, but cap 1 already
+    // bounded the stream to |seen| × n rows.
     val w = Window.partitionBy(col("b"))
-    val kept = seen.join(sym, "_it")
+    val kept = seen.join(nbr, "_it")
       .withColumn("_rk", row_number().over(
         w.orderBy(col("_l").desc, col("rec"), col("_it"))))
       .withColumn("_nc", count(lit(1)).over(w))
@@ -3699,10 +3716,11 @@ object Analytics {
              n_sources
       FROM rk WHERE rank <= 3
       ORDER BY user_id, rank""",
-    // q218's chain with the per-user contribution valve replayed: the
-    // row_number cap under the (lift DESC, rec, it) total order, the
-    // count-over sidecar truncation flag, DECIMAL-pinned score sums over
-    // the SURVIVING rows only, anti-join still against the full seen set.
+    // q218's chain with both valves replayed: the per-item top-n
+    // neighbor cut by (lift DESC, rec), then the per-user row_number cap
+    // under the (lift DESC, rec, it) total order with the count-over
+    // sidecar truncation flag, DECIMAL-pinned score sums over the
+    // SURVIVING rows only, anti-join still against the full seen set.
     "q226_recommend_capped" -> """
       WITH bi AS (
         SELECT DISTINCT user_id AS b,
@@ -3728,14 +3746,20 @@ object Analytics {
                           JOIN marg m2 ON p.item2 = m2.it, nn),
       sym AS (SELECT item1 AS it, item2 AS rec, l FROM co
               UNION ALL SELECT item2, item1, l FROM co),
+      nbr AS (
+        SELECT it, rec, l FROM (
+          SELECT it, rec, l,
+                 row_number() OVER (PARTITION BY it
+                                    ORDER BY l DESC, rec) AS nr
+          FROM sym) WHERE nr <= 50),
       contrib AS (
-        SELECT bi.b, bi.it, sym.rec, sym.l,
+        SELECT bi.b, bi.it, nbr.rec, nbr.l,
                row_number() OVER (PARTITION BY bi.b
-                                  ORDER BY sym.l DESC, sym.rec, bi.it) AS rk,
+                                  ORDER BY nbr.l DESC, nbr.rec, bi.it) AS rk,
                count(*) OVER (PARTITION BY bi.b) AS nc
-        FROM bi JOIN sym ON bi.it = sym.it),
-      kept AS (SELECT b, rec, l, (nc > 4800) AS trunc
-               FROM contrib WHERE rk <= 4800),
+        FROM bi JOIN nbr ON bi.it = nbr.it),
+      kept AS (SELECT b, rec, l, (nc > 2400) AS trunc
+               FROM contrib WHERE rk <= 2400),
       scored AS (
         SELECT b, rec, CAST(sum(l) AS DECIMAL(38,6)) AS score,
                count(*) AS n_sources, bool_or(trunc) AS capped

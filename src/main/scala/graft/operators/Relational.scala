@@ -569,8 +569,18 @@ object Relational {
     * RECURSION_LEVEL_LIMIT_EXCEEDED as a clean error on cyclic input
     * (RelationalSpec pins that behavior). On data whose hierarchy depth can
     * legitimately exceed 100, raise the level limit deliberately — never
-    * disable it; a cycle in 100 TB of edges is otherwise an unbounded job. */
+    * disable it; a cycle in 100 TB of edges is otherwise an unbounded job.
+    *
+    * The ROW limit is a different kind of guard: closure output is
+    * input × depth rows BY DESIGN (linear, shuffle-partitioned, never
+    * driver-resident), so any fixed row constant is a unit mismatch with
+    * data scale — the 10× tier bench hit the 1M default exactly this way
+    * (RECURSION_ROW_LIMIT_EXCEEDED on ~4.6M legitimate closure rows,
+    * round 15). With the level limit structurally load-bearing, the row
+    * limit is pinned to Int.MaxValue here: iterations stay bounded at
+    * 100, rows scale with the data as a closure must. */
   private val q99: Q = (s, d) => {
+    s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue)
     Tables.part(s, d).createOrReplaceTempView("part")
     s.sql("""
       WITH RECURSIVE anc(key, ancestor, depth) AS (
