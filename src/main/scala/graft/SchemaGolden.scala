@@ -92,6 +92,30 @@ object SchemaGolden {
 
   val goldenPath = "src/test/resources/golden_schemas.txt"
   val goldenPlanPath = "src/test/resources/golden_plans.txt"
+  val goldenPlanSf01Path = "src/test/resources/golden_plans_sf01.txt"
+
+  /** Join-strategy-sensitive queries re-snapshotted at sf0.1 (VERDICT r14
+    * item 8): the main plan golden is built at sf0.001, where EVERY table
+    * fits under the broadcast threshold — a size/stats-driven
+    * BroadcastHashJoin↔SortMergeJoin flip that only manifests at bench
+    * scale is invisible to it (the documented blind spot,
+    * README/EXPLAIN.md). This subset pins the SAME canonical fingerprint
+    * against the sf0.1 fixtures, where join-side size estimates actually
+    * differ, so a code change that silently flips a bench-scale join
+    * strategy fails `sbt test` (StatsPlanSpec) instead of surfacing as a
+    * bench regression. Membership: queries whose join selection is
+    * stats-driven (no explicit broadcast() hint pinning it) and whose
+    * CONSTRUCTION is lazy — planning at sf0.1 costs file listing + footer
+    * stats, never a job — so the spec stays cheap. Eager-construction
+    * queries (two-pass ranks, iterative drivers, staged buckets) are
+    * excluded; their scale instrument is the 10× tier bench ratio. */
+  val statsSensitive: Seq[String] = Seq(
+    "q03_top_orders", "q05_region_revenue", "q06_semi_join", "q07_anti_join",
+    "q08_outer_join", "q22_exists_subquery", "q24_scalar_subquery",
+    "q31_asof_join", "q36_band_join", "q37_multiset_ops", "q39_lateral",
+    "q73_merge_upsert", "q76_table_diff", "q116_scd2", "q121_temporal_join",
+    "q129_js_divergence", "q152_kmv_setops", "q168_seasonal",
+    "q208_merge_actions", "q220_mix_shift")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -120,6 +144,14 @@ object SchemaGolden {
       (built.map { case (n, _, p) => s"$n\t$p" }.mkString("\n") + "\n")
         .getBytes("UTF-8"))
     println(s"wrote ${built.size} schemas to $goldenPath and plans to $goldenPlanPath")
+    val sf01Dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val built01 = statsSensitive.sorted.map { name =>
+      (name, canonicalPlan(SparkEntry.queries(name)(spark, sf01Dir)))
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(goldenPlanSf01Path),
+      (built01.map { case (n, p) => s"$n\t$p" }.mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    println(s"wrote ${built01.size} sf0.1 plans to $goldenPlanSf01Path")
     spark.stop()
   }
 }
