@@ -92,6 +92,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Recursive-CTE closure output is input-proportional by design; the
+      // 1M-row default is a unit mismatch at bench/tier scale (hit in the
+      // r15 10x sweep). Level limit (100) stays the structural guard —
+      // see the q99 scaladoc in operators/Relational.scala.
+      .config("spark.sql.cteRecursionRowLimit", Int.MaxValue)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

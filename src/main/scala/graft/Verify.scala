@@ -20,6 +20,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Closure row-limit raised session-wide (input-proportional by
+      // design; level limit stays the guard — q99 scaladoc).
+      .config("spark.sql.cteRecursionRowLimit", Int.MaxValue)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1558,32 +1558,54 @@ object Analytics {
   def recommendItems(df: DataFrame, basketCol: String, itemCol: String,
       k: Int = 3, maxItemsPerBasket: Int = 100): DataFrame = {
     require(k >= 1, s"recommendItems: k must be >= 1, got $k")
+    val (sym, seen) = recommenderBase(df, basketCol, itemCol, maxItemsPerBasket)
+    val scored = seen.join(sym, "_it")
+      .groupBy(col("b"), col("rec"))
+      .agg(sum(col("_l")).cast("decimal(38,6)").as("score"),
+        count(lit(1)).as("n_sources"))
+    recommenderTopK(scored, seen, basketCol, k, Nil)
+  }
+
+  /** Shared construction for the recommender pair: the symmetrized
+    * co-occurrence edge list with the DECIMAL-pinned lift, and the
+    * checkpointed distinct seen set. [[recommendItems]] and
+    * [[recommendItemsCapped]] must stay in exact lockstep on this chain
+    * (CappedRecommenderSpec's degrade-to-identity test rides on it), so
+    * it lives here once (r15 review finding).
+    *
+    * The two-select union is NOT a double compute: ReuseExchange dedupes
+    * the branches' identical pair-exchange subtree, so only the cheap
+    * post-shuffle projection runs twice. A single-pass explode(array(
+    * struct..)) rewrite was A/B-measured SLOWER (4.1–4.4 s vs 3.6–4.1 s
+    * solo at sf0.1, round 13) — keep the union form. */
+  private def recommenderBase(df: DataFrame, basketCol: String,
+      itemCol: String, maxItemsPerBasket: Int): (DataFrame, DataFrame) = {
     val co = coOccurrence(df, basketCol, itemCol, maxItemsPerBasket)
       .withColumn("_l", col("lift").cast("decimal(12,6)"))
-    // The two-select union is NOT a double compute: ReuseExchange dedupes
-    // the branches' identical pair-exchange subtree, so only the cheap
-    // post-shuffle projection runs twice. A single-pass explode(array(
-    // struct..)) rewrite was A/B-measured SLOWER (4.1–4.4 s vs 3.6–4.1 s
-    // solo at sf0.1, round 13) — keep the union form.
     val sym = co.select(col("item1").as("_it"), col("item2").as("rec"), col("_l"))
       .unionByName(co.select(col("item2").as("_it"), col("item1").as("rec"),
         col("_l")))
     val seen = df.select(col(basketCol).as("b"), col(itemCol).as("_it"))
       .filter(col("b").isNotNull && col("_it").isNotNull).distinct()
       .localCheckpoint()
-    val scored = seen.join(sym, "_it")
-      .groupBy(col("b"), col("rec"))
-      .agg(sum(col("_l")).cast("decimal(38,6)").as("score"),
-        count(lit(1)).as("n_sources"))
-      .join(seen.select(col("b"), col("_it").as("rec")),
-        Seq("b", "rec"), "left_anti")
+    (sym, seen)
+  }
+
+  /** Shared tail for the recommender pair: anti-join the user's FULL seen
+    * set away (never recommend an owned item, capped or not), rank by the
+    * deterministic (score DESC, rec) total order, keep the top-k
+    * (WindowGroupLimit). */
+  private def recommenderTopK(scored: DataFrame, seen: DataFrame,
+      basketCol: String, k: Int, extraCols: Seq[Column]): DataFrame = {
+    val fresh = scored.join(seen.select(col("b"), col("_it").as("rec")),
+      Seq("b", "rec"), "left_anti")
     val w = Window.partitionBy(col("b"))
       .orderBy(col("score").desc, col("rec"))
-    scored
+    fresh
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("b").as(basketCol), col("rank").cast("int").as("rank"),
-        col("rec"), col("score"), col("n_sources"))
+      .select(Seq(col("b").as(basketCol), col("rank").cast("int").as("rank"),
+        col("rec"), col("score"), col("n_sources")) ++ extraCols: _*)
   }
 
   private val q218: Q = (s, d) => DriverOutput.noDecimals(
@@ -1635,11 +1657,7 @@ object Analytics {
       s"recommendItemsCapped: maxNeighborsPerItem must be >= 1, got $maxNeighborsPerItem")
     require(maxContribPerUser >= 1,
       s"recommendItemsCapped: maxContribPerUser must be >= 1, got $maxContribPerUser")
-    val co = coOccurrence(df, basketCol, itemCol, maxItemsPerBasket)
-      .withColumn("_l", col("lift").cast("decimal(12,6)"))
-    val sym = co.select(col("item1").as("_it"), col("item2").as("rec"), col("_l"))
-      .unionByName(co.select(col("item2").as("_it"), col("item1").as("rec"),
-        col("_l")))
+    val (sym, seen) = recommenderBase(df, basketCol, itemCol, maxItemsPerBasket)
     // Cap 1: top-n neighbor list per item — a pure row_number filter so
     // it compiles to WindowGroupLimit over the bounded pair table.
     val nbr = sym
@@ -1647,9 +1665,6 @@ object Analytics {
         Window.partitionBy(col("_it")).orderBy(col("_l").desc, col("rec"))))
       .filter(col("_nr") <= maxNeighborsPerItem)
       .drop("_nr")
-    val seen = df.select(col(basketCol).as("b"), col(itemCol).as("_it"))
-      .filter(col("b").isNotNull && col("_it").isNotNull).distinct()
-      .localCheckpoint()
     // Cap 2: per-user top-C surviving contributions under a total order.
     // The count-over-same-window sidecar funds the flag (q193 family-cap
     // shape); it forfeits WindowGroupLimit here, but cap 1 already
@@ -1666,15 +1681,7 @@ object Analytics {
       .agg(sum(col("_l")).cast("decimal(38,6)").as("score"),
         count(lit(1)).as("n_sources"),
         bool_or(col("_trunc")).as("capped"))
-      .join(seen.select(col("b"), col("_it").as("rec")),
-        Seq("b", "rec"), "left_anti")
-    val rk = Window.partitionBy(col("b"))
-      .orderBy(col("score").desc, col("rec"))
-    scored
-      .withColumn("rank", row_number().over(rk))
-      .filter(col("rank") <= k)
-      .select(col("b").as(basketCol), col("rank").cast("int").as("rank"),
-        col("rec"), col("score"), col("n_sources"), col("capped"))
+    recommenderTopK(scored, seen, basketCol, k, Seq(col("capped")))
   }
 
   private val q226: Q = (s, d) => DriverOutput.noDecimals(

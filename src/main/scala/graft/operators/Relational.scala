@@ -576,11 +576,18 @@ object Relational {
     * driver-resident), so any fixed row constant is a unit mismatch with
     * data scale — the 10× tier bench hit the 1M default exactly this way
     * (RECURSION_ROW_LIMIT_EXCEEDED on ~4.6M legitimate closure rows,
-    * round 15). With the level limit structurally load-bearing, the row
-    * limit is pinned to Int.MaxValue here: iterations stay bounded at
-    * 100, rows scale with the data as a closure must. */
+    * round 15). The limit is read at EXECUTION time, not planning
+    * (certified empirically: a set-plan-restore scoping still failed at
+    * tier), so a lazy DataFrame cannot carry a per-query override —
+    * `spark.sql.cteRecursionRowLimit` is therefore raised as a
+    * SESSION-level setting in this repo's own session builders
+    * (Bench/Verify/SchemaGolden/ExplainDump/test base), where it is a
+    * deliberate, documented engine knob rather than a hidden per-query
+    * mutation of shared session state (r15 review finding). A session
+    * that keeps the 1M default still runs this query fine below ~70k
+    * input rows and fails with Spark's clean RECURSION_ROW_LIMIT error
+    * above it — pointing here. */
   private val q99: Q = (s, d) => {
-    s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue)
     Tables.part(s, d).createOrReplaceTempView("part")
     s.sql("""
       WITH RECURSIVE anc(key, ancestor, depth) AS (

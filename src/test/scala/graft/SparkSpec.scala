@@ -8,6 +8,7 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+  val sf01 = "/root/testdata/sf0.1"
 }
 
 object SparkSpec {
@@ -23,6 +24,9 @@ object SparkSpec {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Closure row-limit raised session-wide (input-proportional by
+      // design; level limit stays the guard — q99 scaladoc).
+      .config("spark.sql.cteRecursionRowLimit", Int.MaxValue)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

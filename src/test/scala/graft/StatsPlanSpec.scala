@@ -19,15 +19,8 @@ package graft
   */
 class StatsPlanSpec extends SparkSpec {
 
-  private lazy val golden: Map[String, String] = {
-    val src = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/golden_plans_sf01.txt"), "UTF-8")
-    try src.getLines().filter(_.nonEmpty).map { line =>
-      val Array(name, value) = line.split("\t", 2)
-      name -> value
-    }.toMap
-    finally src.close()
-  }
+  private lazy val golden: Map[String, String] =
+    GoldenFiles.load("/golden_plans_sf01.txt")
 
   test("sf0.1 golden covers exactly the statsSensitive set") {
     val want = SchemaGolden.statsSensitive.toSet
@@ -40,7 +33,6 @@ class StatsPlanSpec extends SparkSpec {
   }
 
   test("sf0.1 plan fingerprints match golden (stats-driven join strategies pinned at bench scale)") {
-    val sf01 = "/root/testdata/sf0.1"
     val mismatches = SchemaGolden.statsSensitive.sorted.flatMap { name =>
       val got = SchemaGolden.canonicalPlan(SparkEntry.queries(name)(spark, sf01))
       if (got == golden(name)) None
