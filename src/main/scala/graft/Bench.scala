@@ -262,7 +262,7 @@ object Bench {
       case (_, (v, _)) if v.nonEmpty => v.min
     }.sum
     val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","sum_of_mins":${fmt("2", sumOfMins)},"runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
-    // The consumer keeps only a ~2000-char stdout TAIL; at 225 queries the
+    // The consumer keeps only a ~2000-char stdout TAIL; at 226 queries the
     // combined line is ~2.7 KB, so its head — which carries "value" — was
     // truncated away in rounds 10 and 11 ("parsed": null). Contract fix:
     // the per-query line prints FIRST, then a short, self-contained total

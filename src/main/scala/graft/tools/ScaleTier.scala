@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * ≈ sf1) copy of an sf0.1 fixture directory, written as the same ten
   * parquet tables so `Bench`/`Verify` run against it unchanged via
   * `SPARK_GRAFT_SF_DIR`. This answers VERDICT r12 "Next round" item 7's
-  * second half: the 2× bench gate is judged at sf0.1, where most of the 225
+  * second half: the 2× bench gate is judged at sf0.1, where most of the 226
   * queries measure per-query fixed cost — a 10× tier makes the
   * compute-bound rows (the ones that preview 100 TB behavior) dominate.
   *

@@ -5,8 +5,11 @@ package graft
   * `name\tvalue`, blank lines skipped) lives in exactly one place. */
 object GoldenFiles {
   def load(resource: String): Map[String, String] = {
-    val src = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream(resource), "UTF-8")
+    val stream = getClass.getResourceAsStream(resource)
+    require(stream != null,
+      s"golden resource $resource missing from the test classpath — " +
+        "regenerate with `sbt \"runMain graft.SchemaGolden\"`")
+    val src = scala.io.Source.fromInputStream(stream, "UTF-8")
     try src.getLines().filter(_.nonEmpty).map { line =>
       val Array(name, value) = line.split("\t", 2)
       name -> value
