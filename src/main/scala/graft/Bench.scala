@@ -94,9 +94,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // Recursive-CTE closure output is input-proportional by design; the
       // 1M-row default is a unit mismatch at bench/tier scale (hit in the
-      // r15 10x sweep). Level limit (100) stays the structural guard —
-      // see the q99 scaladoc in operators/Relational.scala.
-      .config("spark.sql.cteRecursionRowLimit", Int.MaxValue)
+      // r15 10x sweep). Finite ceiling, not Int.MaxValue — the row guard
+      // stays meaningful (Graft.CteRecursionRowCeiling scaladoc).
+      .config("spark.sql.cteRecursionRowLimit", Graft.CteRecursionRowCeiling)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -261,7 +261,16 @@ object Bench {
     val sumOfMins = results.collect {
       case (_, (v, _)) if v.nonEmpty => v.min
     }.sum
-    val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","sum_of_mins":${fmt("2", sumOfMins)},"runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    // "threads" records the measurement BASIS (local[N]) in the round
+    // record itself (VERDICT r15 item 6): driver runs use 32 threads,
+    // repo/PERF records the local[4] default, and per-query figures are
+    // NOT comparable across the two — without the field, every
+    // cross-round comparison had to reconstruct the basis from PERF.md.
+    // Numeric when SPARK_GRAFT_CPUS is (the contract); quoted otherwise
+    // (e.g. "*") so the line stays parseable JSON no matter what.
+    val threadsJson = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus
+                      else "\"" + cpus + "\""
+    val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","sum_of_mins":${fmt("2", sumOfMins)},"runs":$runs,"threads":$threadsJson,"queries":$qs,"sf":"$sfDir"}"""
     // The consumer keeps only a ~2000-char stdout TAIL; at 226 queries the
     // combined line is ~2.7 KB, so its head — which carries "value" — was
     // truncated away in rounds 10 and 11 ("parsed": null). Contract fix:
@@ -269,7 +278,7 @@ object Bench {
     // line prints LAST, so the total always survives the tail regardless
     // of how many queries the per-query map grows to.
     val nFailed = results.count(_._2._1.isEmpty)
-    val shortJson = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","sum_of_mins":${fmt("2", sumOfMins)},"runs":$runs,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
+    val shortJson = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","sum_of_mins":${fmt("2", sumOfMins)},"runs":$runs,"threads":$threadsJson,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
     // Backstop for log-noise-sensitive parsers: the same single line, ALONE
     // in bench_out.json (one parseable JSON document — the file's contract).
     // Full-precision per-run samples go to a separate bench_samples.json so

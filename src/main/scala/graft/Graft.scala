@@ -10,6 +10,18 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 object Graft {
   import operators._
 
+  /** Session-level `spark.sql.cteRecursionRowLimit` ceiling used by every
+    * repo entry point (Bench/Verify/SchemaGolden/ExplainDump/test base).
+    * Finite on purpose (r15 ADVICE): Int.MaxValue would disable the
+    * row-volume guard for ALL recursive CTEs — the level limit bounds
+    * depth but not per-level fan-out, so a miskeyed recursive join could
+    * blow up multiplicatively across 100 levels with no backstop. 1e9 is
+    * >200× the 10×-tier's legitimate ~4.6M closure rows (the unit-mismatch
+    * failure the ceiling exists to clear; q99 scaladoc in
+    * operators/Relational.scala) while still catching a runaway join well
+    * before it exhausts the cluster. */
+  val CteRecursionRowCeiling: Int = 1000000000
+
   /** Register graft's native SQL functions (cosine_sim, graft_fingerprint,
     * graft_checksum997, graft_frame_sum16, graft_winnow, graft_ngrams,
     * graft_hp_buckets, graft_zvalue) on the session. */

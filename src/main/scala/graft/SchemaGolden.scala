@@ -124,9 +124,9 @@ object SchemaGolden {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Closure row-limit raised session-wide (input-proportional by
-      // design; level limit stays the guard — q99 scaladoc).
-      .config("spark.sql.cteRecursionRowLimit", Int.MaxValue)
+      // Closure row-limit raised session-wide to a finite ceiling
+      // (input-proportional by design; Graft.CteRecursionRowCeiling).
+      .config("spark.sql.cteRecursionRowLimit", Graft.CteRecursionRowCeiling)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -20,9 +20,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Closure row-limit raised session-wide (input-proportional by
-      // design; level limit stays the guard — q99 scaladoc).
-      .config("spark.sql.cteRecursionRowLimit", Int.MaxValue)
+      // Closure row-limit raised session-wide to a finite ceiling
+      // (input-proportional by design; Graft.CteRecursionRowCeiling).
+      .config("spark.sql.cteRecursionRowLimit", Graft.CteRecursionRowCeiling)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -583,7 +583,11 @@ object Relational {
     * SESSION-level setting in this repo's own session builders
     * (Bench/Verify/SchemaGolden/ExplainDump/test base), where it is a
     * deliberate, documented engine knob rather than a hidden per-query
-    * mutation of shared session state (r15 review finding). A session
+    * mutation of shared session state (r15 review finding). The raised
+    * value is a FINITE ceiling (`Graft.CteRecursionRowCeiling`, 1e9), not
+    * Int.MaxValue: the row guard keeps catching a genuinely runaway
+    * recursive join while clearing any input-proportional closure this
+    * engine will see (r15 ADVICE item 2). A session
     * that keeps the 1M default still runs this query fine below ~70k
     * input rows and fails with Spark's clean RECURSION_ROW_LIMIT error
     * above it — pointing here. */

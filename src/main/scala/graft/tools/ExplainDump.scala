@@ -103,9 +103,9 @@ object ExplainDump {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Closure row-limit raised session-wide (input-proportional by
-      // design; level limit stays the guard — q99 scaladoc).
-      .config("spark.sql.cteRecursionRowLimit", Int.MaxValue)
+      // Closure row-limit raised session-wide to a finite ceiling
+      // (input-proportional by design; Graft.CteRecursionRowCeiling).
+      .config("spark.sql.cteRecursionRowLimit", graft.Graft.CteRecursionRowCeiling)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.001"

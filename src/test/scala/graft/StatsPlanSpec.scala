@@ -35,8 +35,14 @@ class StatsPlanSpec extends SparkSpec {
   test("sf0.1 plan fingerprints match golden (stats-driven join strategies pinned at bench scale)") {
     val mismatches = SchemaGolden.statsSensitive.sorted.flatMap { name =>
       val got = SchemaGolden.canonicalPlan(SparkEntry.queries(name)(spark, sf01))
-      if (got == golden(name)) None
-      else Some(s"$name:\n  golden: ${golden(name)}\n  got:    $got")
+      // golden.get, not golden(name): this test runs independently of the
+      // coverage test above, so a missing entry must report the regenerate
+      // hint, not a bare NoSuchElementException (r15 ADVICE item 3).
+      golden.get(name) match {
+        case Some(g) if g == got => None
+        case Some(g) => Some(s"$name:\n  golden: $g\n  got:    $got")
+        case None => Some(s"$name: missing from golden_plans_sf01.txt — regenerate")
+      }
     }
     assert(mismatches.isEmpty,
       s"sf0.1 plan drift (stats-driven strategy flip or deliberate change — " +
