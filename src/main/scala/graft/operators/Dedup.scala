@@ -1476,9 +1476,17 @@ object Dedup {
              FROM s2, mm),
       pt AS (SELECT unnest(range(0, m)) AS part FROM mm),
       fam AS (SELECT doc_id, sz, part,
-                     md5(array_to_string(
+                     -- coalesce is load-bearing (r16 sf0.1 gate catch):
+                     -- DuckDB's array_to_string over an EMPTY list is NULL
+                     -- (string_agg semantics), and a NULL sig never joins —
+                     -- silently dropping the both-empty-part families the
+                     -- pigeonhole completeness lemma REQUIRES (Spark's
+                     -- concat_ws gives '' -> md5('')). sf0.01 passed on
+                     -- fixture luck; sf0.1 lost pair (2801,3703), whose
+                     -- only uncapped shared family is an empty part.
+                     md5(coalesce(array_to_string(
                        list_filter(tk, (t, i) -> parts[i] = part),
-                       chr(31))) AS sig
+                       chr(31)), '')) AS sig
               FROM tp, pt),
       ranked AS (SELECT doc_id, sz, part, sig,
                         row_number() OVER (PARTITION BY part, sig
@@ -1549,9 +1557,16 @@ object Dedup {
         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
         FROM documents),
       sh AS (
+        -- '_' separator is load-bearing (r16 sf0.1 gate catch): the gram
+        -- string must be BYTE-IDENTICAL to graft_token_shingles' output
+        -- ('_'-joined) because the prefix order ties on the md5 DIGEST
+        -- (df ASC, h ASC) — a space-joined gram hashes differently, and a
+        -- df tie at the prefix boundary then resolves differently per
+        -- engine (sf0.1: one pair each way). Uncapped oracles (q167/q53)
+        -- are digest-order-insensitive and keep their own separators.
         SELECT doc_id, unnest(list_distinct(list_transform(
                  range(1, len(tk) - 1),
-                 i -> list_aggregate(tk[i:i+2], 'string_agg', ' ')))) AS g
+                 i -> list_aggregate(tk[i:i+2], 'string_agg', '_')))) AS g
         FROM toks WHERE len(tk) >= 3),
       dig AS (SELECT doc_id, md5(g) AS h FROM sh),
       dfq AS (SELECT h, CAST(count(*) AS BIGINT) AS df_ FROM dig GROUP BY h),

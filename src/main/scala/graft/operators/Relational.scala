@@ -803,13 +803,29 @@ object Relational {
   private val q49: Q = (s, d) => {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal"), col("c_custkey"))
+    val pw = Window.partitionBy(col("c_nationkey"))
+    // pct_rank/cume are the exact-integer half-up quotient
+    // ⌊(2·scaled + den)/(2·den)⌋ (the q202/q207 double-rounding
+    // discipline), NOT round(percent_rank(), 6): (rank−1)/(n−1) lands
+    // exactly on a .5 rounding boundary whenever 2·10⁶·(rank−1) ≡ n−1
+    // (mod 2(n−1)) — e.g. 41/640 = 0.0640625, hit at sf0.1 — and the
+    // engines then disagree (Spark BigDecimal half-up vs DuckDB binary
+    // double, caught by the r16 sf0.1 gate). The order key is unique
+    // (c_custkey tie-break), so rank doubles as cume_dist's row count.
     Tables.customer(s, d)
       .select(col("c_nationkey"), col("c_custkey"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"),
+        rank().over(w).cast("long").as("_r"),
+        count(lit(1)).over(pw).as("_n"),
         first_value(col("c_custkey")).over(w).as("first_k"),
         nth_value(col("c_custkey"), 2).over(w).as("second_k"))
+      .withColumn("pct_rank", when(col("_n") === 1L, lit(0.0)).otherwise(
+        expr("cast((2*(_r-1)*1000000 + (_n-1)) div (2*(_n-1)) as double)" +
+          " / 1000000")))
+      .withColumn("cume",
+        expr("cast((2*_r*1000000 + _n) div (2*_n) as double) / 1000000"))
+      .select(col("c_nationkey"), col("c_custkey"), col("quartile"),
+        col("pct_rank"), col("cume"), col("first_k"), col("second_k"))
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }
 
@@ -1289,15 +1305,27 @@ object Relational {
     "q98_compaction" -> """
       SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY source ORDER BY source""",
+    // pct_rank/cume replay the exact-integer half-up quotient (see the
+    // q49 builder comment): round(percent_rank(),6) ties on exact
+    // .5 boundaries (41/640 at sf0.1) where the engines' rounding paths
+    // disagree.
     "q49_window_distribution" -> """
-      SELECT c_nationkey, c_custkey,
-             CAST(ntile(4) OVER w AS INT) AS quartile,
-             round(percent_rank() OVER w, 6) AS pct_rank,
-             round(cume_dist() OVER w, 6) AS cume,
-             first_value(c_custkey) OVER w AS first_k,
-             nth_value(c_custkey, 2) OVER w AS second_k
-      FROM customer
-      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      WITH r AS (
+        SELECT c_nationkey, c_custkey,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n,
+               first_value(c_custkey) OVER w AS first_k,
+               nth_value(c_custkey, 2) OVER w AS second_k
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey))
+      SELECT c_nationkey, c_custkey, quartile,
+             CASE WHEN n = 1 THEN 0.0 ELSE
+               CAST((2*(rnk-1)*1000000 + (n-1)) // (2*(n-1)) AS DOUBLE)
+                 / 1000000 END AS pct_rank,
+             CAST((2*rnk*1000000 + n) // (2*n) AS DOUBLE) / 1000000 AS cume,
+             first_k, second_k
+      FROM r
       ORDER BY c_nationkey, c_custkey""",
     "q38_listagg" -> """
       SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
