@@ -103,18 +103,29 @@ object SchemaGolden {
     * against the sf0.1 fixtures, where join-side size estimates actually
     * differ, so a code change that silently flips a bench-scale join
     * strategy fails `sbt test` (StatsPlanSpec) instead of surfacing as a
-    * bench regression. Membership: queries whose join selection is
-    * stats-driven (no explicit broadcast() hint pinning it) and whose
-    * CONSTRUCTION is lazy — planning at sf0.1 costs file listing + footer
-    * stats, never a job — so the spec stays cheap. Eager-construction
-    * queries (two-pass ranks, iterative drivers, staged buckets) are
-    * excluded; their scale instrument is the 10× tier bench ratio. */
+    * bench regression. Membership is MEASURED, not chosen (round 16): a
+    * full-surface fingerprint sweep (`tools/StatsSweep`) against both
+    * sf0.1 and the 10× tier found exactly 8 queries whose plan flips with
+    * stats, every one a JOIN strategy change (6× BroadcastHashJoin →
+    * SortMergeJoin, 1× semi-join flip, 1× broadcast-SIDE swap in
+    * q150_stream_bloom) — no aggregate/window/sort strategy moved
+    * anywhere on the 226-query surface at either scale jump. All 8 plus
+    * the originally-chosen join-shaped set are pinned here. The one other
+    * mover, q201_generalization, is excluded BY DESIGN: its plan is
+    * data-dependent (the generalization ladder picks a coarser rung when
+    * k-anonymity fails at small scale), so a cross-scale fingerprint
+    * can't be constant — the sf0.1 oracle record certifies its answer
+    * instead (EXPLAIN.md). Four members (q150/q162/q202/q210) pay small
+    * construction jobs at sf0.1 (stream drain, resample RDD bases) —
+    * measured at a few seconds total in the r16 sweep, accepted. */
   val statsSensitive: Seq[String] = Seq(
     "q03_top_orders", "q05_region_revenue", "q06_semi_join", "q07_anti_join",
     "q08_outer_join", "q22_exists_subquery", "q24_scalar_subquery",
     "q31_asof_join", "q36_band_join", "q37_multiset_ops", "q39_lateral",
     "q73_merge_upsert", "q76_table_diff", "q116_scd2", "q121_temporal_join",
-    "q129_js_divergence", "q152_kmv_setops", "q208_merge_actions")
+    "q129_js_divergence", "q150_stream_bloom", "q152_kmv_setops",
+    "q162_resample_locf", "q175_target_encode", "q188_benford",
+    "q202_resample_interp", "q208_merge_actions", "q210_forecast_backtest")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()

@@ -20,6 +20,8 @@ import graft.{Graft, SparkEntry, SchemaGolden}
   * measurement, not a per-commit gate):
   *   sbt "runMain graft.tools.StatsSweep /root/testdata/sf0.1"
   *   sbt "runMain graft.tools.StatsSweep /tmp/graft_sf1"   # 10x tier
+  *   sbt "runMain graft.tools.StatsSweep <dir> qA qB"      # subset, and
+  *                                      print got-vs-golden fingerprints
   *
   * Output: one line per query — SAME / DIFF / ERR — then a summary block
   * listing the DIFF set and whether it is covered by
@@ -44,10 +46,21 @@ object StatsSweep {
       scala.io.Source.fromFile(SchemaGolden.goldenPlanPath).getLines()
         .map { l => val Array(n, p) = l.split("\t", 2); (n, p) }.toMap
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val subset = args.drop(1).toSet
+    val picked =
+      if (subset.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.queries.filter(q => subset(q._1)).toSeq.sortBy(_._1)
+    val results = picked.map { case (name, fn) =>
       val r = try {
         val fp = SchemaGolden.canonicalPlan(fn(spark, sfDir))
-        if (golden.get(name).contains(fp)) "SAME" else "DIFF"
+        if (golden.get(name).contains(fp)) "SAME"
+        else {
+          if (subset.nonEmpty) {
+            println(s"[sweep] $name golden: ${golden.getOrElse(name, "<none>")}")
+            println(s"[sweep] $name got:    $fp")
+          }
+          "DIFF"
+        }
       } catch { case e: Throwable => s"ERR ${e.toString.takeWhile(_ != '\n').take(160)}" }
       println(s"[sweep] $name $r")
       (name, r)
