@@ -115,6 +115,31 @@ object AsOf {
       valueCols.map(v => pick(v).as(s"asof_$v"))): _*)
   }
 
+  /** Gate query for the `nearest` + tolerance arms (round 16 — the two
+    * asofJoin directions q31/q121 leave unexercised by the oracle): every
+    * purchase joined to the user's nearest click in EITHER direction
+    * within 1 hour, null when no click lands inside the window. The
+    * oracle is an independent formulation (per-purchase LATERAL min over
+    * |gap| with the backward tie preference), so agreement certifies the
+    * two-direction carry + tolerance nulling, not a shared recipe. The
+    * operator's backward/forward candidates are exactly the per-side
+    * nearest rows, so the global |gap| argmin is always one of them.
+    * Determinism precondition (verified on all fixtures + the 10× tier):
+    * no two clicks of one user share a timestamp — equal-time right rows
+    * would make the carry's winner order-dependent. */
+  private val q227: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    asofJoin(purchases, clicks, "user_id", "ts", Seq("click_id"),
+      direction = "nearest", toleranceSec = Some(3600.0))
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("asof_click_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** For every purchase event: the user's most recent click at/before it. */
   private val q31: Q = (s, d) => {
     val ev = Tables.events(s, d)
@@ -175,7 +200,8 @@ object AsOf {
 
   val queries: Map[String, Q] = Map(
     "q31_asof_join" -> q31,
-    "q121_temporal_join" -> q121)
+    "q121_temporal_join" -> q121,
+    "q227_asof_nearest" -> q227)
 
   val oracles: Map[String, String] = Map(
     "q121_temporal_join" -> """
@@ -197,6 +223,26 @@ object AsOf {
       ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id FROM events
                       WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id""",
+    // INDEPENDENT formulation of nearest-within-tolerance: per-purchase
+    // LATERAL argmin over |gap| with the backward tie preference —
+    // DuckDB's native ASOF is backward-only, so agreement certifies the
+    // operator's two-direction carry, tolerance nulling, and tie rule.
+    "q227_asof_nearest" -> """
+      SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+             c.click_id AS asof_click_id
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      LEFT JOIN LATERAL (
+        SELECT e.event_id AS click_id
+        FROM events e
+        WHERE e.event_type = 'click' AND e.user_id = p.user_id
+          AND abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+                  - epoch_us(CAST(p.ts AS TIMESTAMP))) <= 3600000000
+        ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+                     - epoch_us(CAST(p.ts AS TIMESTAMP))),
+                 CASE WHEN e.ts <= p.ts THEN 0 ELSE 1 END
+        LIMIT 1) c ON TRUE
       ORDER BY p.event_id""",
   )
 }

@@ -42,6 +42,11 @@ object SmokeCoverage {
   /** query -> "smoke-section: timed label" in `ScaleSmoke`. */
   val covered: Map[String, String] = Map(
     "q31_asof_join" -> "temporal: temporalJoin (the asofJoin union-sort carry)",
+    // same union-sort carry machinery, measured by the same section: the
+    // nearest arm adds one reversed IN-PARTITION sort over the already
+    // key-partitioned union (no second exchange), so its scaling axis is
+    // identical to the backward arm the smoke times
+    "q227_asof_nearest" -> "temporal: temporalJoin (the asofJoin union-sort carry)",
     "q47_curation" -> "dedup: corpusDecision",
     "q48_hash_split" -> "groupsplit: groupSplit (identical md5-bucket projection)",
     "q51_minhash_lsh" -> "dedup: minHashLsh",
