@@ -1459,6 +1459,49 @@ object Analytics {
     equalFreqBins(Tables.events(s, d), "event_type", "value", "event_id")
       .orderBy(col("event_type"), col("bin")))
 
+  /** EXACT per-group quantile values — the audit complement to
+    * [[groupedHistogramQuantiles]] (q128, bounded-state approx, error ≤
+    * bin width): percentile_disc semantics, the element at 1-indexed
+    * position ⌈p·n⌉ of the group's sorted values. Quantile points arrive
+    * as integer PER-MILLE (500 = median) and the position is the exact
+    * integer ⌈pm·n/1000⌉ = (pm·n + 999) div 1000 — no float ever touches
+    * the pick, because p·n in binary floating point lands just above
+    * exact integer boundaries (0.9 × 10 = 9.000000000000002 → ⌈·⌉ = 10,
+    * off by one vs the exact 9) and the two engines would then disagree
+    * precisely at round group sizes. Ties need no tie-break: the value at
+    * a multiset's k-th sorted position is unique even though row_number
+    * among equal values is not.
+    *
+    * Shape: ONE key-partitioned window exchange (row_number + count share
+    * the partitioning; the counter is the only per-group state), then a
+    * map-side position-set membership filter — output |groups| × |pms|
+    * rows, never a value buffer. At 100 TB this exact form is the per-
+    * domain AUDIT you run on a sample or on bounded groups; the standing
+    * report is q128's mergeable histogram state. */
+  def groupQuantilesExact(df: DataFrame, keyCol: String, valCol: String,
+      permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
+      s"groupQuantilesExact: permille points must be in [1,1000], got $permille")
+    val pmArr = permille.distinct.sorted.mkString("array(", ", ", ")")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("v"))
+    df.filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(valCol).cast("long").as("v"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .select(col(keyCol), col("v"), col("n"),
+        explode(expr(
+          s"filter(transform($pmArr, pm -> named_struct('pm', pm, 'pos'," +
+            " cast((pm * n + 999) div 1000 as bigint))), x -> x.pos = rn)"))
+          .as("m"))
+      .select(col(keyCol), col("m.pm").as("pm"), col("n"),
+        col("v").as("q"))
+  }
+
+  private val q228: Q = (s, d) =>
+    groupQuantilesExact(Tables.documents(s, d), "lang", "n_chars",
+      Seq(250, 500, 750, 950))
+      .orderBy(col("lang"), col("pm"))
+
   // ---------------------------------------------------------- path mining --
 
   /** Session path mining: the most frequent length-3 event-type paths users
@@ -3178,6 +3221,7 @@ object Analytics {
     "q170_session_paths" -> q170,
     "q171_equal_freq_bins" -> q171,
     "q172_mad_outliers" -> q172,
+    "q228_group_quantiles_exact" -> q228,
     "q174_active_users" -> q174,
     "q175_target_encode" -> q175,
     "q179_grouped_auc" -> q179,
@@ -3586,6 +3630,21 @@ object Analytics {
              CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi,
              CAST(sum(v) AS DOUBLE) AS mass
       FROM binned GROUP BY 1, 2 ORDER BY event_type, bin""",
+    // INDEPENDENT formulation: ordered-list indexing per group (no window,
+    // no row_number) with the same exact integer ⌈pm·n/1000⌉ position —
+    // agreement certifies the engine's window-rank pick, and the shared
+    // integer position rule is the contract (float p·n is off-by-one at
+    // exact boundaries; see the groupQuantilesExact scaladoc).
+    "q228_group_quantiles_exact" -> """
+      WITH g AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+                 FROM documents WHERE n_chars IS NOT NULL),
+      s AS (SELECT lang, list(v ORDER BY v) AS vs,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM g GROUP BY lang)
+      SELECT lang, pm, n,
+             vs[CAST((pm * n + 999) // 1000 AS INT)] AS q
+      FROM s, (SELECT unnest([250, 500, 750, 950]) AS pm)
+      ORDER BY lang, pm""",
     // Replays session assignment + the two leads on the same user order;
     // the sid equality keeps paths inside one session; (n DESC, path) cut.
     "q170_session_paths" -> """

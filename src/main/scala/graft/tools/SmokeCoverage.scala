@@ -321,6 +321,11 @@ object SmokeCoverage {
     "q171_equal_freq_bins" -> ("global ntile rank — the single-partition " +
       "stage priced by the woeIv K× smoke (r13eval section), with the same " +
       "documented 100 TB drop-in (broadcast quantile bounds)"),
+    "q228_group_quantiles_exact" -> ("one key-partitioned row_number sort " +
+      "— the same keyed-window exchange the smoked sessionize/cadence rows " +
+      "price; per-group state is a single counter and the output is " +
+      "(groups x quantile-points)-bounded; the approx scale path is the " +
+      "smoked q128 histogram state (gquant section)"),
     "q189_funnel_latency" -> ("rides the smoked funnel sort (events " +
       "section); the latency roll-up is (stages × groups)-bounded"),
     "q190_event_cadence" -> ("per-user lag over the one user-key sort — " +
