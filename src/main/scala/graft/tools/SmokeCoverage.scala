@@ -52,6 +52,9 @@ object SmokeCoverage {
     "q51_minhash_lsh" -> "dedup: minHashLsh",
     "q55_dedup_pipeline" -> "dedup: dedupNearDup",
     "q60_knn_bruteforce" -> "ann: knnBruteForce (fixed queries x Kx corpus)",
+    // identical broadcast-anchors x corpus scan + WindowGroupLimit top-k;
+    // the label filter only SHRINKS the scored stream
+    "q229_hard_negatives" -> "ann: knnBruteForce (fixed queries x Kx corpus)",
     "q61_embedding_neardup" -> "ann: topPairs (capped hot buckets)",
     "q62_ann_lsh" -> "ann: annLsh",
     "q64_ann_ivf" -> "ann: ivfSearch",
