@@ -1502,6 +1502,47 @@ object Analytics {
       Seq(250, 500, 750, 950))
       .orderBy(col("lang"), col("pm"))
 
+  /** WEIGHTED exact per-group quantiles — [[groupQuantilesExact]] where
+    * each row carries integer mass: the smallest value v whose cumulative
+    * weight reaches pm/1000 of the group total ("half the corpus TOKENS
+    * live in docs shorter than X chars" — the curation statistic
+    * unweighted quantiles get wrong whenever long documents carry the
+    * mass).
+    * All-integer again: cumw·1000 ≥ pm·W decides the pick, no float.
+    *
+    * Tie discipline: the cumulative sum runs over a RANGE frame (ties are
+    * peers sharing one cumw — both engines' default ORDER BY frame), so
+    * every quantity here is a pure function of the data; the picked v is
+    * min over flagged rows, stable under any intra-tie order anyway.
+    *
+    * Shape: the same ONE keyed window exchange (cumulative + total share
+    * the partitioning), a ≤ |pms|-wide map-side flag explode, and a
+    * (key, pm)-bounded min aggregate. */
+  def weightedGroupQuantiles(df: DataFrame, keyCol: String, valCol: String,
+      weightCol: Column, permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
+      s"weightedGroupQuantiles: permille points must be in [1,1000], got $permille")
+    val pmArr = permille.distinct.sorted.mkString("array(", ", ", ")")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(valCol).cast("long").as("v"),
+        weightCol.cast("long").as("wt"))
+      .withColumn("cumw", sum(col("wt")).over(w))
+      .withColumn("tw", sum(col("wt")).over(Window.partitionBy(col(keyCol))))
+      .select(col(keyCol), col("v"), col("tw"),
+        explode(expr(s"filter($pmArr, pm -> cumw * 1000 >= pm * tw)"))
+          .as("pm"))
+      .groupBy(col(keyCol), col("pm"))
+      .agg(min(col("tw")).as("w_total"), min(col("v")).as("q"))
+  }
+
+  private val q230: Q = (s, d) =>
+    weightedGroupQuantiles(Tables.documents(s, d), "lang", "n_chars",
+      expr("cast(size(filter(split(text, ' '), t -> t != '')) as bigint)"),
+      Seq(250, 500, 750, 950))
+      .orderBy(col("lang"), col("pm"))
+
   // ---------------------------------------------------------- path mining --
 
   /** Session path mining: the most frequent length-3 event-type paths users
@@ -3222,6 +3263,7 @@ object Analytics {
     "q171_equal_freq_bins" -> q171,
     "q172_mad_outliers" -> q172,
     "q228_group_quantiles_exact" -> q228,
+    "q230_weighted_quantiles" -> q230,
     "q174_active_users" -> q174,
     "q175_target_encode" -> q175,
     "q179_grouped_auc" -> q179,
@@ -3644,6 +3686,25 @@ object Analytics {
       SELECT lang, pm, n,
              vs[CAST((pm * n + 999) // 1000 AS INT)] AS q
       FROM s, (SELECT unnest([250, 500, 750, 950]) AS pm)
+      ORDER BY lang, pm""",
+    // Same integer cumw·1000 >= pm·W contract; DuckDB's default ORDER BY
+    // frame is RANGE (ties are peers), matching the Spark rangeBetween.
+    // Structurally different path: cross-join rows x pm then FILTER + min,
+    // vs the engine's map-side flag explode.
+    "q230_weighted_quantiles" -> """
+      WITH g AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                        CAST(len(list_filter(string_split(text, ' '),
+                                             t -> t <> '')) AS BIGINT) AS wt
+                 FROM documents WHERE n_chars IS NOT NULL),
+      t AS (SELECT lang, v,
+                   sum(wt) OVER (PARTITION BY lang ORDER BY v) AS cumw,
+                   sum(wt) OVER (PARTITION BY lang) AS tw
+            FROM g)
+      SELECT lang, pm, CAST(min(tw) AS BIGINT) AS w_total,
+             CAST(min(v) AS BIGINT) AS q
+      FROM t, (SELECT unnest([250, 500, 750, 950]) AS pm)
+      WHERE cumw * 1000 >= pm * tw
+      GROUP BY lang, pm
       ORDER BY lang, pm""",
     // Replays session assignment + the two leads on the same user order;
     // the sid equality keeps paths inside one session; (n DESC, path) cut.

@@ -329,6 +329,10 @@ object SmokeCoverage {
       "price; per-group state is a single counter and the output is " +
       "(groups x quantile-points)-bounded; the approx scale path is the " +
       "smoked q128 histogram state (gquant section)"),
+    "q230_weighted_quantiles" -> ("q228's keyed-window sort with a " +
+      "running-sum accumulator instead of a row counter — identical " +
+      "exchange, identical (groups x points)-bounded output; same q128 " +
+      "approx scale path"),
     "q189_funnel_latency" -> ("rides the smoked funnel sort (events " +
       "section); the latency roll-up is (stages × groups)-bounded"),
     "q190_event_cadence" -> ("per-user lag over the one user-key sort — " +
