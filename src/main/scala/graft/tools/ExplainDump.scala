@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
 
 /** Writes EXPLAIN.md: executed physical plans of headline queries at
   * sf0.001, after execution so AQE shows final plans. Regenerate with:
-  * `sbt "runMain graft.tools.ExplainDump"`. */
+  * `sbt "runMain graft.tools.ExplainDump"`.
+  *
+  * The hand-maintained lock/coverage narrative lives in
+  * `EXPLAIN_PREAMBLE.md` and is spliced in after the header (round 16 —
+  * before that, regenerating silently DROPPED the preamble because it
+  * only existed in the generated file). Edit the preamble file, not
+  * EXPLAIN.md. */
 object ExplainDump {
   private val headline = Seq(
     "q01_pricing_summary" -> "partial+final HashAggregate, pushed filter",
@@ -13,6 +19,10 @@ object ExplainDump {
     "q16_topk" -> "TakeOrderedAndProject (no global sort)",
     "q09_window_rank" -> "WindowGroupLimit partial+final (top-k pushdown through the window)",
     "q31_asof_join" -> "as-of join as tagged-union window pass (no range product)",
+    "q227_asof_nearest" -> "nearest as-of: backward + reversed in-partition forward carry over the SAME single exchange",
+    "q228_group_quantiles_exact" -> "one keyed window exchange shared by row_number + count; integer quantile positions picked map-side",
+    "q229_hard_negatives" -> "broadcast anchors; label pre-filter; WindowGroupLimit partial top-k before the per-anchor exchange",
+    "q230_weighted_quantiles" -> "RANGE-frame cumulative weights; the min-aggregate reuses the window's partitioning — one exchange total",
     "q51_minhash_lsh" -> "MinHash signatures as aggregate columns; LSH equality join",
     "q60_knn_bruteforce" -> "codegen'd cosine_sim inside the stage; WindowGroupLimit top-k",
     "q82_stream_tumbling" -> "(streaming runtime — plan of the equivalent batch q80 shown)",
@@ -112,6 +122,9 @@ object ExplainDump {
     val sb = new StringBuilder
     sb.append("# EXPLAIN — executed physical plans (sf0.001, AQE final)\n\n")
     sb.append("Generated by `graft.tools.ExplainDump`; the shapes PlanSpec locks in.\n")
+    val preamble = Paths.get("EXPLAIN_PREAMBLE.md")
+    if (Files.exists(preamble))
+      sb.append("\n").append(Files.readString(preamble))
     headline.foreach { case (name, note) =>
       val qname = if (name == "q82_stream_tumbling") "q80_tumbling_window" else name
       val df = graft.SparkEntry.queries(qname)(spark, d)
