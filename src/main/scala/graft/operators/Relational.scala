@@ -341,6 +341,27 @@ object Relational {
         round(max(col("o_totalprice")), 2).as("top_price"))
       .orderBy(col("o_orderstatus"))
 
+  /** Deterministic per-group MODE — the argmax-by-frequency aggregate SQL
+    * engines expose with engine-specific tie rules (DuckDB's `mode()` ties
+    * arbitrarily), pinned here to the total order (count DESC, value ASC)
+    * so the answer is a pure function of the data. Two bounded aggregates
+    * — (groups × values) counts with map-side combine, then a min_by over
+    * the (−count, value) struct — no window, no per-group sort; at any
+    * scale the shuffle carries only the distinct (group, value) count
+    * rows. The oracle is the independent window-rank formulation. */
+  private val q231: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(min_by(
+          struct(col("o_orderpriority").as("m"), col("cnt").as("c")),
+          struct((-col("cnt")).as("nc"), col("o_orderpriority").as("m")))
+        .as("pick"))
+      .select(col("o_orderstatus"),
+        col("pick.m").as("mode_priority"), col("pick.c").as("mode_n"))
+      .orderBy(col("o_orderstatus"))
+
   /** Ordered array_agg with array slicing: first 3 orders per customer.
     * The array is canonicalized to a comma-joined string on output (both
     * engines) so the driver's hash compare — which cannot hash array
@@ -1093,6 +1114,7 @@ object Relational {
     "q25_percentiles" -> q25,
     "q26_pivot" -> q26,
     "q27_minmax_by" -> q27,
+    "q231_group_mode" -> q231,
     "q28_array_agg" -> q28,
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1394,6 +1416,21 @@ object Relational {
              arg_min(o_orderkey, o_totalprice) AS bottom_order,
              round(max(o_totalprice), 2) AS top_price
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // INDEPENDENT formulation: window rank over the counts (the engine
+    // uses a min_by struct aggregate, no window). NOT DuckDB's mode() —
+    // its tie rule is unspecified; both sides pin (count DESC, value ASC).
+    "q231_group_mode" -> """
+      WITH c AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY cnt DESC, o_orderpriority) AS rk
+        FROM c)
+      SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_n
+      FROM r WHERE rk = 1
+      ORDER BY o_orderstatus""",
     "q28_array_agg" -> """
       SELECT o_custkey,
              array_to_string((list(o_orderkey ORDER BY o_orderdate, o_orderkey))[1:3], ',') AS first_orders

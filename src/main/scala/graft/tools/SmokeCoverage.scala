@@ -333,6 +333,11 @@ object SmokeCoverage {
       "running-sum accumulator instead of a row counter — identical " +
       "exchange, identical (groups x points)-bounded output; same q128 " +
       "approx scale path"),
+    "q231_group_mode" -> ("two bounded hash aggregates with map-side " +
+      "combine — the shuffle carries only distinct (group, value) count " +
+      "rows and the min_by struct state is one row per group; no window, " +
+      "no sort, nothing to Kx-smoke beyond Spark's own partial " +
+      "aggregation (CoreRelational class)"),
     "q189_funnel_latency" -> ("rides the smoked funnel sort (events " +
       "section); the latency roll-up is (stages × groups)-bounded"),
     "q190_event_cadence" -> ("per-user lag over the one user-key sort — " +
