@@ -35,6 +35,17 @@ import org.apache.spark.sql.SparkSession
   * sample is dropped before taking the median. Clean queries keep the
   * plain median-of-`runs` (record continuity with r6–r12); only
   * stall-suspected ones pay the extra samples.
+  *
+  * Round 17 (VERDICT r16 item 3): the spread check is blind to UNIFORMLY
+  * hot windows — r16's committed record held q202 at 3.19 s floor vs a
+  * 0.61 s quiet floor on identical locked code, samples [3.19, 4.35,
+  * 5.47] spreading only 1.7×. Cross-record drift defense: each query's
+  * fresh floor is compared against the previous committed
+  * bench_samples.json floor (same sf AND thread basis only — the record
+  * now stamps both); >2.5× and >1 s above it fires the same re-sample +
+  * drop-max machinery, and a row whose floor STAYS drifted after the
+  * extras is persisted in the record's "drift_hot" list, so a poisoned
+  * floor can no longer enter a round record silently.
   */
 /** The stall-defense arithmetic, extracted for unit testing (the defense
   * only fires on genuinely noisy windows, so a spec is the only place its
@@ -55,6 +66,47 @@ private[graft] object BenchSampling {
   def stallSuspected(samples: Seq[Double]): Boolean =
     samples.size >= 2 &&
       samples.max > 2.5 * samples.min && samples.max - samples.min > 1.0
+  /** Cross-record floor drift (round 17, VERDICT r16 item 3): the stall
+    * defense above keys on INTRA-run spread, so a uniformly hot window
+    * sails through it — r16's committed q202 floor was 3.19 s against a
+    * 0.61 s quiet floor on identical locked code, samples [3.19, 4.35,
+    * 5.47] spreading only 1.7×. This check compares the run's own floor
+    * against the PREVIOUS committed record's floor for the same query:
+    * fires when this run's min is >2.5× the prior floor AND >1 s above it
+    * (the same absolute guard, so sub-second jitter can never trigger).
+    * Only meaningful when the two records share a measurement basis —
+    * the caller must pass floors from a record with the same sf AND
+    * thread count (see loadPriorFloors). */
+  def driftSuspected(samples: Seq[Double], priorFloor: Double): Boolean =
+    samples.nonEmpty && priorFloor > 0 &&
+      samples.min > 2.5 * priorFloor && samples.min - priorFloor > 1.0
+  /** Parse a committed bench_samples.json into query → floor (min
+    * sample), returning empty unless the record's "sf" and "threads"
+    * fields BOTH match the current run's basis: a 32-thread driver record
+    * or a 10×-tier record must never arbitrate a local[4] sf0.1 run
+    * (CPU-bound floors nearly halve at 32 threads, tier floors are ~10×
+    * higher — either mismatch would fire the defense spuriously or mask
+    * real drift). Legacy records without the fields are skipped, not
+    * guessed at. Regex, not a JSON lib (none on the main classpath); the
+    * file is this harness's own single-line output, so the row shape is
+    * exact. */
+  def parsePriorFloors(text: String, sf: String,
+      threads: String): Map[String, Double] = {
+    val sfRe = """"sf":"([^"]*)"""".r
+    val thRe = """"threads":(?:"([^"]*)"|(\d+))""".r
+    val basisOk =
+      sfRe.findFirstMatchIn(text).exists(_.group(1) == sf) &&
+        thRe.findFirstMatchIn(text).exists(m =>
+          Option(m.group(1)).getOrElse(m.group(2)) == threads)
+    if (!basisOk) Map.empty
+    else {
+      val row = """"(q[A-Za-z0-9_]+)":\[([^\]]+)\]""".r
+      row.findAllMatchIn(text).flatMap { m =>
+        val vals = m.group(2).split(',').flatMap(_.trim.toDoubleOption)
+        if (vals.isEmpty) None else Some(m.group(1) -> vals.min)
+      }.toMap
+    }
+  }
   /** Plain median for clean queries (record continuity with r6–r12);
     * drop-max median whenever the stall defense FIRED — keyed on the
     * flag, not on sample count, so a re-sample whose extra executions
@@ -81,6 +133,19 @@ object Bench {
     // suspicion); 0 disables the defense and restores pure median-of-`runs`.
     val stallExtra =
       math.max(0, sys.env.getOrElse("SPARK_GRAFT_STALL_EXTRA", "2").toInt)
+    // Prior committed floors for the cross-record drift defense (round
+    // 17): read BEFORE this run clobbers bench_samples.json. Same-basis
+    // only (sf + threads — parsePriorFloors scaladoc); in a session the
+    // file may instead hold the previous run's samples, which is exactly
+    // the comparison wanted (the freshest same-basis floor available).
+    val priorFloors: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("bench_samples.json")
+      if (java.nio.file.Files.exists(p))
+        BenchSampling.parsePriorFloors(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+          sfDir, cpus)
+      else Map.empty
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -155,11 +220,25 @@ object Bench {
       // container stall, take extra samples; reporting drops the single max
       // (see BenchSampling.reported). A genuine plan cost re-measures high
       // and survives the drop; a one-off stall doesn't.
-      val fired =
+      val stallFired =
         stallExtra > 0 && runs >= 2 && BenchSampling.stallSuspected(first)
+      // Cross-record drift (round 17): a uniformly hot window has no
+      // intra-run spread for the stall check to see — compare this run's
+      // own floor against the previous committed record's floor instead
+      // (same-basis records only; BenchSampling.driftSuspected scaladoc).
+      // Fires the SAME re-sample + drop-max machinery; if the window is
+      // genuinely hot the extras re-measure high and the row additionally
+      // lands in the record's "drift_hot" list below.
+      val driftFired = stallExtra > 0 &&
+        priorFloors.get(name).exists(p =>
+          BenchSampling.driftSuspected(first, p))
+      val fired = stallFired || driftFired
       val samples =
         if (fired) {
-          System.err.println(f"[bench] $name: spread ${first.min}%.2f..${first.max}%.2f s — stall suspected, +$stallExtra samples")
+          if (stallFired)
+            System.err.println(f"[bench] $name: spread ${first.min}%.2f..${first.max}%.2f s — stall suspected, +$stallExtra samples")
+          if (driftFired)
+            System.err.println(f"[bench] $name: floor ${first.min}%.2f s vs prior committed floor ${priorFloors(name)}%.2f s — cross-record drift, +$stallExtra samples")
           val extra = Iterator.continually(execOnce(name))
             .take(stallExtra).takeWhile(_ >= 0).toSeq
           // An extra that fails is loud, not silent: the initial samples
@@ -295,10 +374,30 @@ object Bench {
     val firedList = results.collect {
       case (k, (v, true)) if v.nonEmpty => "\"" + k + "\""
     }.mkString("[", ",", "]")
+    // Rows whose floor STAYED >2.5x the prior committed floor even after
+    // the drift re-sample: the window (or a real regression) is uniformly
+    // hot and the recorded floor is not a steady-state number. Persisted
+    // in the record so a poisoned per-query floor can never again enter a
+    // round record silently (the r16 q202 case), and loud on stderr for
+    // the human committing it.
+    val driftHot = results.collect {
+      case (k, (v, _)) if v.nonEmpty && priorFloors.get(k).exists(p =>
+        BenchSampling.driftSuspected(v, p)) => k
+    }
+    driftHot.foreach { k =>
+      System.err.println(f"[bench] WARNING $k: floor still " +
+        f"${results.toMap.apply(k)._1.min}%.2f s vs prior committed " +
+        f"${priorFloors(k)}%.2f s after re-sampling — row marked drift_hot; " +
+        "do not commit as a steady-state record without a quiet-window check")
+    }
+    val driftHotList = driftHot.map("\"" + _ + "\"").mkString("[", ",", "]")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))
+    // "sf" + "threads" stamp the record's measurement basis so the NEXT
+    // run's drift defense only ever compares like with like (a tier run
+    // or a 32-thread driver run must not arbitrate a local[4] sf0.1 run).
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_samples.json"),
-      (s"""{"metric":"samples","runs":$runs,"fired":$firedList,"queries":$detail}""" + "\n").getBytes("UTF-8"))
+      (s"""{"metric":"samples","runs":$runs,"threads":$threadsJson,"sf":"$sfDir","fired":$firedList,"drift_hot":$driftHotList,"queries":$detail}""" + "\n").getBytes("UTF-8"))
     // The short total line is the one that must survive the tail; it is
     // bounded (~110 chars) by construction. Warn only if it somehow grows.
     if (shortJson.length > 500)

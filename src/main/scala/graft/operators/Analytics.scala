@@ -1472,16 +1472,39 @@ object Analytics {
     * a multiset's k-th sorted position is unique even though row_number
     * among equal values is not.
     *
+    * Contract: `valCol` must be an INTEGRAL column (byte/short/int/long) —
+    * the all-integer discipline above only holds when the values
+    * themselves carry no fractional part, so a fractional column is
+    * rejected up front (r16 ADVICE: the old silent `cast("long")` would
+    * truncate fractional quantile values with no error). Fixed-point
+    * callers pre-scale to integer units (cents, micros) exactly as the
+    * rest of the decimal discipline does.
+    *
     * Shape: ONE key-partitioned window exchange (row_number + count share
     * the partitioning; the counter is the only per-group state), then a
     * map-side position-set membership filter — output |groups| × |pms|
     * rows, never a value buffer. At 100 TB this exact form is the per-
     * domain AUDIT you run on a sample or on bounded groups; the standing
     * report is q128's mergeable histogram state. */
+  /** The exact-quantile family's input contract: the column must already
+    * be integral — a silent `cast("long")` on a fractional column would
+    * truncate quantile VALUES with no error (r16 ADVICE). Resolution-only
+    * (one `df.schema` lookup), no job runs. */
+  private def requireIntegral(df: DataFrame, colName: String,
+      what: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(colName).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$what column `$colName` must be integral (byte/short/int/long), " +
+        s"got ${dt.simpleString} — pre-scale fixed-point data to integer " +
+        s"units (cents, micros, tokens) instead of relying on truncation")
+  }
+
   def groupQuantilesExact(df: DataFrame, keyCol: String, valCol: String,
       permille: Seq[Int]): DataFrame = {
     require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
       s"groupQuantilesExact: permille points must be in [1,1000], got $permille")
+    requireIntegral(df, valCol, "groupQuantilesExact value")
     val pmArr = permille.distinct.sorted.mkString("array(", ", ", ")")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("v"))
     df.filter(col(valCol).isNotNull)
@@ -1508,7 +1531,10 @@ object Analytics {
     * live in docs shorter than X chars" — the curation statistic
     * unweighted quantiles get wrong whenever long documents carry the
     * mass).
-    * All-integer again: cumw·1000 ≥ pm·W decides the pick, no float.
+    * All-integer again: cumw·1000 ≥ pm·W decides the pick, no float —
+    * which is also why BOTH the value column and the weight expression
+    * must already be integral (enforced, same contract note as
+    * [[groupQuantilesExact]]); token counts, cents, micros all are.
     *
     * Tie discipline: the cumulative sum runs over a RANGE frame (ties are
     * peers sharing one cumw — both engines' default ORDER BY frame), so
@@ -1522,6 +1548,9 @@ object Analytics {
       weightCol: Column, permille: Seq[Int]): DataFrame = {
     require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
       s"weightedGroupQuantiles: permille points must be in [1,1000], got $permille")
+    requireIntegral(df, valCol, "weightedGroupQuantiles value")
+    requireIntegral(df.select(weightCol.as("wt")), "wt",
+      "weightedGroupQuantiles weight")
     val pmArr = permille.distinct.sorted.mkString("array(", ", ", ")")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("v"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)

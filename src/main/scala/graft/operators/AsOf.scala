@@ -124,9 +124,11 @@ object AsOf {
     * two-direction carry + tolerance nulling, not a shared recipe. The
     * operator's backward/forward candidates are exactly the per-side
     * nearest rows, so the global |gap| argmin is always one of them.
-    * Determinism precondition (verified on all fixtures + the 10× tier):
-    * no two clicks of one user share a timestamp — equal-time right rows
-    * would make the carry's winner order-dependent. */
+    * Determinism precondition (ENFORCED — FixtureInvariantSpec asserts it
+    * against sf0.001/sf0.01/sf0.1, and it held on the 10× tier): no two
+    * clicks of one user share a timestamp — equal-time right rows would
+    * make the carry's winner order-dependent, i.e. a flaky oracle gate; a
+    * violating fixture regen now fails the spec by name instead. */
   private val q227: Q = (s, d) => {
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")

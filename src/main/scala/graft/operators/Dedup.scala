@@ -1440,21 +1440,33 @@ object Dedup {
     // pigeonhole signature partitioning — agreement certifies the
     // completeness lemma (no pair with J >= 0.9 escapes the m universe
     // hash-parts), not just the verify arithmetic.
+    // Round-17 rewrite, same discipline as q167 below: exact
+    // inverted-index pair counts instead of brute-force all-pairs
+    // list_intersect (208 s -> 27 s at sf0.1; byte-identical rows
+    // verified directly at sf0.01). Completeness is unconditional: a
+    // J >= 0.9 pair must share a token (inter = 0 fails inter*10 >=
+    // (szsum - inter)*9 for non-empty sets), and every sharing pair is
+    // enumerated with its exact count. Still independent of the engine's
+    // PartEnum machinery — no parts, no families, no caps.
     "q159_setsim_join" -> """
       WITH sets AS (
         SELECT doc_id,
                list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
         FROM documents),
+      sz AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS sz FROM sets),
+      post AS (SELECT doc_id, unnest(tk) AS t FROM sets),
       pairs AS (
         SELECT x.doc_id AS id1, y.doc_id AS id2,
-               CAST(len(list_intersect(x.tk, y.tk)) AS BIGINT) AS inter,
-               CAST(len(x.tk) + len(y.tk) AS BIGINT) AS szsum,
-               round(CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
-                     / (len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk))),
-                     4) AS jaccard
-        FROM sets x JOIN sets y ON x.doc_id < y.doc_id)
-      SELECT id1, id2, inter, jaccard FROM pairs
-      WHERE inter * 10 >= (szsum - inter) * 9 ORDER BY id1, id2""",
+               CAST(count(*) AS BIGINT) AS inter
+        FROM post x JOIN post y ON x.t = y.t AND x.doc_id < y.doc_id
+        GROUP BY 1, 2)
+      SELECT p.id1, p.id2, p.inter,
+             round(CAST(p.inter AS DOUBLE) / (a.sz + b.sz - p.inter), 4)
+               AS jaccard
+      FROM pairs p JOIN sz a ON a.doc_id = p.id1
+                   JOIN sz b ON b.doc_id = p.id2
+      WHERE p.inter * 10 >= (a.sz + b.sz - p.inter) * 9
+      ORDER BY id1, id2""",
     // REPLAYS the capped variant's full machinery — the engine-neutral
     // 60-bit md5 token→part assignment, the m-universe family signatures,
     // the id-ordered member cap at 8, the truncation flag, and the exact
@@ -1530,9 +1542,19 @@ object Dedup {
       FROM ranked a JOIN ranked b ON b.rk > a.rk AND b.rk - a.rk < 5
       WHERE levenshtein(a.sk, b.sk) <= 3
       ORDER BY id1, id2""",
-    // INDEPENDENT formulation: brute-force ordered-pairs containment over
-    // distinct shingle LISTS (no digests, no prefix index) — agreement
-    // certifies the asymmetric prefix-filter completeness lemma.
+    // INDEPENDENT formulation: exact inverted-index pair counts (no
+    // digests, no prefix index, no df ordering) — agreement still
+    // certifies the asymmetric prefix-filter completeness lemma, because
+    // the postings self-join + GROUP BY pair enumerates EVERY ordered
+    // pair sharing >=1 shingle with its exact intersection count, and a
+    // pair with inter = 0 can never pass inter*5 >= sz*4 (sz >= 1 by the
+    // len(tk) >= 3 guard). Round-17 rewrite of the original brute-force
+    // all-pairs list_intersect (O(n^2) list intersections — ~25 of the
+    // sf0.1 gate's ~50 check_oracle minutes): byte-identical rows at
+    // sf0.01 (verified directly, 7.4 s -> 0.2 s) and 2.3 s at sf0.1;
+    // identical arithmetic (integer counts -> the same doubles -> the
+    // same round(,4)), so the sf0.1 re-certification run compares the
+    // already-certified engine answers against it transitively.
     "q167_containment" -> """
       WITH toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
@@ -1540,13 +1562,18 @@ object Dedup {
       sh AS (
         SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
                i -> list_aggregate(tk[i:i+2], 'string_agg', ' '))) AS s
-        FROM toks WHERE len(tk) >= 3)
-      SELECT x.doc_id AS id1, y.doc_id AS id2,
-             CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
-             round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s), 4)
-               AS containment
-      FROM sh x JOIN sh y ON x.doc_id <> y.doc_id
-      WHERE len(list_intersect(x.s, y.s)) * 5 >= len(x.s) * 4
+        FROM toks WHERE len(tk) >= 3),
+      sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sz FROM sh),
+      post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      pairs AS (
+        SELECT x.doc_id AS id1, y.doc_id AS id2,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM post x JOIN post y ON x.g = y.g AND x.doc_id <> y.doc_id
+        GROUP BY 1, 2)
+      SELECT p.id1, p.id2, p.inter,
+             round(CAST(p.inter AS DOUBLE) / a.sz, 4) AS containment
+      FROM pairs p JOIN sz a ON a.doc_id = p.id1
+      WHERE p.inter * 5 >= a.sz * 4
       ORDER BY id1, id2""",
     // REPLAYS the capped containment machinery end-to-end: md5 digests,
     // full-table document frequencies, the (df ASC, digest) struct-sorted

@@ -24,16 +24,23 @@ object Sf01Coverage {
   val recordPath = "CORRECTNESS_SF01.json"
 
   /** Full query names with a `"pass": true` entry in the committed
-    * record. The record is this repo's own indent=1 json.dump output, so
-    * the targeted regex (query key immediately followed by its "pass"
-    * field) is exact here — no JSON library needed. */
+    * record. No JSON library on the main classpath, so this is a
+    * targeted regex — but one that tolerates key REORDERING inside each
+    * query object (r16 ADVICE: the original required "pass" to be the
+    * object's first key, so a record re-emitted by a differently-built
+    * dict would silently drop rows past the spec's coarse >=200 size
+    * guard). Query objects in this record are flat (no nested braces),
+    * so "everything up to the next `}`" is exactly the object body. */
   def passing(): Set[String] = {
     val text = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(recordPath)),
       "UTF-8")
-    val row = """"(q\d+[a-z0-9_]*)":\s*\{\s*"pass":\s*(true|false)""".r
+    val row = """"(q\d+[a-z0-9_]*)":\s*\{([^}]*)\}""".r
     row.findAllMatchIn(text)
-      .collect { case m if m.group(2) == "true" => m.group(1) }
+      .collect {
+        case m if """"pass":\s*true""".r.findFirstIn(m.group(2)).isDefined =>
+          m.group(1)
+      }
       .toSet
   }
 
@@ -42,4 +49,21 @@ object Sf01Coverage {
     * q159 answer) are certified. Any future entry must argue the
     * STRUCTURAL reason, as in SmokeCoverage/TierCoverage. */
   val exempt: Map[String, String] = Map.empty
+
+  /** Certified queries whose CURRENT plan fingerprint no longer matches
+    * the fingerprint snapshotted at sf0.1 certification time (round 17,
+    * VERDICT r16 item 7): a certification certifies the ANSWERS of a
+    * specific plan, so a query whose golden plan changed in a commit
+    * without a same-commit re-certification is carrying a stale cert —
+    * exactly how q49/q193/q194's rewrites would have shipped uncertified
+    * if r16 hadn't re-run them by hand. Pure so the forced-change spec
+    * case can exercise it on synthetic maps. A query missing from either
+    * map counts stale (a cert must always have a pinned fingerprint). */
+  def staleCertifications(certified: Set[String],
+      certPlans: Map[String, String],
+      goldenPlans: Map[String, String]): Set[String] =
+    certified.filter { n =>
+      val snap = certPlans.get(n)
+      snap.isEmpty || snap != goldenPlans.get(n)
+    }
 }

@@ -62,4 +62,47 @@ class BenchSamplingSpec extends AnyFunSuite {
       assert(got < median(first), s"$name: defense must beat the raw median")
     }
   }
+
+  // ---- cross-record floor drift (round 17, VERDICT r16 item 3) ----
+
+  test("the literal r16 q202 profile fires the drift defense") {
+    // Committed r16 final-record samples vs the same round's quiet floor:
+    // spread only 1.7x (stall check must stay silent — that is the gap
+    // this defense exists for), but the run's own floor is 5.2x the prior
+    // committed floor.
+    val q202 = Seq(3.19, 4.35, 5.47)
+    assert(!stallSuspected(q202), "q202 r16: stall check is blind here by design")
+    assert(driftSuspected(q202, priorFloor = 0.61), "q202 r16 must fire drift")
+  }
+
+  test("drift needs BOTH >2.5x over prior floor and >1s absolute") {
+    // sub-second jitter on a fast query: 3.5x prior but only 0.25s above
+    assert(!driftSuspected(Seq(0.35, 0.36, 0.40), priorFloor = 0.10))
+    // warm +40%: above 1s absolute but under the ratio gate
+    assert(!driftSuspected(Seq(4.2, 4.3, 4.4), priorFloor = 3.0))
+    // real improvement (new floor BELOW prior) never fires
+    assert(!driftSuspected(Seq(0.5, 0.6), priorFloor = 2.0))
+    // degenerate prior floors are ignored
+    assert(!driftSuspected(Seq(5.0), priorFloor = 0.0))
+    assert(!driftSuspected(Seq.empty, priorFloor = 1.0))
+  }
+
+  test("prior floors load only from a same-basis record") {
+    val rec = """{"metric":"samples","runs":3,"threads":4,"sf":"/root/testdata/sf0.1",""" +
+      """"fired":["q159_setsim_join"],"drift_hot":[],""" +
+      """"queries":{"q202_resample_interp":[0.610,0.652,0.700],"q159_setsim_join":[8.45,9.1,25.0],"q00_dead":[]}}"""
+    val ok = parsePriorFloors(rec, "/root/testdata/sf0.1", "4")
+    assert(ok("q202_resample_interp") == 0.610)
+    assert(ok("q159_setsim_join") == 8.45) // floor, not median
+    assert(!ok.contains("q00_dead"), "empty sample rows carry no floor")
+    assert(!ok.contains("fired"), "the fired/drift_hot lists are not query rows")
+    // basis mismatches: tier sf, different threads, quoted threads form
+    assert(parsePriorFloors(rec, "/tmp/graft_sf1", "4").isEmpty)
+    assert(parsePriorFloors(rec, "/root/testdata/sf0.1", "32").isEmpty)
+    val quoted = rec.replace(""""threads":4""", """"threads":"*"""")
+    assert(parsePriorFloors(quoted, "/root/testdata/sf0.1", "*")("q202_resample_interp") == 0.610)
+    // legacy record (r16 and earlier: no sf/threads fields) is never used
+    val legacy = """{"metric":"samples","runs":3,"fired":[],"queries":{"q202_resample_interp":[0.61]}}"""
+    assert(parsePriorFloors(legacy, "/root/testdata/sf0.1", "4").isEmpty)
+  }
 }

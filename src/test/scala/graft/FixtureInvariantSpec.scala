@@ -87,6 +87,28 @@ class FixtureInvariantSpec extends SparkSpec {
     assert(Tables.events(spark, sf0001).schema("ts").dataType == TimestampType)
   }
 
+  test("no two clicks of one user share a timestamp (as-of carry determinism)") {
+    // q227's nearest-within-tolerance as-of (and the q31/q121 backward
+    // carries) pick ONE right row per (key, time); two clicks of a user at
+    // the same ts would make the carried winner order-dependent on BOTH
+    // engines — a FLAKY oracle gate instead of a clear failure (r16
+    // ADVICE). The precondition held on every fixture and the 10x tier;
+    // assert it here so a future fixture regen that violates it fails
+    // loudly by name. sf0.1 included: it is the certification scale and
+    // only 100k rows.
+    Seq(sf0001, sf001, sf01).foreach { d =>
+      val dup = Tables.events(spark, d)
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).count()
+        .filter(col("count") > 1)
+      assert(dup.isEmpty,
+        s"$d: duplicate (user_id, ts) click pairs — the as-of carry's " +
+          s"winner becomes order-dependent; dedup the fixture or add a " +
+          s"tie-break key to AsOf.asofJoin before trusting q227/q31: " +
+          s"${dup.head(3).mkString(",")}")
+    }
+  }
+
   test("fixture physical types the engine (and its oracles) assume") {
     // events.ts taught us fixture regens can silently flip physical
     // encodings (the r8 outage). The loaders/oracles additionally assume:

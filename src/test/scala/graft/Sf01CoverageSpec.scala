@@ -55,4 +55,38 @@ class Sf01CoverageSpec extends AnyFunSuite {
       s"exemption reasons too thin to count as documented: " +
         s"${thin.toSeq.sorted.mkString(", ")}")
   }
+
+  // ---- certification freshness (round 17, VERDICT r16 item 7) ----
+
+  test("no certified query's plan changed since its sf0.1 certification") {
+    // A certification certifies the ANSWERS of a specific plan.
+    // sf01_cert_plans.txt pins each certified query's golden fingerprint
+    // at cert time; a golden_plans.txt regen that changes a certified
+    // query therefore fails HERE until the query is re-certified at
+    // sf0.1 and re-pinned (Sf01CertSnapshot scaladoc — re-certify FIRST,
+    // then pin, same commit). This makes r16's by-hand rule (q49/q193/
+    // q194 were re-certified after their rewrites) mechanical.
+    val stale = Sf01Coverage.staleCertifications(
+      passing.intersect(qs),
+      GoldenFiles.load("/sf01_cert_plans.txt"),
+      GoldenFiles.load("/golden_plans.txt"))
+    assert(stale.isEmpty,
+      s"plan fingerprint changed since sf0.1 certification — re-certify " +
+        s"at sf0.1 (Sf01Coverage scaladoc recipe), merge the " +
+        s"CORRECTNESS_SF01.json row, then pin via `sbt \"runMain " +
+        s"graft.tools.Sf01CertSnapshot <name>\"` in the same commit: " +
+        s"${stale.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("forced plan change without re-certification is caught (unit case)") {
+    val certified = Set("qA", "qB", "qC")
+    val certPlans = Map("qA" -> "Scan|>Agg", "qB" -> "Scan|>Sort")
+    // qA unchanged; qB's current golden drifted; qC never pinned at all.
+    val golden = Map("qA" -> "Scan|>Agg", "qB" -> "Scan|>Exchange|>>Sort",
+      "qC" -> "Scan")
+    assert(Sf01Coverage.staleCertifications(certified, certPlans, golden) ==
+      Set("qB", "qC"))
+    // and the clean state passes
+    assert(Sf01Coverage.staleCertifications(Set("qA"), certPlans, golden).isEmpty)
+  }
 }

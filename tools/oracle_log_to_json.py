@@ -33,6 +33,12 @@ def main(log_path, sf_label):
             continue
         if cur is not None and line.startswith("  "):
             queries[cur]["err"] += " | " + line.strip()
+            continue
+        # Any other line ends the FAIL block: without this reset, a later
+        # two-space-indented line anywhere in the log (unrelated tool
+        # output between queries) would be appended verbatim to the last
+        # FAIL entry's err field (r16 ADVICE).
+        cur = None
     n_pass = sum(1 for q in queries.values() if q["pass"])
     out = {
         "sf": sf_label,
