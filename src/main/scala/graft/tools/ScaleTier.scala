@@ -40,26 +40,43 @@ import org.apache.spark.sql.functions._
   * driver contract.
   */
 object ScaleTier {
-  /** Ten distinct permutation targets over "aeiousnrtl" — copy c translates
-    * with target c. Target 0 is the identity (copy 0 unperturbed); the rest
-    * are pairwise distinct, so any two copies disagree on most letters and
-    * shingle/token sets are disjoint across copies. */
+  /** Thirty distinct permutation targets over "aeiousnrtl" — copy c
+    * translates with target c. Target 0 is the identity (copy 0
+    * unperturbed); the rest are pairwise distinct, so any two copies
+    * disagree on most letters and shingle/token sets are (near-)disjoint
+    * across copies. */
   private[graft] val alpha = "aeiousnrtl"
-  private[graft] val targets: Seq[String] = {
-    // Pure rotations. The distinctness invariant is the ALPHABET's: all
-    // ten characters are distinct, so any two different rotations disagree
-    // at every position (a coincidence would need a repeated character at
-    // the rotation distance). Target 0 is the identity rotation — copy 0
-    // stays unperturbed. Pinned by ScaleTierSpec.
-    (0 until 10).map(c => alpha.drop(c) + alpha.take(c))
-  }
+  /** Three cyclic classes of ten rotations each (round 17 — the 30×
+    * probe needs K up to 30; rotations of ONE base cap at 10). Rotations
+    * within a class disagree at EVERY position (all ten alphabet chars
+    * are distinct). Across classes, perfect disagreement is impossible:
+    * two full rotation classes always total 100 positionwise agreements
+    * over their 10×10 cross pairs, and spreading them exactly 1-per-pair
+    * would need a complete mapping of Z/10 — which even-order cyclic
+    * groups do not have (Hall–Paige), so max cross agreement 2 is the
+    * floor. The two extra bases below were searched to hit that floor:
+    * every cross-class pair agrees on ≤ 2 of 10 letters, so only tokens
+    * built PURELY from those ≤ 2 letters (plus non-alphabet chars) can
+    * coincide across copies — for the fixture vocabulary that is zero
+    * tokens, keeping pair-output-bound joins ~K×, not K²×. Class order
+    * is load-bearing: targets 0–9 are byte-identical to the pre-r17
+    * rotation list, so K ≤ 10 tiers regenerate exactly as before.
+    * Pinned by ScaleTierSpec. */
+  private[graft] val classBases: Seq[String] =
+    Seq(alpha, "sinlarueot", "tnsouliear")
+  private[graft] val targets: Seq[String] =
+    classBases.flatMap(base => (0 until 10).map(c => base.drop(c) + base.take(c)))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_TIER_OUT", "/tmp/graft_sf1")
     val k = sys.env.getOrElse("SPARK_GRAFT_TIER_K", "10").toInt
-    require(1 <= k && k <= 10,
-      s"tier K=$k out of range: need 1 <= K <= 10 (10 distinct text permutations defined; K=0 would make replicate's reduce over zero copies throw)")
+    require(1 <= k && k <= targets.size,
+      s"tier K=$k out of range: need 1 <= K <= ${targets.size} (that many " +
+        "distinct text permutations defined; K=0 would make replicate's " +
+        "reduce over zero copies throw). K must also stay below the " +
+        "64-dim embedding size for the rotation perturbation to stay " +
+        "non-identity — 30 does.")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-tier")
