@@ -76,7 +76,7 @@ private[graft] object BenchSampling {
     * (the same absolute guard, so sub-second jitter can never trigger).
     * Only meaningful when the two records share a measurement basis —
     * the caller must pass floors from a record with the same sf AND
-    * thread count (see loadPriorFloors). */
+    * thread count (see parsePriorFloors). */
   def driftSuspected(samples: Seq[Double], priorFloor: Double): Boolean =
     samples.nonEmpty && priorFloor > 0 &&
       samples.min > 2.5 * priorFloor && samples.min - priorFloor > 1.0
@@ -382,15 +382,15 @@ object Bench {
     // the human committing it.
     val driftHot = results.collect {
       case (k, (v, _)) if v.nonEmpty && priorFloors.get(k).exists(p =>
-        BenchSampling.driftSuspected(v, p)) => k
+        BenchSampling.driftSuspected(v, p)) => (k, v.min)
     }
-    driftHot.foreach { k =>
-      System.err.println(f"[bench] WARNING $k: floor still " +
-        f"${results.toMap.apply(k)._1.min}%.2f s vs prior committed " +
-        f"${priorFloors(k)}%.2f s after re-sampling — row marked drift_hot; " +
-        "do not commit as a steady-state record without a quiet-window check")
+    driftHot.foreach { case (k, floor) =>
+      System.err.println(f"[bench] WARNING $k: floor still $floor%.2f s vs " +
+        f"prior committed ${priorFloors(k)}%.2f s after re-sampling — row " +
+        "marked drift_hot; do not commit as a steady-state record without " +
+        "a quiet-window check")
     }
-    val driftHotList = driftHot.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val driftHotList = driftHot.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))
     // "sf" + "threads" stamp the record's measurement basis so the NEXT
