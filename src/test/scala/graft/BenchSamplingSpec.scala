@@ -104,5 +104,14 @@ class BenchSamplingSpec extends AnyFunSuite {
     // legacy record (r16 and earlier: no sf/threads fields) is never used
     val legacy = """{"metric":"samples","runs":3,"fired":[],"queries":{"q202_resample_interp":[0.61]}}"""
     assert(parsePriorFloors(legacy, "/root/testdata/sf0.1", "4").isEmpty)
+    // POPULATED fired/drift_hot lists (the r17 run-3 hot-window shape)
+    // must not parse as query rows: a list element is a bare "qNNN_name"
+    // string never followed by ":[", so only the real sample rows load.
+    val hot = """{"metric":"samples","runs":3,"threads":4,"sf":"/root/testdata/sf0.1",""" +
+      """"fired":["q191_stream_append","q198_rfm_segments"],""" +
+      """"drift_hot":["q191_stream_append"],""" +
+      """"queries":{"q191_stream_append":[2.5,2.6,2.4],"q01_pricing_summary":[0.55,0.56]}}"""
+    val hp = parsePriorFloors(hot, "/root/testdata/sf0.1", "4")
+    assert(hp == Map("q191_stream_append" -> 2.4, "q01_pricing_summary" -> 0.55))
   }
 }
