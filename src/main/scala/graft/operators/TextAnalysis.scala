@@ -188,6 +188,141 @@ object TextAnalysis {
     dupSpans(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** The REMOVAL twin of [[dupSpans]] (the transform the "deduplicating
+    * training data" pass actually applies): every token covered by a
+    * `w`-gram occurring more than once anywhere in the corpus is dropped,
+    * and the surviving tokens re-emit as the cleaned training text, with
+    * the kept/removed accounting the token-budget ledger needs.
+    * [[dupSpans]] measures the duplicated mass; this reclaims it.
+    *
+    * `clean_text` is a function of the TOKEN sequence (survivors re-join
+    * with single spaces), so a doc with no duplicated spans still returns
+    * its tokenized re-join — whitespace runs collapse, by contract, on
+    * both engines.
+    *
+    * Shape: detection is [[dupSpans]]'s legs verbatim (digest-only count
+    * shuffle, skinny duplicated-start join-back). Coverage expansion is
+    * deliberately RELATIONAL: each duplicated start explodes to its ≤ w
+    * covered positions, distinct, then one (doc, pos) ANTI join against
+    * the posexploded tokens — per-token cost O(1) no matter how much of a
+    * document is duplicated. (The map-side alternative — collect starts
+    * per doc, `array_contains` over the merged cover per token — goes
+    * O(n·|cover|), quadratic on exactly the fully-duplicated documents
+    * this operator exists to clean.) The final per-doc re-assembly
+    * shuffles each SURVIVING token once — the output's own volume, the
+    * floor for any transform that must emit text. */
+  def scrubDupSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    require(w >= 2 && w <= 1024, s"scrubDupSpans: w must be in [2, 1024], got $w")
+    val toked = df.select(col(idCol), expr(toksOf(textCol)).as("toks"))
+    val spine = toked.select(col(idCol),
+      size(col("toks")).cast("long").as("n_tokens"))
+    val grams = toked.filter(size(col("toks")) >= w)
+      .select(col(idCol), posexplode(
+        expr(s"transform(sequence(0, size(toks) - $w), " +
+          s"i -> md5(array_join(slice(toks, i + 1, $w), ' ')))"))
+        .as(Seq("start", "dig")))
+    val dupDigs = grams.groupBy(col("dig")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("dig"))
+    val covered = grams.join(dupDigs, "dig")
+      .select(col(idCol),
+        explode(expr(s"sequence(start, start + ${w - 1})")).as("pos"))
+      .distinct()
+    val tokens = toked
+      .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tokens.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+          " ").as("clean_text"))
+    spine.join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  private val q232: Q = (s, d) =>
+    scrubDupSpans(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Per-document w-gram NOVELTY — the marginal-contribution signal a
+    * token-budget curation pass ranks by: of this document's DISTINCT
+    * w-grams, what fraction is FIRST-OWNED by it corpus-wide (owner =
+    * min doc_id over the gram's occurrences — the same deterministic
+    * keeper rule exact dedup uses, q50)? A redundancy-free corpus scores
+    * 1.0 everywhere; a verbatim re-post scores 0.0. Distinct-per-doc
+    * happens MAP-SIDE (`array_distinct` before the explode), so internal
+    * repetition neither inflates the numerator nor the shuffle.
+    *
+    * Shape: one digest-only ownership aggregate (min doc_id per gram),
+    * one skinny join back, one per-doc count — no text ever shuffles,
+    * no pair stage anywhere; linear in corpus grams at any scale. */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    require(w >= 2 && w <= 1024, s"gramNovelty: w must be in [2, 1024], got $w")
+    val toked = df.select(col(idCol), expr(toksOf(textCol)).as("toks"))
+    val spine = toked.select(col(idCol))
+    val grams = toked.filter(size(col("toks")) >= w)
+      .select(col(idCol), explode(expr(
+        s"array_distinct(transform(sequence(0, size(toks) - $w), " +
+          s"i -> md5(array_join(slice(toks, i + 1, $w), ' '))))")).as("dig"))
+    val owners = grams.groupBy(col("dig")).agg(min(col(idCol)).as("owner"))
+    val per = grams.join(owners, "dig")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("owner") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+    spine.join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(round(col("n_novel").cast("double") / col("n_grams"), 4),
+          lit(0.0)).as("novelty_frac"))
+  }
+
+  private val q234: Q = (s, d) =>
+    gramNovelty(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** GROUP-RELATIVE quality gating — per-group exact quantile thresholds
+    * applied back to every row: keep a document iff its value sits inside
+    * [p(loPm), p(hiPm)] OF ITS OWN GROUP. Absolute cutoffs ("drop docs
+    * under 100 chars") systematically bias multilingual corpora — the
+    * right tail of one language is the median of another; the per-group
+    * form is the curation pass that doesn't. Every row ships with its
+    * thresholds and verdict (the audit artifact), not just the survivors.
+    *
+    * Thresholds reuse [[Analytics.groupQuantilesExact]]'s all-integer
+    * position rule (⌈pm·n/1000⌉ — float p·n is off-by-one at exact
+    * boundaries) and therefore its ONE keyed window exchange and its
+    * enforced integral-value contract. The pivot to (lo, hi) is a
+    * |groups|-row aggregate, broadcast back — the verdict pass adds no
+    * exchange over the corpus. This exact form is the per-domain AUDIT;
+    * at 100 TB the standing gate swaps in q128's mergeable-histogram
+    * thresholds with the identical join-back shape. */
+  def adaptiveGate(df: DataFrame, groupCol: String, valCol: String,
+      loPm: Int, hiPm: Int): DataFrame = {
+    require(loPm >= 1 && hiPm <= 1000 && loPm < hiPm,
+      s"adaptiveGate: need 1 <= loPm < hiPm <= 1000, got ($loPm, $hiPm)")
+    val th = Analytics
+      .groupQuantilesExact(df, groupCol, valCol, Seq(loPm, hiPm))
+      .groupBy(col(groupCol))
+      .agg(max(when(col("pm") === loPm, col("q"))).as("lo"),
+        max(when(col("pm") === hiPm, col("q"))).as("hi"))
+    df.join(broadcast(th), Seq(groupCol))
+      .withColumn("retained",
+        col(valCol) >= col("lo") && col(valCol) <= col("hi"))
+  }
+
+  private val q233: Q = (s, d) =>
+    adaptiveGate(Tables.documents(s, d), "lang", "n_chars",
+      loPm = 50, hiPm = 995)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("lo"), col("hi"), col("retained"))
+      .orderBy(col("doc_id"))
+
   /** Native codegen'd [[graft.functions.CharNgrams]] — the HOF form
     * (`transform(sequence(...), i -> substring(...))`) interpreted its
     * lambda once per character position, the dominant cost of q41/q44.
@@ -1398,6 +1533,9 @@ object TextAnalysis {
     "q102_chunking" -> q102,
     "q143_chunk_dedup" -> q143,
     "q157_dup_spans" -> q157,
+    "q232_span_scrub" -> q232,
+    "q233_adaptive_gate" -> q233,
+    "q234_gram_novelty" -> q234,
     "q41_trigram_profile" -> q41,
     "q42_quality_score" -> q42,
     "q43_fingerprint" -> q43,
@@ -2041,6 +2179,87 @@ object TextAnalysis {
                             / nullif(b.n_tokens, 0), 4), 0.0) AS dup_frac
       FROM b LEFT JOIN cov USING (doc_id)
       ORDER BY b.doc_id""",
+    // Replays scrubDupSpans: the q157 detection legs verbatim, then
+    // covered (doc, pos) via start..start+7 expansion + DISTINCT, an
+    // anti-join against the positioned tokens, and the surviving tokens
+    // re-joined in position order. All exact integers and strings.
+    "q232_span_scrub" -> """
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents),
+      b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+      g0 AS (SELECT doc_id, toks,
+                    unnest(range(0, greatest(len(toks) - 7, 0))) AS start
+             FROM t),
+      g AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+                   md5(array_to_string(
+                     toks[CAST(start + 1 AS INT):CAST(start + 8 AS INT)], ' ')) AS dig
+            FROM g0),
+      c AS (SELECT dig FROM g GROUP BY dig HAVING count(*) > 1),
+      cov AS (SELECT DISTINCT doc_id, pos FROM
+                (SELECT g.doc_id, unnest(range(g.start, g.start + 8)) AS pos
+                 FROM g JOIN c USING (dig))),
+      tok AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                     toks[CAST(p + 1 AS INT)] AS tok
+              FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS p
+                    FROM t)),
+      kept AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+                      string_agg(tok.tok, ' ' ORDER BY tok.pos) AS clean_text
+               FROM tok LEFT JOIN cov
+                 ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+               WHERE cov.doc_id IS NULL
+               GROUP BY tok.doc_id)
+      SELECT b.doc_id, b.n_tokens,
+             coalesce(kept.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+             b.n_tokens - coalesce(kept.kept_tokens, CAST(0 AS BIGINT))
+               AS removed_tokens,
+             coalesce(kept.clean_text, '') AS clean_text
+      FROM b LEFT JOIN kept USING (doc_id)
+      ORDER BY b.doc_id""",
+    // Replays gramNovelty: DISTINCT per-doc 8-gram digests, corpus-wide
+    // min-doc owner, per-doc novel fraction. Exact integers + one
+    // round(,4) of a long/long division.
+    "q234_gram_novelty" -> """
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+                   md5(array_to_string(
+                     toks[CAST(start + 1 AS INT):CAST(start + 8 AS INT)], ' ')) AS dig
+            FROM (SELECT doc_id, toks,
+                         unnest(range(0, greatest(len(toks) - 7, 0))) AS start
+                  FROM t)),
+      o AS (SELECT dig, min(doc_id) AS owner FROM g GROUP BY dig),
+      p AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel
+            FROM g JOIN o USING (dig) GROUP BY g.doc_id)
+      SELECT d.doc_id,
+             coalesce(p.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+             coalesce(p.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+             coalesce(round(CAST(p.n_novel AS DOUBLE) / p.n_grams, 4), 0.0)
+               AS novelty_frac
+      FROM documents d LEFT JOIN p USING (doc_id)
+      ORDER BY d.doc_id""",
+    // Replays adaptiveGate: per-lang thresholds by DuckDB ordered-list
+    // indexing under the SAME all-integer ⌈pm·n/1000⌉ position rule as
+    // the q228 oracle, joined back to every document with the inclusive
+    // in-range verdict.
+    "q233_adaptive_gate" -> """
+      WITH g AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+                 FROM documents WHERE n_chars IS NOT NULL),
+      s AS (SELECT lang, list(v ORDER BY v) AS vs,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM g GROUP BY lang),
+      th AS (SELECT lang,
+                    vs[CAST((50 * n + 999) // 1000 AS INT)] AS lo,
+                    vs[CAST((995 * n + 999) // 1000 AS INT)] AS hi
+             FROM s)
+      SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+             th.lo, th.hi,
+             (d.n_chars >= th.lo AND d.n_chars <= th.hi) AS retained
+      FROM documents d JOIN th USING (lang)
+      ORDER BY d.doc_id""",
     "q102_chunking" -> """
       WITH t AS (SELECT doc_id,
                         list_filter(string_split(text, ' '), x -> x <> '') AS toks

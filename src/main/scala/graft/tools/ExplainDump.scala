@@ -23,6 +23,9 @@ object ExplainDump {
     "q228_group_quantiles_exact" -> "one keyed window exchange shared by row_number + count; integer quantile positions picked map-side",
     "q229_hard_negatives" -> "broadcast anchors; label pre-filter; WindowGroupLimit partial top-k before the per-anchor exchange",
     "q230_weighted_quantiles" -> "RANGE-frame cumulative weights; the min-aggregate reuses the window's partitioning — one exchange total",
+    "q232_span_scrub" -> "digest-only dup detection; relational coverage (doc,pos) anti-join — O(1) per token on fully-duplicated docs",
+    "q233_adaptive_gate" -> "q228's keyed-window thresholds pivoted |groups|-wide and broadcast back — verdict pass adds no corpus exchange",
+    "q234_gram_novelty" -> "map-side array_distinct; digest-only min-owner aggregate; skinny join-back — no text shuffles",
     "q51_minhash_lsh" -> "MinHash signatures as aggregate columns; LSH equality join",
     "q60_knn_bruteforce" -> "codegen'd cosine_sim inside the stage; WindowGroupLimit top-k",
     "q82_stream_tumbling" -> "(streaming runtime — plan of the equivalent batch q80 shown)",

@@ -602,6 +602,21 @@ object ScaleSmoke {
       time("dupSpans 1x", TextAnalysis.dupSpans(base, "doc_id", "text"))
       time(s"dupSpans ${k}x (all grams dup)",
         TextAnalysis.dupSpans(blown, "doc_id", "text"))
+      // The scrub transform in the same adversarial regime: every gram is
+      // corpus-duplicated, so the coverage expansion + (doc,pos) anti-join
+      // run at FULL volume (every position covered, every token dropped) —
+      // the relational-coverage design's worst case, where the map-side
+      // array_contains alternative would go quadratic per doc.
+      time("scrubDupSpans 1x", TextAnalysis.scrubDupSpans(base, "doc_id", "text"))
+      time(s"scrubDupSpans ${k}x (every position covered)",
+        TextAnalysis.scrubDupSpans(blown, "doc_id", "text"))
+      // Novelty's ownership aggregate on the same corpus: K× rows into the
+      // min-owner groupBy, gram cardinality UNCHANGED (copies collide on
+      // the same digests) — the row certifies the digest-only shuffle is
+      // what scales, not the distinct-gram state.
+      time("gramNovelty 1x", TextAnalysis.gramNovelty(base, "doc_id", "text"))
+      time(s"gramNovelty ${k}x (K-way owner collisions)",
+        TextAnalysis.gramNovelty(blown, "doc_id", "text"))
     }
     // Round-10b additions (q159 rework + q163..q178). The duplicated
     // corpus is q159's OUTPUT-quadratic regime by construction (every doc

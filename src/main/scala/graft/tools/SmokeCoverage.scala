@@ -114,6 +114,10 @@ object SmokeCoverage {
     "q155_heavy_hitters" -> "heavyhit: heavyHitters",
     "q156_kcore" -> "kcore: kCore",
     "q157_dup_spans" -> "dupspans: dupSpans",
+    "q232_span_scrub" ->
+      "dupspans: scrubDupSpans (coverage anti-join at full volume)",
+    "q234_gram_novelty" ->
+      "dupspans: gramNovelty (K-way owner collisions)",
     "q159_setsim_join" -> "setsim: setSimilarityJoin",
     "q163_sorted_neighborhood" -> "snm: sortedNeighborhood",
     "q164_linkage_score" -> "snm: linkageScore",
@@ -333,6 +337,12 @@ object SmokeCoverage {
       "running-sum accumulator instead of a row counter — identical " +
       "exchange, identical (groups x points)-bounded output; same q128 " +
       "approx scale path"),
+    "q233_adaptive_gate" -> ("thresholds are q228's one keyed-window " +
+      "exchange (its exemption rationale applies verbatim); the verdict " +
+      "pass is a |groups|-row broadcast join + a map-side comparison — " +
+      "no exchange over the corpus, nothing new to Kx-smoke; the 100 TB " +
+      "standing gate swaps in the smoked q128 histogram thresholds with " +
+      "the identical join-back shape"),
     "q231_group_mode" -> ("two bounded hash aggregates with map-side " +
       "combine — the shuffle carries only distinct (group, value) count " +
       "rows and the min_by struct state is one row per group; no window, " +
