@@ -53,7 +53,19 @@ object ScaleSmoke {
 
     def time(label: String, df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val rows = df.count()
+      // toRdd.count() iterates the query's OWN physical plan — every
+      // column produced, one pass, row count back. A plain df.count()
+      // lets Catalyst rewrite the plan for the count: for the
+      // spine-LEFT-JOIN-shaped outputs (dupSpans, scrubDupSpans,
+      // gramNovelty, the per-doc dedup verdicts) the grouped-unique
+      // right side makes the whole join ELIMINABLE and the "timed"
+      // query collapses to count(1) over the parquet relation —
+      // measured: the dupspans rows timed a row count, not the
+      // operator (round 17, probe committed in PERF.md). Bench has
+      // always used a noop write for exactly this reason
+      // (Bench.scala:9-10); this is the one-pass equivalent that also
+      // returns the row count the label prints.
+      val rows = df.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[scale] $label%-34s ${dt}%8.2fs  ($rows rows)")
       // Untimed GC so ContextCleaner can reclaim the previous query's
