@@ -411,6 +411,34 @@ case class SimHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** [[SimHash60]] over fixed-size payload FRAMES instead of whitespace
+  * tokens — the perceptual-hash granularity the multimodal near-dup
+  * (q235) votes with. Same md5 60-bit fold, same tie-to-zero vote rule;
+  * only the slicing differs. Native because the HOF form (60-bit lambda
+  * × per-frame aggregate, interpreted) priced the q235 gate at 14 s of
+  * pure expression interpretation at sf0.1 — this keeps the one-pass
+  * byte loop inside whole-stage codegen like its sibling. */
+case class FrameSimHash60(child: Expression, frameBytes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(frameBytes >= 1, s"FrameSimHash60: frameBytes must be >= 1, got $frameBytes")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "frame_simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash60Impl.simhashFrames(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], frameBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHash60Impl.simhashFrames($c, $frameBytes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SimHash60Impl {
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -429,6 +457,37 @@ object SimHash60Impl {
     var k = 0
     while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
     (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Fixed-stride variant for the multimodal frame stream (q235): votes
+    * come from `frameBytes`-sized payload slices (partial last frame
+    * included) instead of whitespace tokens — the perceptual-hash unit.
+    * Byte stride ≡ the SQL `substring` char stride on the ASCII fixture
+    * payloads (q70's 1-byte/char note); a real pipeline feeds raw frame
+    * bytes where only this byte form is meaningful. Zero frames (empty
+    * payload) → all votes 0 → signature 0; callers filter empties, as
+    * [[graft.operators.Multimodal.frameSimHashNearDup]] does.
+    * Called from generated code. */
+  def simhashFrames(u: UTF8String, frameBytes: Int): Long = {
+    val bytes = u.getBytes
+    val votes = new Array[Int](60)
+    val md = mdTl.get()
+    var start = 0
+    while (start < bytes.length) {
+      md.reset()
+      md.update(bytes, start, math.min(frameBytes, bytes.length - start))
+      val v = h60(md.digest())
+      var j = 0
+      while (j < 60) {
+        if (((v >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      start += frameBytes
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) out |= 1L << j; j += 1 }
+    out
   }
 
   /** Called from generated code. */
@@ -828,6 +887,8 @@ object GraftFunctions {
     "graft_token_shingles" -> (exprs => TokenShingles(exprs(0),
       exprs(1).eval().asInstanceOf[Number].intValue())),
     "graft_simhash60" -> (exprs => SimHash60(exprs.head)),
+    "graft_frame_simhash60" -> (exprs => FrameSimHash60(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue())),
     "graft_char_stats" -> (exprs => CharStats(exprs.head)),
     "graft_minhash_sig" -> (exprs => MinHashSig(exprs.head)),
     "graft_hp_buckets" -> (exprs => HyperplaneBuckets(exprs(0),

@@ -3249,7 +3249,48 @@ object Analytics {
         col("z_score"))
       .orderBy(col("event_id"))
 
+  /** Time-decayed per-key features AS-OF a reference instant — the
+    * feature-store readout that turns an unbounded event history into a
+    * fixed-width training feature: decayed_count = Σ e^(−Δt/τ),
+    * decayed_value = Σ value·e^(−Δt/τ), Δt = horizon − ts. The horizon
+    * is the corpus max ts (deterministic, so the gate replays it;
+    * production pins a wall-clock instant instead — same plan).
+    *
+    * Cross-engine float discipline: e^x is not correctly rounded in
+    * either engine's libm, so each TERM pre-rounds to 9 dp and re-pins
+    * to DECIMAL before summing (the PSI/temperatureMix rule) — the
+    * aggregates are exact and order-independent, and the per-term chain
+    * (exact integer micros → ONE double division → exp → round) is
+    * bit-stable on both sides. NULL values count toward decayed_count
+    * but add 0 mass (COALESCE — the woeIv every-row-accounted rule).
+    *
+    * Shape: a 1-row horizon aggregate broadcast back, then ONE map-side
+    * projection + ONE keyed aggregate with map-side partials — no
+    * window, no sort, nothing wide; the cheapest feature pass there is
+    * at any scale. */
+  def decayedFeatures(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tauSec: Long): DataFrame = {
+    require(tauSec > 0, s"decayedFeatures: tauSec must be > 0, got $tauSec")
+    val ref = df.agg(max(unix_micros(col(tsCol))).as("_ref_us"))
+    val decay = s"exp(-((_ref_us - unix_micros($tsCol)) / ${tauSec}e6))"
+    df.crossJoin(broadcast(ref))
+      .select(col(keyCol),
+        expr(s"cast(round($decay, 9) as decimal(16,9))").as("_w"),
+        expr(s"cast(round(coalesce($valueCol, 0.0) * $decay, 9) as decimal(20,9))")
+          .as("_wv"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("_w")).cast("double"), 6).as("decayed_count"),
+        round(sum(col("_wv")).cast("double"), 6).as("decayed_value"))
+  }
+
+  /** Per-user 7-day-half-life engagement features at the corpus horizon. */
+  private val q236: Q = (s, d) =>
+    decayedFeatures(Tables.events(s, d), "user_id", "ts", "value", 604800L)
+      .orderBy(col("user_id"))
+
   val queries: Map[String, Q] = Map(
+    "q236_decayed_features" -> q236,
     "q113_sessionize" -> q113,
     "q114_incremental_agg" -> q114,
     "q116_scd2" -> q116,
@@ -4902,5 +4943,21 @@ object Analytics {
     "q223_kmv_merge" -> oraclesBase("q68_kmv_distinct"),
     "q224_bloom_merge" -> oraclesBase("q149_bloom_filter"),
     "q225_countmin_merge" -> oraclesBase("q125_countmin"),
+    // Replays decayedFeatures under the same pre-rounded-DECIMAL-term
+    // rule: exact integer micros, ONE double division, exp, round(,9),
+    // DECIMAL sum — exact and order-independent on both engines.
+    "q236_decayed_features" -> """
+      WITH r AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+      t AS (SELECT user_id,
+                   CAST(round(exp(-((r.ref_us - epoch_us(ts)) / 604800e6)), 9)
+                     AS DECIMAL(16,9)) AS w,
+                   CAST(round(coalesce(value, 0.0)
+                     * exp(-((r.ref_us - epoch_us(ts)) / 604800e6)), 9)
+                     AS DECIMAL(20,9)) AS wv
+            FROM events, r)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             round(CAST(sum(w) AS DOUBLE), 6) AS decayed_count,
+             round(CAST(sum(wv) AS DOUBLE), 6) AS decayed_value
+      FROM t GROUP BY user_id ORDER BY user_id""",
   )
 }

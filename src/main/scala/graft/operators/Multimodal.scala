@@ -200,14 +200,95 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual near-duplicate detection over the binary payload — the
+    * MEDIA twin of q105's token simhash: fingerprint the payload's
+    * fixed-size FRAME stream (the q72 unit), simhash the frame-hash
+    * multiset into one 60-bit signature, and pair via
+    * [[Dedup.simHashPairsFromSig]]'s 4×15-bit Hamming banding. Robust to
+    * local frame edits — a re-encoded clip sharing most frames lands
+    * within the Hamming radius — which byte-exact md5 dedup (q146's
+    * digest) cannot see. The payload here is the documents stand-in
+    * ([[withPayload]]: utf-8 text bytes, so `textCol` feeds the frame
+    * slicer directly, the q70 equivalence); a real pipeline feeds decoded
+    * frame bytes.
+    *
+    * Per-frame hash is the corpus-standard md5 60-bit fold (the Dedup
+    * h60), bit votes tie to 0 exactly as q52's SimHash60 does (`> 0`
+    * sets the bit), so the signature algebra is replayable integer-exact
+    * in the oracle. Signature construction is ONE map-side projection
+    * (nested HOF: 60 bits × n_frames votes, no shuffle); the only
+    * exchanges are the banding join's — candidates are band-equality
+    * collisions under the same `maxBandDf` skew valve, never all pairs. */
+  def frameSimHashNearDup(df: DataFrame, idCol: String, textCol: String,
+      frameBytes: Int = 16, maxHamming: Int = 3): DataFrame = {
+    require(frameBytes >= 1, s"frameSimHashNearDup: frameBytes must be >= 1, got $frameBytes")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // Native codegen'd signature — the HOF form (60-bit lambda × per-frame
+    // aggregate, interpreted) priced this gate at 14 s of pure expression
+    // interpretation at sf0.1; the one-pass byte loop is ~20× cheaper and
+    // byte-identical (FrameSimHash60 parity-locked in Round17OpsSpec).
+    val sig = df.filter(length(col(textCol)) > 0)
+      .select(col(idCol),
+        expr(s"graft_frame_simhash60($textCol, $frameBytes)").as("simhash"))
+      .localCheckpoint()
+    Dedup.simHashPairsFromSig(sig, idCol, maxHamming, Dedup.MaxBandDf)
+  }
+
+  private val q235: Q = (s, d) =>
+    frameSimHashNearDup(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("id1"), col("id2"))
+
   val queries: Map[String, Q] = Map(
     "q70_binary_meta" -> q70,
     "q71_decode_features" -> q71,
     "q72_frame_table" -> q72,
     "q146_binary_source" -> q146,
+    "q235_frame_simhash" -> q235,
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays frameSimHashNearDup end-to-end in exact integer algebra:
+    // the q72 frame slicing, the corpus-standard md5 60-bit fold per
+    // frame, the q52 bit-vote convention (s > 0 sets the bit), 4x15-bit
+    // banding with the same maxBandDf = 1000 valve, bit_count(xor)
+    // Hamming <= 3.
+    "q235_frame_simhash" -> """
+      WITH f0 AS (SELECT doc_id, text,
+                         CAST(ceil(length(text) / 16.0) AS BIGINT) AS nf
+                  FROM documents WHERE length(text) > 0),
+      fr AS (SELECT doc_id,
+                    substr(text, CAST(f * 16 + 1 AS INT), 16) AS fr
+             FROM (SELECT doc_id, text, unnest(range(0, nf)) AS f FROM f0)),
+      th AS (SELECT doc_id,
+                    list_reduce(list_concat([CAST(0 AS BIGINT)],
+                      list_transform(range(1, 16),
+                        i -> CAST(strpos('0123456789abcdef',
+                               substr(md5(fr), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+                      (acc, c) -> acc * 16 + c) AS hv
+             FROM fr),
+      votes AS (SELECT doc_id, j,
+                       sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+                GROUP BY doc_id, j),
+      sig AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0
+                                   THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                                   ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+      bands AS (SELECT doc_id, simhash, CAST(j AS INT) AS band,
+                       (simhash >> (CAST(j AS INT) * 15)) & 32767 AS bv
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+      capped AS (SELECT * FROM
+                   (SELECT *, count(*) OVER (PARTITION BY band, bv) AS df_
+                    FROM bands)
+                 WHERE df_ <= 1000),
+      cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+                      x.simhash AS h1, y.simhash AS h2
+               FROM capped x JOIN capped y
+                 ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+      ORDER BY id1, id2""",
     // The staged files hold exactly each document's utf-8 text bytes, so
     // file length and payload md5 must equal the table-side recomputation —
     // a byte-exact filesystem round-trip gate.

@@ -26,6 +26,8 @@ object ExplainDump {
     "q232_span_scrub" -> "digest-only dup detection; relational coverage (doc,pos) anti-join — O(1) per token on fully-duplicated docs",
     "q233_adaptive_gate" -> "q228's keyed-window thresholds pivoted |groups|-wide and broadcast back — verdict pass adds no corpus exchange",
     "q234_gram_novelty" -> "map-side array_distinct; digest-only min-owner aggregate; skinny join-back — no text shuffles",
+    "q235_frame_simhash" -> "native codegen'd frame_simhash60 signature projection; banding join is the only exchange",
+    "q236_decayed_features" -> "1-row horizon broadcast; pre-rounded DECIMAL exp terms; one keyed aggregate with map-side partials",
     "q51_minhash_lsh" -> "MinHash signatures as aggregate columns; LSH equality join",
     "q60_knn_bruteforce" -> "codegen'd cosine_sim inside the stage; WindowGroupLimit top-k",
     "q82_stream_tumbling" -> "(streaming runtime — plan of the equivalent batch q80 shown)",

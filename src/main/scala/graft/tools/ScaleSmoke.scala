@@ -158,6 +158,14 @@ object ScaleSmoke {
       time("simHashDedup 1x", Dedup.simHashDedup(base, "doc_id", "text"))
       time(s"simHashDedup ${k}x (collapse)",
         Dedup.simHashDedup(blown, "doc_id", "text"))
+      // Frame-level perceptual twin: the blown corpus is K-sized
+      // byte-identical payload clusters, so every cluster is a Hamming-0
+      // K-clique — the output-quadratic adversarial regime the banding
+      // df valve caps, same as simHashNearDup above.
+      time("frameSimHashNearDup 1x",
+        graft.operators.Multimodal.frameSimHashNearDup(base, "doc_id", "text"))
+      time(s"frameSimHashNearDup ${k}x (h0 K-cliques)",
+        graft.operators.Multimodal.frameSimHashNearDup(blown, "doc_id", "text"))
     }
     // Incremental near-dup at Kx: the index is 80% of the duplicated corpus
     // (every band hot — the cap governs), the batch 20%. The claim is the

@@ -118,6 +118,10 @@ object SmokeCoverage {
       "dupspans: scrubDupSpans (coverage anti-join at full volume)",
     "q234_gram_novelty" ->
       "dupspans: gramNovelty (K-way owner collisions)",
+    "q235_frame_simhash" ->
+      "simhash: frameSimHashNearDup (Hamming-0 K-clique output)",
+    "q237_matryoshka_recall" ->
+      "ann: knnBruteForce (each truncated leg IS the smoked leg over sliced vectors)",
     "q159_setsim_join" -> "setsim: setSimilarityJoin",
     "q163_sorted_neighborhood" -> "snm: sortedNeighborhood",
     "q164_linkage_score" -> "snm: linkageScore",
@@ -337,6 +341,11 @@ object SmokeCoverage {
       "running-sum accumulator instead of a row counter — identical " +
       "exchange, identical (groups x points)-bounded output; same q128 " +
       "approx scale path"),
+    "q236_decayed_features" -> ("one broadcast 1-row horizon aggregate, " +
+      "then a map-side pre-rounded-DECIMAL term projection + ONE keyed " +
+      "aggregate with map-side partials — no window, no sort, no state " +
+      "beyond the two-decimal aggregation buffer (MapSide class, with " +
+      "the exchange being Spark's own partial aggregation)"),
     "q233_adaptive_gate" -> ("thresholds are q228's one keyed-window " +
       "exchange (its exemption rationale applies verbatim); the verdict " +
       "pass is a |groups|-row broadcast join + a map-side comparison — " +
