@@ -2300,6 +2300,69 @@ object Analytics {
     mixShift(Tables.events(s, d), "event_type", "ts", "value")
       .orderBy(col("event_type"))
 
+  // ------------------------------------------- chi-squared drift test --
+
+  /** Pearson chi-squared test of independence between a CATEGORICAL
+    * column and the pre/post period — the third leg of the drift family:
+    * q184's KS answers "did this CONTINUOUS distribution move", q185's
+    * PSI says WHERE a binned score moved, and this answers "did the
+    * categorical MIX move" (event types, languages, sources) with the
+    * test statistic review meetings actually quote. Period split is the
+    * corpus time midpoint ([[mixShift]]'s rule, shared discipline).
+    *
+    * Exactness: observed counts are exact integers; expected counts
+    * E = row_total · col_total / N run the HUGEINT hazard (rt·ct
+    * overflows int64 past ~3·10^9 rows), so E is a pinned scalar IEEE
+    * chain on exact-integer operands — `(CAST(rt AS DOUBLE) * ct) / N`,
+    * identical operand order in both engines (the q183 Welch rule). Each
+    * cell term (O−E)²/E pre-rounds at 6 dp before the cells-bounded
+    * total (the q185 PSI discipline). Absent cells enter at O = 0 via
+    * the margins' cross-spine — a category seen only pre still deviates.
+    *
+    * Shape: ONE corpus-wide keyed aggregate (map-side partials) down to
+    * |cats|·2 cells; margins, spine and the statistic all live on that
+    * bounded frame (broadcast joins, no corpus re-scan). Output: one row
+    * per cell carrying the shared statistic and degrees of freedom —
+    * bounded by construction at any corpus size. */
+  def chi2Drift(df: DataFrame, catCol: String, tsCol: String): DataFrame = {
+    val b = df.agg(min(unix_micros(col(tsCol))).as("_lo"),
+      max(unix_micros(col(tsCol))).as("_hi"))
+    val cells = df.crossJoin(broadcast(b))
+      .withColumn("_p",
+        when(unix_micros(col(tsCol)) * 2 < col("_lo") + col("_hi"), 1)
+          .otherwise(2))
+      .groupBy(col(catCol), col("_p"))
+      .agg(count(lit(1)).as("obs"))
+      .localCheckpoint()
+    val rowTot = cells.groupBy(col(catCol)).agg(sum(col("obs")).as("_rt"))
+    val colTot = cells.groupBy(col("_p")).agg(sum(col("obs")).as("_ct"))
+    val n = cells.agg(sum(col("obs")).as("_n"))
+    // Margins' cross product: every (cat, period) pair with both margins
+    // observed — an absent cell is a real deviation (O = 0, E > 0).
+    // cells is |cats|x2-bounded: broadcast explicitly so the join stays
+    // BHJ at ANY corpus size (the r17 StatsSweep caught the stats-driven
+    // SMJ flip at sf0.1 before this hint).
+    val spine = rowTot.crossJoin(broadcast(colTot))
+    val full = spine.join(broadcast(cells), Seq(catCol, "_p"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("_e", col("_rt").cast("double") * col("_ct") / col("_n"))
+      .withColumn("_term", round(
+        (col("obs") - col("_e")) * (col("obs") - col("_e")) / col("_e"), 6))
+    val stat = full.agg(
+      round(sum(col("_term")), 6).as("chi2"),
+      ((countDistinct(col(catCol)) - 1)
+        * (countDistinct(col("_p")) - 1)).as("dof"))
+    full.crossJoin(broadcast(stat))
+      .select(col(catCol), col("_p").as("period"), col("obs"),
+        round(col("_e"), 6).as("expected"), col("_term").as("term"),
+        col("chi2"), col("dof"))
+  }
+
+  private val q238: Q = (s, d) =>
+    chi2Drift(Tables.events(s, d), "event_type", "ts")
+      .orderBy(col("event_type"), col("period"))
+
   /** Time-weighted state occupancy over the [[scd2]] intervals — the
     * state-machine readout (how long does each entity SPEND in each
     * state, and what share of its observed span): per (key, state), the
@@ -2849,6 +2912,70 @@ object Analytics {
       "o_totalprice")
       .orderBy(col("o_custkey")))
 
+  // ------------------------------------------------ decile lift/gains --
+
+  /** Decile lift / cumulative-gains table — the targeting readout every
+    * scored campaign ships (and the fourth ML-eval leg next to q179's
+    * AUC, q181's calibration and q209's WOE/IV): rank units by score,
+    * cut into ten equal buckets, and report each bucket's response rate,
+    * lift over the base rate, and the cumulative share of all responders
+    * captured — "the top 20% of scores capture 54% of converters".
+    *
+    * Determinism + scale: deciles are exact ntile under the TOTAL
+    * (score DESC, unit) order via [[withGlobalIndex]] +
+    * [[ntileFromIndex]] (the q198 machinery — range shuffle + parallel
+    * rank, never a single-partition window; the oracle keeps plain
+    * `ntile`, which the formula matches row-for-row). The corpus
+    * collapses to the unit frame FIRST, so the window pipeline runs on
+    * one row per unit. Rates and lift are pinned scalar IEEE chains on
+    * exact integer counts (lift multiplies counts as doubles BEFORE the
+    * one division — rt·n_tot is exact in double far past int64-safe
+    * corpus sizes, and the operand order is identical cross-engine);
+    * a zero-responder corpus yields NULL lift, not a throw. The gains
+    * accumulation is a window over the ten-row decile frame — bounded
+    * by construction. Output: 10 rows. */
+  def liftTable(units: DataFrame, idCol: String, scoreCol: String,
+      respCol: String, buckets: Int = 10): DataFrame = {
+    val idx = withGlobalIndex(
+      units.select(col(idCol), col(scoreCol), col(respCol)),
+      Seq(col(scoreCol).desc, col(idCol)), "_rn").localCheckpoint()
+    val withCt = idx.crossJoin(broadcast(idx.agg(max(col("_rn")).as("_ct"))))
+      .withColumn("decile", ntileFromIndex("_rn", "_ct", buckets))
+    val cells = withCt.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_units"), sum(col(respCol)).as("n_resp"))
+    val tot = cells.agg(sum(col("n_units")).as("_nt"),
+      sum(col("n_resp")).as("_rt"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.crossJoin(broadcast(tot))
+      .withColumn("_cum_resp", sum(col("n_resp")).over(wCum))
+      .select(col("decile"), col("n_units"), col("n_resp"),
+        round(col("n_resp").cast("double") / col("n_units"), 6)
+          .as("resp_rate"),
+        when(col("_rt") > 0, round(
+          col("n_resp").cast("double") * col("_nt")
+            / (col("n_units").cast("double") * col("_rt")), 6))
+          .as("lift"),
+        when(col("_rt") > 0,
+          round(col("_cum_resp").cast("double") / col("_rt"), 6))
+          .as("cum_capture"))
+      .orderBy(col("decile"))
+  }
+
+  /** Unit collapse for q242: per user, score = exact click spend in
+    * cents (the campaign model's stand-in), response = converted at
+    * least once. One keyed aggregate; the q180 unit-integrity rule. */
+  private val q242: Q = (s, d) => {
+    val per = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === "click",
+        (col("value").cast("decimal(14,2)") * 100).cast("long"))), lit(0L))
+        .as("score_cents"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("responded"))
+    liftTable(per, "user_id", "score_cents", "responded")
+  }
+
   // -------------------------------------------------- winsorization --
 
   /** Per-group winsorization — the outlier treatment that CLAMPS instead
@@ -3310,6 +3437,8 @@ object Analytics {
     "q226_recommend_capped" -> q226,
     "q219_cuped" -> q219,
     "q220_mix_shift" -> q220,
+    "q238_chi2_drift" -> q238,
+    "q242_decile_lift" -> q242,
     "q136_transitions" -> q136,
     "q125_countmin" -> q125,
     "q149_bloom_filter" -> q149,
@@ -4463,6 +4592,75 @@ object Analytics {
              round(w1 * (r2 - r1), 6) AS rate_effect,
              round((w2 - w1) * (r2 - r1), 6) AS interaction
       FROM j ORDER BY event_type""",
+    // Replays chi2Drift: the q220 midpoint split, exact contingency
+    // counts, the margins' cross-spine (absent cells at O = 0), the
+    // pinned E = (rt AS DOUBLE) * ct / n chain, 6-dp pre-rounded terms
+    // and the cells-bounded total.
+    "q238_chi2_drift" -> """
+      WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+                        max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+                 FROM events),
+      cells AS (SELECT event_type,
+                       CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) * 2 < lo + hi
+                            THEN 1 ELSE 2 END AS p,
+                       CAST(count(*) AS BIGINT) AS obs
+                FROM events, b GROUP BY 1, 2),
+      rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt
+             FROM cells GROUP BY 1),
+      ct AS (SELECT p, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+      sp AS (SELECT rt.event_type, rt.rt, ct.p, ct.ct FROM rt CROSS JOIN ct),
+      f AS (SELECT s.event_type, s.p, coalesce(c.obs, 0) AS obs,
+                   CAST(s.rt AS DOUBLE) * s.ct / n.n AS e
+            FROM sp s LEFT JOIN cells c
+              ON c.event_type = s.event_type AND c.p = s.p, n),
+      terms AS (SELECT event_type, p, obs, e,
+                       round((obs - e) * (obs - e) / e, 6) AS term
+                FROM f),
+      stat AS (SELECT round(sum(term), 6) AS chi2,
+                      CAST((count(DISTINCT event_type) - 1)
+                           * (count(DISTINCT p) - 1) AS BIGINT) AS dof
+               FROM terms)
+      SELECT t.event_type, CAST(t.p AS INT) AS period,
+             CAST(t.obs AS BIGINT) AS obs, round(t.e, 6) AS expected,
+             t.term, s.chi2, s.dof
+      FROM terms t, stat s ORDER BY t.event_type, t.p""",
+    // Replays liftTable: the q180/q219 unit collapse (click cents score,
+    // converted flag), plain ntile(10) under the TOTAL (score DESC, user)
+    // order (bit-identical to the engine's two-pass ntileFromIndex), the
+    // bounded gains window, and the pinned count-product lift chain.
+    "q242_decile_lift" -> """
+      WITH per AS (SELECT user_id,
+                          coalesce(sum(CASE WHEN event_type = 'click'
+                            THEN CAST(CAST(value AS DECIMAL(14,2)) * 100
+                                 AS BIGINT) END), 0) AS score_cents,
+                          max(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS responded
+                   FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      d AS (SELECT score_cents, responded,
+                   ntile(10) OVER (ORDER BY score_cents DESC, user_id)
+                     AS decile
+            FROM per),
+      cells AS (SELECT CAST(decile AS BIGINT) AS decile,
+                       CAST(count(*) AS BIGINT) AS n_units,
+                       CAST(sum(responded) AS BIGINT) AS n_resp
+                FROM d GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_units) AS BIGINT) AS nt,
+                     CAST(sum(n_resp) AS BIGINT) AS rt
+              FROM cells),
+      cum AS (SELECT decile, n_units, n_resp,
+                     CAST(sum(n_resp) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_resp
+              FROM cells)
+      SELECT c.decile, c.n_units, c.n_resp,
+             round(CAST(c.n_resp AS DOUBLE) / c.n_units, 6) AS resp_rate,
+             CASE WHEN t.rt > 0 THEN round(CAST(c.n_resp AS DOUBLE) * t.nt
+               / (CAST(c.n_units AS DOUBLE) * t.rt), 6) END AS lift,
+             CASE WHEN t.rt > 0
+               THEN round(CAST(c.cum_resp AS DOUBLE) / t.rt, 6) END
+               AS cum_capture
+      FROM cum c, tot t ORDER BY c.decile""",
     "q219_cuped" -> s"""
       WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
                         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi

@@ -133,9 +133,63 @@ object Layout {
     skipStats(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
       .orderBy(col("layout"), col("box_id"))
 
+  /** Order-invariant per-group table fingerprint + snapshot diff — the
+    * constant-output integrity check a lake runs BEFORE q76's row-level
+    * table diff: per partition group, (row count, checksum) where the
+    * checksum is the SUM of each row's 60-bit canonical hash mod 2^60 —
+    * sum is commutative/associative over any shuffle or file order, so
+    * two physically different layouts of the same rows fingerprint
+    * identically, and any single-row change moves the group's checksum.
+    * Comparing two snapshots then touches |groups| rows, not 2 corpora:
+    * only the groups flagged `changed` need the expensive row diff.
+    *
+    * Row canonicalization is the cross-engine contract: columns render
+    * as strings (NULL → chr(2) sentinel), joined with the chr(1)
+    * separator, hashed by [[CrossHash]]'s md5 60-bit fold. The mod-2^60
+    * accumulator rides an exact DECIMAL(38,0) sum (int64 would overflow
+    * past ~8000 rows of 2^60-sized hashes; 38 digits carry ~10^20 rows).
+    *
+    * Shape: per snapshot ONE keyed aggregate with map-side partials
+    * (count + sum both fold), output |groups| rows; the diff is a
+    * groups-bounded full-outer join. Nothing wide ever shuffles — at
+    * 100 TB this reads both corpora once and moves kilobytes. */
+  def snapshotFingerprint(a: DataFrame, b: DataFrame, groupCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "snapshotFingerprint: need at least one column")
+    val canon = cols.map(c => s"coalesce(cast(($c) as string), chr(2))")
+      .mkString("concat_ws(chr(1), ", ", ", ")")
+    val mod = 1L << 60
+    def fp(df: DataFrame, nName: String, fpName: String) =
+      df.select(col(groupCol),
+          expr(graft.operators.CrossHash.h60Expr(canon)).as("_h"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as(nName),
+          expr(s"cast(sum(cast(_h as decimal(38,0))) % $mod as bigint)")
+            .as(fpName))
+    fp(a, "n_a", "fp_a").join(fp(b, "n_b", "fp_b"), Seq(groupCol),
+        "full_outer")
+      .select(col(groupCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("fp_a"), col("fp_b"),
+        (!(coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L))
+          && (col("fp_a") <=> col("fp_b")))).as("changed"))
+  }
+
+  /** Snapshot B simulates the next ingest: every 97th document dropped —
+    * a deterministic perturbation that touches some sources and leaves
+    * the rest byte-identical, so both verdict branches gate. */
+  private val q241: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    snapshotFingerprint(docs, docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      "source", Seq("doc_id", "lang", "n_chars", "md5(text)"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q112_zorder" -> q112,
     "q169_skip_stats" -> q169,
+    "q241_snapshot_fingerprint" -> q241,
   )
 
   /** DuckDB replay of the magic-mask interleave: each spread step is the
@@ -197,5 +251,29 @@ object Layout {
       JOIN files f ON zm.layout = f.layout
       GROUP BY zm.layout, b.box_id, f.n_files
       ORDER BY zm.layout, b.box_id""",
+    // Replays snapshotFingerprint: the chr(1)/chr(2) row canonical form,
+    // the md5 60-bit fold, the HUGEINT sum mod 2^60 per source, the
+    // doc_id % 97 snapshot-B perturbation, and the null-safe verdict.
+    "q241_snapshot_fingerprint" -> {
+      val canon = Seq("doc_id", "lang", "n_chars", "md5(text)")
+        .map(c => s"coalesce(CAST(($c) AS VARCHAR), chr(2))")
+        .mkString("concat_ws(chr(1), ", ", ", ")")
+      val h = graft.operators.CrossHash.h60DuckDb(canon)
+      s"""
+      WITH fa AS (SELECT source, CAST(count(*) AS BIGINT) AS n_a,
+                         CAST(sum(CAST(($h) AS HUGEINT))
+                              % 1152921504606846976 AS BIGINT) AS fp_a
+                  FROM documents GROUP BY source),
+      fb AS (SELECT source, CAST(count(*) AS BIGINT) AS n_b,
+                    CAST(sum(CAST(($h) AS HUGEINT))
+                         % 1152921504606846976 AS BIGINT) AS fp_b
+             FROM documents WHERE doc_id % 97 <> 0 GROUP BY source)
+      SELECT coalesce(fa.source, fb.source) AS source,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b, fp_a, fp_b,
+             NOT (coalesce(n_a, 0) = coalesce(n_b, 0)
+                  AND fp_a IS NOT DISTINCT FROM fp_b) AS changed
+      FROM fa FULL OUTER JOIN fb ON fa.source = fb.source
+      ORDER BY source"""
+    },
   )
 }

@@ -71,7 +71,59 @@ object Packing {
       .orderBy(col("shard"))
   }
 
-  val queries: Map[String, Q] = Map("q74_pack_shards" -> q74)
+  /** Deterministic epoch shuffle — the REPRODUCIBLE global permutation a
+    * training run orders its corpus by: position = rank under the
+    * (md5(epoch:id), id) total order, emitted as a (shard, position)
+    * manifest of fixed `rowsPerShard` shards. Seeding the hash with the
+    * epoch gives every epoch an independent-looking but fully
+    * deterministic order (re-runnable on any engine/cluster, byte-same
+    * manifest — the property that makes a training run resumable and an
+    * ablation comparable). Complements [[packShards]]: that bins by
+    * TOKEN budget in one fixed order; this permutes BY EPOCH and bins by
+    * row count.
+    *
+    * The global rank is the same two-level decomposition as the prefix
+    * sum above (bucketed local row_number + a Buckets-row offset frame
+    * broadcast back) — identical to one global `row_number() OVER
+    * (ORDER BY bucket, hash, id)` (the oracle's replay) with no
+    * single-partition window anywhere. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      rowsPerShard: Long): DataFrame = {
+    require(rowsPerShard >= 1,
+      s"epochShuffle: rowsPerShard must be >= 1, got $rowsPerShard")
+    require(!df.columns.exists(
+        Set("_h", "_bucket", "_rn", "_bcnt", "_offset", "shard", "pos")),
+      "epochShuffle: input must not carry reserved _h/_bucket/_rn/shard/pos columns")
+    val hashed = df
+      .withColumn("_h", expr(CrossHash.h60Expr(
+        s"concat('$epoch', ':', cast($idCol as string))")))
+      .withColumn("_bucket", (col("_h") % Buckets).cast("int"))
+    val local = hashed.withColumn("_rn", row_number().over(
+      Window.partitionBy(col("_bucket")).orderBy(col("_h"), col(idCol)))
+      .cast("long"))
+    val offsets = hashed.groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("_bcnt"))
+      .withColumn("_offset", coalesce(
+        sum(col("_bcnt")).over(Window.orderBy(col("_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bucket"), col("_offset"))
+    local.join(broadcast(offsets), "_bucket")
+      .withColumn("_rank", col("_offset") + col("_rn"))
+      .withColumn("shard", expr(s"(_rank - 1) div ${rowsPerShard}L"))
+      .withColumn("pos", expr(s"(_rank - 1) % ${rowsPerShard}L"))
+  }
+
+  /** documents → the epoch-1 training order, 64-doc shards. */
+  private val q243: Q = (s, d) =>
+    epochShuffle(Tables.documents(s, d).select(col("doc_id")),
+      "doc_id", epoch = 1, rowsPerShard = 64L)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "q74_pack_shards" -> q74,
+    "q243_epoch_shuffle" -> q243,
+  )
 
   val oracles: Map[String, String] = Map(
     // The oracle replays the SAME layout as ONE global running sum ordered
@@ -96,5 +148,19 @@ object Packing {
             FROM c)
       SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
       FROM s GROUP BY shard ORDER BY shard""",
+    // Replays epochShuffle as ONE global row_number over the identical
+    // (bucket, hash, id) total order — the two-level Spark decomposition
+    // must land every document at the identical (shard, pos).
+    "q243_epoch_shuffle" -> s"""
+      WITH t AS (SELECT doc_id,
+                   ${CrossHash.h60DuckDb("concat('1', ':', CAST(doc_id AS VARCHAR))")} AS h
+                 FROM documents),
+      o AS (SELECT doc_id, h, CAST(h % 32 AS INT) AS bucket FROM t),
+      r AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY bucket, h, doc_id) AS rk
+            FROM o)
+      SELECT doc_id, CAST((rk - 1) // 64 AS BIGINT) AS shard,
+             CAST((rk - 1) % 64 AS BIGINT) AS pos
+      FROM r ORDER BY doc_id""",
   )
 }

@@ -286,6 +286,39 @@ object TextAnalysis {
     gramNovelty(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Per-domain domination cap — the C4/Gopher-style corpus-balancing
+    * pass: within each (group) cell, RANK documents under a deterministic
+    * quality order and keep at most `cap`, so no single domain/language
+    * shard dominates the training mix. Complements [[adaptiveGate]]
+    * (value-quantile gating WITHIN a row) — this bounds the COUNT a group
+    * may contribute. Every row ships its rank, group size, keep verdict
+    * and the group's truncation flag (the q193/q194 cap-audit
+    * convention: a capped group is knowingly-incomplete, never silently
+    * shrunk); the production "kept-only" form is a `WHERE kept` away.
+    *
+    * Shape: ONE group-keyed window exchange — row_number and the group
+    * count share the partitioning (subset partitioning ⇒ the second
+    * window adds a sort at most), verdicts are map-side; nothing else
+    * shuffles, output is the input's own volume. At 100 TB group count
+    * is unbounded but per-group state is one counter — skew-safe. */
+  def domainCap(df: DataFrame, groupCols: Seq[String], rankCol: String,
+      idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"domainCap: cap must be >= 1, got $cap")
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val w = part.orderBy(col(rankCol).desc, col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("group_total", count(lit(1)).over(part))
+      .withColumn("kept", col("rk") <= cap)
+      .withColumn("capped", col("group_total") > cap)
+  }
+
+  private val q239: Q = (s, d) =>
+    domainCap(Tables.documents(s, d), Seq("source", "lang"), "n_chars",
+      "doc_id", cap = 5)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("rk"), col("group_total"), col("kept"), col("capped"))
+      .orderBy(col("doc_id"))
+
   /** GROUP-RELATIVE quality gating — per-group exact quantile thresholds
     * applied back to every row: keep a document iff its value sits inside
     * [p(loPm), p(hiPm)] OF ITS OWN GROUP. Absolute cutoffs ("drop docs
@@ -1536,6 +1569,7 @@ object TextAnalysis {
     "q232_span_scrub" -> q232,
     "q233_adaptive_gate" -> q233,
     "q234_gram_novelty" -> q234,
+    "q239_domain_cap" -> q239,
     "q41_trigram_profile" -> q41,
     "q42_quality_score" -> q42,
     "q43_fingerprint" -> q43,
@@ -2260,6 +2294,20 @@ object TextAnalysis {
              (d.n_chars >= th.lo AND d.n_chars <= th.hi) AS retained
       FROM documents d JOIN th USING (lang)
       ORDER BY d.doc_id""",
+    // Replays domainCap: the same (n_chars DESC, doc_id) total order per
+    // (source, lang) cell, rank + group size, cap verdict and the
+    // truncation flag.
+    "q239_domain_cap" -> """
+      SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(row_number() OVER (PARTITION BY source, lang
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY source, lang) AS BIGINT)
+               AS group_total,
+             (row_number() OVER (PARTITION BY source, lang
+               ORDER BY n_chars DESC, doc_id)) <= 5 AS kept,
+             (count(*) OVER (PARTITION BY source, lang)) > 5 AS capped
+      FROM documents
+      ORDER BY doc_id""",
     "q102_chunking" -> """
       WITH t AS (SELECT doc_id,
                         list_filter(string_split(text, ' '), x -> x <> '') AS toks

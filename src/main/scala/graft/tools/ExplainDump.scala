@@ -28,6 +28,12 @@ object ExplainDump {
     "q234_gram_novelty" -> "map-side array_distinct; digest-only min-owner aggregate; skinny join-back — no text shuffles",
     "q235_frame_simhash" -> "native codegen'd frame_simhash60 signature projection; banding join is the only exchange",
     "q236_decayed_features" -> "1-row horizon broadcast; pre-rounded DECIMAL exp terms; one keyed aggregate with map-side partials",
+    "q238_chi2_drift" -> "one keyed collapse to |cats|x2 cells (checkpointed); margins/spine/statistic all on the bounded frame",
+    "q239_domain_cap" -> "ONE group-keyed window exchange shared by row_number + count; cap verdicts map-side",
+    "q240_pq_codebook" -> "few-KB codebook broadcast as one collected row; map-side HOF argmin fold — the only exchange is (sub,code)-bounded",
+    "q241_snapshot_fingerprint" -> "two scans folding into keyed count+sum(mod 2^60) aggregates; groups-bounded outer-join diff",
+    "q242_decile_lift" -> "unit collapse; two-pass global index ntile; gains window on the ten-row decile frame",
+    "q243_epoch_shuffle" -> "bucketed local row_number + 32-row offset broadcast — one exchange, no single-partition window",
     "q51_minhash_lsh" -> "MinHash signatures as aggregate columns; LSH equality join",
     "q60_knn_bruteforce" -> "codegen'd cosine_sim inside the stage; WindowGroupLimit top-k",
     "q82_stream_tumbling" -> "(streaming runtime — plan of the equivalent batch q80 shown)",

@@ -175,6 +175,34 @@ object SmokeCoverage {
 
   /** query -> documented reason no dedicated K× smoke row is required. */
   val exempt: Map[String, String] = Map(
+    // -- round-17 second batch (q238-q243): every one rides an exchange
+    //    an existing smoke row already prices; the 10x tier rows carry
+    //    their own measured ratios --
+    "q238_chi2_drift" -> ("the smoked mixShift row (r13eval section) " +
+      "prices the identical corpus axis — one midpoint pre-scan + ONE " +
+      "keyed collapse to |cats|x2 cells with map-side partials; " +
+      "everything after (margins, spine, terms, statistic) lives on the " +
+      "cells-bounded checkpointed frame"),
+    "q239_domain_cap" -> ("ONE group-keyed window exchange shared by " +
+      "row_number and the group count (subset partitioning, sort only) — " +
+      "the exact exchange the smoked sessionize row prices at Kx; " +
+      "verdicts are map-side, output is the input's own volume"),
+    "q240_pq_codebook" -> ("assignment is the smoked kMeans row's " +
+      "broadcast-centroids-x-corpus-scan shape WITHOUT the iteration " +
+      "loop (one pass, map-side HOF fold over the few-KB codebook); the " +
+      "only exchange carries the (sub x code)-bounded partial aggregates"),
+    "q241_snapshot_fingerprint" -> ("two corpus scans each folding " +
+      "straight into one keyed count+sum aggregate with map-side " +
+      "partials (MapSide class, the exchange being Spark's own partial " +
+      "aggregation); the snapshot diff is a |groups|-bounded outer join"),
+    "q242_decile_lift" -> ("unit collapse + the q198 two-pass global " +
+      "index machinery the smoked rfmSegments row (r11ops section) " +
+      "prices — one range shuffle of the collapsed unit frame; the " +
+      "gains window runs on the ten-row decile frame"),
+    "q243_epoch_shuffle" -> ("the smoked packShards row (pack section) " +
+      "prices the IDENTICAL bucketed exchange + Buckets-row offset " +
+      "broadcast — only the per-bucket accumulator differs (row_number " +
+      "vs running token sum); shard/pos math is map-side"),
     // -- core relational plans (shape locked, machinery is Spark's) --
     "q01_pricing_summary" -> CoreRelational,
     "q02_filter_project" -> CoreRelational,

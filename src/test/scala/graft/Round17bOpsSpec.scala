@@ -1,0 +1,217 @@
+package graft
+
+import graft.operators.{Analytics, Layout, Packing, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Hand-computable locks for the round-17 second batch: the chi-squared
+  * categorical drift test (q238), the per-domain domination cap (q239),
+  * the product-quantization coding audit (q240), the order-invariant
+  * snapshot fingerprint (q241), the decile lift/gains table (q242) and
+  * the deterministic epoch shuffle (q243). Every expected value below is
+  * derivable on paper from the inputs — the same fixture-free discipline
+  * as Round11OpsSpec/Round17OpsSpec. */
+class Round17bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------- chi2Drift --
+
+  private def eventsAt(rows: Seq[(String, Long)]) =
+    rows.toDF("event_type", "t")
+      .select(col("event_type"), expr("timestamp_micros(t)").as("ts"))
+
+  test("chi2Drift: hand-computed 3x2 table") {
+    // Midpoint split: lo = 0, hi = 100 => period 1 iff 2t < 100.
+    // Placement: A 3 pre / 1 post; B 1 pre / 3 post; C 1 pre / 1 post
+    // (C's t = 100 row lands post: 200 < 100 is false).
+    // Margins: rt = (4, 4, 2), ct = (5, 5), N = 10 => E = rt/2 per cell:
+    //   A: E=2: (3-2)^2/2 = .5, (1-2)^2/2 = .5
+    //   B: E=2: .5 / .5      C: E=1: 0 / 0
+    // chi2 = 2.0, dof = (3-1)(2-1) = 2.
+    val out = Analytics.chi2Drift(eventsAt(Seq(
+        "A" -> 0L, "A" -> 10L, "A" -> 20L, "A" -> 60L,
+        "B" -> 0L, "B" -> 70L, "B" -> 80L, "B" -> 90L,
+        "C" -> 0L, "C" -> 100L)), "event_type", "ts")
+      .orderBy(col("event_type"), col("period"))
+      .as[(String, Int, Long, Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq(
+      ("A", 1, 3L), ("A", 2, 1L), ("B", 1, 1L), ("B", 2, 3L),
+      ("C", 1, 1L), ("C", 2, 1L)))
+    assert(out.forall(r => r._6 == 2.0 && r._7 == 2L))
+    assert(out.map(_._5) == Seq(0.5, 0.5, 0.5, 0.5, 0.0, 0.0))
+    assert(out.map(_._4) == Seq(2.0, 2.0, 2.0, 2.0, 1.0, 1.0))
+  }
+
+  test("chi2Drift: absent cell enters the spine at obs = 0") {
+    // C occurs ONLY pre-midpoint; the (C, 2) cell must exist with obs 0
+    // and a positive expected count (a real deviation).
+    // Placement: A 1 pre / 1 post, C 2 pre / 0 post => rt = (2, 2),
+    // ct = (3, 1), N = 4 => E(C,2) = 2*1/4 = .5, term = .25/.5 = .5.
+    val out = Analytics.chi2Drift(eventsAt(Seq(
+        "A" -> 0L, "A" -> 90L, "C" -> 10L, "C" -> 20L)),
+        "event_type", "ts")
+      .filter(col("event_type") === "C" && col("period") === 2)
+      .as[(String, Int, Long, Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(out.size == 1)
+    assert(out.head._3 == 0L && out.head._4 == 0.5 && out.head._5 == 0.5)
+  }
+
+  // ------------------------------------------------------- domainCap --
+
+  test("domainCap: rank order, keep verdicts and the truncation flag") {
+    val docs = Seq(
+      // g1: 4 docs, cap 3 => rank by (len DESC, id ASC), id 13 dropped
+      (10L, "g1", 50L), (11L, "g1", 40L), (12L, "g1", 40L), (13L, "g1", 10L),
+      // g2: 2 docs, under the cap => all kept, not capped
+      (20L, "g2", 9L), (21L, "g2", 7L)
+    ).toDF("doc_id", "grp", "len")
+    val out = TextAnalysis.domainCap(docs, Seq("grp"), "len", "doc_id", 3)
+      .select(col("doc_id"), col("rk"), col("group_total"), col("kept"),
+        col("capped"))
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (10L, 1L, 4L, true, true), (11L, 2L, 4L, true, true),
+      (12L, 3L, 4L, true, true), (13L, 4L, 4L, false, true),
+      (20L, 1L, 2L, true, false), (21L, 2L, 2L, true, false)))
+  }
+
+  // --------------------------------------------------------- pqAudit --
+
+  test("pqAudit: hand-computed assignment, error sums and the tie rule") {
+    // dim 4, m = 2 (w = 2), k = 2, scale = 1. Codebook = ids 0 and 1:
+    //   code0 = [0,0 | 1,1]   code1 = [1,1 | 0,0]
+    // id2 = [1,1 | 0,0] -> sub0 code1 d0, sub1 code1 d0
+    // id3 = [0,3 | 1,1] -> sub0: d(code0)=9, d(code1)=5 -> code1 d5;
+    //                      sub1: code0 d0
+    // id4 = [1,0 | 0,0] -> sub0: d(code0)=1 = d(code1)=1 -> TIE -> code0;
+    //                      sub1: code1 d0
+    // audit: sub0: code0 {id0, id4} err 1; code1 {id1, id2, id3} err 5
+    //        sub1: code0 {id0, id3} err 0; code1 {id1, id2, id4} err 0
+    val emb = Seq(
+      (0L, Seq(0f, 0f, 1f, 1f)), (1L, Seq(1f, 1f, 0f, 0f)),
+      (2L, Seq(1f, 1f, 0f, 0f)), (3L, Seq(0f, 3f, 1f, 1f)),
+      (4L, Seq(1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqAudit(emb, "vec_id", "embedding", m = 2, k = 2,
+        scale = 1)
+      .orderBy(col("sub"), col("code"))
+      .as[(Int, Int, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (0, 0, 2L, 1L, Some(0.5)), (0, 1, 3L, 5L, Some(1.666667)),
+      (1, 0, 2L, 0L, Some(0.0)), (1, 1, 3L, 0L, Some(0.0))))
+  }
+
+  test("pqAudit: unused codes stay on the spine at n = 0") {
+    // Two seeds, but every vector sits exactly ON seed 0 => code 1 of
+    // both subspaces audits at n = 0 with NULL mean error.
+    val emb = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(9f, 9f, 9f, 9f)),
+      (2L, Seq(0f, 0f, 0f, 0f)), (3L, Seq(0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqAudit(emb, "vec_id", "embedding", m = 2, k = 2,
+        scale = 1)
+      .orderBy(col("sub"), col("code"))
+      .as[(Int, Int, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (0, 0, 3L, 0L, Some(0.0)), (0, 1, 1L, 0L, Some(0.0)),
+      (1, 0, 3L, 0L, Some(0.0)), (1, 1, 1L, 0L, Some(0.0))))
+  }
+
+  // ------------------------------------------- snapshotFingerprint --
+
+  test("snapshotFingerprint: row-order invariance and change detection") {
+    val a = Seq((1L, "g1", "x"), (2L, "g1", "y"), (3L, "g2", "z"))
+      .toDF("id", "grp", "v")
+    // Same rows, reversed arrival order => every group unchanged.
+    val sameShuffled = Seq((3L, "g2", "z"), (2L, "g1", "y"), (1L, "g1", "x"))
+      .toDF("id", "grp", "v")
+    val unchanged = Layout.snapshotFingerprint(a, sameShuffled, "grp",
+        Seq("id", "v"))
+      .select(col("grp"), col("changed"))
+      .as[(String, Boolean)].collect().toMap
+    assert(unchanged == Map("g1" -> false, "g2" -> false))
+    // One value edited in g1; g2 untouched; g3 only in B.
+    val b = Seq((1L, "g1", "x"), (2L, "g1", "EDITED"), (3L, "g2", "z"),
+        (4L, "g3", "w"))
+      .toDF("id", "grp", "v")
+    val diff = Layout.snapshotFingerprint(a, b, "grp", Seq("id", "v"))
+      .select(col("grp"), col("n_a"), col("n_b"), col("changed"))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(diff("g1") == (("g1", 2L, 2L, true)))
+    assert(diff("g2") == (("g2", 1L, 1L, false)))
+    assert(diff("g3") == (("g3", 0L, 1L, true)))
+  }
+
+  test("snapshotFingerprint: NULL and empty-string rows hash apart") {
+    // The chr(2) NULL sentinel must keep (NULL) and ('') distinguishable.
+    val a = Seq((1L, "g", Option.empty[String])).toDF("id", "grp", "v")
+    val b = Seq((1L, "g", Option(""))).toDF("id", "grp", "v")
+    val out = Layout.snapshotFingerprint(a, b, "grp", Seq("id", "v"))
+      .select(col("changed")).as[Boolean].collect().toSeq
+    assert(out == Seq(true))
+  }
+
+  // ------------------------------------------------------- liftTable --
+
+  test("liftTable: hand-computed gains over ten single-unit deciles") {
+    // Scores 10..1, responders = the three TOP scores => deciles 1..3
+    // respond. Base rate 3/10: lift = (1*10)/(1*3) = 3.333333 on
+    // responding deciles, 0 elsewhere; capture climbs 1/3, 2/3, then 1.
+    val units = (1L to 10L).map(i => (i, 11L - i, if (i <= 3) 1L else 0L))
+      .toDF("uid", "score", "resp")
+    val out = Analytics.liftTable(units, "uid", "score", "resp")
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out.map(_._1) == (1L to 10L))
+    assert(out.forall(r => r._2 == 1L))
+    assert(out.map(_._3) == Seq(1L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(out.take(3).forall(r =>
+      r._4 == 1.0 && r._5 == Some(3.333333)))
+    assert(out.drop(3).forall(r => r._4 == 0.0 && r._5 == Some(0.0)))
+    assert(out.map(_._6) == Seq(Some(0.333333), Some(0.666667), Some(1.0),
+      Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(1.0),
+      Some(1.0)))
+  }
+
+  test("liftTable: zero responders yield NULL lift, never a throw") {
+    val units = (1L to 10L).map(i => (i, i, 0L)).toDF("uid", "score", "resp")
+    val out = Analytics.liftTable(units, "uid", "score", "resp")
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out.size == 10 && out.forall(r => r._5.isEmpty && r._6.isEmpty))
+  }
+
+  // ---------------------------------------------------- epochShuffle --
+
+  test("epochShuffle: (shard, pos) is a permutation matching the global hash order") {
+    val docs = (1L to 100L).toDF("doc_id")
+    val out = Packing.epochShuffle(docs, "doc_id", epoch = 1,
+        rowsPerShard = 8L)
+      .select(col("doc_id"), col("shard") * 8 + col("pos"))
+      .as[(Long, Long)].collect().toSeq
+    // Ranks cover 0..99 exactly once.
+    assert(out.map(_._2).sorted == (0L until 100L))
+    // The two-level rank equals the single global (bucket, hash, id)
+    // order — the oracle's formulation, replayed here independently.
+    val expected = docs
+      .withColumn("_h", expr(graft.operators.CrossHash.h60Expr(
+        "concat('1', ':', cast(doc_id as string))")))
+      .withColumn("_bucket", (col("_h") % Packing.Buckets).cast("int"))
+      .orderBy(col("_bucket"), col("_h"), col("doc_id"))
+      .select(col("doc_id")).as[Long].collect().toSeq
+    val byRank = out.sortBy(_._2).map(_._1)
+    assert(byRank == expected)
+  }
+
+  test("epochShuffle: epochs permute differently, reruns agree") {
+    val docs = (1L to 50L).toDF("doc_id")
+    def order(epoch: Int) = Packing.epochShuffle(docs, "doc_id", epoch, 8L)
+      .select(col("doc_id"), col("shard") * 8 + col("pos"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._2).map(_._1)
+    assert(order(1) == order(1))
+    assert(order(1) != order(2))
+  }
+}
