@@ -2363,6 +2363,84 @@ object Analytics {
     chi2Drift(Tables.events(s, d), "event_type", "ts")
       .orderBy(col("event_type"), col("period"))
 
+  // ------------------------------------------- Kaplan-Meier survival --
+
+  /** Kaplan-Meier survival estimate per group — the time-to-event
+    * readout (user churn, subscription lifetime) the proportions tests
+    * (q180) cannot express: S(d) = Π_{t ≤ d} (n_t − d_t)/n_t over the
+    * ordered life table, with right-censoring for units still alive at
+    * the observation horizon (they leave the risk set without counting
+    * as deaths — dropping them instead biases survival DOWN, the classic
+    * mistake this estimator exists to fix).
+    *
+    * Unit derivation here: duration = whole days between a user's first
+    * and last event; churned iff the last event predates the horizon by
+    * more than `censorDays` (otherwise censored at that duration); group
+    * = the q180 md5 arm contract, making this the experiment-arm
+    * survival readout.
+    *
+    * Determinism: every factor is ONE IEEE division of exact integers
+    * rounded at 9 dp, and the running product is a per-step
+    * `round(acc · f, 9)` fold over the d-ORDERED life table — a pinned
+    * scalar chain both engines replay verbatim (the q176 fold
+    * discipline). Prefix products are computed as O(k²) HOF folds over
+    * the collected per-group life table — k is DAYS-bounded (the span
+    * of the observation window), never corpus-bounded, so the quadratic
+    * is a constant at any scale.
+    *
+    * Shape: ONE user-keyed collapse (corpus-wide, map-side partials),
+    * then everything lives on the (groups × days)-bounded life table:
+    * a bounded cumulative window for the risk sets, a bounded collect +
+    * fold for the curve. */
+  def kaplanMeier(df: DataFrame, userCol: String, tsCol: String,
+      groupCol: Column, censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0,
+      s"kaplanMeier: censorDays must be >= 0, got $censorDays")
+    val dayUs = 86400000000L
+    // userCol keeps its name so groupCol may derive from it (q244's arm).
+    val per = df.filter(col(userCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("_t0"),
+        max(unix_micros(col(tsCol))).as("_t1"))
+    val hz = df.agg(max(unix_micros(col(tsCol))).as("_hz"))
+    val dur = per.crossJoin(broadcast(hz))
+      .withColumn("grp", groupCol)
+      .withColumn("d", expr(s"(_t1 - _t0) div ${dayUs}L"))
+      .withColumn("_ev", col("_t1") < col("_hz") - censorDays * dayUs)
+    val lt = dur.groupBy(col("grp"), col("d"))
+      .agg(sum(when(col("_ev"), 1L).otherwise(0L)).as("d_events"),
+        sum(when(col("_ev"), 0L).otherwise(1L)).as("censored"))
+      .localCheckpoint()
+    val tot = lt.groupBy(col("grp"))
+      .agg(sum(col("d_events") + col("censored")).as("_n"))
+    val wPrev = Window.partitionBy(col("grp")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withRisk = lt.join(broadcast(tot), "grp")
+      .withColumn("n_risk", col("_n") - coalesce(
+        sum(col("d_events") + col("censored")).over(wPrev), lit(0L)))
+      .withColumn("_f", round(
+        (col("n_risk") - col("d_events")).cast("double") / col("n_risk"), 9))
+    withRisk
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("d"), col("n_risk"),
+        col("d_events"), col("censored"), col("_f")))).as("_rows"))
+      .select(col("grp"), explode(expr("""
+        transform(sequence(1, size(_rows)), i -> named_struct(
+          'r', element_at(_rows, i),
+          's', aggregate(slice(_rows, 1, i), cast(1.0 as double),
+                 (acc, x) -> round(acc * x._f, 9))))""")).as("_e"))
+      .select(col("grp"), col("_e.r.d").as("d"),
+        col("_e.r.n_risk").as("n_risk"),
+        col("_e.r.d_events").as("d_events"),
+        col("_e.r.censored").as("censored"),
+        col("_e.s").as("survival"))
+  }
+
+  private val q244: Q = (s, d) =>
+    kaplanMeier(Tables.events(s, d), "user_id", "ts",
+      expr(s"pmod(${graft.operators.CrossHash.h60Expr("user_id")}, 2)"))
+      .orderBy(col("grp"), col("d"))
+
   /** Time-weighted state occupancy over the [[scd2]] intervals — the
     * state-machine readout (how long does each entity SPEND in each
     * state, and what share of its observed span): per (key, state), the
@@ -3439,6 +3517,7 @@ object Analytics {
     "q220_mix_shift" -> q220,
     "q238_chi2_drift" -> q238,
     "q242_decile_lift" -> q242,
+    "q244_kaplan_meier" -> q244,
     "q136_transitions" -> q136,
     "q125_countmin" -> q125,
     "q149_bloom_filter" -> q149,
@@ -4661,6 +4740,51 @@ object Analytics {
                THEN round(CAST(c.cum_resp AS DOUBLE) / t.rt, 6) END
                AS cum_capture
       FROM cum c, tot t ORDER BY c.decile""",
+    // Replays kaplanMeier: the user collapse, horizon censoring, the
+    // md5 arm, the day-keyed life table, cumulative risk sets, 9-dp
+    // factors and the IDENTICAL per-step round(acc*f, 9) fold over the
+    // d-ordered list (the q176 fold discipline).
+    "q244_kaplan_meier" -> s"""
+      WITH per AS (SELECT user_id,
+                          min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+                          max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+                   FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      hz AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS h FROM events),
+      dur AS (SELECT (${graft.operators.CrossHash.h60DuckDb(
+        "CAST(user_id AS VARCHAR)")}) % 2 AS grp,
+                     (t1 - t0) // 86400000000 AS d,
+                     t1 < h - 604800000000 AS ev
+              FROM per, hz),
+      lt AS (SELECT grp, d,
+                    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                      AS d_events,
+                    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+                      AS censored
+             FROM dur GROUP BY 1, 2),
+      tot AS (SELECT grp, CAST(sum(d_events + censored) AS BIGINT) AS n
+              FROM lt GROUP BY 1),
+      wr AS (SELECT lt.grp, lt.d, lt.d_events, lt.censored,
+                    tot.n - coalesce(sum(lt.d_events + lt.censored) OVER (
+                      PARTITION BY lt.grp ORDER BY lt.d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS n_risk
+             FROM lt JOIN tot USING (grp)),
+      wf AS (SELECT *, round(CAST(n_risk - d_events AS DOUBLE) / n_risk, 9)
+                      AS f
+             FROM wr),
+      g AS (SELECT grp, list(struct_pack(d := d, n_risk := n_risk,
+                     d_events := d_events, censored := censored, f := f)
+                     ORDER BY d) AS rs
+            FROM wf GROUP BY grp),
+      e AS (SELECT grp, rs, unnest(range(1, len(rs) + 1)) AS i FROM g)
+      SELECT grp, rs[CAST(i AS INT)].d AS d,
+             CAST(rs[CAST(i AS INT)].n_risk AS BIGINT) AS n_risk,
+             rs[CAST(i AS INT)].d_events AS d_events,
+             rs[CAST(i AS INT)].censored AS censored,
+             list_reduce(list_concat([CAST(1.0 AS DOUBLE)],
+               list_transform(rs[1:CAST(i AS INT)], x -> x.f)),
+               (acc, f) -> round(acc * f, 9)) AS survival
+      FROM e ORDER BY grp, d""",
     "q219_cuped" -> s"""
       WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
                         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Graph analytics over relationship edges derived from the star schema
@@ -416,7 +417,58 @@ object Graph {
     labelPropagation(custSuppEdges(s, d), "src", "dst")
       .orderBy(col("node"))
 
+  /** Common-neighbor link prediction with the Resource-Allocation index
+    * (Zhou/Lü/Zhang 2009) — the "who should connect next" primitive
+    * behind people-you-may-know and related-item candidates: for every
+    * non-edge pair (u, v), count shared neighbors and sum each shared
+    * neighbor's 1/degree, degree-discounting hub centers (a wedge
+    * through a 10⁶-degree hub says ~nothing; through a 3-degree node,
+    * a lot). The RA weight rides as the exact integer
+    * `1_000_000 div deg` (micro-units) — engines disagree on nothing.
+    *
+    * Scale hazard + valve: a center contributes pairs among its WHOLE
+    * neighborhood — deg² blowup on exactly the hubs RA down-weights. So
+    * each center's pair fan-out is capped FIRST to its `m` smallest
+    * neighbor ids (the q165 cap-before-pairing discipline: a map-side
+    * WindowGroupLimit prune BEFORE the self-join, ≤ m²/2 pairs per
+    * center) with a per-center truncation flag carried onto every pair
+    * it produced (the q193 audit convention). Final cut is a
+    * deterministic TakeOrderedAndProject under the (score DESC, u, v)
+    * total order; existing edges leave via one anti-join. */
+  def linkPrediction(edges: DataFrame, src: String, dst: String,
+      m: Int = 8, topK: Int = 20): DataFrame = {
+    require(m >= 2 && topK >= 1,
+      s"linkPrediction: need m >= 2 and topK >= 1, got ($m, $topK)")
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val wN = Window.partitionBy(col("a")).orderBy(col("b"))
+    val capped = und
+      .withColumn("_rk", row_number().over(wN))
+      .join(deg.withColumnRenamed("node", "a"), "a")
+      .withColumn("capped", col("deg") > m)
+      .filter(col("_rk") <= m)
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.b").as("u"), col("y.b").as("v"),
+        col("x.deg").as("_cdeg"), col("x.capped").as("_capped"))
+    val scored = pairs.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000L div _cdeg")).as("ra_micro"),
+        max(col("_capped")).as("capped"))
+    scored.join(und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("ra_micro").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
+  private val q245: Q = (s, d) =>
+    linkPrediction(custSuppEdges(s, d), "src", "dst")
+
   val queries: Map[String, Q] = Map(
+    "q245_link_prediction" -> q245,
     "q110_pagerank" -> q110,
     "q111_triangles" -> q111,
     "q139_bfs_paths" -> q139,
@@ -453,6 +505,38 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // Replays linkPrediction: symmetrized distinct edges, per-center
+    // neighbor cap under the (center, neighbor-id) order with the
+    // truncation flag, integer RA micro-weights, the non-edge anti-join
+    // and the (score DESC, u, v) top-k.
+    "q245_link_prediction" -> """
+      WITH e0 AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                                  's:' || CAST(l_suppkey AS VARCHAR) AS b
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                  WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'),
+      und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg
+              FROM und GROUP BY a),
+      capped AS (SELECT u.a, u.b, d.deg, d.deg > 8 AS capped
+                 FROM (SELECT a, b, row_number() OVER (PARTITION BY a
+                         ORDER BY b) AS rk
+                       FROM und) u
+                 JOIN deg d USING (a)
+                 WHERE u.rk <= 8),
+      pairs AS (SELECT x.b AS u, y.b AS v, x.deg AS cdeg,
+                       x.capped AS cflag
+                FROM capped x JOIN capped y
+                  ON x.a = y.a AND x.b < y.b),
+      scored AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+                        CAST(sum(1000000 // cdeg) AS BIGINT) AS ra_micro,
+                        max(cflag) AS capped
+                 FROM pairs GROUP BY 1, 2),
+      non_edge AS (SELECT s.* FROM scored s
+                   WHERE NOT EXISTS (SELECT 1 FROM und
+                                     WHERE und.a = s.u AND und.b = s.v))
+      SELECT u, v, common_neighbors, ra_micro, capped
+      FROM non_edge
+      ORDER BY ra_micro DESC, u, v LIMIT 20""",
     // Replays the two message-passing layers: symmetrized distinct edges,
     // exact decimal feature sums layer over layer.
     "q177_neighborhood_agg" -> """

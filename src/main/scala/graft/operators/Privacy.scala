@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Privacy auditing for training-data release (north-star: a corpus is not
@@ -156,13 +157,121 @@ object Privacy {
       .orderBy(col("table"))
   }
 
+  /** t-closeness audit — the third leg of the release-audit triad
+    * (k-anonymity bounds class SIZE, l-diversity bounds sensitive
+    * VARIETY; both are satisfied by a class whose sensitive DISTRIBUTION
+    * still differs wildly from the table's — the attribute-disclosure
+    * leak t-closeness measures, Li/Li/Venkatasubramanian ICDE'07).
+    * Per equivalence class: the Earth Mover's Distance between the
+    * class's ordered-sensitive-bucket distribution and the global one,
+    * t = Σ_b |cumP_b − cumQ_b| / (B − 1), flagged against `threshold`.
+    *
+    * Determinism: cumulative counts are exact integers; cumP and cumQ
+    * are ONE IEEE division each; every |cumP − cumQ| term pre-rounds at
+    * 9 dp before the B-bounded sum (the q185 PSI discipline); the final
+    * /(B−1) is one more division, rounded at 6 dp.
+    *
+    * Shape: two corpus collapses (global buckets; class × bucket cells,
+    * both with map-side partials), then everything lives on the
+    * (classes × B)-bounded grid — spine cross-join, bounded cumulative
+    * windows, one class-keyed roll-up. */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String],
+      sensBucket: Column, threshold: Double): DataFrame = {
+    require(qiCols.nonEmpty, "tClosenessAudit: need at least one QI column")
+    require(threshold > 0 && threshold < 1,
+      s"tClosenessAudit: threshold must be in (0,1), got $threshold")
+    val qi = qiCols.map(col)
+    val base = df.select(qi :+ sensBucket.as("_b"): _*).localCheckpoint()
+    val global = base.groupBy(col("_b")).agg(count(lit(1)).as("_gn"))
+    // NOTE: Spark resolves case-insensitively — "_B" would collide with
+    // the bucket column "_b", hence the longer names.
+    val nb = global.agg(count(lit(1)).as("_nbuckets"),
+      sum(col("_gn")).as("_ntotal"))
+    val wg = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Global cumulative counts on the B-bounded bucket frame.
+    val gcum = global.withColumn("_gcum", sum(col("_gn")).over(wg))
+      .select(col("_b"), col("_gcum"))
+    val classes = base.groupBy(qi: _*).agg(count(lit(1)).as("n_class"))
+    val cells = base.groupBy(qi :+ col("_b"): _*)
+      .agg(count(lit(1)).as("_cn"))
+    val grid = classes.crossJoin(broadcast(gcum))
+      .join(cells, qiCols :+ "_b", "left")
+      .withColumn("_cn", coalesce(col("_cn"), lit(0L)))
+    val wc = Window.partitionBy(qi: _*).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = grid
+      .withColumn("_ccum", sum(col("_cn")).over(wc))
+      .crossJoin(broadcast(nb))
+      .withColumn("_term", round(abs(
+        col("_ccum").cast("double") / col("n_class")
+          - col("_gcum").cast("double") / col("_ntotal")), 9))
+    terms.groupBy(qi :+ col("n_class"): _*)
+      .agg(round(sum(col("_term")) / (max(col("_nbuckets")) - 1), 6)
+        .as("t_value"))
+      .withColumn("violated", col("t_value") > threshold)
+  }
+
+  /** q246: QIs (nation, market segment); sensitive = the $1000 balance
+    * bucket as the ordered attribute (q196's bucket rule — boundary-safe
+    * floor). Completes the audit triad over the same table. */
+  private val q246: Q = (s, d) =>
+    tClosenessAudit(Tables.customer(s, d),
+      Seq("c_nationkey", "c_mktsegment"),
+      floor(col("c_acctbal") / 1000.0).cast("long"), threshold = 0.25)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
   val queries: Map[String, Q] = Map(
     "q196_k_anonymity" -> q196,
     "q201_generalization" -> q201,
     "q212_gdpr_purge" -> q212,
+    "q246_t_closeness" -> q246,
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays tClosenessAudit: the bucket rule, global + per-class
+    // cumulative counts over the ordered bucket spine, 9-dp pre-rounded
+    // |cumP - cumQ| terms, the /(B-1) EMD normalization and the
+    // threshold verdict on the ROUNDED t.
+    "q246_t_closeness" -> """
+      WITH base AS (SELECT c_nationkey, c_mktsegment,
+                           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b
+                    FROM customer),
+      gtab AS (SELECT b, CAST(count(*) AS BIGINT) AS gn
+               FROM base GROUP BY 1),
+      nb AS (SELECT CAST(count(*) AS BIGINT) AS nB,
+                    CAST(sum(gn) AS BIGINT) AS nN
+             FROM gtab),
+      gcum AS (SELECT b, CAST(sum(gn) OVER (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS gc
+               FROM gtab),
+      classes AS (SELECT c_nationkey, c_mktsegment,
+                         CAST(count(*) AS BIGINT) AS n_class
+                  FROM base GROUP BY 1, 2),
+      cells AS (SELECT c_nationkey, c_mktsegment, b,
+                       CAST(count(*) AS BIGINT) AS cn
+                FROM base GROUP BY 1, 2, 3),
+      grid AS (SELECT cl.c_nationkey, cl.c_mktsegment, cl.n_class,
+                      g.b, g.gc, coalesce(ce.cn, 0) AS cn
+               FROM classes cl CROSS JOIN gcum g
+               LEFT JOIN cells ce
+                 ON ce.c_nationkey = cl.c_nationkey
+                AND ce.c_mktsegment = cl.c_mktsegment AND ce.b = g.b),
+      terms AS (SELECT c_nationkey, c_mktsegment, n_class,
+                       round(abs(CAST(sum(cn) OVER (
+                           PARTITION BY c_nationkey, c_mktsegment
+                           ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS DOUBLE) / n_class
+                         - CAST(gc AS DOUBLE)
+                           / (SELECT nN FROM nb)), 9) AS term
+                FROM grid)
+      SELECT c_nationkey, c_mktsegment, n_class,
+             round(sum(term) / ((SELECT nB FROM nb) - 1), 6) AS t_value,
+             round(sum(term) / ((SELECT nB FROM nb) - 1), 6) > 0.25
+               AS violated
+      FROM terms GROUP BY 1, 2, 3
+      ORDER BY c_nationkey, c_mktsegment""",
     // Same single aggregate, independently formulated: class size, distinct
     // sensitive values, k-violation flag, 1/size risk.
     "q196_k_anonymity" -> """

@@ -34,6 +34,10 @@ object ExplainDump {
     "q241_snapshot_fingerprint" -> "two scans folding into keyed count+sum(mod 2^60) aggregates; groups-bounded outer-join diff",
     "q242_decile_lift" -> "unit collapse; two-pass global index ntile; gains window on the ten-row decile frame",
     "q243_epoch_shuffle" -> "bucketed local row_number + 32-row offset broadcast — one exchange, no single-partition window",
+    "q244_kaplan_meier" -> "one user collapse; life table, risk windows and survival folds all (groups x days)-bounded",
+    "q245_link_prediction" -> "cap-before-pairing: WindowGroupLimit m-neighbor prune BEFORE the center self-join; anti-join + TakeOrdered cut",
+    "q246_t_closeness" -> "two keyed collapses; EMD terms on the (classes x B)-bounded grid",
+    "q247_label_separation" -> "broadcast centroid row; map-side HOF member distances; |labels|^2 nearest-other pass",
     "q51_minhash_lsh" -> "MinHash signatures as aggregate columns; LSH equality join",
     "q60_knn_bruteforce" -> "codegen'd cosine_sim inside the stage; WindowGroupLimit top-k",
     "q82_stream_tumbling" -> "(streaming runtime — plan of the equivalent batch q80 shown)",

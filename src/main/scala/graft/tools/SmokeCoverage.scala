@@ -203,6 +203,26 @@ object SmokeCoverage {
       "prices the IDENTICAL bucketed exchange + Buckets-row offset " +
       "broadcast — only the per-bucket accumulator differs (row_number " +
       "vs running token sum); shard/pos math is map-side"),
+    // -- round-17 third batch (q244-q247) --
+    "q244_kaplan_meier" -> ("ONE user-keyed collapse with map-side " +
+      "partials (the corpus axis the smoked sessionize/cadence rows " +
+      "price); the life table, risk windows and O(k^2) survival folds " +
+      "all live on the (groups x DAYS)-bounded frame — k is the " +
+      "observation span, never corpus size"),
+    "q245_link_prediction" -> ("the q165 coOccurrence smoke row " +
+      "(events10b section) prices the identical cap-before-pairing " +
+      "shape: per-center WindowGroupLimit prune to m neighbors, then a " +
+      "center-keyed self-join bounded at m^2/2 pairs per center; the " +
+      "anti-join and top-k are TakeOrderedAndProject-bounded"),
+    "q246_t_closeness" -> ("two corpus collapses with map-side partials " +
+      "(QI-keyed and (QI, bucket)-keyed — the q196 exchange the privacy " +
+      "audit already rides); everything after lives on the " +
+      "(classes x B)-bounded grid"),
+    "q247_label_separation" -> ("member pass is the pqAudit shape — " +
+      "broadcast few-KB centroid row, map-side HOF fold, " +
+      "|labels|-bounded partials as the only exchange; the smoked " +
+      "kMeans row prices the same broadcast-centroids-x-corpus scan; " +
+      "inter pass is a |labels|^2-bounded self-join"),
     // -- core relational plans (shape locked, machinery is Spark's) --
     "q01_pricing_summary" -> CoreRelational,
     "q02_filter_project" -> CoreRelational,

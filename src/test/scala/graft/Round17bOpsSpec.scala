@@ -1,15 +1,17 @@
 package graft
 
-import graft.operators.{Analytics, Layout, Packing, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Graph, Layout, Packing, Privacy, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
-/** Hand-computable locks for the round-17 second batch: the chi-squared
-  * categorical drift test (q238), the per-domain domination cap (q239),
-  * the product-quantization coding audit (q240), the order-invariant
-  * snapshot fingerprint (q241), the decile lift/gains table (q242) and
-  * the deterministic epoch shuffle (q243). Every expected value below is
-  * derivable on paper from the inputs — the same fixture-free discipline
-  * as Round11OpsSpec/Round17OpsSpec. */
+/** Hand-computable locks for the round-17 second and third batches: the
+  * chi-squared categorical drift test (q238), the per-domain domination
+  * cap (q239), the product-quantization coding audit (q240), the
+  * order-invariant snapshot fingerprint (q241), the decile lift/gains
+  * table (q242), the deterministic epoch shuffle (q243), Kaplan-Meier
+  * survival (q244), RA-index link prediction (q245), the t-closeness
+  * audit (q246) and the label-separation audit (q247). Every expected
+  * value below is derivable on paper from the inputs — the same
+  * fixture-free discipline as Round11OpsSpec/Round17OpsSpec. */
 class Round17bOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -213,5 +215,90 @@ class Round17bOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq.sortBy(_._2).map(_._1)
     assert(order(1) == order(1))
     assert(order(1) != order(2))
+  }
+
+  // ---------------------------------------------------- kaplanMeier --
+
+  test("kaplanMeier: hand-computed life table with censoring") {
+    // Horizon = day 20 (u4's last event); censor window 7 days => churn
+    // iff last event < day 13. u1/u3 end day 2, u2 day 3 (all churned);
+    // u4 spans day 10..20 (duration 10, censored AT the horizon).
+    // Life table: d=2 (dd=2), d=3 (dd=1), d=10 (cc=1); risk 4 -> 2 -> 1.
+    // Factors .5 / .5 / 1 => S = .5, .25, .25.
+    val day = 86400000000L
+    val ev = Seq((1L, 0L), (1L, 2 * day), (2L, 0L), (2L, 3 * day),
+        (3L, 0L), (3L, 2 * day), (4L, 10 * day), (4L, 20 * day))
+      .toDF("user_id", "t")
+      .select(col("user_id"), expr("timestamp_micros(t)").as("ts"))
+    val out = Analytics.kaplanMeier(ev, "user_id", "ts", lit(0L))
+      .orderBy(col("d"))
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 4L, 2L, 0L, 0.5),
+      (0L, 3L, 2L, 1L, 0L, 0.25),
+      (0L, 10L, 1L, 0L, 1L, 0.25)))
+  }
+
+  // ------------------------------------------------- linkPrediction --
+
+  test("linkPrediction: hand-computed RA scores and tie order") {
+    // Bipartite: centers 10 (deg 3: 1,2,3) and 11 (deg 2: 1,2).
+    // Wedges: via 10 -> (1,2),(1,3),(2,3) at 1e6 div 3 = 333333;
+    //         via 11 -> (1,2) at 500000;
+    //         via 1 and via 2 (deg 2 each) -> (10,11) at 500000 twice.
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (2L, 11L))
+      .toDF("src", "dst")
+    val out = Graph.linkPrediction(edges, "src", "dst", m = 8, topK = 10)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (10L, 11L, 2L, 1000000L, false),
+      (1L, 2L, 2L, 833333L, false),
+      (1L, 3L, 1L, 333333L, false),
+      (2L, 3L, 1L, 333333L, false)))
+  }
+
+  test("linkPrediction: the per-center cap bounds fan-out and flags pairs") {
+    // m = 2: center 10 keeps neighbors {1, 2} only => (1,3)/(2,3) vanish
+    // and (1,2)'s center-10 contribution is flagged capped.
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (2L, 11L))
+      .toDF("src", "dst")
+    val out = Graph.linkPrediction(edges, "src", "dst", m = 2, topK = 10)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (10L, 11L, 2L, 1000000L, false),
+      (1L, 2L, 2L, 833333L, true)))
+  }
+
+  // ----------------------------------------------- tClosenessAudit --
+
+  test("tClosenessAudit: hand-computed EMD over two buckets") {
+    // Global: bucket 0 x2, bucket 1 x2 (N=4, B=2; cumQ = .5, 1).
+    // g1 = [0,0,1]: cumP = 2/3, 1 => t = |2/3-.5| / 1 = .166667 (ok).
+    // g2 = [1]:     cumP = 0, 1   => t = .5 (violated at .25).
+    val rows = Seq(("g1", 0L), ("g1", 0L), ("g1", 1L), ("g2", 1L))
+      .toDF("grp", "v")
+    val out = Privacy.tClosenessAudit(rows, Seq("grp"), col("v"), 0.25)
+      .orderBy(col("grp"))
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq(("g1", 3L, 0.166667, false), ("g2", 1L, 0.5, true)))
+  }
+
+  // --------------------------------------------- labelSeparation --
+
+  test("labelSeparation: hand-computed cohesion, nearest centroid, ratio") {
+    // A = {(0,0), (2,0)} -> centroid (1,0), intra d2 = 1+1 (msd 1.0);
+    // B = {(10,0)} -> centroid (10,0), intra 0 (ratio NULL).
+    // inter d2(A,B) = 81. sep(A) = 81 * 2 / 2 = 81.
+    val emb = Seq((0L, "A", Seq(0f, 0f)), (1L, "A", Seq(2f, 0f)),
+        (2L, "B", Seq(10f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelSeparation(emb, "vec_id", "label",
+        "embedding", scale = 1)
+      .orderBy(col("label"))
+      .as[(String, Long, Double, String, Long, Option[Double])]
+      .collect().toSeq
+    assert(out == Seq(
+      ("A", 2L, 1.0, "B", 81L, Some(81.0)),
+      ("B", 1L, 0.0, "A", 81L, None)))
   }
 }
