@@ -125,7 +125,12 @@ object SchemaGolden {
     "q73_merge_upsert", "q76_table_diff", "q116_scd2", "q121_temporal_join",
     "q129_js_divergence", "q150_stream_bloom", "q152_kmv_setops",
     "q162_resample_locf", "q175_target_encode", "q188_benford",
-    "q202_resample_interp", "q208_merge_actions", "q210_forecast_backtest")
+    "q202_resample_interp", "q208_merge_actions", "q210_forecast_backtest",
+    // round 17: q249's value-frame rank joins are NOT provably bounded
+    // (distinct values grow with the corpus), so the 10x tier legitimately
+    // flips them BHJ->SMJ — the sf0.1 fingerprint is pinned here instead
+    // of forcing a broadcast that would be wrong at scale.
+    "q249_spearman_corr")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()

@@ -896,6 +896,164 @@ object Analytics {
       "event_type", "purchase", Seq("signup", "view", "click"))
       .orderBy(col("channel"))
 
+  /** Multi-model attribution — the full credit table next to
+    * [[touchAttribution]]'s first/last flags: every conversion splits
+    * one unit of credit across its session's prior touches under three
+    * standard models at once (linear = equal split; position-based =
+    * the U-shaped 40/20/40; time-decay = exp(−Δt/τ) normalized per
+    * conversion), because marketing reviews compare models, not run
+    * three pipelines. Touchless conversions credit 'direct' with a full
+    * unit in every model (q166's convention).
+    *
+    * Exactness: each per-touch credit is a pinned scalar chain rounded
+    * at 9 dp and pinned to DECIMAL(18,9) BEFORE the channel sums (the
+    * q236 term rule — sums are exact and order-free; libm exp agrees to
+    * far more than 9 dp across engines). The decay normalizer W is the
+    * exact DECIMAL sum of the same 9-dp weights, so w/W is one IEEE
+    * division of identically-derived operands.
+    *
+    * Shape: the q166 session machinery — ONE user-keyed exchange
+    * carries sessionization and the per-conversion touch window; the
+    * per-conversion touch list is session-bounded by the gap rule;
+    * credit math is map-side; the roll-up is channels-bounded. */
+  def attributionModels(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, conversionType: String,
+      touchTypes: Seq[String], gapMicros: Long = 30L * 60L * 1000000L,
+      tauMicros: Long = 3600L * 1000000L): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      s"attributionModels: touch types $touchTypes must exclude $conversionType")
+    require(tauMicros > 0,
+      s"attributionModels: tauMicros must be > 0, got $tauMicros")
+    val withSid = withSessionIds(
+      df.select(col(userCol), col(idCol), col(typeCol).as("et"),
+          unix_micros(col(tsCol)).as("us"))
+        .filter(col("et") === conversionType ||
+          col("et").isInCollection(touchTypes)),
+      userCol, idCol, gapMicros)
+    val ws = Window.partitionBy(col(userCol), col("sid"))
+      .orderBy(col("us"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // collect_list skips the NULL struct a conversion/other row produces,
+    // so the array holds exactly the session's touches at/before this row
+    // under the (us, id) total order.
+    val wExpr = s"round(exp(cast(cus - t.tus as double) " +
+      s"/ -${tauMicros.toDouble}D), 9)"
+    withSid
+      .withColumn("tarr", collect_list(
+        when(col("et").isInCollection(touchTypes),
+          struct(col("us").as("tus"), col("et").as("ch")))).over(ws))
+      .filter(col("et") === conversionType)
+      .select(col("us").as("cus"), col("tarr"))
+      .withColumn("k", size(col("tarr")))
+      .withColumn("_w_tot", expr(
+        s"""aggregate(tarr, cast(0 as decimal(28,9)),
+              (acc, t) -> cast(acc + cast($wExpr as decimal(18,9))
+                               as decimal(28,9)))"""))
+      .select(col("cus"), col("k"), col("_w_tot"),
+        posexplode_outer(col("tarr")).as(Seq("i", "t")))
+      .select(
+        coalesce(col("t.ch"), lit("direct")).as("channel"),
+        when(col("k") === 0, lit(1).cast("decimal(18,9)"))
+          .otherwise(expr("cast(round(1.0 / k, 9) as decimal(18,9))"))
+          .as("_lin"),
+        when(col("k") <= 1, lit(1).cast("decimal(18,9)"))
+          .when(col("k") === 2, lit(0.5).cast("decimal(18,9)"))
+          .when(col("i") === 0 || col("i") === col("k") - 1,
+            lit(0.4).cast("decimal(18,9)"))
+          .otherwise(expr("cast(round(0.2 / (k - 2), 9) as decimal(18,9))"))
+          .as("_pos"),
+        when(col("k") === 0, lit(1).cast("decimal(18,9)"))
+          .otherwise(expr(
+            s"cast(round($wExpr / cast(_w_tot as double), 9) as decimal(18,9))"))
+          .as("_dec"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("_lin")).cast("double"), 6).as("linear_credit"),
+        round(sum(col("_pos")).cast("double"), 6).as("position_credit"),
+        round(sum(col("_dec")).cast("double"), 6).as("decay_credit"))
+  }
+
+  private val q248: Q = (s, d) =>
+    attributionModels(Tables.events(s, d), "user_id", "ts", "event_id",
+      "event_type", "purchase", Seq("signup", "view", "click"))
+      .orderBy(col("channel"))
+
+  /** Spearman rank correlation per group — the robust monotone-
+    * association readout (Pearson on RANKS, so one outlier cannot swing
+    * it): tie-aware via doubled average ranks (2·avg = 2·cum_prev +
+    * count + 1, an exact INTEGER — the q179 doubled-rank trick), then
+    * the q183/q219 exact-moment Pearson chain with ONE pinned
+    * sqrt/division tail. NULL when either side is constant within the
+    * group.
+    *
+    * Scale shape: a naive `rank() OVER (PARTITION BY grp ORDER BY v)`
+    * sorts each group in ONE task — with few huge groups (the common
+    * case: 3 return flags over the whole corpus) that is the per-key
+    * corpus window sort this repo bans (the first cut priced 6.75× for
+    * 10× data on exactly that skew). Instead: the corpus collapses ONCE
+    * to distinct (grp, x, y) cells, each side's value frame gets its
+    * doubled ranks via q184's two-level prefix sums (⌊v⌋-bucketed local
+    * windows + a (grp × buckets)-bounded offset frame — no task ever
+    * sorts more than one value bucket), and the value-keyed rank frames
+    * join back to the cells. Moments are one keyed aggregate with
+    * DECIMAL(38,0) products (c·r², r·r' overflow int64 past ~10⁶-row
+    * groups). */
+  def spearmanCorr(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val g = col(groupCol)
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(g, col(xCol), col(yCol))
+      .groupBy(g, col(xCol), col(yCol)).agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    // Doubled average rank per distinct value of `valCol` within each
+    // group: 2·cum_prev + cv + 1, cum_prev via bucket-local running
+    // sums + per-(grp, bucket) offsets (the q184 decomposition).
+    def ranks2(valCol: String, out: String): DataFrame = {
+      val vf = cells.groupBy(g, col(valCol).as("_v"))
+        .agg(sum(col("_c")).as("_cv"))
+        .withColumn("_bkt", floor(col("_v").cast("double")).cast("long"))
+      val wLoc = Window.partitionBy(g, col("_bkt")).orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = vf.withColumn("_l", sum(col("_cv")).over(wLoc))
+      val wOff = Window.partitionBy(g).orderBy(col("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = vf.groupBy(g, col("_bkt"))
+        .agg(sum(col("_cv")).as("_bc"))
+        .withColumn("_off", coalesce(sum(col("_bc")).over(wOff), lit(0L)))
+        .select(g, col("_bkt"), col("_off"))
+      local.join(offsets, Seq(groupCol, "_bkt"))
+        .select(g, col("_v").as(valCol),
+          ((col("_off") + col("_l") - col("_cv")) * 2 + col("_cv") + 1)
+            .as(out))
+    }
+    val joined = cells
+      .join(ranks2(xCol, "_rx"), Seq(groupCol, xCol))
+      .join(ranks2(yCol, "_ry"), Seq(groupCol, yCol))
+    val m = joined.groupBy(g)
+      .agg(sum(col("_c")).as("n"),
+        sum(col("_c").cast("decimal(38,0)") * col("_rx")).as("_sx"),
+        sum(col("_c").cast("decimal(38,0)") * col("_ry")).as("_sy"),
+        sum(col("_c").cast("decimal(38,0)") * col("_rx") * col("_ry"))
+          .as("_sxy"),
+        sum(col("_c").cast("decimal(38,0)") * col("_rx") * col("_rx"))
+          .as("_sxx"),
+        sum(col("_c").cast("decimal(38,0)") * col("_ry") * col("_ry"))
+          .as("_syy"))
+    m.select(g, col("n"),
+      when(expr("cast(_sxx as double) * n - cast(_sx as double) * cast(_sx as double) > 0") &&
+           expr("cast(_syy as double) * n - cast(_sy as double) * cast(_sy as double) > 0"),
+        round(expr("""
+          (cast(_sxy as double) * n - cast(_sx as double) * cast(_sy as double))
+          / sqrt((cast(_sxx as double) * n - cast(_sx as double) * cast(_sx as double))
+                 * (cast(_syy as double) * n - cast(_sy as double) * cast(_sy as double)))"""),
+          6)).as("rho"))
+  }
+
+  private val q249: Q = (s, d) =>
+    spearmanCorr(Tables.lineitem(s, d), "l_returnflag", "l_quantity",
+      "l_extendedprice")
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------------- event cadence --
 
   /** Inter-event cadence: per event type, the distribution (p25/p50/p75/
@@ -3518,6 +3676,8 @@ object Analytics {
     "q238_chi2_drift" -> q238,
     "q242_decile_lift" -> q242,
     "q244_kaplan_meier" -> q244,
+    "q248_attribution_models" -> q248,
+    "q249_spearman_corr" -> q249,
     "q136_transitions" -> q136,
     "q125_countmin" -> q125,
     "q149_bloom_filter" -> q149,
@@ -4785,6 +4945,104 @@ object Analytics {
                list_transform(rs[1:CAST(i AS INT)], x -> x.f)),
                (acc, f) -> round(acc * f, 9)) AS survival
       FROM e ORDER BY grp, d""",
+    // Replays attributionModels with the INDEPENDENT relational
+    // formulation: q166's sessionization, touch-to-conversion pairs via
+    // a within-session join under the engine's (us, id) inclusion rule,
+    // k/position/decay windows, the identical 9-dp DECIMAL credit
+    // chains, and the touchless-direct branch.
+    "q248_attribution_models" -> """
+      WITH base AS (
+        SELECT user_id, event_id, event_type AS et,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+        WHERE event_type IN ('purchase', 'signup', 'view', 'click')),
+      sid AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM (
+          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END AS new_s
+          FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) AS prev_us
+                FROM base))),
+      conv AS (SELECT user_id, sid, event_id AS cid, us AS cus
+               FROM sid WHERE et = 'purchase'),
+      tch AS (SELECT user_id, sid, event_id AS tid, us AS tus, et AS ch
+              FROM sid WHERE et <> 'purchase'),
+      pair AS (SELECT c.cid, c.cus, t.tus, t.tid, t.ch
+               FROM conv c JOIN tch t USING (user_id, sid)
+               WHERE t.tus < c.cus
+                  OR (t.tus = c.cus AND t.tid < c.cid)),
+      num AS (SELECT *,
+                     CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS k,
+                     row_number() OVER (PARTITION BY cid
+                       ORDER BY tus, tid) - 1 AS i,
+                     round(exp(CAST(cus - tus AS DOUBLE)
+                               / -3600000000.0), 9) AS w
+              FROM pair),
+      num2 AS (SELECT *, sum(CAST(w AS DECIMAL(18,9)))
+                           OVER (PARTITION BY cid) AS wtot
+               FROM num),
+      cred AS (
+        SELECT ch AS channel,
+               CAST(round(1.0 / k, 9) AS DECIMAL(18,9)) AS lin,
+               CAST(CASE WHEN k = 1 THEN 1.0 WHEN k = 2 THEN 0.5
+                         WHEN i = 0 OR i = k - 1 THEN 0.4
+                         ELSE round(0.2 / (k - 2), 9) END
+                    AS DECIMAL(18,9)) AS pos,
+               CAST(round(w / CAST(wtot AS DOUBLE), 9)
+                    AS DECIMAL(18,9)) AS dcy
+        FROM num2
+        UNION ALL
+        SELECT 'direct', CAST(1 AS DECIMAL(18,9)), CAST(1 AS DECIMAL(18,9)),
+               CAST(1 AS DECIMAL(18,9))
+        FROM conv c
+        WHERE NOT EXISTS (SELECT 1 FROM pair p WHERE p.cid = c.cid))
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+             round(CAST(sum(lin) AS DOUBLE), 6) AS linear_credit,
+             round(CAST(sum(pos) AS DOUBLE), 6) AS position_credit,
+             round(CAST(sum(dcy) AS DOUBLE), 6) AS decay_credit
+      FROM cred GROUP BY channel ORDER BY channel""",
+    // Replays spearmanCorr: doubled tie-average ranks as exact integers,
+    // HUGEINT rank products, and the pinned moment chain with the same
+    // variance guards.
+    "q249_spearman_corr" -> """
+      WITH r AS (SELECT l_returnflag AS g,
+                   CAST(2 * rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_quantity)
+                        + count(*) OVER (PARTITION BY l_returnflag,
+                          l_quantity) - 1 AS BIGINT) AS rx,
+                   CAST(2 * rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice)
+                        + count(*) OVER (PARTITION BY l_returnflag,
+                          l_extendedprice) - 1 AS BIGINT) AS ry
+                 FROM lineitem
+                 WHERE l_quantity IS NOT NULL
+                   AND l_extendedprice IS NOT NULL),
+      m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rx) AS BIGINT) AS sx,
+                   CAST(sum(ry) AS BIGINT) AS sy,
+                   CAST(sum(CAST(rx AS HUGEINT) * ry) AS DECIMAL(38,0))
+                     AS sxy,
+                   CAST(sum(CAST(rx AS HUGEINT) * rx) AS DECIMAL(38,0))
+                     AS sxx,
+                   CAST(sum(CAST(ry AS HUGEINT) * ry) AS DECIMAL(38,0))
+                     AS syy
+            FROM r GROUP BY g)
+      SELECT g AS l_returnflag, n,
+             CASE WHEN CAST(sxx AS DOUBLE) * n
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                   AND CAST(syy AS DOUBLE) * n
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                  THEN round((CAST(sxy AS DOUBLE) * n
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(sxx AS DOUBLE) * n
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(syy AS DOUBLE) * n
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                       6)
+                  END AS rho
+      FROM m ORDER BY l_returnflag""",
     "q219_cuped" -> s"""
       WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
                         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi

@@ -38,6 +38,8 @@ object ExplainDump {
     "q245_link_prediction" -> "cap-before-pairing: WindowGroupLimit m-neighbor prune BEFORE the center self-join; anti-join + TakeOrdered cut",
     "q246_t_closeness" -> "two keyed collapses; EMD terms on the (classes x B)-bounded grid",
     "q247_label_separation" -> "broadcast centroid row; map-side HOF member distances; |labels|^2 nearest-other pass",
+    "q248_attribution_models" -> "q166's one session exchange; session-bounded touch lists; map-side 9-dp DECIMAL credits",
+    "q249_spearman_corr" -> "collapsed value frames + q184 two-level bucketed rank sums — no per-group corpus window sort",
     "q51_minhash_lsh" -> "MinHash signatures as aggregate columns; LSH equality join",
     "q60_knn_bruteforce" -> "codegen'd cosine_sim inside the stage; WindowGroupLimit top-k",
     "q82_stream_tumbling" -> "(streaming runtime — plan of the equivalent batch q80 shown)",

@@ -223,6 +223,16 @@ object SmokeCoverage {
       "|labels|-bounded partials as the only exchange; the smoked " +
       "kMeans row prices the same broadcast-centroids-x-corpus scan; " +
       "inter pass is a |labels|^2-bounded self-join"),
+    "q248_attribution_models" -> ("rides the q166 session machinery " +
+      "verbatim (the smoked sessionize exchange); per-conversion touch " +
+      "lists are session-gap-bounded, credit math is map-side, the " +
+      "roll-up channels-bounded"),
+    "q249_spearman_corr" -> ("the rank passes are q184's two-level " +
+      "prefix-sum decomposition over COLLAPSED value frames (the ks " +
+      "smoke's machinery — bucket-local windows + bounded offsets, no " +
+      "per-group corpus sort; the naive window form priced 6.75x for " +
+      "10x on 3-group skew and was replaced, tier re-priced 1.5x); " +
+      "moments are one keyed aggregate"),
     // -- core relational plans (shape locked, machinery is Spark's) --
     "q01_pricing_summary" -> CoreRelational,
     "q02_filter_project" -> CoreRelational,

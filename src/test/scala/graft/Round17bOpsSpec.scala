@@ -285,6 +285,89 @@ class Round17bOpsSpec extends SparkSpec {
 
   // --------------------------------------------- labelSeparation --
 
+  // ----------------------------------------------- attributionModels --
+
+  private def r9(x: Double): BigDecimal =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+  private def r6(x: BigDecimal): Double =
+    x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("attributionModels: linear/position/decay credits and the direct branch") {
+    // u1: signup(0s), view(1200s), purchase(1200s, later id) -> k=2.
+    // u2: lone purchase -> direct 1/1/1.
+    // u3: signup(0), view(600s), click(1200s), purchase(1800s) -> k=3,
+    //     position credits .4/.2/.4 in (us, id) order.
+    val s2us = 1000000L
+    val ev = Seq(
+      (1L, 1L, "signup", 0L), (1L, 2L, "view", 1200 * s2us),
+      (1L, 3L, "purchase", 1200 * s2us),
+      (2L, 4L, "purchase", 500 * s2us),
+      (3L, 5L, "signup", 0L), (3L, 6L, "view", 600 * s2us),
+      (3L, 7L, "click", 1200 * s2us), (3L, 8L, "purchase", 1800 * s2us)
+    ).toDF("user_id", "event_id", "event_type", "t")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestamp_micros(t)").as("ts"))
+    val out = Analytics.attributionModels(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("signup", "view", "click"))
+      .orderBy(col("channel"))
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // Decay weights replayed with the operator's own 9-dp rule.
+    val (w1s, w1v) = (r9(math.exp(-1200.0 / 3600)), r9(1.0))
+    val wTot1 = w1s + w1v
+    val (d1s, d1v) = (r9(w1s.toDouble / wTot1.toDouble),
+      r9(w1v.toDouble / wTot1.toDouble))
+    val (w3s, w3v, w3c) = (r9(math.exp(-1800.0 / 3600)),
+      r9(math.exp(-1200.0 / 3600)), r9(math.exp(-600.0 / 3600)))
+    val wTot3 = w3s + w3v + w3c
+    val (d3s, d3v, d3c) = (r9(w3s.toDouble / wTot3.toDouble),
+      r9(w3v.toDouble / wTot3.toDouble), r9(w3c.toDouble / wTot3.toDouble))
+    val third = r9(1.0 / 3)
+    assert(out == Seq(
+      ("click", 1L, r6(third), 0.4, r6(d3c)),
+      ("direct", 1L, 1.0, 1.0, 1.0),
+      ("signup", 2L, r6(BigDecimal(0.5) + third), 0.9, r6(d1s + d3s)),
+      ("view", 2L, r6(BigDecimal(0.5) + third), 0.7, r6(d1v + d3v))))
+  }
+
+  test("attributionModels: per-conversion linear and position credits sum to ~1") {
+    val s2us = 1000000L
+    val ev = Seq(
+      (9L, 10L, "click", 0L), (9L, 11L, "view", 60 * s2us),
+      (9L, 12L, "signup", 120 * s2us), (9L, 13L, "view", 180 * s2us),
+      (9L, 14L, "purchase", 240 * s2us)
+    ).toDF("user_id", "event_id", "event_type", "t")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestamp_micros(t)").as("ts"))
+    val out = Analytics.attributionModels(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("signup", "view", "click"))
+      .as[(String, Long, Double, Double, Double)].collect()
+    // k = 4: linear 4 x .25; position .4 + .1 + .1 + .4; decay sums to
+    // 1 within the 9-dp per-credit rounding.
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-8)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-8)
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-8)
+    assert(out.filter(_._1 == "view").map(_._4).sum == 0.5) // .4 last + .1 middle
+  }
+
+  // ------------------------------------------------- spearmanCorr --
+
+  test("spearmanCorr: monotone groups hit +/-1; ties use doubled ranks; constant is NULL") {
+    val rows = Seq(
+      ("A", 1.0, 10.0), ("A", 2.0, 20.0), ("A", 3.0, 30.0),
+      ("B", 1.0, 30.0), ("B", 2.0, 20.0), ("B", 3.0, 10.0),
+      ("C", 1.0, 5.0), ("C", 1.0, 7.0), ("C", 2.0, 9.0),
+      ("D", 4.0, 1.0), ("D", 4.0, 2.0)
+    ).toDF("g", "x", "y")
+    val out = Analytics.spearmanCorr(rows, "g", "x", "y")
+      .orderBy(col("g"))
+      .as[(String, Long, Option[Double])].collect().toSeq
+    // C: doubled ranks rx=(3,3,6), ry=(2,4,6) => rho = 18/sqrt(18*24)
+    //   = sqrt(3)/2 = .866025 at 6 dp.
+    assert(out == Seq(
+      ("A", 3L, Some(1.0)), ("B", 3L, Some(-1.0)),
+      ("C", 3L, Some(0.866025)), ("D", 2L, None)))
+  }
+
   test("labelSeparation: hand-computed cohesion, nearest centroid, ratio") {
     // A = {(0,0), (2,0)} -> centroid (1,0), intra d2 = 1+1 (msd 1.0);
     // B = {(10,0)} -> centroid (10,0), intra 0 (ratio NULL).
