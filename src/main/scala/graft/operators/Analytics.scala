@@ -1054,6 +1054,80 @@ object Analytics {
       "l_extendedprice")
       .orderBy(col("l_returnflag"))
 
+  /** Quantile normalization across groups — the batch-effect remover
+    * (classic in bioinformatics, equally the multilingual-curation
+    * alignment pass): each group's value distribution maps onto the
+    * POOLED distribution, so "the 73rd-percentile French document" gets
+    * the corpus-wide 73rd-percentile length. After it, every group has
+    * the same marginal distribution — cross-group thresholds compare
+    * like for like.
+    *
+    * All-integer determinism: within-group position is the doubled
+    * average rank (q249's machinery) folded to a per-mille
+    * pm = ⌈r2·500/n_g⌉; the pooled grid inverts the q228/q230 rule —
+    * value v covers exactly the pms with cumprev·1000 < pm·N ≤
+    * cum·1000, i.e. sequence((cumprev·1000) div N + 1, (cum·1000) div
+    * N) — so pm → value is a pure integer function of the data and the
+    * row side joins it on a ≤ 1000-key column.
+    *
+    * Shape: ONE corpus collapse to (group, value) cells; group ranks
+    * via the two-level bucketed prefix sums (no per-group corpus
+    * sort); the pooled side lives on the VALUE frame (bounded by the
+    * value domain, not the corpus) with one ordered cumulative pass;
+    * the final join is per-mille-keyed. Output: one row per distinct
+    * (group, value) — never per input row. */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    requireIntegral(df, valCol, "quantileNormalize value")
+    val g = col(groupCol)
+    val cells = df.filter(col(valCol).isNotNull)
+      .select(g, col(valCol).cast("long").as("_v"))
+      .groupBy(g, col("_v")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    // Within-group doubled rank per distinct value (two-level bucketed
+    // prefix sums — q249's decomposition inlined over these cells).
+    val wLoc = Window.partitionBy(g, col("_bkt")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(g).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vf = cells.withColumn("_bkt", floor(col("_v").cast("double") / 64)
+      .cast("long"))
+    val local = vf.withColumn("_l", sum(col("_c")).over(wLoc))
+    val offsets = vf.groupBy(g, col("_bkt")).agg(sum(col("_c")).as("_bc"))
+      .withColumn("_off", coalesce(sum(col("_bc")).over(wOff), lit(0L)))
+      .select(g, col("_bkt"), col("_off"))
+    val ng = cells.groupBy(g).agg(sum(col("_c")).as("_ng"))
+    val ranked = local.join(offsets, Seq(groupCol, "_bkt"))
+      .join(ng, groupCol)
+      .withColumn("_r2",
+        (col("_off") + col("_l") - col("_c")) * 2 + col("_c") + 1)
+      .withColumn("pm",
+        expr("(_r2 * 500 + _ng - 1) div _ng"))
+    // Pooled per-mille grid on the value frame: v covers the pms whose
+    // scaled position lands inside v's cumulative-count span.
+    val pooled = cells.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val n = pooled.agg(sum(col("_cv")).as("_n"))
+    val wPool = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = pooled
+      .withColumn("_cum", sum(col("_cv")).over(wPool))
+      .crossJoin(broadcast(n))
+      // A value spanning no per-mille point yields an EMPTY array — bare
+      // sequence(a, b) would count DOWN when a > b.
+      .select(col("_v").as("_nv"), explode(expr(
+        """CASE WHEN ((_cum - _cv) * 1000) div _n + 1 <= (_cum * 1000) div _n
+                THEN sequence(((_cum - _cv) * 1000) div _n + 1,
+                              (_cum * 1000) div _n)
+                ELSE array() END""")).as("pm"))
+    ranked.join(broadcast(grid), "pm")
+      .select(g, col("_v").as(valCol), col("_c").as("n_rows"), col("pm"),
+        col("_nv").as("norm_v"))
+  }
+
+  private val q250: Q = (s, d) =>
+    quantileNormalize(Tables.documents(s, d), "lang", "n_chars")
+      .orderBy(col("lang"), col("n_chars"))
+
   // ------------------------------------------------------- event cadence --
 
   /** Inter-event cadence: per event type, the distribution (p25/p50/p75/
@@ -3678,6 +3752,7 @@ object Analytics {
     "q244_kaplan_meier" -> q244,
     "q248_attribution_models" -> q248,
     "q249_spearman_corr" -> q249,
+    "q250_quantile_normalize" -> q250,
     "q136_transitions" -> q136,
     "q125_countmin" -> q125,
     "q149_bloom_filter" -> q149,
@@ -5043,6 +5118,40 @@ object Analytics {
                        6)
                   END AS rho
       FROM m ORDER BY l_returnflag""",
+    // Replays quantileNormalize with plain windows over the cells/value
+    // frames: doubled within-group ranks, the pm = ceil(r2*500/n_g)
+    // fold, and the pooled grid's integer coverage rule (DuckDB range()
+    // is half-open and empty when from >= to, matching the engine's
+    // guarded sequence).
+    "q250_quantile_normalize" -> """
+      WITH cells AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM documents WHERE n_chars IS NOT NULL
+                     GROUP BY 1, 2),
+      ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM cells GROUP BY 1),
+      rk AS (SELECT g, v, c,
+                    CAST(2 * (sum(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - c) + c + 1 AS BIGINT) AS r2
+             FROM cells),
+      pmrow AS (SELECT rk.g, rk.v, rk.c,
+                       (r2 * 500 + n_g - 1) // n_g AS pm
+                FROM rk JOIN ng USING (g)),
+      pooled AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv
+                 FROM cells GROUP BY 1),
+      nn AS (SELECT CAST(sum(cv) AS BIGINT) AS n FROM pooled),
+      cm AS (SELECT v, cv,
+                    CAST(sum(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             FROM pooled),
+      grid AS (SELECT v AS nv,
+                      unnest(range(((cum - cv) * 1000) // nn.n + 1,
+                                   (cum * 1000) // nn.n + 1)) AS pm
+               FROM cm, nn)
+      SELECT p.g AS lang, p.v AS n_chars, p.c AS n_rows,
+             CAST(p.pm AS BIGINT) AS pm, g2.nv AS norm_v
+      FROM pmrow p JOIN grid g2 USING (pm)
+      ORDER BY lang, n_chars""",
     "q219_cuped" -> s"""
       WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
                         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi

@@ -233,6 +233,11 @@ object SmokeCoverage {
       "per-group corpus sort; the naive window form priced 6.75x for " +
       "10x on 3-group skew and was replaced, tier re-priced 1.5x); " +
       "moments are one keyed aggregate"),
+    "q250_quantile_normalize" -> ("ONE corpus collapse to (group, " +
+      "value) cells; group ranks via the q249/q184 two-level bucketed " +
+      "sums; the pooled grid lives on the VALUE frame (bounded by the " +
+      "value domain, not the corpus) and joins back on a <= 1000-key " +
+      "per-mille column — flat at the tier (1.1x for 10x)"),
     // -- core relational plans (shape locked, machinery is Spark's) --
     "q01_pricing_summary" -> CoreRelational,
     "q02_filter_project" -> CoreRelational,

@@ -368,6 +368,31 @@ class Round17bOpsSpec extends SparkSpec {
       ("C", 3L, Some(0.866025)), ("D", 2L, None)))
   }
 
+  // --------------------------------------------- quantileNormalize --
+
+  test("quantileNormalize: hand-computed per-mille mapping onto the pooled grid") {
+    // Pooled (N=3): v=10 covers pm 1..333, v=20 -> 334..666, v=30 ->
+    // 667..1000. Group A (n=2): v=10 at r2=2 -> pm 500 -> 20; v=20 at
+    // r2=4 -> pm 1000 -> 30. Group B (n=1): v=30 -> pm 1000 -> 30.
+    val rows = Seq(("A", 10L), ("A", 20L), ("B", 30L)).toDF("g", "v")
+    val out = Analytics.quantileNormalize(rows, "g", "v")
+      .orderBy(col("g"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", 10L, 1L, 500L, 20L), ("A", 20L, 1L, 1000L, 30L),
+      ("B", 30L, 1L, 1000L, 30L)))
+  }
+
+  test("quantileNormalize: ties share one doubled-rank position") {
+    // A = [5, 5]: one cell (c=2), r2 = 3 -> pm = ceil(3*500/2) = 750,
+    // landing in the pooled 7-span (667..1000).
+    val rows = Seq(("A", 5L), ("A", 5L), ("B", 7L)).toDF("g", "v")
+    val out = Analytics.quantileNormalize(rows, "g", "v")
+      .orderBy(col("g"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("A", 5L, 2L, 750L, 7L), ("B", 7L, 1L, 1000L, 7L)))
+  }
+
   test("labelSeparation: hand-computed cohesion, nearest centroid, ratio") {
     // A = {(0,0), (2,0)} -> centroid (1,0), intra d2 = 1+1 (msd 1.0);
     // B = {(10,0)} -> centroid (10,0), intra 0 (ratio NULL).
