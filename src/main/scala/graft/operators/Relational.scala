@@ -900,6 +900,45 @@ object Relational {
   private val q133: Q = (s, d) =>
     profileTable(Tables.orders(s, d), profiledCols)
 
+  /** Column-profile drift between two snapshots — the nightly ingest
+    * gate's FIRST look (deequ-style anomaly detection shape): diff the
+    * [[profileTable]] statistics column by column and flag what moved,
+    * BEFORE anyone pays q241's per-group fingerprints or q76's
+    * row-level diff. Null rates are one IEEE division each (rounded
+    * 6 dp); the drift verdict is a null-safe comparison of exact
+    * counts/distincts/extrema.
+    *
+    * Shape: two single-pass profile scans (the exact-distinct Expand
+    * plan), then everything lives on the |cols|-row frames — the diff
+    * join broadcasts by construction. */
+  def profileDrift(a: DataFrame, b: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, s: String) =
+      profileTable(df, cols).select(col("col_name"),
+        col("n_rows").as(s"n_rows_$s"),
+        round(col("n_null").cast("double") / col("n_rows"), 6)
+          .as(s"null_rate_$s"),
+        col("n_distinct").as(s"n_distinct_$s"),
+        col("min_num").as(s"min_$s"), col("max_num").as(s"max_$s"))
+    side(a, "a").join(broadcast(side(b, "b")), "col_name")
+      .withColumn("drifted",
+        !(col("n_rows_a") === col("n_rows_b")
+          && col("n_distinct_a") === col("n_distinct_b")
+          && (col("min_a") <=> col("min_b"))
+          && (col("max_a") <=> col("max_b"))
+          && col("null_rate_a") === col("null_rate_b")))
+  }
+
+  /** Snapshot B simulates the next ingest (every 89th order dropped —
+    * the q241 perturbation convention), so count/distinct/extrema
+    * drift genuinely fires on some columns and not others. */
+  private val q251: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    profileDrift(orders,
+      orders.filter(pmod(col("o_orderkey"), lit(89)) =!= 0), profiledCols)
+      .orderBy(col("col_name"))
+  }
+
   // ------------------------------------------------ data-quality checks --
 
   /** Declarative data-quality constraint (the Deequ/Great-Expectations
@@ -1086,6 +1125,7 @@ object Relational {
     "q216_schema_evolution" -> q216,
     "q204_observe_metrics" -> q204,
     "q133_profile" -> q133,
+    "q251_profile_drift" -> q251,
     "q160_validate" -> q160,
     "q29_csv_scan" -> q29,
     "q30_json_scan" -> q30,
@@ -1208,6 +1248,43 @@ object Relational {
           ON o.o_custkey = c.c_custkey)
       SELECT check_name, metric, min_ratio, metric >= min_ratio AS passed
       FROM m ORDER BY check_name""",
+    // Replays profileDrift: both snapshot profiles (q133's per-column
+    // row builder), the 6-dp null-rate divisions, and the null-safe
+    // drift verdict over the joined |cols|-row frames.
+    "q251_profile_drift" -> {
+      def row(c: String, integral: Boolean, src: String) = {
+        val mn = if (integral) s"CAST(min($c) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+        val mx = if (integral) s"CAST(max($c) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+               round(CAST(count(*) - count($c) AS DOUBLE) / count(*), 6)
+                 AS null_rate,
+               CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+               $mn AS min_num, $mx AS max_num FROM $src"""
+      }
+      val colSpec = Seq("o_orderkey" -> true, "o_custkey" -> true,
+        "o_orderstatus" -> false, "o_totalprice" -> false,
+        "o_orderdate" -> false, "o_orderpriority" -> false)
+      def prof(src: String) =
+        colSpec.map { case (c, i) => row(c, i, src) }
+          .mkString("", "\nUNION ALL\n", "")
+      s"""
+      WITH pa AS (${prof("orders")}),
+      pb AS (${prof("(SELECT * FROM orders WHERE o_orderkey % 89 <> 0)")})
+      SELECT pa.col_name,
+             pa.n_rows AS n_rows_a, pa.null_rate AS null_rate_a,
+             pa.n_distinct AS n_distinct_a,
+             pa.min_num AS min_a, pa.max_num AS max_a,
+             pb.n_rows AS n_rows_b, pb.null_rate AS null_rate_b,
+             pb.n_distinct AS n_distinct_b,
+             pb.min_num AS min_b, pb.max_num AS max_b,
+             NOT (pa.n_rows = pb.n_rows
+                  AND pa.n_distinct = pb.n_distinct
+                  AND pa.min_num IS NOT DISTINCT FROM pb.min_num
+                  AND pa.max_num IS NOT DISTINCT FROM pb.max_num
+                  AND pa.null_rate = pb.null_rate) AS drifted
+      FROM pa JOIN pb USING (col_name)
+      ORDER BY pa.col_name"""
+    },
     "q133_profile" -> {
       def row(c: String, integral: Boolean) = {
         val mn = if (integral) s"CAST(min($c) AS BIGINT)" else "CAST(NULL AS BIGINT)"

@@ -41,6 +41,7 @@ object ExplainDump {
     "q248_attribution_models" -> "q166's one session exchange; session-bounded touch lists; map-side 9-dp DECIMAL credits",
     "q249_spearman_corr" -> "collapsed value frames + q184 two-level bucketed rank sums — no per-group corpus window sort",
     "q250_quantile_normalize" -> "cells collapse; two-level group ranks; pooled grid on the value frame; <=1000-key join-back",
+    "q251_profile_drift" -> "two single-pass exact-distinct profile scans; |cols|-row broadcast diff",
     "q51_minhash_lsh" -> "MinHash signatures as aggregate columns; LSH equality join",
     "q60_knn_bruteforce" -> "codegen'd cosine_sim inside the stage; WindowGroupLimit top-k",
     "q82_stream_tumbling" -> "(streaming runtime — plan of the equivalent batch q80 shown)",

@@ -238,6 +238,11 @@ object SmokeCoverage {
       "sums; the pooled grid lives on the VALUE frame (bounded by the " +
       "value domain, not the corpus) and joins back on a <= 1000-key " +
       "per-mille column — flat at the tier (1.1x for 10x)"),
+    "q251_profile_drift" -> ("two single-pass profile scans (the q133 " +
+      "exact-distinct Expand plan — Spark's own aggregation machinery, " +
+      "CoreRelational class); the diff lives on |cols|-row frames and " +
+      "broadcasts by construction; 2.3x at the 10x tier is the scan " +
+      "pair's own linear cost"),
     // -- core relational plans (shape locked, machinery is Spark's) --
     "q01_pricing_summary" -> CoreRelational,
     "q02_filter_project" -> CoreRelational,

@@ -368,6 +368,27 @@ class Round17bOpsSpec extends SparkSpec {
       ("C", 3L, Some(0.866025)), ("D", 2L, None)))
   }
 
+  // ------------------------------------------------ profileDrift --
+
+  test("profileDrift: per-column stat diffs and the null-safe verdict") {
+    val a = Seq((1L, Option("x")), (2L, Option("x")),
+      (3L, Option.empty[String])).toDF("id", "v")
+    val b = a.filter(col("id") =!= 3)
+    val out = operators.Relational.profileDrift(a, b, Seq("id", "v"))
+      .orderBy(col("col_name"))
+      .select(col("col_name"), col("n_rows_a"), col("n_rows_b"),
+        col("null_rate_a"), col("null_rate_b"), col("n_distinct_a"),
+        col("n_distinct_b"), col("max_a"), col("max_b"), col("drifted"))
+      .as[(String, Long, Long, Double, Double, Long, Long,
+        Option[Long], Option[Long], Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("id", 3L, 2L, 0.0, 0.0, 3L, 2L, Some(3L), Some(2L), true),
+      ("v", 3L, 2L, 0.333333, 0.0, 1L, 1L, None, None, true)))
+    val same = operators.Relational.profileDrift(a, a, Seq("id", "v"))
+      .select(col("drifted")).as[Boolean].collect().toSeq
+    assert(same == Seq(false, false))
+  }
+
   // --------------------------------------------- quantileNormalize --
 
   test("quantileNormalize: hand-computed per-mille mapping onto the pooled grid") {
