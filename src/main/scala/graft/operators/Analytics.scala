@@ -910,7 +910,13 @@ object Analytics {
     * q236 term rule — sums are exact and order-free; libm exp agrees to
     * far more than 9 dp across engines). The decay normalizer W is the
     * exact DECIMAL sum of the same 9-dp weights, so w/W is one IEEE
-    * division of identically-derived operands.
+    * division of identically-derived operands. W = 0 is reachable (every
+    * touch ≥ ~21.4 h before the conversion in one long sub-gap chain →
+    * all 9-dp weights round to 0): the decay model then falls back to
+    * the LINEAR split rather than emitting the NaN→null that silently
+    * dropped the conversion from decay_credit (round 18, r17 ADVICE) —
+    * one unit of credit per conversion holds in every model
+    * unconditionally.
     *
     * Shape: the q166 session machinery — ONE user-keyed exchange
     * carries sessionization and the per-conversion touch window; the
@@ -962,9 +968,17 @@ object Analytics {
             lit(0.4).cast("decimal(18,9)"))
           .otherwise(expr("cast(round(0.2 / (k - 2), 9) as decimal(18,9))"))
           .as("_pos"),
+        // Degenerate-decay guard (round 18, r17 ADVICE): when every touch
+        // sits ~21.4 h or more before the conversion (possible in a long
+        // sub-30-min-gap chain), all 9-dp weights round to 0, _w_tot = 0,
+        // and w/_w_tot would be NaN → null → the conversion silently
+        // vanishing from decay_credit. Defined fallback: the linear
+        // split, preserving the one-unit-per-conversion invariant
+        // (mirrored in the oracle SQL).
         when(col("k") === 0, lit(1).cast("decimal(18,9)"))
-          .otherwise(expr(
+          .when(col("_w_tot") > 0, expr(
             s"cast(round($wExpr / cast(_w_tot as double), 9) as decimal(18,9))"))
+          .otherwise(expr("cast(round(1.0 / k, 9) as decimal(18,9))"))
           .as("_dec"))
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_touches"),
@@ -5065,7 +5079,9 @@ object Analytics {
                          WHEN i = 0 OR i = k - 1 THEN 0.4
                          ELSE round(0.2 / (k - 2), 9) END
                     AS DECIMAL(18,9)) AS pos,
-               CAST(round(w / CAST(wtot AS DOUBLE), 9)
+               CAST(CASE WHEN wtot > 0
+                         THEN round(w / CAST(wtot AS DOUBLE), 9)
+                         ELSE round(1.0 / k, 9) END
                     AS DECIMAL(18,9)) AS dcy
         FROM num2
         UNION ALL

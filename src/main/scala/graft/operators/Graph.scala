@@ -431,10 +431,22 @@ object Graph {
     * each center's pair fan-out is capped FIRST to its `m` smallest
     * neighbor ids (the q165 cap-before-pairing discipline: a map-side
     * WindowGroupLimit prune BEFORE the self-join, ≤ m²/2 pairs per
-    * center) with a per-center truncation flag carried onto every pair
-    * it produced (the q193 audit convention). Final cut is a
-    * deterministic TakeOrderedAndProject under the (score DESC, u, v)
-    * total order; existing edges leave via one anti-join. */
+    * center). Final cut is a deterministic TakeOrderedAndProject under
+    * the (score DESC, u, v) total order; existing edges leave via one
+    * anti-join.
+    *
+    * The `capped` audit flag (round 18, r17 ADVICE): `capped = false`
+    * GUARANTEES the pair's score is complete. The r17 form carried the
+    * flag only on pairs a capped center actually PRODUCED — a pair whose
+    * wedge through a capped center was entirely pruned (both endpoints
+    * outside that center's kept list) but which survived via an uncapped
+    * center reported false despite an undercounted score. The flag is
+    * now derived from adjacency: true iff EITHER endpoint neighbors ≥ 1
+    * capped center (a deliberate over-approximation — every pruned wedge
+    * through a capped center c has both endpoints in N(c), so any
+    * undercounted pair is flagged; a flagged pair may still be complete).
+    * Cost: one linear capped-neighbor pass over `und`, joined to the
+    * k-bounded top frame — no pair-stage change. */
   def linkPrediction(edges: DataFrame, src: String, dst: String,
       m: Int = 8, topK: Int = 20): DataFrame = {
     require(m >= 2 && topK >= 1,
@@ -448,20 +460,35 @@ object Graph {
     val capped = und
       .withColumn("_rk", row_number().over(wN))
       .join(deg.withColumnRenamed("node", "a"), "a")
-      .withColumn("capped", col("deg") > m)
       .filter(col("_rk") <= m)
     val pairs = capped.as("x").join(capped.as("y"),
         col("x.a") === col("y.a") && col("x.b") < col("y.b"))
       .select(col("x.b").as("u"), col("y.b").as("v"),
-        col("x.deg").as("_cdeg"), col("x.capped").as("_capped"))
+        col("x.deg").as("_cdeg"))
     val scored = pairs.groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("common_neighbors"),
-        sum(expr("1000000L div _cdeg")).as("ra_micro"),
-        max(col("_capped")).as("capped"))
-    scored.join(und.select(col("a").as("u"), col("b").as("v")),
+        sum(expr("1000000L div _cdeg")).as("ra_micro"))
+    val top = scored.join(und.select(col("a").as("u"), col("b").as("v")),
         Seq("u", "v"), "left_anti")
       .orderBy(col("ra_micro").desc, col("u"), col("v"))
       .limit(topK)
+    // Nodes adjacent to >= 1 capped (deg > m) center: a pruned wedge
+    // through capped c has both endpoints in N(c), so flagging every
+    // top-k endpoint with a capped neighbor covers every possible
+    // undercount (scaladoc). und is symmetric, so "b's center a is
+    // capped" read off rows (a, b) gives exactly N(capped centers).
+    val cappedNbr = und
+      .join(deg.filter(col("deg") > m).select(col("node").as("a")), "a")
+      .select(col("b").as("node")).distinct()
+    top
+      .join(cappedNbr.select(col("node").as("u"), lit(true).as("_cu")),
+        Seq("u"), "left")
+      .join(cappedNbr.select(col("node").as("v"), lit(true).as("_cv")),
+        Seq("v"), "left")
+      .select(col("u"), col("v"), col("common_neighbors"), col("ra_micro"),
+        (coalesce(col("_cu"), lit(false)) ||
+          coalesce(col("_cv"), lit(false))).as("capped"))
+      .orderBy(col("ra_micro").desc, col("u"), col("v"))
   }
 
   private val q245: Q = (s, d) =>
@@ -506,9 +533,11 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     // Replays linkPrediction: symmetrized distinct edges, per-center
-    // neighbor cap under the (center, neighbor-id) order with the
-    // truncation flag, integer RA micro-weights, the non-edge anti-join
-    // and the (score DESC, u, v) top-k.
+    // neighbor cap under the (center, neighbor-id) order, integer RA
+    // micro-weights, the non-edge anti-join, the (score DESC, u, v)
+    // top-k, and the r18 adjacency-derived completeness flag (capped ⇔
+    // either endpoint neighbors a deg > m center — see the engine
+    // scaladoc).
     "q245_link_prediction" -> """
       WITH e0 AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
                                   's:' || CAST(l_suppkey AS VARCHAR) AS b
@@ -517,26 +546,32 @@ object Graph {
       und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
       deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg
               FROM und GROUP BY a),
-      capped AS (SELECT u.a, u.b, d.deg, d.deg > 8 AS capped
+      capped AS (SELECT u.a, u.b, d.deg
                  FROM (SELECT a, b, row_number() OVER (PARTITION BY a
                          ORDER BY b) AS rk
                        FROM und) u
                  JOIN deg d USING (a)
                  WHERE u.rk <= 8),
-      pairs AS (SELECT x.b AS u, y.b AS v, x.deg AS cdeg,
-                       x.capped AS cflag
+      pairs AS (SELECT x.b AS u, y.b AS v, x.deg AS cdeg
                 FROM capped x JOIN capped y
                   ON x.a = y.a AND x.b < y.b),
       scored AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
-                        CAST(sum(1000000 // cdeg) AS BIGINT) AS ra_micro,
-                        max(cflag) AS capped
+                        CAST(sum(1000000 // cdeg) AS BIGINT) AS ra_micro
                  FROM pairs GROUP BY 1, 2),
       non_edge AS (SELECT s.* FROM scored s
                    WHERE NOT EXISTS (SELECT 1 FROM und
-                                     WHERE und.a = s.u AND und.b = s.v))
-      SELECT u, v, common_neighbors, ra_micro, capped
-      FROM non_edge
-      ORDER BY ra_micro DESC, u, v LIMIT 20""",
+                                     WHERE und.a = s.u AND und.b = s.v)),
+      top AS (SELECT u, v, common_neighbors, ra_micro
+              FROM non_edge
+              ORDER BY ra_micro DESC, u, v LIMIT 20),
+      cn AS (SELECT DISTINCT und.b AS node
+             FROM und JOIN deg d ON und.a = d.a
+             WHERE d.deg > 8)
+      SELECT t.u, t.v, t.common_neighbors, t.ra_micro,
+             (cu.node IS NOT NULL OR cv.node IS NOT NULL) AS capped
+      FROM top t LEFT JOIN cn cu ON cu.node = t.u
+                 LEFT JOIN cn cv ON cv.node = t.v
+      ORDER BY t.ra_micro DESC, t.u, t.v""",
     // Replays the two message-passing layers: symmetrized distinct edges,
     // exact decimal feature sums layer over layer.
     "q177_neighborhood_agg" -> """

@@ -259,7 +259,7 @@ class Round17bOpsSpec extends SparkSpec {
 
   test("linkPrediction: the per-center cap bounds fan-out and flags pairs") {
     // m = 2: center 10 keeps neighbors {1, 2} only => (1,3)/(2,3) vanish
-    // and (1,2)'s center-10 contribution is flagged capped.
+    // and (1,2) is flagged — endpoint 1 neighbors the capped center 10.
     val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (2L, 11L))
       .toDF("src", "dst")
     val out = Graph.linkPrediction(edges, "src", "dst", m = 2, topK = 10)
@@ -267,6 +267,24 @@ class Round17bOpsSpec extends SparkSpec {
     assert(out == Seq(
       (10L, 11L, 2L, 1000000L, false),
       (1L, 2L, 2L, 833333L, true)))
+  }
+
+  test("linkPrediction: a pair whose capped wedge was fully pruned still flags (r17 ADVICE)") {
+    // m = 2: center 10 (deg 4, capped) keeps {1, 2}; the (3, 4) wedge
+    // through 10 is ENTIRELY pruned, yet (3, 4) survives via the
+    // uncapped center 11 — its true common_neighbors is 2, reported 1.
+    // The r17 produced-pair flag read false here (the ADVICE case); the
+    // adjacency-derived flag reads true because 3 neighbors capped 10.
+    // (10, 11) stays false: no endpoint has a capped neighbor, so its
+    // score is GUARANTEED complete.
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L),
+      (3L, 11L), (4L, 11L)).toDF("src", "dst")
+    val out = Graph.linkPrediction(edges, "src", "dst", m = 2, topK = 10)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (10L, 11L, 2L, 1000000L, false),
+      (3L, 4L, 1L, 500000L, true),
+      (1L, 2L, 1L, 250000L, true)))
   }
 
   // ----------------------------------------------- tClosenessAudit --
