@@ -114,4 +114,39 @@ class BenchSamplingSpec extends AnyFunSuite {
     val hp = parsePriorFloors(hot, "/root/testdata/sf0.1", "4")
     assert(hp == Map("q191_stream_append" -> 2.4, "q01_pricing_summary" -> 0.55))
   }
+
+  // ---- record-level heat (round 18, VERDICT r17 item 1) ----
+
+  test("the r17 run-1-vs-final diffuse profile stamps record_hot with zero per-query firings") {
+    // Shape of the r17 blemish: 250 common queries, every floor
+    // uniformly ~16% warm (158.77 s quiet run-1 sum -> ~184 s final
+    // record sum), no single floor crossing the 2.5x/1s per-query drift
+    // gate — the committed record carried ~24 s of heat and NOTHING in
+    // the record said so. Replay: quiet floors average 0.635 s; the hot
+    // run reads each at 1.16x (+0.10 s, far under both per-query gates).
+    val quiet = (1 to 250).map(i => f"q$i%03d_x" -> 0.635).toMap
+    val hot = quiet.map { case (k, v) => k -> v * 1.16 }
+    for ((k, v) <- hot)
+      assert(!driftSuspected(Seq(v), quiet(k)),
+        s"$k: the per-query gate must stay blind to diffuse heat")
+    assert(recordHot(hot, quiet), "the record-level verdict must fire")
+    // a quiet re-run (+3%) must NOT stamp the record
+    assert(!recordHot(quiet.map { case (k, v) => k -> v * 1.03 }, quiet))
+    // an improvement never fires
+    assert(!recordHot(quiet.map { case (k, v) => k -> v * 0.8 }, quiet))
+  }
+
+  test("record_hot needs a real common basis") {
+    val prior = (1 to 19).map(i => s"q$i" -> 1.0).toMap
+    // 19 common queries: below the floor for a meaningful verdict
+    assert(!recordHot(prior.map { case (k, v) => k -> v * 2 }, prior))
+    // disjoint surfaces (e.g. prior record from another basis parsed
+    // empty): nothing to compare
+    assert(!recordHot(Map("qa" -> 5.0), Map("qb" -> 1.0)))
+    assert(!recordHot(Map.empty, Map.empty))
+    // just under vs just over the 10% gate at the 20-query minimum
+    val p20 = (1 to 20).map(i => s"q$i" -> 1.0).toMap
+    assert(!recordHot(p20.map { case (k, v) => k -> v * 1.09 }, p20))
+    assert(recordHot(p20.map { case (k, v) => k -> v * 1.12 }, p20))
+  }
 }
