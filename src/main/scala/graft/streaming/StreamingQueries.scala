@@ -238,6 +238,60 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream FULL OUTER interval join — the last production funnel
+    * shape after q86 (inner) and q195 (left outer): "clicks without
+    * purchases AND purchases without clicks", both sides null-extended
+    * exactly once at watermark expiry (round 18, VERDICT r17 item 6).
+    * Matched pairs emit on arrival. An unmatched CLICK null-extends when
+    * the watermark passes the far edge of its interval (click_ts + 1 h —
+    * q195's rule verbatim). An unmatched PURCHASE null-extends when the
+    * watermark passes p_ts itself: a purchase matches clicks with
+    * click_ts ∈ [p_ts − 1 h, p_ts], and once the watermark exceeds p_ts
+    * every not-yet-seen admissible click is late-by-definition, so the
+    * engine can prove orphanhood and evict — the ASYMMETRY of the two
+    * null cutoffs falls straight out of the interval condition, and the
+    * oracle replays both: matched pairs unconditionally, click nulls at
+    * click_ts + 1 h < W, purchase nulls at p_ts < W, with W =
+    * min(max click_ts, max p_ts) − 1 h (the final min-policy watermark).
+    * Rows whose proof window is still open when the stream drains are
+    * withheld on BOTH sides (q191's trailing-edge rule).
+    * StreamOuterJoinSpec drives the same plan on a MemoryStream pair and
+    * pins no-premature-null + exactly-once emission per side.
+    *
+    * Scale: identical bounded-state posture to q86/q195 — the interval
+    * bound + watermarks let both state stores evict, so the join runs
+    * forever on an unbounded feed; the drained roll-up is user-keyed and
+    * channels-bounded per user. */
+  private val q252: Q = (s, d) => {
+    val src = eventsStream(s, d)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases, expr(
+      "c_uid = p_uid AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"),
+      "full_outer")
+    val name = s"graft_stream_fouter_${System.nanoTime()}"
+    withStatePartitions(s, 4) {
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .groupBy(coalesce(col("c_uid"), col("p_uid")).as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("click_id").isNotNull && col("p_uid").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("p_uid").isNull, 1L).otherwise(0L)).as("n_click_only"),
+        sum(when(col("click_id").isNull, 1L).otherwise(0L))
+          .as("n_purchase_only"),
+        round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Restart-safe checkpointed streaming parquet sink — the durability
     * contract every production pipeline (and none of the other streaming
     * gates — q87 explicitly runs checkpoint-free) actually ships on:
@@ -869,6 +923,7 @@ object StreamingQueries {
     "q151_stream_session" -> q151,
     "q191_stream_append" -> q191,
     "q195_stream_outer_join" -> q195,
+    "q252_stream_full_outer" -> q252,
     "q199_stream_restart" -> q199,
     "q205_stream_rocksdb" -> q205,
     "q206_stream_topk" -> q206,
@@ -1048,6 +1103,45 @@ object StreamingQueries {
       SELECT user_id, count(*) AS n_rows,
              CAST(count(value) AS BIGINT) AS n_matched,
              CAST(count(*) - count(value) AS BIGINT) AS n_unmatched,
+             round(sum(coalesce(value, 0.0)), 2) AS total_value
+      FROM rows_all GROUP BY user_id ORDER BY user_id""",
+    // Replays the FULL outer drain: matched pairs unconditionally; click
+    // nulls behind the q195 far-edge cutoff; purchase nulls behind the
+    // purchase's OWN timestamp (its admissible clicks all precede it, so
+    // the watermark passing p_ts is the orphanhood proof) — both against
+    // the final min-policy watermark.
+    "q252_stream_full_outer" -> """
+      WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, event_id
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, value
+            FROM events WHERE event_type = 'purchase'),
+      wm AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+                    - INTERVAL '1 hour' AS cutoff),
+      m AS (SELECT c.user_id, c.event_id, p.value
+            FROM c JOIN p ON c.user_id = p.user_id
+             AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL '1 hour'),
+      uc AS (SELECT c.user_id FROM c, wm
+             WHERE c.cts + INTERVAL '1 hour' < wm.cutoff
+               AND NOT EXISTS (SELECT 1 FROM p
+                     WHERE p.user_id = c.user_id
+                       AND p.pts >= c.cts
+                       AND p.pts <= c.cts + INTERVAL '1 hour')),
+      up AS (SELECT p.user_id, p.value FROM p, wm
+             WHERE p.pts < wm.cutoff
+               AND NOT EXISTS (SELECT 1 FROM c
+                     WHERE c.user_id = p.user_id
+                       AND p.pts >= c.cts
+                       AND p.pts <= c.cts + INTERVAL '1 hour')),
+      rows_all AS (
+        SELECT user_id, 1 AS mt, 0 AS co, 0 AS po, value FROM m
+        UNION ALL
+        SELECT user_id, 0, 1, 0, CAST(NULL AS DOUBLE) FROM uc
+        UNION ALL
+        SELECT user_id, 0, 0, 1, value FROM up)
+      SELECT user_id, count(*) AS n_rows,
+             CAST(sum(mt) AS BIGINT) AS n_matched,
+             CAST(sum(co) AS BIGINT) AS n_click_only,
+             CAST(sum(po) AS BIGINT) AS n_purchase_only,
              round(sum(coalesce(value, 0.0)), 2) AS total_value
       FROM rows_all GROUP BY user_id ORDER BY user_id""",
     // Main + DLQ must partition the input exactly — no silent drops, no

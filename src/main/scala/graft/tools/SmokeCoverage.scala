@@ -325,6 +325,7 @@ object SmokeCoverage {
     "q151_stream_session" -> StreamingDrain,
     "q191_stream_append" -> StreamingDrain,
     "q195_stream_outer_join" -> StreamingDrain,
+    "q252_stream_full_outer" -> StreamingDrain,
     "q199_stream_restart" -> StreamingDrain,
     "q205_stream_rocksdb" -> StreamingDrain,
     "q206_stream_topk" -> StreamingDrain,

@@ -75,4 +75,64 @@ class StreamOuterJoinSpec extends SparkSpec {
         s"late purchase must not resurrect an evicted click: $afterLate")
     } finally q.stop()
   }
+
+  test("full-outer interval join: BOTH sides null-extend exactly once at their own watermark cutoffs, never prematurely (q252)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val clicksIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val buysIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val clicks = clicksIn.toDF().toDF("c_uid", "click_ts", "click_id")
+      .withWatermark("click_ts", "10 minutes")
+    val buys = buysIn.toDF().toDF("p_uid", "p_ts", "value")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(buys, expr(
+      "c_uid = p_uid AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"),
+      "full_outer")
+    val name = s"sfouter_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    // (user, has_click, has_purchase, value) rows; user from whichever
+    // side is present (full outer: either may be null).
+    def rows() = spark.table(name).collect()
+      .map { r =>
+        val cu = Option(r.get(0)).map(_ => r.getLong(0))
+        val pu = Option(r.get(3)).map(_ => r.getLong(3))
+        (cu.orElse(pu).get, cu.isDefined, pu.isDefined,
+          Option(r.get(5)).map(_ => r.getDouble(5)))
+      }.toSeq.sortBy(r => (r._1, r._4.getOrElse(-1.0)))
+    try {
+      // user 1 clicks 10:00 + converts 10:30 (pair); user 2 clicks
+      // 10:00, never converts; user 3 purchases 10:15 with no click —
+      // the orphan-purchase case q195 cannot express. Watermark after
+      // this batch: min(10:00, 10:30) − 10 min = 9:50 — NEITHER null
+      // proof is available, so only the pair may emit.
+      clicksIn.addData((1L, ts(10, 0), 101L), (2L, ts(10, 0), 201L))
+      buysIn.addData((1L, ts(10, 30), 5.0), (3L, ts(10, 15), 9.0))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, true, true, Some(5.0))),
+        s"only the matched pair before any watermark proof: ${rows()}")
+      // Tick both sides to 11:30 → watermark 11:20. user 2's far edge
+      // (11:00) and user 3's own ts (10:15) are both behind it: each
+      // null-extends EXACTLY once, on its own side. (The user-9 tick
+      // rows pair with each other — filtered out below.)
+      clicksIn.addData((9L, ts(11, 30), 901L))
+      buysIn.addData((9L, ts(11, 30), 0.25))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val after = rows().filter(_._1 != 9L)
+      assert(after.count(r => r._1 == 2L && r._2 && !r._3) == 1,
+        s"unmatched click null-extends exactly once: $after")
+      assert(after.count(r => r._1 == 3L && !r._2 && r._3) == 1,
+        s"orphan purchase null-extends exactly once: $after")
+      // Late arrivals behind the watermark on BOTH sides: neither
+      // resurrects its evicted counterpart, neither duplicates a null.
+      buysIn.addData((2L, ts(10, 30), 7.0))
+      clicksIn.addData((3L, ts(10, 0), 301L))
+      q.processAllAvailable()
+      val afterLate = rows().filter(_._1 != 9L)
+      assert(afterLate == after,
+        s"late rows must not change the drained result: $afterLate")
+    } finally q.stop()
+  }
 }
