@@ -130,7 +130,12 @@ object SchemaGolden {
     // (distinct values grow with the corpus), so the 10x tier legitimately
     // flips them BHJ->SMJ — the sf0.1 fingerprint is pinned here instead
     // of forcing a broadcast that would be wrong at scale.
-    "q249_spearman_corr")
+    "q249_spearman_corr",
+    // round 18: q253's pooled-rank joins (cells <-> the global value-rank
+    // frame) are the same q249 class — corpus-growing value frames where
+    // SMJ is the CORRECT large-scale plan; pinned at both bases rather
+    // than broadcast-hinted wrong.
+    "q253_kruskal_wallis")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()

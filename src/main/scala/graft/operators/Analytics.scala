@@ -1818,6 +1818,250 @@ object Analytics {
       Seq(250, 500, 750, 950))
       .orderBy(col("lang"), col("pm"))
 
+  // ------------------------------------------------- robust MAD outliers --
+
+  /** Per-group robust location/scale PROFILE via exact median/MAD
+    * (round 18) — the group-level audit complement to [[madOutliers]]
+    * (q172): q172 flags individual ROWS by interpolated modified
+    * z-score; this emits one row per GROUP — exact median, exact MAD
+    * (median of |v − med|), the count of rows beyond `kTimes`·MAD and
+    * the worst deviation — the "which domains have length anomalies
+    * worth a look" readout a drift dashboard keys on before anyone
+    * reads per-row flags.
+    *
+    * All-integer end to end: both medians are [[groupQuantilesExact]]
+    * picks at pm = 500 (the ⌈n/2⌉-th value — the same integral-value
+    * contract, so med, MAD, deviations and the kTimes·MAD verdict are
+    * exact integer arithmetic; no float enters at any point, which is
+    * also why ties at exactly kTimes·MAD are NOT outliers in both
+    * engines (strict >).
+    *
+    * Shape: two keyed window exchanges (the two median passes — each is
+    * q228's ONE row_number + count window) + one keyed final aggregate;
+    * the groups-bounded median frames broadcast back. Deviations are
+    * map-side arithmetic on the second pass's input, not a corpus
+    * materialization. */
+  def robustGroupProfile(df: DataFrame, keyCol: String, valCol: String,
+      kTimes: Int = 5): DataFrame = {
+    require(kTimes >= 1,
+      s"robustGroupProfile: kTimes must be >= 1, got $kTimes")
+    requireIntegral(df, valCol, "robustGroupProfile value")
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(valCol).cast("long").as("_v"))
+    val med = groupQuantilesExact(base, keyCol, "_v", Seq(500))
+      .select(col(keyCol), col("q").as("_med"))
+    val dev = base.join(broadcast(med), Seq(keyCol))
+      .select(col(keyCol), col("_med"), abs(col("_v") - col("_med")).as("_d"))
+    val mad = groupQuantilesExact(dev, keyCol, "_d", Seq(500))
+      .select(col(keyCol), col("q").as("_mad"))
+    dev.join(broadcast(mad), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), min(col("_med")).as("med"),
+        min(col("_mad")).as("mad"),
+        sum(when(col("_d") > lit(kTimes.toLong) * col("_mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(col("_d")).as("max_dev"))
+  }
+
+  private val q254: Q = (s, d) =>
+    robustGroupProfile(Tables.documents(s, d), "lang", "n_chars")
+      .orderBy(col("lang"))
+
+  // ------------------------------------------------------ Kruskal-Wallis --
+
+  /** Kruskal-Wallis H (rank one-way ANOVA, tie-corrected) — the k-group
+    * generalization of the rank tests already on the surface (q179's
+    * Mann-Whitney identity, q249's Spearman): do k groups share one
+    * value distribution, judged on POOLED ranks so no normality
+    * assumption enters. The experiment readout for >2 arms.
+    *
+    * Exactness: pooled doubled average ranks are exact integers (the
+    * q249 rule: 2·cum_prev + cnt + 1 on the collapsed value frame);
+    * per-group doubled rank sums are exact DECIMAL(38,0); each group's
+    * H term n_g·(R̄_g − (N+1)/2)² is ONE pinned IEEE chain over those
+    * exact operands, pre-rounded at 6 dp and pinned to DECIMAL BEFORE
+    * the cross-group sum (the q185/q238 term rule — order-free), and
+    * the final H / tie-correction C = 1 − Σ(t³−t)/(N³−N) is one more
+    * identical-operand chain. Σ(t³−t) is exact DECIMAL (t³ overflows
+    * int64 past ~2M-row ties).
+    *
+    * Scale shape: the corpus collapses ONCE to distinct (grp, v) cells;
+    * the GLOBAL rank frame comes from the q249 two-level decomposition
+    * (⌊v⌋-bucket local windows + a buckets-bounded offset frame — the
+    * offset window is single-partition over ≤ |buckets| rows, never the
+    * corpus); ranks join back to cells value-keyed; everything after is
+    * groups-bounded. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val cells = df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valCol).cast("double").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val vf = cells.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+      .withColumn("_bkt", floor(col("_v")).cast("long"))
+    val wLoc = Window.partitionBy(col("_bkt")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = vf.withColumn("_l", sum(col("_cv")).over(wLoc))
+    val wOff = Window.orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vf.groupBy(col("_bkt")).agg(sum(col("_cv")).as("_bc"))
+      .withColumn("_off", coalesce(sum(col("_bc")).over(wOff), lit(0L)))
+      .select(col("_bkt"), col("_off"))
+    val ranks = local.join(offsets, Seq("_bkt"))
+      .select(col("_v"),
+        ((col("_off") + col("_l") - col("_cv")) * 2 + col("_cv") + 1)
+          .as("_r2"),
+        col("_cv"))
+    val gsum = cells.join(ranks.select(col("_v"), col("_r2")), Seq("_v"))
+      .groupBy(col("grp"))
+      .agg(sum(col("_c")).as("_ng"),
+        sum(col("_c").cast("decimal(38,0)") * col("_r2")).as("_R2"))
+    val totals = gsum.agg(sum(col("_ng")).as("_N"),
+      count(lit(1)).as("k_groups"))
+    val ties = ranks.agg(
+      sum(col("_cv").cast("decimal(38,0)") * col("_cv") * col("_cv")
+        - col("_cv")).as("_T"))
+    // Per-group term over exact operands, pre-rounded then summed exactly.
+    val terms = gsum.crossJoin(broadcast(totals))
+      .select(col("_N"), col("k_groups"), expr("""
+        cast(round(_ng * pow(cast(_R2 as double) / (2.0 * _ng)
+                             - (_N + 1) / 2.0, 2), 6)
+             as decimal(28,6))""").as("_t"))
+      .groupBy(col("_N"), col("k_groups"))
+      .agg(sum(col("_t")).as("_S"))
+    terms.crossJoin(broadcast(ties))
+      .select(col("k_groups"), col("_N").as("n"),
+        round(expr("12.0 * cast(_S as double) / (_N * (_N + 1.0))"), 6)
+          .as("h"),
+        // C = 0 (every pooled value identical — H undefined) → NULL.
+        round(expr("""
+          case when _N > 1 and cast(_T as double)
+                     < cast(_N as double) * _N * _N - _N
+               then (12.0 * cast(_S as double) / (_N * (_N + 1.0)))
+                    / (1.0 - cast(_T as double)
+                             / (cast(_N as double) * _N * _N - _N))
+          end"""), 6)
+          .as("h_tie_adj"))
+  }
+
+  private val q253: Q = (s, d) =>
+    kruskalWallis(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
+
+  // ------------------------------------------------ inter-rater agreement --
+
+  /** Cohen's kappa inter-rater agreement (round 18) — the chance-
+    * corrected readout every labeling effort (human annotation rounds,
+    * heuristic-vs-heuristic curation gates, model-vs-model judges)
+    * reports instead of raw percent-agree: κ = (p_o − p_e)/(1 − p_e),
+    * with p_e the agreement two INDEPENDENT raters with these marginals
+    * would reach by chance. Here the two raters are any two categorical
+    * columns over the same units.
+    *
+    * Exactness: everything is integer until three pinned divisions —
+    * the confusion cells, margins, the diagonal and Σ_c nA_c·nB_c are
+    * exact DECIMAL(38,0) counts, and the κ identity clears fractions:
+    * κ = (n·agree − Σ nA·nB) / (n² − Σ nA·nB). p_o, p_e, κ are each ONE
+    * IEEE division over those exact operands, round(6). Both raters
+    * constant and equal (p_e = 1) → κ NULL.
+    *
+    * Shape: ONE keyed exchange (the (ra, rb) cell collapse, map-side
+    * partials, |cats|² keys); margins, diagonal and the Σ product are
+    * map-side folds over that bounded frame; three 1-row broadcasts
+    * combine. Output: one row. */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df
+      .select(aCol.cast("string").as("_ra"), bCol.cast("string").as("_rb"))
+      .filter(col("_ra").isNotNull && col("_rb").isNotNull)
+      .groupBy(col("_ra"), col("_rb"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_c"))
+      .localCheckpoint()
+    val n = cells.agg(sum(col("_c")).as("_n"))
+    val agree = cells.agg(
+      coalesce(sum(when(col("_ra") === col("_rb"), col("_c"))),
+        lit(0).cast("decimal(38,0)")).as("_agree"))
+    val na = cells.groupBy(col("_ra").as("_cat")).agg(sum(col("_c")).as("_na"))
+    val nb = cells.groupBy(col("_rb").as("_cat")).agg(sum(col("_c")).as("_nb"))
+    val prod = na.join(nb, Seq("_cat"))
+      .agg(coalesce(sum(col("_na") * col("_nb")),
+        lit(0).cast("decimal(38,0)")).as("_S"))
+    n.crossJoin(broadcast(agree)).crossJoin(broadcast(prod))
+      .select(col("_n").cast("long").as("n"),
+        col("_agree").cast("long").as("n_agree"),
+        round(expr("cast(_agree as double) / cast(_n as double)"), 6)
+          .as("po"),
+        round(expr(
+          "cast(_S as double) / (cast(_n as double) * cast(_n as double))"),
+          6).as("pe"),
+        round(expr("""
+          case when cast(_n as decimal(38,0)) * _n <> _S
+               then (cast(_n * _agree - _S as double))
+                    / (cast(_n * _n - _S as double)) end"""), 6)
+          .as("kappa"))
+  }
+
+  private val q257: Q = (s, d) =>
+    cohenKappa(Tables.documents(s, d),
+      when(col("n_chars") >= 500, lit("keep")).otherwise(lit("drop")),
+      when(expr("size(filter(split(text, ' '), t -> t != ''))") >= 90,
+        lit("keep")).otherwise(lit("drop")))
+
+  // -------------------------------------- incremental aggregate maintenance --
+
+  /** SECOND-MOMENT incremental aggregate maintenance (round 18) — the
+    * variance leg [[aggState]]/[[mergeAggStates]] (q114) deliberately
+    * lack: q114's state (cnt, Σv, min, max) merges trivially, but the
+    * statistic every drift monitor actually needs is VARIANCE, and
+    * naive per-snapshot variances do not merge (the cross-term). The
+    * mergeable state here is the moment vector (n, Σv, Σv²) — the Chan
+    * merge with the cross-term folded into exact sums — and
+    * mean/variance re-derive from the MERGED moments at read time. The
+    * oracle keeps q114's certificate shape, on the harder algebra: it
+    * computes the SINGLE-PASS aggregate over the union directly, so
+    * agreement proves merge(state(base), state(delta)) ≡
+    * state(base ∪ delta) EXACTLY, not approximately — possible because
+    * the moments are exact DECIMALs (2-dp values; Σv² exact at scale
+    * 4), so merged and recomputed moments are bit-equal before the one
+    * pinned mean/var chain.
+    *
+    * Shape: each snapshot is ONE keyed aggregate with map-side
+    * partials; the merge is a key-keyed full-outer join of two
+    * already-aggregated (small) frames + map-side arithmetic. Nothing
+    * rescans the other snapshot's input — the incremental property. */
+  def snapshotAggMerge(df: DataFrame, keyCol: String, valCol: String,
+      inBase: Column): DataFrame = {
+    val t = df.filter(col(keyCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("k"), col(valCol).cast("decimal(14,2)").as("_v"),
+        inBase.as("_b"))
+    def state(p: DataFrame, suf: String) = p.groupBy(col("k"))
+      .agg(count(lit(1)).as(s"_n$suf"),
+        sum(col("_v")).cast("decimal(38,2)").as(s"_s$suf"),
+        sum((col("_v") * col("_v")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").as(s"_s2$suf"))
+    val merged = state(t.filter(col("_b")), "b")
+      .join(state(t.filter(!col("_b")), "d"), Seq("k"), "full_outer")
+      .select(col("k"),
+        (coalesce(col("_nb"), lit(0L)) + coalesce(col("_nd"), lit(0L)))
+          .as("n"),
+        (coalesce(col("_sb"), lit(0).cast("decimal(38,2)"))
+          + coalesce(col("_sd"), lit(0).cast("decimal(38,2)")))
+          .cast("decimal(38,2)").as("_s"),
+        (coalesce(col("_s2b"), lit(0).cast("decimal(38,4)"))
+          + coalesce(col("_s2d"), lit(0).cast("decimal(38,4)")))
+          .cast("decimal(38,4)").as("_s2"))
+    merged.select(col("k"), col("n"),
+      col("_s").cast("double").as("total"),
+      round(expr("cast(_s as double) / n"), 6).as("mean"),
+      // population variance from merged moments; single-row keys → 0
+      round(expr("""
+        (cast(_s2 as double) - cast(_s as double) * cast(_s as double) / n)
+        / n"""), 6).as("variance"))
+  }
+
+  private val q258: Q = (s, d) =>
+    snapshotAggMerge(Tables.events(s, d), "user_id", "value",
+      expr(s"pmod(${CrossHash.h60Expr("event_id")}, 4) != 0"))
+      .orderBy(col("k"))
+
   // ---------------------------------------------------------- path mining --
 
   /** Session path mining: the most frequent length-3 event-type paths users
@@ -3767,6 +4011,10 @@ object Analytics {
     "q248_attribution_models" -> q248,
     "q249_spearman_corr" -> q249,
     "q250_quantile_normalize" -> q250,
+    "q253_kruskal_wallis" -> q253,
+    "q254_robust_profile" -> q254,
+    "q257_cohen_kappa" -> q257,
+    "q258_agg_merge" -> q258,
     "q136_transitions" -> q136,
     "q125_countmin" -> q125,
     "q149_bloom_filter" -> q149,
@@ -5168,6 +5416,117 @@ object Analytics {
              CAST(p.pm AS BIGINT) AS pm, g2.nv AS norm_v
       FROM pmrow p JOIN grid g2 USING (pm)
       ORDER BY lang, n_chars""",
+    // Replays kruskalWallis with PLAIN pooled rank windows (a genuinely
+    // different derivation of the same doubled average ranks), the
+    // identical pre-rounded per-group term chain and the tie-corrected
+    // tail.
+    "q253_kruskal_wallis" -> """
+      WITH b AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+                 FROM lineitem
+                 WHERE l_returnflag IS NOT NULL
+                   AND l_extendedprice IS NOT NULL),
+      r AS (SELECT g, CAST(2 * rank() OVER (ORDER BY v)
+                           + count(*) OVER (PARTITION BY v) - 1
+                      AS BIGINT) AS r2
+            FROM b),
+      gs AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+                    CAST(sum(CAST(r2 AS HUGEINT)) AS DECIMAL(38,0)) AS rr
+             FROM r GROUP BY g),
+      tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS k FROM gs),
+      tie AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c * c - c)
+                       AS DECIMAL(38,0)) AS t
+              FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v)),
+      terms AS (SELECT t.n, t.k,
+                       CAST(round(g.ng * pow(CAST(g.rr AS DOUBLE)
+                                             / (2.0 * g.ng)
+                                             - (t.n + 1) / 2.0, 2), 6)
+                            AS DECIMAL(28,6)) AS tm
+                FROM gs g, tot t),
+      s AS (SELECT n, k, sum(tm) AS s FROM terms GROUP BY n, k)
+      SELECT s.k AS k_groups, s.n AS n,
+             round(12.0 * CAST(s.s AS DOUBLE) / (s.n * (s.n + 1.0)), 6) AS h,
+             round(CASE WHEN s.n > 1 AND CAST(t2.t AS DOUBLE)
+                             < CAST(s.n AS DOUBLE) * s.n * s.n - s.n
+                   THEN (12.0 * CAST(s.s AS DOUBLE) / (s.n * (s.n + 1.0)))
+                        / (1.0 - CAST(t2.t AS DOUBLE)
+                                 / (CAST(s.n AS DOUBLE) * s.n * s.n - s.n))
+                   END, 6) AS h_tie_adj
+      FROM s, tie t2""",
+    // Replays robustGroupProfile: both medians via the q228 pick rule
+    // ((500n + 999) div 1000 = ceil(n/2)), exact integer deviations and
+    // the strict kTimes*MAD verdict.
+    "q254_robust_profile" -> """
+      WITH b AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+                 FROM documents WHERE n_chars IS NOT NULL),
+      med AS (SELECT lang, v AS med FROM (
+                SELECT lang, v,
+                       row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM b)
+              WHERE rn = (500 * n + 999) // 1000),
+      d AS (SELECT b.lang, m.med, abs(b.v - m.med) AS dv
+            FROM b JOIN med m USING (lang)),
+      mad AS (SELECT lang, dv AS mad FROM (
+                SELECT lang, dv,
+                       row_number() OVER (PARTITION BY lang ORDER BY dv) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM d)
+              WHERE rn = (500 * n + 999) // 1000)
+      SELECT d.lang, count(*) AS n, CAST(min(d.med) AS BIGINT) AS med,
+             CAST(min(m.mad) AS BIGINT) AS mad,
+             CAST(sum(CASE WHEN d.dv > 5 * m.mad THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers,
+             CAST(max(d.dv) AS BIGINT) AS max_dev
+      FROM d JOIN mad m USING (lang)
+      GROUP BY d.lang ORDER BY d.lang""",
+    // Replays cohenKappa: confusion cells, margins, the fraction-free
+    // kappa identity (n*agree - S) / (n^2 - S) over exact DECIMAL counts.
+    "q257_cohen_kappa" -> """
+      WITH u AS (SELECT CASE WHEN n_chars >= 500 THEN 'keep'
+                             ELSE 'drop' END AS ra,
+                        CASE WHEN len(list_filter(string_split(text, ' '),
+                                       t -> t <> '')) >= 90
+                             THEN 'keep' ELSE 'drop' END AS rb
+                 FROM documents),
+      cells AS (SELECT ra, rb, CAST(count(*) AS DECIMAL(38,0)) AS c
+                FROM u GROUP BY 1, 2),
+      nt AS (SELECT CAST(sum(c) AS DECIMAL(38,0)) AS n FROM cells),
+      agr AS (SELECT coalesce(CAST(sum(CASE WHEN ra = rb THEN c END)
+                       AS DECIMAL(38,0)),
+                     CAST(0 AS DECIMAL(38,0))) AS agree FROM cells),
+      na AS (SELECT ra AS cat, sum(c) AS na FROM cells GROUP BY 1),
+      nb AS (SELECT rb AS cat, sum(c) AS nb FROM cells GROUP BY 1),
+      pr AS (SELECT coalesce(CAST(sum(na * nb) AS DECIMAL(38,0)),
+                    CAST(0 AS DECIMAL(38,0))) AS s
+             FROM na JOIN nb USING (cat))
+      SELECT CAST(nt.n AS BIGINT) AS n, CAST(a.agree AS BIGINT) AS n_agree,
+             round(CAST(a.agree AS DOUBLE) / CAST(nt.n AS DOUBLE), 6) AS po,
+             round(CAST(pr.s AS DOUBLE)
+                   / (CAST(nt.n AS DOUBLE) * CAST(nt.n AS DOUBLE)), 6) AS pe,
+             round(CASE WHEN nt.n * nt.n <> pr.s
+                   THEN CAST(nt.n * a.agree - pr.s AS DOUBLE)
+                        / CAST(nt.n * nt.n - pr.s AS DOUBLE) END, 6) AS kappa
+      FROM nt, agr a, pr""",
+    // The INDEPENDENT certificate for snapshotAggMerge: the single-pass
+    // aggregate over the whole table — agreement proves
+    // merge(state(base), state(delta)) == state(base UNION delta)
+    // exactly, moments being exact DECIMALs on both paths.
+    "q258_agg_merge" -> """
+      WITH e AS (SELECT user_id AS k, CAST(value AS DECIMAL(14,2)) AS v
+                 FROM events
+                 WHERE user_id IS NOT NULL AND value IS NOT NULL)
+      SELECT k, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(v) AS DECIMAL(38,2)) AS DOUBLE) AS total,
+             round(CAST(CAST(sum(v) AS DECIMAL(38,2)) AS DOUBLE)
+                   / count(*), 6) AS mean,
+             round((CAST(CAST(sum(CAST(v * v AS DECIMAL(38,4)))
+                              AS DECIMAL(38,4)) AS DOUBLE)
+                    - CAST(CAST(sum(v) AS DECIMAL(38,2)) AS DOUBLE)
+                      * CAST(CAST(sum(v) AS DECIMAL(38,2)) AS DOUBLE)
+                      / count(*))
+                   / count(*), 6) AS variance
+      FROM e GROUP BY k ORDER BY k""",
     "q219_cuped" -> s"""
       WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
                         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi

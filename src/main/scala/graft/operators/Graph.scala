@@ -494,8 +494,81 @@ object Graph {
   private val q245: Q = (s, d) =>
     linkPrediction(custSuppEdges(s, d), "src", "dst")
 
+  /** HITS hubs & authorities (Kleinberg 1999, round 18) — the DIRECTED
+    * dual-score ranking next to [[pageRank]]'s single score: a good HUB
+    * points at good authorities, a good AUTHORITY is pointed at by good
+    * hubs. On the customer→supplier purchase graph that reads
+    * "diversified high-volume buyers" vs "widely-bought suppliers" —
+    * the two sides of the same influence question, which is why the
+    * output carries both top-k lists under one `role` column.
+    *
+    * Determinism is [[pageRank]]'s fixed-point discipline with L∞ (max)
+    * normalization instead of a damping term: scores live in exact
+    * `Scale` units, each half-iteration is an exact DECIMAL(38,0) sum
+    * over in/out-neighbors followed by ONE integer floor-division
+    * normalization (score·Scale div max — all positive, so Spark's
+    * decimal `div` and DuckDB's `//` agree), so there is no float
+    * anywhere and the oracle replays the iterations unrolled. L∞, not
+    * L2: the usual L2 normalization is a cross-node float sum (order-
+    * dependent) — exactly what the fixed-point discipline exists to
+    * avoid; the ranking is normalization-invariant anyway.
+    *
+    * Scale shape: per iteration, two edge-keyed joins against the
+    * (node, score) frames and two keyed aggregates with map-side
+    * partials; the max is a 1-row broadcast. localCheckpoint breaks the
+    * growing lineage each round (the q110 iterative pattern, blocks
+    * released via unpersistBlocks). Final cut: TakeOrderedAndProject
+    * per role, k-bounded union. */
+  def hits(edges: DataFrame, src: String, dst: String, iters: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"hits: iters must be in [1, 20], got $iters")
+    require(topK >= 1, s"hits: topK must be >= 1, got $topK")
+    val e = edges.select(col(src).as("a"), col(dst).as("b"))
+      .distinct().localCheckpoint()
+    var hub = e.select(col("a")).distinct()
+      .select(col("a"), lit(Scale).as("h")).localCheckpoint()
+    var auth: DataFrame = null
+    var iter = 0
+    while (iter < iters) {
+      val ar = e.join(hub, "a").groupBy(col("b"))
+        .agg(sum(col("h").cast("decimal(38,0)")).as("ar"))
+      val am = ar.agg(max(col("ar")).as("am"))
+      val newAuth = ar.crossJoin(broadcast(am))
+        .select(col("b"),
+          expr(s"cast((ar * ${Scale}L) div am as bigint)").as("au"))
+        .localCheckpoint()
+      if (auth != null) Dedup.unpersistBlocks(auth)
+      auth = newAuth
+      val hr = e.join(auth, "b").groupBy(col("a"))
+        .agg(sum(col("au").cast("decimal(38,0)")).as("hr"))
+      val hm = hr.agg(max(col("hr")).as("hm"))
+      val newHub = hr.crossJoin(broadcast(hm))
+        .select(col("a"),
+          expr(s"cast((hr * ${Scale}L) div hm as bigint)").as("h"))
+        .localCheckpoint()
+      Dedup.unpersistBlocks(hub)
+      hub = newHub
+      iter += 1
+    }
+    val topAuth = auth
+      .select(lit("authority").as("role"), col("b").as("node"),
+        col("au").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("node")).limit(topK)
+    val topHubs = hub
+      .select(lit("hub").as("role"), col("a").as("node"),
+        col("h").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("node")).limit(topK)
+    topAuth.unionAll(topHubs)
+      .orderBy(col("role"), col("score_fp").desc, col("node"))
+  }
+
+  private val q259: Q = (s, d) =>
+    hits(custSuppEdges(s, d), "src", "dst")
+
   val queries: Map[String, Q] = Map(
     "q245_link_prediction" -> q245,
+    "q259_hits" -> q259,
     "q110_pagerank" -> q110,
     "q111_triangles" -> q111,
     "q139_bfs_paths" -> q139,
@@ -507,6 +580,39 @@ object Graph {
   /** The oracle replays the integer recurrence with DuckDB's `//` floor
     * division (all values are non-negative, so it agrees with Spark's
     * truncating `div`) as one chained-CTE unrolling of the 3 rounds. */
+  /** Unrolled HITS oracle: directed distinct edges, Scale-unit init on
+    * the hub side, per-iteration exact HUGEINT sums + the identical
+    * score·Scale // max floor normalization, per-role top-k. */
+  private def hitsSql(iters: Int, topK: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (SELECT e.b, CAST(sum(h${i - 1}.h) AS HUGEINT) AS ar
+             FROM e JOIN h${i - 1} ON e.a = h${i - 1}.a GROUP BY e.b),
+      am$i AS (SELECT max(ar) AS am FROM a$i),
+      au$i AS (SELECT b, CAST(ar * $Scale // am AS BIGINT) AS au
+               FROM a$i, am$i),
+      hh$i AS (SELECT e.a, CAST(sum(au$i.au) AS HUGEINT) AS hr
+               FROM e JOIN au$i ON e.b = au$i.b GROUP BY e.a),
+      hm$i AS (SELECT max(hr) AS hm FROM hh$i),
+      h$i AS (SELECT a, CAST(hr * $Scale // hm AS BIGINT) AS h
+              FROM hh$i, hm$i)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e0 AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                                  's:' || CAST(l_suppkey AS VARCHAR) AS b
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                  WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'),
+      e AS (SELECT a, b FROM e0),
+      h0 AS (SELECT DISTINCT a, CAST($Scale AS BIGINT) AS h FROM e),
+      $rounds,
+      ta AS (SELECT 'authority' AS role, b AS node, au AS score_fp
+             FROM au$iters ORDER BY au DESC, b LIMIT $topK),
+      th AS (SELECT 'hub' AS role, a AS node, h AS score_fp
+             FROM h$iters ORDER BY h DESC, a LIMIT $topK)
+      SELECT role, node, score_fp
+      FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+      ORDER BY role, score_fp DESC, node"""
+  }
+
   private def pagerankSql(iters: Int, dampingPct: Int): String = {
     val baseNumer = (100L - dampingPct) * Scale / 100L
     val rounds = (1 to iters).map { i =>
@@ -595,6 +701,7 @@ object Graph {
       FROM h1 JOIN h2 ON h1.node = h2.node
       ORDER BY h1.node""",
     "q110_pagerank" -> pagerankSql(3, 85),
+    "q259_hits" -> hitsSql(3, 20),
     // Replays BFS levels by the INDEPENDENT recursive-CTE formulation:
     // (node, walk-length) pairs with UNION dedup, min(dist) per node ≡
     // the BFS level (shortest walk = shortest path; the dist < 6 cap

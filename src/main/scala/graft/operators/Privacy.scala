@@ -221,14 +221,103 @@ object Privacy {
       floor(col("c_acctbal") / 1000.0).cast("long"), threshold = 0.25)
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
 
+  // --------------------------------------------- entropy l-diversity --
+
+  /** ENTROPY l-diversity audit (round 18) — the third leg of the
+    * release-audit triad's diversity axis: [[kAnonymityAudit]]'s
+    * distinct count (q196) passes a class where one sensitive value
+    * holds 99% of the rows (distinct = 5 "diverse"), which is exactly
+    * the skew an attacker exploits. Entropy l-diversity (Machanavajjhala
+    * et al. 2007) requires −Σ p·ln p ≥ ln(l) per class, i.e. the
+    * EFFECTIVE number of sensitive values exp(H) ≥ l — skew-aware where
+    * the distinct count is not.
+    *
+    * Exactness: per-(class, value) counts are exact; each entropy term
+    * −p·ln p is ONE identical-operand IEEE chain pre-rounded at 9 dp and
+    * pinned to DECIMAL before the class sum (the q185 term rule —
+    * order-free), and the verdict compares exp(H) ROUNDED at 6 dp
+    * against the integer l, so no libm-boundary constant (ln l) enters
+    * the comparison.
+    *
+    * Shape: ONE keyed exchange — the (class, value) collapse; the
+    * per-class total rides a window on the SAME class partitioning
+    * (subset key ⇒ sort only, no second exchange); the class roll-up is
+    * classes-bounded. */
+  def entropyLDiversityAudit(df: DataFrame, qiCols: Seq[Column],
+      sensitiveCol: Column, l: Int = 3): DataFrame = {
+    require(l >= 2, s"entropyLDiversityAudit: l must be >= 2, got $l")
+    require(qiCols.nonEmpty, "entropyLDiversityAudit: need >= 1 QI column")
+    val qiNames = qiCols.indices.map(i => s"_qi$i")
+    val cells = df
+      .select(qiCols.zip(qiNames).map { case (c, n) => c.as(n) } :+
+        sensitiveCol.as("_sv"): _*)
+      .groupBy((qiNames.map(col) :+ col("_sv")): _*)
+      .agg(count(lit(1)).as("_c"))
+    val wCls = Window.partitionBy(qiNames.map(col): _*)
+    val terms = cells
+      .withColumn("_n", sum(col("_c")).over(wCls))
+      .withColumn("_t", expr(
+        """cast(round(-(cast(_c as double) / _n)
+               * ln(cast(_c as double) / _n), 9) as decimal(18,9))"""))
+    terms.groupBy(qiNames.map(col): _*)
+      .agg(min(col("_n")).as("class_size"),
+        count(lit(1)).as("l_distinct"),
+        sum(col("_t")).as("_H"))
+      .select(qiNames.map(col) ++ Seq(
+        col("class_size"), col("l_distinct"),
+        round(col("_H").cast("double"), 6).as("entropy"),
+        round(exp(col("_H").cast("double")), 6).as("entropy_l"),
+        (round(exp(col("_H").cast("double")), 6) >= l).as("ok")): _*)
+  }
+
+  private val q256: Q = (s, d) =>
+    entropyLDiversityAudit(Tables.customer(s, d),
+      Seq(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket")),
+      col("c_acctbal"), l = 3)
+      .withColumnsRenamed(Map("_qi0" -> "c_nationkey",
+        "_qi1" -> "c_mktsegment", "_qi2" -> "bal_bucket"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+
   val queries: Map[String, Q] = Map(
     "q196_k_anonymity" -> q196,
     "q201_generalization" -> q201,
     "q212_gdpr_purge" -> q212,
     "q246_t_closeness" -> q246,
+    "q256_entropy_ldiv" -> q256,
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays entropyLDiversityAudit: (class, value) collapse, 9-dp
+    // pre-rounded -p*ln p terms, and the exp(H)-vs-integer-l verdict on
+    // the ROUNDED effective-value count (no libm ln(l) constant enters).
+    "q256_entropy_ldiv" -> """
+      WITH cells AS (SELECT c_nationkey, c_mktsegment,
+                            CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+                              AS bal_bucket,
+                            c_acctbal AS sv,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM customer GROUP BY 1, 2, 3, 4),
+      t AS (SELECT *,
+                   CAST(sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment,
+                     bal_bucket) AS BIGINT) AS n
+            FROM cells),
+      t2 AS (SELECT c_nationkey, c_mktsegment, bal_bucket, n,
+                    CAST(round(-(CAST(c AS DOUBLE) / n)
+                         * ln(CAST(c AS DOUBLE) / n), 9)
+                         AS DECIMAL(18,9)) AS tm
+             FROM t),
+      cls AS (SELECT c_nationkey, c_mktsegment, bal_bucket,
+                     CAST(min(n) AS BIGINT) AS class_size,
+                     CAST(count(*) AS BIGINT) AS l_distinct,
+                     sum(tm) AS h
+              FROM t2 GROUP BY 1, 2, 3)
+      SELECT c_nationkey, c_mktsegment, bal_bucket, class_size, l_distinct,
+             round(CAST(h AS DOUBLE), 6) AS entropy,
+             round(exp(CAST(h AS DOUBLE)), 6) AS entropy_l,
+             round(exp(CAST(h AS DOUBLE)), 6) >= 3 AS ok
+      FROM cls
+      ORDER BY c_nationkey, c_mktsegment, bal_bucket""",
     // Replays tClosenessAudit: the bucket rule, global + per-class
     // cumulative counts over the ordered bucket spine, 9-dp pre-rounded
     // |cumP - cumQ| terms, the /(B-1) EMD normalization and the

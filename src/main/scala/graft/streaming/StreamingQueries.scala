@@ -292,6 +292,43 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream LEFT SEMI interval join (round 18) — the fourth and
+    * last production mode of the interval-join matrix (q86 inner, q195
+    * left outer, q252 full outer): "clicks that CONVERTED", each
+    * matched click emitted exactly ONCE regardless of how many
+    * purchases land in its window — the dedup the inner join's
+    * per-pair fan-out forces consumers to re-do, pushed into the join
+    * state itself. No null-extension, so no watermark-expiry emission
+    * path: a click emits when its FIRST match arrives and never again.
+    * Same bounded-state posture as the rest of the matrix.
+    *
+    * The oracle is the batch EXISTS formulation over the same interval
+    * — agreement certifies exactly-once-per-click emission (any
+    * double-emit inflates n_converted_clicks). */
+  private val q262: Q = (s, d) => {
+    val src = eventsStream(s, d)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases, expr(
+      "c_uid = p_uid AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"),
+      "left_semi")
+    val name = s"graft_stream_semi_${System.nanoTime()}"
+    withStatePartitions(s, 4) {
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .groupBy(col("c_uid").as("user_id"))
+      .agg(count(lit(1)).as("n_converted_clicks"))
+      .orderBy(col("user_id"))
+  }
+
   /** Restart-safe checkpointed streaming parquet sink — the durability
     * contract every production pipeline (and none of the other streaming
     * gates — q87 explicitly runs checkpoint-free) actually ships on:
@@ -924,6 +961,7 @@ object StreamingQueries {
     "q191_stream_append" -> q191,
     "q195_stream_outer_join" -> q195,
     "q252_stream_full_outer" -> q252,
+    "q262_stream_semi_join" -> q262,
     "q199_stream_restart" -> q199,
     "q205_stream_rocksdb" -> q205,
     "q206_stream_topk" -> q206,
@@ -1144,6 +1182,20 @@ object StreamingQueries {
              CAST(sum(po) AS BIGINT) AS n_purchase_only,
              round(sum(coalesce(value, 0.0)), 2) AS total_value
       FROM rows_all GROUP BY user_id ORDER BY user_id""",
+    // The EXISTS formulation: agreement certifies exactly-once-per-click
+    // semi emission (a double-emit inflates the count).
+    "q262_stream_semi_join" -> """
+      SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_converted_clicks
+      FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, event_id
+            FROM events WHERE event_type = 'click') c
+      WHERE EXISTS (SELECT 1 FROM (SELECT user_id,
+                                          CAST(ts AS TIMESTAMP) AS pts
+                                   FROM events
+                                   WHERE event_type = 'purchase') p
+                    WHERE p.user_id = c.user_id
+                      AND p.pts >= c.cts
+                      AND p.pts <= c.cts + INTERVAL '1 hour')
+      GROUP BY c.user_id ORDER BY c.user_id""",
     // Main + DLQ must partition the input exactly — no silent drops, no
     // double-routing; reason precedence mirrors the stream's CASE order.
     "q213_stream_quarantine" -> """

@@ -238,6 +238,39 @@ object SmokeCoverage {
       "sums; the pooled grid lives on the VALUE frame (bounded by the " +
       "value domain, not the corpus) and joins back on a <= 1000-key " +
       "per-mille column — flat at the tier (1.1x for 10x)"),
+    // -- round-18 batch (q253-q262) --
+    "q259_hits" -> ("pageRank's iterative discipline verbatim (the " +
+      "smoked pagerank exchange shape: per-iteration edge-keyed join + " +
+      "keyed aggregate, 1-row max broadcasts, localCheckpoint per " +
+      "round) — 1.3x at the 10x tier"),
+    "q261_ndcg" -> ("bm25's two scans (the smoked bm25 shape: stats " +
+      "broadcast, map-side scoring, TakeOrderedAndProject); both " +
+      "position windows run on <= k-row frames and the ranked frame " +
+      "broadcasts onto the relevance projection — 1.5x at the 10x tier"),
+    "q262_stream_semi_join" -> StreamingDrain,
+    "q253_kruskal_wallis" -> ("ONE corpus collapse to (group, value) " +
+      "cells, then the q249/q184 two-level GLOBAL rank decomposition " +
+      "(bucket-local windows + a buckets-bounded offset frame); " +
+      "everything after is groups-bounded — 1.5x at the 10x tier"),
+    "q254_robust_profile" -> ("two groupQuantilesExact passes (each the " +
+      "smoked q228 one-window shape) + one keyed aggregate; the median " +
+      "frames broadcast back by construction — 1.4x at the 10x tier"),
+    "q255_vocab_growth" -> ("one token-keyed min aggregate with " +
+      "map-side partials (the dedup-class digest shuffle the smoke " +
+      "prices via q50); bucket aggregates and the running sum live on " +
+      "<= buckets rows — 1.9x at the 10x tier"),
+    "q256_entropy_ldiv" -> ("ONE (class, value) collapse; the class " +
+      "total rides a window on the SAME partitioning (subset key, sort " +
+      "only), terms map-side, roll-up classes-bounded — 1.1x at the " +
+      "10x tier"),
+    "q257_cohen_kappa" -> ("ONE |cats|^2-bounded cell collapse with " +
+      "map-side partials; margins/diagonal/pe are folds over that " +
+      "bounded frame plus three 1-row broadcasts — 1.4x at the 10x " +
+      "tier"),
+    "q258_agg_merge" -> ("two keyed moment aggregates (map-side " +
+      "partials) + a key-keyed join of already-aggregated frames; " +
+      "nothing rescans the other snapshot — 2.3x at the 10x tier is " +
+      "the scan pair's linear cost"),
     "q251_profile_drift" -> ("two single-pass profile scans (the q133 " +
       "exact-distinct Expand plan — Spark's own aggregation machinery, " +
       "CoreRelational class); the diff lives on |cols|-row frames and " +

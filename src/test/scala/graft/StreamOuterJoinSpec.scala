@@ -135,4 +135,39 @@ class StreamOuterJoinSpec extends SparkSpec {
         s"late rows must not change the drained result: $afterLate")
     } finally q.stop()
   }
+
+  test("left-semi interval join: a click with many in-window purchases emits exactly once (q262)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val clicksIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val buysIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val clicks = clicksIn.toDF().toDF("c_uid", "click_ts", "click_id")
+      .withWatermark("click_ts", "10 minutes")
+    val buys = buysIn.toDF().toDF("p_uid", "p_ts", "value")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(buys, expr(
+      "c_uid = p_uid AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"),
+      "left_semi")
+    val name = s"ssemi_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    def rows() = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+    try {
+      // user 1: one click, THREE purchases inside its window (two in the
+      // same batch, one in a later batch) — the click must emit once,
+      // not three times, and the later in-window purchase must not
+      // re-emit an already-emitted click. User 2 never converts: no row.
+      clicksIn.addData((1L, ts(10, 0), 101L), (2L, ts(10, 0), 201L))
+      buysIn.addData((1L, ts(10, 10), 1.0), (1L, ts(10, 20), 2.0))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, 101L)),
+        s"multi-purchase batch must emit the click once: ${rows()}")
+      buysIn.addData((1L, ts(10, 40), 3.0))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, 101L)),
+        s"a later in-window purchase must not re-emit: ${rows()}")
+    } finally q.stop()
+  }
 }
