@@ -2005,6 +2005,102 @@ object Analytics {
       when(expr("size(filter(split(text, ' '), t -> t != ''))") >= 90,
         lit("keep")).otherwise(lit("drop")))
 
+  // ------------------------------------------------- CUSUM changepoint --
+
+  /** CUSUM changepoint / volume-anomaly detection over daily event
+    * counts (Page 1954, round 18) — the sequential drift alarm next to
+    * the distributional gates (q184 KS, q185 PSI, q238 chi²): those
+    * compare two WINDOWS; CUSUM watches the SERIES, accumulating
+    * one-sided excursions beyond a slack band (k = σ/2) and alarming
+    * when either side's sum crosses h = 4σ — it catches a sustained
+    * small shift long before any fixed-window test, which is why
+    * ingest-volume monitoring ships it.
+    *
+    * Determinism: the day frame is exact counts; mean and σ come from
+    * exact integer moments via ONE pinned chain; the fold is the q244
+    * discipline — an ORDERED fold over the days-bounded array with
+    * per-step round(·, 9), so both engines execute the identical
+    * operand sequence (the oracle replays it as a recursive CTE,
+    * stepping the same rows in the same order with the same rounds).
+    *
+    * Shape: one days-bounded keyed aggregate over the corpus (map-side
+    * partials), then everything — moments, the collect, the fold —
+    * lives on the ≤ |days| frame. The corpus is scanned once. */
+  def cusumDrift(df: DataFrame, tsCol: String): DataFrame = {
+    val days = df.filter(col(tsCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val stats = days.agg(count(lit(1)).as("_nd"), sum(col("n")).as("_s"),
+      sum(col("n").cast("decimal(38,0)") * col("n")).as("_s2"))
+    val arr = days
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("_a"))
+    arr.crossJoin(broadcast(stats))
+      .select(col("_a"), expr("cast(_s as double) / _nd").as("_mean"),
+        expr("""sqrt((cast(_s2 as double)
+                - cast(_s as double) * cast(_s as double) / _nd) / _nd)""")
+          .as("_sig"))
+      .select(col("_a"), col("_mean"), (col("_sig") * 0.5).as("_slack"),
+        (col("_sig") * 4.0).as("_h"))
+      .select(col("_h"), explode(expr("""
+        aggregate(_a,
+          named_struct('hi', cast(0 as double), 'lo', cast(0 as double),
+            'out', cast(array() as
+              array<struct<day: date, n: bigint, chi: double, clo: double>>)),
+          (acc, x) -> named_struct(
+            'hi', round(greatest(cast(0 as double),
+                    acc.hi + (x.n - _mean - _slack)), 9),
+            'lo', round(greatest(cast(0 as double),
+                    acc.lo + (_mean - _slack - x.n)), 9),
+            'out', concat(acc.out, array(named_struct(
+              'day', x.day, 'n', x.n,
+              'chi', round(greatest(cast(0 as double),
+                       acc.hi + (x.n - _mean - _slack)), 9),
+              'clo', round(greatest(cast(0 as double),
+                       acc.lo + (_mean - _slack - x.n)), 9)))))).out"""))
+        .as("_r"))
+      .select(col("_r.day").as("day"), col("_r.n").as("n"),
+        col("_r.chi").as("cusum_hi"), col("_r.clo").as("cusum_lo"),
+        (col("_r.chi") > col("_h")).as("alarm_hi"),
+        (col("_r.clo") > col("_h")).as("alarm_lo"))
+  }
+
+  private val q263: Q = (s, d) =>
+    cusumDrift(Tables.events(s, d), "ts").orderBy(col("day"))
+
+  // -------------------------------------------- conversion-lag quantiles --
+
+  /** Conversion-latency percentiles (round 18) — the funnel-health SLA
+    * readout: for every conversion, the lag to its as-of backward touch
+    * (q31's join), then EXACT per-group quantiles of those lags
+    * ([[groupQuantilesExact]] — lags are integral microseconds, so the
+    * integral-value contract holds by construction). "Half of Sunday's
+    * purchases convert within X minutes of the click" is this query's
+    * output row.
+    *
+    * Composition is the point: the as-of carry is ONE user-keyed window
+    * exchange (AsOf.asofJoin), the quantile pass ONE group-keyed window
+    * exchange — both machines already certified; agreement here
+    * certifies the composition. Untouched conversions (no prior click)
+    * drop — they have no lag. */
+  def conversionLagQuantiles(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, touchType: String, convType: String,
+      permille: Seq[Int]): DataFrame = {
+    val purchases = df.filter(col(typeCol) === convType)
+      .select(col(idCol), col(userCol), col(tsCol))
+    val touches = df.filter(col(typeCol) === touchType)
+      .select(col(userCol), col(tsCol), unix_micros(col(tsCol)).as("tus"))
+    val lags = AsOf.asofJoin(purchases, touches, userCol, tsCol, Seq("tus"))
+      .filter(col("asof_tus").isNotNull)
+      .select(dayofweek(col(tsCol)).as("dow"),
+        (unix_micros(col(tsCol)) - col("asof_tus")).as("lag_us"))
+    groupQuantilesExact(lags, "dow", "lag_us", permille)
+  }
+
+  private val q264: Q = (s, d) =>
+    conversionLagQuantiles(Tables.events(s, d), "user_id", "ts",
+      "event_id", "event_type", "click", "purchase", Seq(500, 900, 990))
+      .orderBy(col("dow"), col("pm"))
+
   // -------------------------------------- incremental aggregate maintenance --
 
   /** SECOND-MOMENT incremental aggregate maintenance (round 18) — the
@@ -4015,6 +4111,8 @@ object Analytics {
     "q254_robust_profile" -> q254,
     "q257_cohen_kappa" -> q257,
     "q258_agg_merge" -> q258,
+    "q263_cusum_drift" -> q263,
+    "q264_conversion_lag" -> q264,
     "q136_transitions" -> q136,
     "q125_countmin" -> q125,
     "q149_bloom_filter" -> q149,
@@ -5508,6 +5606,63 @@ object Analytics {
                    THEN CAST(nt.n * a.agree - pr.s AS DOUBLE)
                         / CAST(nt.n * nt.n - pr.s AS DOUBLE) END, 6) AS kappa
       FROM nt, agr a, pr""",
+    // Replays cusumDrift as a recursive CTE stepping the same ordered
+    // day rows with the identical per-step round(. , 9) fold, the same
+    // exact-moment mean/sigma chain and the 4-sigma alarm rule.
+    "q263_cusum_drift" -> """
+      WITH RECURSIVE
+      d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      dr AS (SELECT day, n, row_number() OVER (ORDER BY day) AS rn FROM d),
+      st AS (SELECT count(*) AS nd, CAST(sum(n) AS BIGINT) AS s,
+                    CAST(sum(CAST(n AS HUGEINT) * n) AS DECIMAL(38,0)) AS s2
+             FROM d),
+      p AS (SELECT CAST(s AS DOUBLE) / nd AS mean,
+                   sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nd) / nd)
+                     AS sig
+            FROM st),
+      c AS (
+        SELECT dr.rn, dr.day, dr.n,
+               round(greatest(CAST(0 AS DOUBLE),
+                 0 + (dr.n - p.mean - p.sig * 0.5)), 9) AS chi,
+               round(greatest(CAST(0 AS DOUBLE),
+                 0 + (p.mean - p.sig * 0.5 - dr.n)), 9) AS clo
+        FROM dr, p WHERE dr.rn = 1
+        UNION ALL
+        SELECT dr.rn, dr.day, dr.n,
+               round(greatest(CAST(0 AS DOUBLE),
+                 c.chi + (dr.n - p.mean - p.sig * 0.5)), 9),
+               round(greatest(CAST(0 AS DOUBLE),
+                 c.clo + (p.mean - p.sig * 0.5 - dr.n)), 9)
+        FROM c JOIN dr ON dr.rn = c.rn + 1 CROSS JOIN p)
+      SELECT c.day, c.n, c.chi AS cusum_hi, c.clo AS cusum_lo,
+             c.chi > p.sig * 4.0 AS alarm_hi,
+             c.clo > p.sig * 4.0 AS alarm_lo
+      FROM c, p ORDER BY c.day""",
+    // Replays conversionLagQuantiles: DuckDB's native backward ASOF
+    // carries the touch timestamp, integral microsecond lags, the q228
+    // pick rule per day-of-week.
+    "q264_conversion_lag" -> """
+      WITH l AS (
+        SELECT CAST(dayofweek(CAST(p.ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+               epoch_us(CAST(p.ts AS TIMESTAMP))
+                 - epoch_us(CAST(c.cts AS TIMESTAMP)) AS lag_us
+        FROM (SELECT user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts AS cts FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.cts),
+      r AS (SELECT dow, lag_us,
+                   row_number() OVER (PARTITION BY dow ORDER BY lag_us)
+                     AS rn,
+                   CAST(count(*) OVER (PARTITION BY dow) AS BIGINT) AS n
+            FROM l)
+      SELECT dow, CAST(pm AS INT) AS pm, n, lag_us AS q
+      FROM r, (SELECT unnest([500, 900, 990]) AS pm)
+      WHERE rn = (pm * n + 999) // 1000
+      ORDER BY dow, pm""",
     // The INDEPENDENT certificate for snapshotAggMerge: the single-pass
     // aggregate over the whole table — agreement proves
     // merge(state(base), state(delta)) == state(base UNION delta)

@@ -35,13 +35,20 @@ object ExplainDump {
     "q242_decile_lift" -> "unit collapse; two-pass global index ntile; gains window on the ten-row decile frame",
     "q243_epoch_shuffle" -> "bucketed local row_number + 32-row offset broadcast — one exchange, no single-partition window",
     "q244_kaplan_meier" -> "one user collapse; life table, risk windows and survival folds all (groups x days)-bounded",
-    "q245_link_prediction" -> "cap-before-pairing: WindowGroupLimit m-neighbor prune BEFORE the center self-join; anti-join + TakeOrdered cut",
+    "q245_link_prediction" -> "cap-before-pairing: WindowGroupLimit m-neighbor prune BEFORE the center self-join; anti-join + TakeOrdered cut; r18 adjacency flag joins ride the <= topK-row frame",
     "q246_t_closeness" -> "two keyed collapses; EMD terms on the (classes x B)-bounded grid",
     "q247_label_separation" -> "broadcast centroid row; map-side HOF member distances; |labels|^2 nearest-other pass",
     "q248_attribution_models" -> "q166's one session exchange; session-bounded touch lists; map-side 9-dp DECIMAL credits",
     "q249_spearman_corr" -> "collapsed value frames + q184 two-level bucketed rank sums — no per-group corpus window sort",
     "q250_quantile_normalize" -> "cells collapse; two-level group ranks; pooled grid on the value frame; <=1000-key join-back",
     "q251_profile_drift" -> "two single-pass exact-distinct profile scans; |cols|-row broadcast diff",
+    "q253_kruskal_wallis" -> "one cells collapse; q249's two-level GLOBAL rank decomposition; groups-bounded terms — no pooled corpus window sort",
+    "q254_robust_profile" -> "two q228 median window passes; groups-bounded median/MAD frames broadcast back; one keyed final aggregate",
+    "q255_vocab_growth" -> "token-keyed min aggregate (the only corpus shuffle); <= buckets-row roll-ups broadcast-joined",
+    "q257_cohen_kappa" -> "ONE |cats|^2-bounded cell collapse; margins and the fraction-free kappa identity on the bounded frame",
+    "q258_agg_merge" -> "two keyed moment aggregates + full-outer key merge of aggregated frames — neither snapshot rescans the other",
+    "q259_hits" -> "per-iteration edge-keyed join + keyed DECIMAL sum; 1-row max broadcast; integer floor-div normalization; per-role TakeOrdered",
+    "q261_ndcg" -> "bm25's broadcast-stats scans; both position windows on <= k-row frames; ranked frame broadcasts onto the relevance projection",
     "q51_minhash_lsh" -> "MinHash signatures as aggregate columns; LSH equality join",
     "q60_knn_bruteforce" -> "codegen'd cosine_sim inside the stage; WindowGroupLimit top-k",
     "q82_stream_tumbling" -> "(streaming runtime — plan of the equivalent batch q80 shown)",

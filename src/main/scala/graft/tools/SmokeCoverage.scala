@@ -248,6 +248,13 @@ object SmokeCoverage {
       "position windows run on <= k-row frames and the ranked frame " +
       "broadcasts onto the relevance projection — 1.5x at the 10x tier"),
     "q262_stream_semi_join" -> StreamingDrain,
+    "q263_cusum_drift" -> ("ONE days-bounded keyed aggregate over the " +
+      "corpus (map-side partials); moments, collect and the ordered " +
+      "fold all live on the <= |days| frame — 0.9x at the 10x tier"),
+    "q264_conversion_lag" -> ("composes two smoked machines verbatim: " +
+      "AsOf.asofJoin's one user-keyed window exchange + " +
+      "groupQuantilesExact's one group-keyed window exchange — 2.0x at " +
+      "the 10x tier"),
     "q253_kruskal_wallis" -> ("ONE corpus collapse to (group, value) " +
       "cells, then the q249/q184 two-level GLOBAL rank decomposition " +
       "(bucket-local windows + a buckets-bounded offset frame); " +

@@ -162,6 +162,58 @@ class Round18OpsSpec extends SparkSpec {
     assert(out == Seq(("k1", 3L, 9.0, 3.0, 2.666667), ("k2", 1L, 2.0, 2.0, 0.0)))
   }
 
+  // ---------------------------------------------------------- cusumDrift --
+
+  test("cusumDrift: hand-computed 4-day series with the one-sided clamps") {
+    // Counts [10, 10, 10, 22]: mean = 13, sigma = sqrt(27) = 3*sqrt(3).
+    // The hi side stays clamped at 0 for three days then jumps on the
+    // spike; the lo side accumulates the small deficit and resets to 0
+    // on the spike. No alarm (h = 4*sigma = 20.78).
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sig = math.sqrt(27.0)
+    val mean = 13.0
+    val slack = sig * 0.5
+    var (hi, lo) = (0.0, 0.0)
+    val expect = Seq(10L, 10L, 10L, 22L).zipWithIndex.map { case (n, i) =>
+      hi = r9(math.max(0.0, hi + (n - mean - slack)))
+      lo = r9(math.max(0.0, lo + (mean - slack - n)))
+      (java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), n, hi, lo,
+        false, false)
+    }
+    val ev = Seq.tabulate(10)(i => (1, i)) ++ Seq.tabulate(10)(i => (2, i)) ++
+      Seq.tabulate(10)(i => (3, i)) ++ Seq.tabulate(22)(i => (4, i))
+    val df = ev.toDF("d", "i")
+      .select(expr("cast(concat('2024-01-0', d, ' 12:00:00') as timestamp)")
+        .as("ts"))
+    val out = Analytics.cusumDrift(df, "ts").orderBy(col("day"))
+      .as[(java.sql.Date, Long, Double, Double, Boolean, Boolean)]
+      .collect().toSeq
+    assert(out == expect)
+    assert(out(3)._3 > 6.4 && out(3)._4 == 0.0,
+      "spike day: hi jumps, lo clamps to 0")
+  }
+
+  // ------------------------------------------ conversionLagQuantiles --
+
+  test("conversionLagQuantiles: hand-computed median of three lags") {
+    // One user, one dow: clicks at 0 s and 100 s; purchases at 30 s
+    // (lag 30 s), 150 s (lag 50 s from the click at 100), 160 s (lag
+    // 60 s). pm = 500 picks position ceil(3/2) = 2 -> 50 s.
+    val s2us = 1000000L
+    val ev = Seq(
+      (7L, 1L, "click", 0L), (7L, 2L, "click", 100 * s2us),
+      (7L, 3L, "purchase", 30 * s2us), (7L, 4L, "purchase", 150 * s2us),
+      (7L, 5L, "purchase", 160 * s2us)
+    ).toDF("user_id", "event_id", "event_type", "t")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestamp_micros(t)").as("ts"))
+    val out = Analytics.conversionLagQuantiles(ev, "user_id", "ts",
+        "event_id", "event_type", "click", "purchase", Seq(500))
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._2, r._3, r._4)) == Seq((500, 3L, 50 * s2us)))
+  }
+
   // ---------------------------------------------------------------- hits --
 
   test("hits: engine matches a BigInt replay of the exact fixed-point fold") {
