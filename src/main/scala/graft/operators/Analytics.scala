@@ -2005,6 +2005,46 @@ object Analytics {
       when(expr("size(filter(split(text, ' '), t -> t != ''))") >= 90,
         lit("keep")).otherwise(lit("drop")))
 
+  // ------------------------------------------------- Wilson intervals --
+
+  /** Wilson score confidence intervals for per-group proportions
+    * (Wilson 1927, round 18) — the interval readout the experiment
+    * family lacked next to its point tests (q141 two-proportion z, q180
+    * A/B, q238 chi²): a rate of 3/10 and a rate of 3000/10000 are both
+    * "0.3", and only the interval says which one you may act on. Wilson,
+    * not Wald: Wald collapses to ±0 at p̂ ∈ {0, 1} and escapes [0, 1];
+    * Wilson stays calibrated at small n and extreme rates — exactly the
+    * rows a dashboard sorts to the top.
+    *
+    * Determinism: (n, k) are exact counts; the interval is ONE pinned
+    * identical-operand IEEE chain per group (z fixed at 1.96, written
+    * identically in both engines), round(6).
+    *
+    * Shape: ONE groups-bounded keyed aggregate with map-side partials;
+    * the chain is a map-side projection over it. */
+  def wilsonIntervals(df: DataFrame, groupCol: String,
+      successCol: Column): DataFrame = {
+    val per = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("k"))
+      .withColumn("_p", expr("k / cast(n as double)"))
+    per.select(col(groupCol), col("n"), col("k"),
+      round(col("_p"), 6).as("rate"),
+      round(expr("""
+        (_p + 1.96*1.96/(2.0*n)) / (1.0 + 1.96*1.96/n)
+        - 1.96 * sqrt(_p*(1.0-_p)/n + 1.96*1.96/(4.0*n*n))
+          / (1.0 + 1.96*1.96/n)"""), 6).as("lo"),
+      round(expr("""
+        (_p + 1.96*1.96/(2.0*n)) / (1.0 + 1.96*1.96/n)
+        + 1.96 * sqrt(_p*(1.0-_p)/n + 1.96*1.96/(4.0*n*n))
+          / (1.0 + 1.96*1.96/n)"""), 6).as("hi"))
+  }
+
+  private val q265: Q = (s, d) =>
+    wilsonIntervals(Tables.events(s, d), "event_type", col("value") > 100)
+      .orderBy(col("event_type"))
+
   // ------------------------------------------------- CUSUM changepoint --
 
   /** CUSUM changepoint / volume-anomaly detection over daily event
@@ -4113,6 +4153,7 @@ object Analytics {
     "q258_agg_merge" -> q258,
     "q263_cusum_drift" -> q263,
     "q264_conversion_lag" -> q264,
+    "q265_wilson_ci" -> q265,
     "q136_transitions" -> q136,
     "q125_countmin" -> q125,
     "q149_bloom_filter" -> q149,
@@ -5606,6 +5647,23 @@ object Analytics {
                    THEN CAST(nt.n * a.agree - pr.s AS DOUBLE)
                         / CAST(nt.n * nt.n - pr.s AS DOUBLE) END, 6) AS kappa
       FROM nt, agr a, pr""",
+    // Replays wilsonIntervals: exact (n, k) counts + the identical
+    // pinned 1.96 chain, written with the same operand order.
+    "q265_wilson_ci" -> """
+      WITH per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS k
+                   FROM events WHERE event_type IS NOT NULL
+                   GROUP BY 1),
+      p AS (SELECT *, k / CAST(n AS DOUBLE) AS ph FROM per)
+      SELECT event_type, n, k, round(ph, 6) AS rate,
+             round((ph + 1.96*1.96/(2.0*n)) / (1.0 + 1.96*1.96/n)
+                   - 1.96 * sqrt(ph*(1.0-ph)/n + 1.96*1.96/(4.0*n*n))
+                     / (1.0 + 1.96*1.96/n), 6) AS lo,
+             round((ph + 1.96*1.96/(2.0*n)) / (1.0 + 1.96*1.96/n)
+                   + 1.96 * sqrt(ph*(1.0-ph)/n + 1.96*1.96/(4.0*n*n))
+                     / (1.0 + 1.96*1.96/n), 6) AS hi
+      FROM p ORDER BY event_type""",
     // Replays cusumDrift as a recursive CTE stepping the same ordered
     // day rows with the identical per-step round(. , 9) fold, the same
     // exact-moment mean/sigma chain and the 4-sigma alarm rule.

@@ -255,6 +255,13 @@ object SmokeCoverage {
       "AsOf.asofJoin's one user-keyed window exchange + " +
       "groupQuantilesExact's one group-keyed window exchange — 2.0x at " +
       "the 10x tier"),
+    "q265_wilson_ci" -> ("ONE groups-bounded keyed aggregate with " +
+      "map-side partials; the interval chain is a map-side projection " +
+      "over it — 1.0x at the 10x tier"),
+    "q266_centroid_drift" -> ("ONE (side x d)-bounded keyed aggregate " +
+      "over the exploded corpus (map-side partials); centroids, " +
+      "moments and the cosine tail all live on <= d rows — 1.1x at " +
+      "the 10x tier"),
     "q253_kruskal_wallis" -> ("ONE corpus collapse to (group, value) " +
       "cells, then the q249/q184 two-level GLOBAL rank decomposition " +
       "(bucket-local windows + a buckets-bounded offset frame); " +

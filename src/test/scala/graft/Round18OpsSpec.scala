@@ -214,6 +214,55 @@ class Round18OpsSpec extends SparkSpec {
     assert(out.map(r => (r._2, r._3, r._4)) == Seq((500, 3L, 50 * s2us)))
   }
 
+  // ------------------------------------------------- wilsonIntervals --
+
+  test("wilsonIntervals: hand-computed 3/10 interval") {
+    val df = (Seq.fill(3)(("g", true)) ++ Seq.fill(7)(("g", false)))
+      .toDF("grp", "succ")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (p, n) = (0.3, 10.0)
+    val denom = 1.0 + 1.96 * 1.96 / n
+    val center = (p + 1.96 * 1.96 / (2.0 * n)) / denom
+    val half = 1.96 * math.sqrt(p * (1.0 - p) / n +
+      1.96 * 1.96 / (4.0 * n * n)) / denom
+    val out = Analytics.wilsonIntervals(df, "grp", col("succ"))
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("g", 10L, 3L, 0.3, r6(center - half), r6(center + half))))
+    // the interval stays inside [0, 1] even at the extremes (the Wald
+    // failure modes): k = 0 has lo = 0 exactly and hi > 0
+    val zero = Seq.fill(5)(("z", false)).toDF("grp", "succ")
+    val oz = Analytics.wilsonIntervals(zero, "grp", col("succ"))
+      .as[(String, Long, Long, Double, Double, Double)].collect().head
+    assert(oz._5 == 0.0 && oz._6 > 0.0 && oz._6 < 1.0)
+  }
+
+  // --------------------------------------------------- centroidDrift --
+
+  test("centroidDrift: identical snapshots cohere at cosine 1; orthogonal ones at 0") {
+    // identical: every per-dim delta 0, L2 0, cosine exactly 1.0
+    val same = Seq((1L, Seq(0.5, 0.25), true), (2L, Seq(0.5, 0.25), false))
+      .toDF("id", "vec", "b")
+    val o1 = graft.operators.Similarity.centroidDrift(same, "id", "vec",
+        col("b"))
+      .orderBy(col("pos"))
+      .as[(Int, Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(o1.map(r => (r._1, r._6, r._7, r._8)) ==
+      Seq((0, 0L, 0L, Some(1.0)), (1, 0L, 0L, Some(1.0))))
+    // orthogonal centroids: base (1000, 0) vs delta (0, 1000)
+    val orth = Seq((1L, Seq(1.0, 0.0), true), (2L, Seq(0.0, 1.0), false))
+      .toDF("id", "vec", "b")
+    val o2 = graft.operators.Similarity.centroidDrift(orth, "id", "vec",
+        col("b"))
+      .orderBy(col("pos"))
+      .as[(Int, Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(o2 == Seq(
+      (0, 1L, 1L, 1000L, 0L, 1000L, 2000000L, Some(0.0)),
+      (1, 1L, 1L, 0L, 1000L, -1000L, 2000000L, Some(0.0))))
+  }
+
   // ---------------------------------------------------------------- hits --
 
   test("hits: engine matches a BigInt replay of the exact fixed-point fold") {
