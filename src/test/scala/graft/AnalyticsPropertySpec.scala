@@ -163,4 +163,47 @@ class AnalyticsPropertySpec extends SparkSpec {
       assert(got == expect, s"gap funnel diverged: got $got expect $expect")
     }
   }
+
+  test("kruskalWallis matches a naive pooled-rank replay on seeded random data (round 18)") {
+    // The engine computes pooled doubled ranks via the two-level bucketed
+    // decomposition; the replay sorts the whole sample in memory — any
+    // disagreement in ranks, tie counts or the H chain shows up here on
+    // shapes the one committed fixture can't cover (heavy ties, unequal
+    // group sizes, 2-5 groups).
+    val rowsGen = Gen.listOfN(120, Gen.zip(
+      Gen.choose(0, 4), Gen.choose(0, 15)))
+    cases(rowsGen, 6).foreach { rows =>
+      val df = rows.map { case (g, v) => (s"g$g", v.toDouble) }.toDF("g", "v")
+      val got = Analytics.kruskalWallis(df, "g", "v")
+        .as[(Long, Long, Double, Option[Double])].collect().head
+      // naive replay: sort the pooled values once, doubled average ranks
+      val vs = rows.map(_._2.toDouble)
+      val n = vs.size
+      val sorted = vs.sorted
+      val r2 = vs.map { v =>
+        val below = sorted.count(_ < v); val ties = sorted.count(_ == v)
+        2L * below + ties + 1
+      }
+      val byG = rows.map(_._1).zip(r2).groupBy(_._1)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val s = byG.values.map { grp =>
+        val ng = grp.size; val rsum = grp.map(_._2).sum
+        BigDecimal(r6(ng * math.pow(rsum.toDouble / (2.0 * ng)
+          - (n + 1) / 2.0, 2)))
+      }.sum.toDouble
+      val h = r6(12.0 * s / (n * (n + 1.0)))
+      val t = vs.groupBy(identity).values
+        .map(g => BigInt(g.size).pow(3) - g.size).sum
+      val denom = 1.0 - t.toDouble / (n.toDouble * n * n - n)
+      val hAdj = if (n > 1 && t.toDouble < n.toDouble * n * n - n)
+        Some(r6((12.0 * s / (n * (n + 1.0))) / denom)) else None
+      assert(got._1 == byG.size && got._2 == n)
+      assert(math.abs(got._3 - h) < 1e-6, s"H: got ${got._3} want $h")
+      (got._4, hAdj) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-6)
+        case (a, b) => assert(a == b)
+      }
+    }
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Dedup, Graph, Layout, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Graph, Layout, Privacy, Similarity, Skew, TextAnalysis}
 
 /** Degenerate-input contracts for the round-10b operators: an EMPTY input
   * must yield an empty (or well-defined) result, never a crash. Under ANSI
@@ -51,5 +51,32 @@ class EmptyInputSpec extends SparkSpec {
     assert(Skew.keySkewProfile(docs0, "doc_id").isEmpty)
     assert(TextAnalysis.bpeMerges(docs0, "text").isEmpty)
     assert(TextAnalysis.bpeFertility(docs0, "text", "doc_id").isEmpty)
+  }
+
+  test("round-18 operators tolerate empty input (ANSI-mode no-crash contracts)") {
+    val iv0 = Seq.empty[(Long, Long)].toDF("g", "v")
+    val vec0 = Seq.empty[(Long, Seq[Double], Boolean)].toDF("id", "vec", "b")
+    val e0 = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Analytics.kruskalWallis(ev0, "event_type", "value").isEmpty)
+    assert(Analytics.robustGroupProfile(iv0, "g", "v").isEmpty)
+    assert(Analytics.wilsonIntervals(ev0, "event_type", lit(true)).isEmpty)
+    assert(Analytics.snapshotAggMerge(ev0, "user_id", "value",
+      lit(true)).isEmpty)
+    assert(Analytics.cusumDrift(ev0, "ts").isEmpty)
+    assert(Analytics.conversionLagQuantiles(ev0, "user_id", "ts",
+      "event_id", "event_type", "click", "purchase", Seq(500)).isEmpty)
+    assert(TextAnalysis.vocabGrowth(docs0, "doc_id", "text").isEmpty)
+    assert(Privacy.entropyLDiversityAudit(docs0, Seq(col("doc_id")),
+      col("text")).isEmpty)
+    assert(Graph.hits(e0, "src", "dst").isEmpty)
+    assert(Similarity.centroidDrift(vec0, "id", "vec", col("b")).isEmpty)
+    // 1-row global summaries stay WELL-DEFINED on empty input: all-null
+    // statistics, never a 0/0 ANSI crash
+    val ck = Analytics.cohenKappa(ev0, col("event_type"), col("event_type"))
+      .collect()
+    assert(ck.length == 1 && ck.head.isNullAt(2) && ck.head.isNullAt(4))
+    val nd = TextAnalysis.ndcgAtK(docs0, "doc_id", "text", Seq("x"))
+      .as[(Int, Double, Double, Option[Double])].collect().toSeq
+    assert(nd == Seq((10, 0.0, 0.0, None)))
   }
 }
