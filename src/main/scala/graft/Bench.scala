@@ -130,6 +130,21 @@ private[graft] object BenchSampling {
       prior > 0 && cur > 1.10 * prior
     }
   }
+  /** Window-quality verdict from the record's OWN numbers (round 19,
+    * VERDICT r18 item 1). `recordHot` above compares against a prior
+    * committed SAME-BASIS record, so a first-of-basis record is
+    * structurally unstampable — exactly how BENCH_r18.json (32-thread,
+    * value 254.49 s vs its own 222.33 s floor, 14.5% over) shipped
+    * with record_hot=false. This flag needs NO history: BASELINE.md's
+    * quiet bound says a quiet window's sum-of-medians converges to
+    * within 10% of its sum-of-floors, so value > 1.10 × floor marks
+    * the window hot from the record alone. The two flags answer
+    * different questions — window_hot: "was THIS window quiet?";
+    * record_hot: "did the floors themselves drift vs the last
+    * committed quiet record?" — and a record is a committable
+    * steady-state reading only when BOTH are false. */
+  def windowHot(value: Double, sumOfMins: Double): Boolean =
+    sumOfMins > 0 && value > 1.10 * sumOfMins
   /** Plain median for clean queries (record continuity with r6–r12);
     * drop-max median whenever the stall defense FIRED — keyed on the
     * flag, not on sample count, so a re-sample whose extra executions
@@ -372,7 +387,13 @@ object Bench {
     // (e.g. "*") so the line stays parseable JSON no matter what.
     val threadsJson = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus
                       else "\"" + cpus + "\""
-    val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","sum_of_mins":${fmt("2", sumOfMins)},"runs":$runs,"threads":$threadsJson,"queries":$qs,"sf":"$sfDir"}"""
+    // Window-quality stamp from the record's OWN value/floor ratio
+    // (round 19, VERDICT r18 item 1) — needs no same-basis history, so
+    // a first-of-basis record (the r18 32-thread driver case) can never
+    // ship unmarked again. Rides every output line, computed before any
+    // of them is built.
+    val winHot = BenchSampling.windowHot(total, sumOfMins)
+    val json = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","sum_of_mins":${fmt("2", sumOfMins)},"window_hot":$winHot,"runs":$runs,"threads":$threadsJson,"queries":$qs,"sf":"$sfDir"}"""
     // The consumer keeps only a ~2000-char stdout TAIL; at 226 queries the
     // combined line is ~2.7 KB, so its head — which carries "value" — was
     // truncated away in rounds 10 and 11 ("parsed": null). Contract fix:
@@ -380,7 +401,7 @@ object Bench {
     // line prints LAST, so the total always survives the tail regardless
     // of how many queries the per-query map grows to.
     val nFailed = results.count(_._2._1.isEmpty)
-    val shortJson = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","sum_of_mins":${fmt("2", sumOfMins)},"runs":$runs,"threads":$threadsJson,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
+    val shortJson = s"""{"metric":"total","value":${fmt("2", total)},"unit":"sec","sum_of_mins":${fmt("2", sumOfMins)},"window_hot":$winHot,"runs":$runs,"threads":$threadsJson,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
     // Backstop for log-noise-sensitive parsers: the same single line, ALONE
     // in bench_out.json (one parseable JSON document — the file's contract).
     // Full-precision per-run samples go to a separate bench_samples.json so
@@ -424,6 +445,12 @@ object Bench {
       case (k, (v, _)) if v.nonEmpty => k -> v.min
     }.toMap
     val recHot = BenchSampling.recordHot(curFloors, priorFloors)
+    if (winHot)
+      System.err.println(f"[bench] WARNING: window heat — value $total%.2f s " +
+        f"is ${(total / sumOfMins - 1) * 100}%.1f%% over this record's own " +
+        f"floor $sumOfMins%.2f s (quiet bound 10%%); record stamped " +
+        "window_hot. Do not commit as a steady-state record without a " +
+        "quiet-window re-run.")
     if (recHot)
       System.err.println("[bench] WARNING: record-level heat — the " +
         "common-query floor sum drifted >10% above the prior committed " +
@@ -436,7 +463,7 @@ object Bench {
     // run's drift defense only ever compares like with like (a tier run
     // or a 32-thread driver run must not arbitrate a local[4] sf0.1 run).
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_samples.json"),
-      (s"""{"metric":"samples","runs":$runs,"threads":$threadsJson,"sf":"$sfDir","record_hot":$recHot,"fired":$firedList,"drift_hot":$driftHotList,"queries":$detail}""" + "\n").getBytes("UTF-8"))
+      (s"""{"metric":"samples","runs":$runs,"threads":$threadsJson,"sf":"$sfDir","value":${fmt("2", total)},"sum_of_mins":${fmt("2", sumOfMins)},"window_hot":$winHot,"record_hot":$recHot,"fired":$firedList,"drift_hot":$driftHotList,"queries":$detail}""" + "\n").getBytes("UTF-8"))
     // The short total line is the one that must survive the tail; it is
     // bounded (~110 chars) by construction. Warn only if it somehow grows.
     if (shortJson.length > 500)

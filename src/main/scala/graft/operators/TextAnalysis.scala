@@ -1610,6 +1610,15 @@ object TextAnalysis {
     * order, no ntile/window over the corpus), first occurrence is an
     * exact min, and every output is a count.
     *
+    * Precondition (r18 ADVICE): ids must be NON-NEGATIVE — the same
+    * documented discipline as the other div-based operators (hits/
+    * pageRank, `Graph.scala`): Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, so they agree only on non-negative
+    * operands, and a negative id would also put the bucket outside
+    * [0, buckets). The testdata id columns are sequential non-negative
+    * by construction (FIXTURES.md); callers with signed id spaces must
+    * shift first.
+    *
     * Shape: ONE token-keyed min aggregate (map-side partials — the
     * dedup-class shuffle, skinny (token, min_id) rows), two
     * buckets-bounded count aggregates, and a running sum over the

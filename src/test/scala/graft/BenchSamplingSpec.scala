@@ -149,4 +149,30 @@ class BenchSamplingSpec extends AnyFunSuite {
     assert(!recordHot(p20.map { case (k, v) => k -> v * 1.09 }, p20))
     assert(recordHot(p20.map { case (k, v) => k -> v * 1.12 }, p20))
   }
+
+  // ---- window-quality stamp (round 19, VERDICT r18 item 1) ----
+
+  test("the r18 32-thread driver profile stamps window_hot from its own value/floor ratio") {
+    // Shape of the r18 blemish: BENCH_r18.json read value 254.49 s over
+    // its own 222.33 s sum-of-floors — 14.5% over, far past BASELINE.md's
+    // 10% quiet bound — yet record_hot stayed false because the flag
+    // compares only prior committed SAME-basis records and the committed
+    // record was the local[4] one: a first-of-basis record was
+    // structurally unstampable. windowHot needs no history — it must
+    // fire on the record's own numbers.
+    assert(windowHot(254.49, 222.33),
+      "the r18 driver record must stamp itself hot")
+    // The committed quiet r18 engine record (175.63 value / 165.02
+    // floor, 6.4% over) must stay unstamped — the flag marks heat, not
+    // the ordinary median-over-floor gap of a quiet window.
+    assert(!windowHot(175.63, 165.02),
+      "the committed quiet record must not stamp")
+    // Boundary: exactly 10% over is quiet (the bound is strict-over);
+    // just past it is hot.
+    assert(!windowHot(110.0, 100.0))
+    assert(windowHot(110.2, 100.0))
+    // Degenerate floors (all queries failed -> 0.0) never stamp: there
+    // is no steady-state estimate to compare against.
+    assert(!windowHot(5.0, 0.0))
+  }
 }

@@ -39,9 +39,11 @@ class Tier30CoverageSpec extends AnyFunSuite {
     }.toMap
   }
 
-  test("every obligee carries a committed 30x probe row or a documented exemption") {
+  private lazy val exempt = Tier30Coverage.exemptions()
+
+  test("every obligee carries a committed 30x probe row or a ledger exemption row") {
     val need = Tier30Coverage.obliged(tier, floors)
-    val missing = need -- probes.keySet -- Tier30Coverage.exempt.keySet
+    val missing = need -- probes.keySet -- exempt.keySet
     assert(missing.isEmpty,
       s"queries meeting the 30x obligation rule (tier >= 5 s and >= 3x " +
         s"the sf0.1 floor) with NO committed probe row and NO documented " +
@@ -83,11 +85,32 @@ class Tier30CoverageSpec extends AnyFunSuite {
     assert(staleProbe.isEmpty,
       s"tier30_out.json rows for queries that no longer exist: " +
         s"${staleProbe.toSeq.sorted.mkString(", ")}")
-    val ex = Tier30Coverage.exempt.keySet
+    val ex = exempt.keySet
     assert((ex -- shortQs).isEmpty, "exempt entries for dead queries")
     assert(ex.intersect(probes.keySet).isEmpty,
       "queries BOTH probed and exempt (drop the exemption)")
-    val thin = Tier30Coverage.exempt.filter(_._2.trim.length < 40).keys
+    val thin = exempt.filter(_._2.trim.length < 40).keys
     assert(thin.isEmpty, s"exemption reasons too thin: ${thin.toSeq.sorted}")
+  }
+
+  test("the exemption ledger row shape parses (pure, round 19)") {
+    // The machine-readable form of the obligation's exemption arm
+    // (VERDICT r18 item 4): a top-level "exempt" object in
+    // tier30_out.json, one "qNN": "reason" row per exemption.
+    val rec = """{"metric":"tier30","exempt":{"q42": "output is k-bounded """ +
+      """by construction; 30x input cannot grow it"},""" +
+      """"queries":{"q159":[65.05,245.09]}}"""
+    val ex = Tier30Coverage.parseExemptions(rec)
+    assert(ex == Map("q42" -> ("output is k-bounded by construction; " +
+      "30x input cannot grow it")))
+    // empty object and missing object both parse to no exemptions
+    assert(Tier30Coverage.parseExemptions("""{"exempt":{},"queries":{}}""").isEmpty)
+    assert(Tier30Coverage.parseExemptions("""{"queries":{}}""").isEmpty)
+    // the committed record must carry the object (even when empty), so
+    // the arm is visible in the ledger itself, not only in code
+    val committed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Tier30Coverage.recordPath)), "UTF-8")
+    assert(committed.contains("\"exempt\":{"),
+      "tier30_out.json lost its exempt object — re-add it next to queries")
   }
 }
