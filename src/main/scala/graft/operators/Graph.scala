@@ -566,7 +566,106 @@ object Graph {
   private val q259: Q = (s, d) =>
     hits(custSuppEdges(s, d), "src", "dst")
 
+  // ------------------------------------- weighted shortest paths (SSSP) --
+
+  /** Weighted single-source shortest paths — Bellman-Ford with frontier
+    * relaxation (round 19, VERDICT r18 item 3): the weighted sibling of
+    * [[shortestPaths]] (q139 is the w≡1 case) and the last classic
+    * missing from the graph family. One row per node reachable within
+    * `maxRounds` edges, with the exact minimum path cost.
+    *
+    * Semantics under the round cap: after R rounds the frame holds
+    * min-cost over walks of ≤ R EDGES (the textbook Bellman-Ford
+    * invariant) — the oracle replays exactly that as a bounded
+    * recursive-CTE min-cost walk, so the two agree even when the cap
+    * bites before convergence; when the frontier empties earlier, no
+    * longer walk can improve and both readings equal true SSSP.
+    *
+    * Determinism: weights are exact non-negative integers (required —
+    * negative edges would make "distance" cap-relative), costs are exact
+    * long sums, and min is order-free. No float anywhere.
+    *
+    * Scale shape: each round is ONE equality join (frontier ⋈ edges on
+    * the node id, both sides partitioned by it) + ONE keyed min
+    * aggregate (map-side partials) + ONE improvement left-join against
+    * the settled frame — nothing quadratic; the frontier-empty early
+    * exit bounds rounds at min(weighted eccentricity hops, maxRounds).
+    * Frontier relaxation, not whole-frame: only nodes whose distance
+    * IMPROVED this round can improve a neighbor next round, so the
+    * per-round join input shrinks toward convergence instead of staying
+    * corpus-sized (the standard delta-stepping-lite optimization).
+    * Driver holds loop control + one count per round; localCheckpoint
+    * truncates lineage with eager block release — the [[pageRank]]/
+    * [[shortestPaths]] discipline. */
+  def sssp(edges: DataFrame, src: String, dst: String, wCol: String,
+      sourceNode: String, maxRounds: Int = 6): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"sssp: maxRounds must be in [1, 64], got $maxRounds")
+    val sess = edges.sparkSession
+    import sess.implicits._
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"),
+      col(wCol).cast("long").as("w")).localCheckpoint()
+    // Undirected: symmetrize, then keep the MIN weight per directed pair
+    // (parallel edges can only help via their cheapest member).
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b"),
+        col("w")))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    Dedup.unpersistBlocks(e0)
+    var dist = Seq((sourceNode, 0L)).toDF("node", "dist").localCheckpoint()
+    var frontier = dist
+    var round = 0
+    var improvedN = 1L
+    while (round < maxRounds && improvedN > 0) {
+      round += 1
+      val cand = und.join(frontier, und("a") === frontier("node"))
+        .select(und("b").as("node"),
+          (frontier("dist") + und("w")).as("d"))
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+      val improved = cand.join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("d") < col("dist"))
+        .select(col("node"), col("d").as("dist"))
+        .localCheckpoint()
+      improvedN = improved.count()
+      // improved rows strictly beat their settled entries, so the merge
+      // is a keyed min over the union — ONE aggregate, no outer join.
+      val nd = dist.union(improved)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      Dedup.unpersistBlocks(frontier)
+      Dedup.unpersistBlocks(dist)
+      dist = nd
+      frontier = improved
+    }
+    Dedup.unpersistBlocks(und)
+    dist
+  }
+
+  /** Weighted cust–supp purchase edges for [[sssp]]: one edge per
+    * (customer, supplier) pair linked by a pre-cutoff order (the
+    * [[custSuppEdges]] densification slice), weight
+    * 1 + (min(l_quantity) mod 5) ∈ [1, 5]. Coarse ON PURPOSE: the
+    * oracle's bounded min-cost-walk CTE dedups on (node, cost, round)
+    * states, and a [1, 5] weight range bounds 6-round path costs at 30,
+    * keeping the oracle's state space nodes×30×6 at any SF (raw 1..50
+    * quantities would 10× it). min() is exact; quantities are integral
+    * by fixture construction; mod operands non-negative, so Spark `%`
+    * and DuckDB `%` agree. */
+  private[graft] def custSuppWeightedEdges(s: SparkSession, d: String,
+      cutoff: String = "1995-03-01"): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .agg((lit(1L) + min(col("l_quantity")).cast("long") % 5L).as("w"))
+
+  private val q267: Q = (s, d) =>
+    sssp(custSuppWeightedEdges(s, d), "src", "dst", "w", "c:28")
+      .orderBy(col("node"))
+
   val queries: Map[String, Q] = Map(
+    "q267_sssp" -> q267,
     "q245_link_prediction" -> q245,
     "q259_hits" -> q259,
     "q110_pagerank" -> q110,
@@ -638,6 +737,33 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // Replays sssp as the INDEPENDENT bounded min-cost-walk formulation:
+    // (node, cost, round) states with UNION dedup — cost grows along a
+    // walk (weights >= 1), but the round column caps recursion exactly
+    // like maxRounds, and min(cost) per node over <= 6-edge walks IS the
+    // 6-round Bellman-Ford frame. The [1,5] weight range (see
+    // custSuppWeightedEdges) bounds states at nodes x 30 x 6.
+    "q267_sssp" -> """
+      WITH RECURSIVE
+      e0 AS (SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                    's:' || CAST(l_suppkey AS VARCHAR) AS b,
+                    1 + CAST(min(l_quantity) AS BIGINT) % 5 AS w
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'
+             GROUP BY 1, 2),
+      e AS (SELECT a, b, CAST(min(w) AS BIGINT) AS w
+            FROM (SELECT a, b, w FROM e0
+                  UNION ALL SELECT b, a, w FROM e0)
+            GROUP BY a, b),
+      walk AS (
+        SELECT 'c:28' AS node, CAST(0 AS BIGINT) AS d, 0 AS r
+        UNION
+        SELECT e.b AS node, walk.d + e.w AS d, walk.r + 1 AS r
+        FROM walk JOIN e ON e.a = walk.node
+        WHERE walk.r < 6)
+      SELECT node, CAST(min(d) AS BIGINT) AS dist
+      FROM walk GROUP BY node
+      ORDER BY node""",
     // Replays linkPrediction: symmetrized distinct edges, per-center
     // neighbor cap under the (center, neighbor-id) order, integer RA
     // micro-weights, the non-edge anti-join, the (score DESC, u, v)

@@ -121,6 +121,53 @@ object StreamingQueries {
     s.table(name).orderBy(col("window_start"), col("event_type"))
   }
 
+  /** UPDATE-mode watermarked tumbling aggregation (round 19, VERDICT r18
+    * item 5) — the third output mode under the oracle discipline
+    * (complete: q82/q85/q151; append: q191): each trigger emits only the
+    * windows that CHANGED in that trigger, re-emitting a window as often
+    * as new rows land in it — the mode for upsert sinks, where the
+    * consumer keeps the latest row per key. The drained memory sink
+    * therefore holds the full RE-EMISSION HISTORY (one row per (window,
+    * key, change)); the gated frame is the consumer's view — the FINAL
+    * state per key, picked by max(n): per-key counts grow strictly
+    * across that key's re-emissions (update mode emits a key only when
+    * its state changed), so max-n IS the last emission, with max_by
+    * carrying its total. The events replay time-ordered in 4 chunks
+    * (q191's staging), so no row arrives beyond the watermark and every
+    * window's final state equals the plain batch aggregate — the oracle
+    * is q80's tumbling SQL verbatim, which is exactly the
+    * final-state-≡-batch certificate the mode needs. LateDataSpec
+    * drives the same plan on a controlled MemoryStream and pins the
+    * re-emission semantics row-by-row (initial emit, changed-key-only
+    * re-emit, late-beyond-watermark non-emit).
+    *
+    * Scale: state is watermark-bounded exactly as in append mode; the
+    * sink sees O(changes) rows instead of O(windows × triggers)
+    * (complete mode's cost) — the only mode fit for a 100 TB upsert
+    * dashboard feed. */
+  private val q268: Q = (s, d) => {
+    val stage = timeChunkedStreamDir(s, d, 4)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+    val name = s"graft_stream_update_${System.nanoTime()}"
+    withStatePartitions(s, 4) {
+      val q = agg.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(max(col("n")).as("n"), max_by(col("total"), col("n")).as("total"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Stream-stream inner join under the REAL streaming runtime: clicks and
     * purchases (two watermarked readStream branches over the same source)
     * joined per user with the event-time interval condition "purchase within
@@ -959,6 +1006,7 @@ object StreamingQueries {
     "q150_stream_bloom" -> q150,
     "q151_stream_session" -> q151,
     "q191_stream_append" -> q191,
+    "q268_stream_update" -> q268,
     "q195_stream_outer_join" -> q195,
     "q252_stream_full_outer" -> q252,
     "q262_stream_semi_join" -> q262,
@@ -1072,6 +1120,11 @@ object StreamingQueries {
     // Backend equivalence: the RocksDB-provider run must equal the same
     // aggregation on the default heap-backed provider (and the batch SQL).
     "q205_stream_rocksdb" -> tumblingOracle,
+    // Update-mode final state ≡ the batch aggregate: the events replay
+    // time-ordered, so nothing is watermark-dropped, and the consumer's
+    // latest-row-per-key view (max-n pick over the re-emission history)
+    // must land exactly on q80's tumbling SQL.
+    "q268_stream_update" -> tumblingOracle,
     // q82's tumbling aggregate restricted to watermark-FINALIZED windows:
     // append mode emits a window only once the watermark (max event time
     // − 1 h delay) passes its end, so the trailing open windows are

@@ -258,6 +258,13 @@ object SmokeCoverage {
     "q265_wilson_ci" -> ("ONE groups-bounded keyed aggregate with " +
       "map-side partials; the interval chain is a map-side projection " +
       "over it — 1.0x at the 10x tier"),
+    // -- round-19 batch (q267+) --
+    "q267_sssp" -> ("the smoked bfs/pagerank iterative exchange shape " +
+      "verbatim (per-round frontier-keyed join + keyed min aggregate + " +
+      "improvement left-join, localCheckpoint with eager release); the " +
+      "frontier SHRINKS toward convergence, so rounds cost less as the " +
+      "graph settles — 1.2x at the 10x tier"),
+    "q268_stream_update" -> StreamingDrain,
     "q266_centroid_drift" -> ("ONE (side x d)-bounded keyed aggregate " +
       "over the exploded corpus (map-side partials); centroids, " +
       "moments and the cosine tail all live on <= d rows — 1.1x at " +

@@ -47,4 +47,53 @@ class LateDataSpec extends SparkSpec {
       s"within-delay 10:29 event should be present: $rows")
     assert(rows("2024-01-01 10:30:00.0") == 1L, rows.toString)
   }
+
+  test("update mode re-emits only changed windows, once per change (q268 semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("k"), col("n"))
+    val name = s"upd_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name).start()
+    try {
+      // Batch 1: two events in window 10:00 → ONE emission (n=2).
+      input.addData((ts(0), "a"), (ts(4), "a"))
+      q.processAllAvailable()
+      // Batch 2: one more 10:00-window event → the window RE-emits
+      // (n=3); nothing else changed, so nothing else emits.
+      input.addData((ts(3), "a"))
+      q.processAllAvailable()
+      // Batch 3: a 10:06 event (NEW window, n=1) plus a 10:59 event
+      // advancing the watermark to 10:49 — the 10:00 window's state
+      // drops. The 10:06 window changed, so it emits; the 10:00 window
+      // did NOT change, so update mode must not re-emit it.
+      input.addData((ts(6), "a"), (ts(59), "a"))
+      q.processAllAvailable()
+      // Batch 4: a 10:01 event — 48 min behind the watermark, beyond
+      // the 10-min delay → dropped, NO re-emission of the 10:00 window.
+      input.addData((ts(1), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hist = spark.table(name)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSeq
+      .sorted
+    // Full re-emission history: 10:00 emits twice (n=2 then n=3), each
+    // other window exactly once; the late row adds nothing.
+    assert(hist == Seq(
+      ("2024-01-01 10:00:00.0", 2L), ("2024-01-01 10:00:00.0", 3L),
+      ("2024-01-01 10:05:00.0", 1L), ("2024-01-01 10:55:00.0", 1L)),
+      s"unexpected update-mode emission history: $hist")
+    // The consumer's latest-per-key view (q268's max-n pick) reads the
+    // final states — the batch aggregate over the non-dropped rows.
+    val finalState = spark.table(name).groupBy(col("ws"))
+      .agg(max(col("n")).as("n"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(finalState == Map(
+      "2024-01-01 10:00:00.0" -> 3L, "2024-01-01 10:05:00.0" -> 1L,
+      "2024-01-01 10:55:00.0" -> 1L))
+  }
 }

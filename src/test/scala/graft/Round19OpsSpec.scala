@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, TextAnalysis}
+import graft.operators.{Analytics, Graph, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-19 locks: the three r18 ADVICE contracts (cohenKappa's
@@ -83,5 +83,43 @@ class Round19OpsSpec extends SparkSpec {
     // 'common' is new only in bucket 0: new_types = 3,2,2,2,2 cum 3,5,7,9,11
     assert(out.map(_._4) == Seq(3L, 2L, 2L, 2L, 2L))
     assert(out.map(_._5) == Seq(3L, 5L, 7L, 9L, 11L))
+  }
+
+  // ------------------------------------------------- weighted SSSP --
+
+  test("sssp: hand-built weighted graph — shortcuts beat hops, caps bind (q267)") {
+    // Undirected weighted graph:
+    //   A-B w1, B-C w1, A-C w5  (2-hop path 2 beats direct 5)
+    //   C-D w1                  (dist D = 3 via A-B-C-D)
+    //   D-E w10, C-E w9         (dist E = min(3+10, 2+9) = 11)
+    //   F-G w1                  (disconnected from A: absent)
+    val edges = Seq(("A", "B", 1L), ("B", "C", 1L), ("A", "C", 5L),
+        ("C", "D", 1L), ("D", "E", 10L), ("C", "E", 9L), ("F", "G", 1L))
+      .toDF("s", "t", "w")
+    val out = Graph.sssp(edges, "s", "t", "w", "A", maxRounds = 8)
+      .orderBy(col("node")).as[(String, Long)].collect().toSeq
+    assert(out == Seq("A" -> 0L, "B" -> 1L, "C" -> 2L, "D" -> 3L,
+      "E" -> 11L))
+    // Round cap semantics: with maxRounds = 1 only direct edges settle
+    // (the <=1-edge walk minimum — A-C reads its DIRECT weight 5).
+    val capped = Graph.sssp(edges, "s", "t", "w", "A", maxRounds = 1)
+      .orderBy(col("node")).as[(String, Long)].collect().toSeq
+    assert(capped == Seq("A" -> 0L, "B" -> 1L, "C" -> 5L))
+    // Parallel edges: the cheapest member wins.
+    val par = Seq(("A", "B", 7L), ("A", "B", 2L)).toDF("s", "t", "w")
+    assert(Graph.sssp(par, "s", "t", "w", "A").orderBy(col("node"))
+      .as[(String, Long)].collect().toSeq == Seq("A" -> 0L, "B" -> 2L))
+  }
+
+  test("sssp: frontier early-exit equals the full-round answer (q267)") {
+    // A path graph settles in |V|-1 rounds; a huge cap must not change
+    // the answer (the frontier empties and the loop exits).
+    val path = Seq(("n1", "n2", 3L), ("n2", "n3", 4L)).toDF("s", "t", "w")
+    val a = Graph.sssp(path, "s", "t", "w", "n1", maxRounds = 2)
+      .orderBy(col("node")).as[(String, Long)].collect().toSeq
+    val b = Graph.sssp(path, "s", "t", "w", "n1", maxRounds = 64)
+      .orderBy(col("node")).as[(String, Long)].collect().toSeq
+    assert(a == Seq("n1" -> 0L, "n2" -> 3L, "n3" -> 7L))
+    assert(a == b)
   }
 }
