@@ -135,7 +135,12 @@ object SchemaGolden {
     // frame) are the same q249 class — corpus-growing value frames where
     // SMJ is the CORRECT large-scale plan; pinned at both bases rather
     // than broadcast-hinted wrong.
-    "q253_kruskal_wallis")
+    "q253_kruskal_wallis",
+    // round 19: q274's view joins are FACT-FACT (orders x lineitem at
+    // every leg — both sides corpus-growing), so the 10x tier correctly
+    // flips BHJ->SMJ; a broadcast hint would be wrong at scale. Pinned
+    // at the sf0.1 base.
+    "q274_join_view_maintenance")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()

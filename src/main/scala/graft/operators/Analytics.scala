@@ -4144,7 +4144,361 @@ object Analytics {
     decayedFeatures(Tables.events(s, d), "user_id", "ts", "value", 604800L)
       .orderBy(col("user_id"))
 
+  // ------------------------------------------- concentration profile --
+
+  /** Per-group concentration profile — Gini coefficient, Herfindahl-
+    * Hirschman index and top-holder share of how a group's mass
+    * distributes over its units (round 19). The curation readout behind
+    * "is this source a thousand contributors or one crawler?": dataset
+    * mixture weights, dedup-cap tuning and abuse triage all key on
+    * whether a slice's volume is broadly held or concentrated — and the
+    * three numbers answer it at three resolutions (whole-distribution
+    * inequality, sum-of-squared-shares, single largest holder).
+    *
+    * Exactness: the unit frame is exact counts; Gini uses the sorted
+    * identity G = (2·Σ i·xᵢ − (N+1)·S)/(N·S), with Σ i·xᵢ computed
+    * WITHOUT materializing per-unit ranks — tied values occupy a
+    * position block, and the block's Σ i·x collapses to
+    * x·(c·prev + c(c+1)/2), so the whole sum lives on the collapsed
+    * (group, value) frame in exact DECIMAL(38,0). HHI = Σx²/S² and
+    * top share = max/S need no order at all. Each output is ONE IEEE
+    * division over exact integer operands, round(6).
+    *
+    * Shape: one corpus-wide unit collapse (map-side partials), then
+    * everything runs on the (group, value) frame — bucket-local
+    * windows + per-(group, bucket) offsets for the strictly-smaller
+    * cumulative (the q249/q184 two-level decomposition: no
+    * group-partitioned corpus window, so a few huge groups cannot
+    * funnel the corpus through single tasks), and one groups-bounded
+    * finalize. */
+  def concentrationProfile(df: DataFrame, groupCol: String,
+      unitCol: String): DataFrame = {
+    val units = df.filter(col(groupCol).isNotNull && col(unitCol).isNotNull)
+      .groupBy(col(groupCol), col(unitCol))
+      .agg(count(lit(1)).as("_n"))
+    val g = col(groupCol)
+    val vf = units.groupBy(g, col("_n").as("_v"))
+      .agg(count(lit(1)).as("_cv"))
+      .withColumn("_bkt", expr("_v div 16"))
+      .localCheckpoint()
+    val wLoc = Window.partitionBy(g, col("_bkt")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = vf.withColumn("_l", sum(col("_cv")).over(wLoc))
+    val wOff = Window.partitionBy(g).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vf.groupBy(g, col("_bkt"))
+      .agg(sum(col("_cv")).as("_bc"))
+      .withColumn("_off", coalesce(sum(col("_bc")).over(wOff), lit(0L)))
+      .select(g, col("_bkt"), col("_off"))
+    val ranked = local.join(offsets, Seq(groupCol, "_bkt"))
+      // units strictly below this value block
+      .withColumn("_prev", col("_off") + col("_l") - col("_cv"))
+      // the block's exact DOUBLED Σ i·x — 2·Σi over a block of c at
+      // positions prev+1..prev+c is c·(2·prev + c + 1), so the term is
+      // pure multiplication (no division anywhere, no parity question)
+      .withColumn("_six2", expr("""
+        cast(_v as decimal(38,0)) * _cv * (2 * _prev + _cv + 1)"""))
+    ranked.groupBy(g)
+      .agg(sum(col("_cv")).as("n_units"),
+        sum(col("_v") * col("_cv")).as("total"),
+        sum(col("_v").cast("decimal(38,0)") * col("_v") * col("_cv"))
+          .as("_s2"),
+        max(col("_v")).as("_mx"),
+        sum(col("_six2")).as("_ssix2"))
+      .select(g, col("n_units"), col("total"),
+        round(expr("""
+          cast(_ssix2 - cast(n_units + 1 as decimal(38,0)) * total
+               as double)
+          / cast(cast(n_units as decimal(38,0)) * total as double)"""), 6)
+          .as("gini"),
+        round(expr("""
+          cast(_s2 as double)
+          / (cast(total as double) * cast(total as double))"""), 6)
+          .as("hhi"),
+        round(expr("cast(_mx as double) / cast(total as double)"), 6)
+          .as("top_share"))
+  }
+
+  private val q269: Q = (s, d) =>
+    concentrationProfile(Tables.events(s, d), "event_type", "user_id")
+      .orderBy(col("event_type"))
+
+  // --------------------------------------- robust (nonparametric) trend --
+
+  /** Mann-Kendall trend test + Theil-Sen slope over daily event counts
+    * (round 19) — the NONPARAMETRIC sibling of q141's OLS fit, next to
+    * the sequential alarm (q263 CUSUM) and the fixed-window gates: "is
+    * ingest volume drifting, without assuming linear-Gaussian noise?"
+    * MK's S statistic counts concordant minus discordant day pairs
+    * (outlier-immune where a single spike owns an OLS slope), tau-b
+    * normalizes with the tie correction, and the Theil-Sen slope — the
+    * median of all pairwise slopes — is the robust rate estimate
+    * dashboards act on.
+    *
+    * Determinism: S, the tie term and the pair count are exact
+    * integers; each pairwise slope is ONE IEEE division of exact
+    * integers (identical operands both engines — ordering doubles is
+    * exact); the median picks row_number positions (⌈m/2⌉, m div 2 + 1)
+    * under the (slope, day-pair) total order and averages the two
+    * (equal when m is odd), round(6); tau-b is one pinned sqrt chain,
+    * NULL when every day count is equal (the tie term consumes n0).
+    *
+    * Shape: ONE days-bounded keyed collapse over the corpus (map-side
+    * partials); the pair join, the slope sort and every aggregate live
+    * on the ≤ |days| (and ≤ |days|²/2) frames — the [[kaplanMeier]]
+    * bounded-quadratic class, a constant at any corpus scale. The
+    * slope window is single-partition over the bounded pair frame by
+    * construction. */
+  def robustTrend(df: DataFrame, tsCol: String): DataFrame = {
+    val days = df.filter(col(tsCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("_d", datediff(col("day"), lit("1970-01-01").cast("date")))
+      .localCheckpoint()
+    val a = days.select(col("_d").as("_da"), col("n").as("_na"))
+    val b = days.select(col("_d").as("_db"), col("n").as("_nb"))
+    val pairs = a.join(b, col("_da") < col("_db"))
+      .select(col("_da"), col("_db"),
+        (col("_nb") - col("_na")).as("_dn"),
+        (col("_db") - col("_da")).as("_dd"))
+      .localCheckpoint()
+    val mk = pairs.agg(count(lit(1)).as("_m"),
+      sum(when(col("_dn") > 0, 1L).when(col("_dn") < 0, -1L)
+        .otherwise(0L)).as("s"))
+    val ties = days.groupBy(col("n")).agg(count(lit(1)).as("_t"))
+      .agg(coalesce(sum(expr("_t * (_t - 1) div 2")), lit(0L)).as("_T"),
+        coalesce(sum(col("_t")), lit(0L)).as("n_days"))
+    val wSl = Window.orderBy(col("_sl"), col("_da"), col("_db"))
+    val med = pairs
+      .select(col("_da"), col("_db"),
+        (col("_dn").cast("double") / col("_dd")).as("_sl"))
+      .withColumn("_rn", row_number().over(wSl))
+      .crossJoin(broadcast(mk.select(col("_m"))))
+      .filter(col("_rn") === expr("(_m + 1) div 2") ||
+        col("_rn") === expr("_m div 2 + 1"))
+      .agg(round(avg(col("_sl")), 6).as("sen_slope"))
+    mk.crossJoin(broadcast(ties)).crossJoin(broadcast(med))
+      .select(col("n_days"), col("s"),
+        round(expr("""
+          case when _m - _T > 0
+               then s / sqrt(cast(_m as double) * (_m - _T)) end"""), 6)
+          .as("tau_b"),
+        col("sen_slope"))
+  }
+
+  private val q270: Q = (s, d) =>
+    robustTrend(Tables.events(s, d), "ts")
+
+  // ----------------------------------------------- autocorrelation --
+
+  /** Autocorrelation function of daily event counts at lags 1..`maxLag`
+    * (round 19) — the seasonality detector next to the trend tests
+    * (q141 OLS, q270 MK) and the alarms (q263 CUSUM): a weekly cycle
+    * shows as a spike at lag 7 BEFORE anyone hardcodes "compare to last
+    * week" into a dashboard, and a near-1 lag-1 says today's volume
+    * predicts tomorrow's (the signal the q210 seasonal-naive backtest
+    * assumes). Standard estimator: r_L = Σ(xᵢ−x̄)(xᵢ₊L−x̄) / Σ(xᵢ−x̄)²
+    * over the day-index series.
+    *
+    * Determinism: the estimator is cleared of fractions — both sides
+    * multiply by N², so r_L = (N²·ΣXY − N·S·(H+T) + (N−L)·S²) /
+    * (N·(N·S2 − S²)) with every operand an exact DECIMAL(38,0) moment;
+    * ONE IEEE division per lag, round(6). Constant series (zero
+    * variance) → NULL.
+    *
+    * Shape: ONE days-bounded keyed collapse over the corpus; the index
+    * window, the lag self-joins and the moments all live on the
+    * ≤ |days| frame (the index window is single-partition over that
+    * bounded frame by construction — the q263/q270 class). */
+  def autocorrelation(df: DataFrame, tsCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64,
+      s"autocorrelation: maxLag must be in [1, 64], got $maxLag")
+    val days = df.filter(col(tsCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("day"))))
+      .localCheckpoint()
+    val stats = days.agg(count(lit(1)).as("_N"),
+      sum(col("n").cast("decimal(38,0)")).as("_S"),
+      sum(col("n").cast("decimal(38,0)") * col("n")).as("_S2"))
+    val lags = days.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val a = days.select(col("_i").as("_ia"), col("n").as("_na"))
+    val b = days.select(col("_i").as("_ib"), col("n").as("_nb"))
+    val pairs = a.join(b, col("_ib") - col("_ia") <= maxLag &&
+        col("_ib") > col("_ia"))
+      .select((col("_ib") - col("_ia")).cast("int").as("lag"),
+        (col("_na").cast("decimal(38,0)") * col("_nb")).as("_xy"),
+        col("_na"), col("_nb"))
+      .groupBy(col("lag"))
+      .agg(sum(col("_xy")).as("_XY"),
+        sum(col("_na").cast("decimal(38,0)")).as("_H"),
+        sum(col("_nb").cast("decimal(38,0)")).as("_T"))
+    lags.join(pairs, Seq("lag"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("lag"),
+        (col("_N") - col("lag")).as("n_pairs"),
+        round(expr("""
+          case when _N * _S2 - _S * _S <> 0 and _XY is not null
+               then cast(cast(_N as decimal(38,0)) * _N * _XY
+                         - cast(_N as decimal(38,0)) * _S * (_H + _T)
+                         + (_N - lag) * _S * _S as double)
+                    / cast(cast(_N as decimal(38,0))
+                           * (_N * _S2 - _S * _S) as double) end"""), 6)
+          .as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  private val q272: Q = (s, d) =>
+    autocorrelation(Tables.events(s, d), "ts")
+
+  // ------------------------------------------ inter-arrival burstiness --
+
+  /** Per-type inter-arrival statistics — mean gap, dispersion, CV and
+    * the Goh–Barabási burstiness B = (σ−μ)/(σ+μ) (round 19): the
+    * traffic-shape diagnostic behind rate limits, session-gap choices
+    * (q113's 30-min constant) and capacity planning — B ≈ −1 is a
+    * metronome (provisioning is easy), B ≈ 0 Poisson, B → 1 heavy
+    * bursts (the regime where mean-based capacity fails). Gaps are
+    * consecutive same-user waits; the roll-up groups them by the
+    * arriving event's type.
+    *
+    * Determinism: gaps are exact integral microseconds (the lag window
+    * rides the (us, id) total order — FIXTURES.md pins (user, us, id)
+    * uniqueness); moments are exact DECIMAL(38,0); mean, σ, CV and B
+    * are pinned IEEE chains over them, round(6). Single-gap groups get
+    * σ = 0 → B = −1, CV = 0 (defined; only μ = 0 groups NULL out).
+    * Mean/σ are emitted in SECONDS, not microseconds: round(·, 6) is
+    * only deterministic when the rounding grid is ≥ the double's ulp,
+    * and a ~4·10¹⁰ µs mean has ulp ≈ 7.6·10⁻⁶ — rounding BELOW ulp
+    * diverged in the last bit at the sf0.1 gate (caught pre-commit);
+    * at seconds scale the grid is 10⁶× the ulp.
+    *
+    * Shape: ONE user-keyed window exchange for the lag (users are the
+    * fine-grained partition key — never a per-type corpus window), one
+    * types-bounded keyed aggregate with map-side partials, map-side
+    * chains. */
+  def interArrivalStats(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_us"), col(idCol))
+    val gaps = df.filter(col(userCol).isNotNull)
+      .select(col(userCol), col(typeCol), col(idCol),
+        unix_micros(col(tsCol)).as("_us"))
+      .withColumn("_g", col("_us") - lag(col("_us"), 1).over(w))
+      .filter(col("_g").isNotNull)
+    gaps.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_g").cast("decimal(38,0)")).as("_sg"),
+        sum(col("_g").cast("decimal(38,0)") * col("_g")).as("_sg2"))
+      .select(col(typeCol), col("n_gaps"),
+        round(expr("cast(_sg as double) / n_gaps / 1000000.0"), 6)
+          .as("mean_s"),
+        round(expr("""
+          sqrt((cast(_sg2 as double)
+                - cast(_sg as double) * cast(_sg as double) / n_gaps)
+               / n_gaps) / 1000000.0"""), 6).as("sd_s"),
+        round(expr("""
+          case when _sg > 0 then
+            sqrt((cast(_sg2 as double)
+                  - cast(_sg as double) * cast(_sg as double) / n_gaps)
+                 / n_gaps)
+            / (cast(_sg as double) / n_gaps) end"""), 6).as("cv"),
+        round(expr("""
+          case when _sg > 0 then
+            (sqrt((cast(_sg2 as double)
+                   - cast(_sg as double) * cast(_sg as double) / n_gaps)
+                  / n_gaps)
+             - cast(_sg as double) / n_gaps)
+            / (sqrt((cast(_sg2 as double)
+                     - cast(_sg as double) * cast(_sg as double) / n_gaps)
+                    / n_gaps)
+               + cast(_sg as double) / n_gaps) end"""), 6)
+          .as("burstiness"))
+  }
+
+  private val q273: Q = (s, d) =>
+    interArrivalStats(Tables.events(s, d), "user_id", "ts", "event_id",
+      "event_type")
+      .orderBy(col("event_type"))
+
+  // --------------------------------- incremental JOIN-view maintenance --
+
+  /** Incremental maintenance of a JOIN-view aggregate (round 19) — the
+    * JOIN leg of the incremental-maintenance family ([[aggState]] q114
+    * maintains a single-table aggregate, [[snapshotAggMerge]] q258 its
+    * variance moments; real materialized views join first). For the
+    * view V = γ(A ⋈ B), new rows ΔA/ΔB update it by the classic delta
+    * decomposition ΔV = γ(ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB) — three joins each
+    * carrying a DELTA side, so maintenance work scales with the delta,
+    * never with a base×base rescan; the merged view is a key-keyed sum
+    * merge of two already-aggregated small frames (q258's economics).
+    *
+    * The oracle computes γ((A₀∪ΔA) ⋈ (B₀∪ΔB)) single-pass, so
+    * agreement certifies maintain(V₀, ΔA, ΔB) ≡ recompute(A, B)
+    * EXACTLY — counts are integers and the measure is an exact
+    * DECIMAL(14,2) sum, so maintained and recomputed states are
+    * bit-equal. Split predicates ride the q258 defined-boolean rule
+    * (coalesce to false): every row lands in exactly one snapshot.
+    *
+    * Shape: base view ONE join + keyed aggregate (computed here only
+    * because the certificate needs V₀ — in production it's the stored
+    * view); the three delta joins share B₀/A₀ scans, and the final
+    * merge is a full-outer join of two groups-bounded frames. */
+  def joinViewMaintenance(a: DataFrame, b: DataFrame, aJoin: String,
+      bJoin: String, aGroup: String, bGroup: String, valCol: String,
+      inBaseA: Column, inBaseB: Column): DataFrame = {
+    val at = a.filter(col(aJoin).isNotNull)
+      .select(col(aJoin).as("_k"), col(aGroup).as("_ga"),
+        coalesce(inBaseA, lit(false)).as("_ba"))
+    val bt = b.filter(col(bJoin).isNotNull)
+      .select(col(bJoin).as("_k"), col(bGroup).as("_gb"),
+        col(valCol).cast("decimal(14,2)").as("_v"),
+        coalesce(inBaseB, lit(false)).as("_bb"))
+    val a0 = at.filter(col("_ba")).drop("_ba")
+    val da = at.filter(!col("_ba")).drop("_ba")
+    val b0 = bt.filter(col("_bb")).drop("_bb")
+    val db = bt.filter(!col("_bb")).drop("_bb")
+    def view(l: DataFrame, r: DataFrame) = l.join(r, "_k")
+      .groupBy(col("_ga"), col("_gb"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_v")).cast("decimal(38,2)").as("_s"))
+    val v0 = view(a0, b0)
+    // ΔV in ONE aggregate over the union of the three delta joins
+    val dv = view(da, b0)
+      .unionAll(view(a0, db)).unionAll(view(da, db))
+      .groupBy(col("_ga"), col("_gb"))
+      .agg(sum(col("_n")).as("_n"),
+        sum(col("_s")).cast("decimal(38,2)").as("_s"))
+    v0.select(col("_ga"), col("_gb"), col("_n").as("_n0"),
+        col("_s").as("_s0"))
+      .join(dv, Seq("_ga", "_gb"), "full_outer")
+      .select(col("_ga"), col("_gb"),
+        (coalesce(col("_n0"), lit(0L)) + coalesce(col("_n"), lit(0L)))
+          .as("n"),
+        (coalesce(col("_s0"), lit(0).cast("decimal(38,2)"))
+          + coalesce(col("_s"), lit(0).cast("decimal(38,2)")))
+          .cast("decimal(38,2)").cast("double").as("revenue"))
+  }
+
+  private val q274: Q = (s, d) =>
+    joinViewMaintenance(Tables.orders(s, d), Tables.lineitem(s, d),
+      "o_orderkey", "l_orderkey", "o_orderpriority", "l_returnflag",
+      "l_extendedprice",
+      expr(s"pmod(${CrossHash.h60Expr("o_orderkey")}, 4) != 0"),
+      expr(s"pmod(${
+        CrossHash.h60Expr("concat(l_orderkey, ':', l_linenumber)")}, 3) != 0"))
+      .withColumnRenamed("_ga", "o_orderpriority")
+      .withColumnRenamed("_gb", "l_returnflag")
+      .orderBy(col("o_orderpriority"), col("l_returnflag"))
+
   val queries: Map[String, Q] = Map(
+    "q274_join_view_maintenance" -> q274,
+    "q272_acf" -> q272,
+    "q273_burstiness" -> q273,
+    "q269_concentration" -> q269,
+    "q270_robust_trend" -> q270,
     "q236_decayed_features" -> q236,
     "q113_sessionize" -> q113,
     "q114_incremental_agg" -> q114,
@@ -4315,6 +4669,149 @@ object Analytics {
       ORDER BY p"""
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    // Replays concentrationProfile by the INDEPENDENT row-rank
+    // formulation: plain row_number per group (any order over tied
+    // values yields the same Σ i·x — equal values commute), doubled to
+    // match the engine's block identity, then the identical pinned
+    // division chains.
+    "q269_concentration" -> """
+      WITH u AS (SELECT event_type, user_id AS uu,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM events
+                 WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                 GROUP BY 1, 2),
+      r AS (SELECT event_type, n,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY n, uu) AS i
+            FROM u),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu,
+                   CAST(sum(n) AS BIGINT) AS s,
+                   CAST(sum(CAST(n AS HUGEINT) * n) AS DECIMAL(38,0)) AS s2,
+                   CAST(max(n) AS BIGINT) AS mx,
+                   CAST(sum(2 * CAST(i AS HUGEINT) * n) AS DECIMAL(38,0))
+                     AS six2
+            FROM r GROUP BY event_type)
+      SELECT event_type, nu AS n_units, s AS total,
+             round(CAST(six2 - CAST(nu + 1 AS DECIMAL(38,0)) * s AS DOUBLE)
+                   / CAST(CAST(nu AS DECIMAL(38,0)) * s AS DOUBLE), 6)
+               AS gini,
+             round(CAST(s2 AS DOUBLE)
+                   / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS hhi,
+             round(CAST(mx AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top_share
+      FROM a ORDER BY event_type""",
+    // The q274 certificate: the SINGLE-PASS aggregate over the full
+    // join — agreement proves maintain(V0, dA, dB) == recompute(A, B)
+    // exactly (integer counts, exact DECIMAL revenue, both bit-equal
+    // before the final double cast). The splits don't appear here at
+    // all: that is the point.
+    "q274_join_view_maintenance" -> """
+      SELECT o_orderpriority, l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)))
+                       AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Replays autocorrelation: the same day collapse and index, the lag
+    // self-join moments and the fraction-cleared r_L identity over exact
+    // HUGEINT operands, NULL spine rows for lags past the series.
+    "q272_acf" -> """
+      WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      di AS (SELECT n, row_number() OVER (ORDER BY day) AS i FROM d),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                    CAST(sum(CAST(n AS HUGEINT)) AS DECIMAL(38,0)) AS s,
+                    CAST(sum(CAST(n AS HUGEINT) * n) AS DECIMAL(38,0)) AS s2
+             FROM d),
+      lg AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag),
+      p AS (SELECT CAST(b.i - a.i AS INT) AS lag,
+                   CAST(sum(CAST(a.n AS HUGEINT) * b.n) AS DECIMAL(38,0))
+                     AS xy,
+                   CAST(sum(CAST(a.n AS HUGEINT)) AS DECIMAL(38,0)) AS h,
+                   CAST(sum(CAST(b.n AS HUGEINT)) AS DECIMAL(38,0)) AS t
+            FROM di a JOIN di b ON b.i > a.i AND b.i - a.i <= 7
+            GROUP BY 1)
+      SELECT lg.lag, st.nn - lg.lag AS n_pairs,
+             round(CASE WHEN st.nn * st.s2 - st.s * st.s <> 0
+                         AND p.xy IS NOT NULL
+                   THEN CAST(CAST(st.nn AS DECIMAL(38,0)) * st.nn * p.xy
+                             - CAST(st.nn AS DECIMAL(38,0)) * st.s
+                               * (p.h + p.t)
+                             + (st.nn - lg.lag) * st.s * st.s AS DOUBLE)
+                        / CAST(CAST(st.nn AS DECIMAL(38,0))
+                               * (st.nn * st.s2 - st.s * st.s) AS DOUBLE)
+                   END, 6) AS acf
+      FROM lg LEFT JOIN p USING (lag) CROSS JOIN st
+      ORDER BY lg.lag""",
+    // Replays interArrivalStats: the same (us, id)-ordered per-user lag,
+    // exact HUGEINT gap moments and the pinned mean/sd/CV/burstiness
+    // chains with identical operand order.
+    "q273_burstiness" -> """
+      WITH e AS (SELECT event_type, event_id,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                        lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                          PARTITION BY user_id
+                          ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                   event_id) AS pus
+                 FROM events WHERE user_id IS NOT NULL),
+      g AS (SELECT event_type, us - pus AS gp FROM e WHERE pus IS NOT NULL),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+                   CAST(sum(CAST(gp AS HUGEINT)) AS DECIMAL(38,0)) AS sg,
+                   CAST(sum(CAST(gp AS HUGEINT) * gp) AS DECIMAL(38,0))
+                     AS sg2
+            FROM g GROUP BY event_type)
+      SELECT event_type, ng AS n_gaps,
+             round(CAST(sg AS DOUBLE) / ng / 1000000.0, 6) AS mean_s,
+             round(sqrt((CAST(sg2 AS DOUBLE)
+                         - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)
+                        / ng) / 1000000.0, 6) AS sd_s,
+             round(CASE WHEN sg > 0 THEN
+               sqrt((CAST(sg2 AS DOUBLE)
+                     - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng) / ng)
+               / (CAST(sg AS DOUBLE) / ng) END, 6) AS cv,
+             round(CASE WHEN sg > 0 THEN
+               (sqrt((CAST(sg2 AS DOUBLE)
+                      - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng) / ng)
+                - CAST(sg AS DOUBLE) / ng)
+               / (sqrt((CAST(sg2 AS DOUBLE)
+                        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng) / ng)
+                  + CAST(sg AS DOUBLE) / ng) END, 6) AS burstiness
+      FROM a ORDER BY event_type""",
+    // Replays robustTrend: the same day collapse, pair join, integer
+    // sign sum, tie term, the (slope, day-pair)-ordered median picks
+    // and the pinned tau-b sqrt chain.
+    "q270_robust_trend" -> """
+      WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      dd AS (SELECT day, n,
+                    CAST(day - DATE '1970-01-01' AS BIGINT) AS di
+             FROM d),
+      p AS (SELECT a.di AS da, b.di AS db, b.n - a.n AS dn,
+                   b.di - a.di AS dx
+            FROM dd a JOIN dd b ON a.di < b.di),
+      mk AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                    CAST(sum(CASE WHEN dn > 0 THEN 1
+                                  WHEN dn < 0 THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s
+             FROM p),
+      t AS (SELECT coalesce(CAST(sum(c * (c - 1) // 2) AS BIGINT), 0) AS tt,
+                   coalesce(CAST(sum(c) AS BIGINT), 0) AS nd
+            FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM d GROUP BY n)),
+      sl AS (SELECT CAST(dn AS DOUBLE) / dx AS sv,
+                    row_number() OVER (ORDER BY CAST(dn AS DOUBLE) / dx,
+                                       da, db) AS rn
+             FROM p),
+      med AS (SELECT round(avg(sv), 6) AS sen_slope
+              FROM sl, mk
+              WHERE rn = (mk.m + 1) // 2 OR rn = mk.m // 2 + 1)
+      SELECT t.nd AS n_days, mk.s AS s,
+             round(CASE WHEN mk.m - t.tt > 0
+                   THEN mk.s / sqrt(CAST(mk.m AS DOUBLE) * (mk.m - t.tt))
+                   END, 6) AS tau_b,
+             med.sen_slope
+      FROM mk, t, med""",
     // Replays the closed form S_i = P_i − min(0, min_{j≤i} P_j) with the
     // identical decimal pins, and keeps alarm ONSETS only (first row at or
     // above the threshold after a sub-threshold row).

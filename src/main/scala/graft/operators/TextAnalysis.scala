@@ -1660,8 +1660,57 @@ object TextAnalysis {
     vocabGrowth(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("bucket"))
 
+  // ------------------------------------------- vocabulary richness --
+
+  /** Chao1 + Good-Turing vocabulary richness per group (round 19) — the
+    * "how much vocabulary HAVEN'T we seen" estimate next to q255's
+    * growth curve (which says how fast types arrive, not how many
+    * remain): Chao1 extrapolates total richness from the singleton/
+    * doubleton counts (types seen once carry the unseen-mass signal —
+    * Chao 1984, bias-corrected form so F2 = 0 cannot divide by zero),
+    * and Good-Turing coverage Ĉ = 1 − F1/N is the probability the NEXT
+    * token is an already-seen type. The pair is the curation stop rule:
+    * coverage ≈ 1 with chao1 ≈ V says more of this source repeats
+    * itself; a chao1 far above V says keep crawling.
+    *
+    * Determinism: V, F1, F2, N are exact counts; chao1 and coverage are
+    * each ONE pinned IEEE chain over them, round(6).
+    *
+    * Shape: ONE token-keyed count aggregate (the dedup-class shuffle:
+    * skinny (group, token) keys, map-side partials), a (group,
+    * frequency)-bounded collapse, and a groups-bounded finalize. The
+    * corpus never sorts. */
+  def vocabRichness(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tf = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol), explode(expr(toksOf(textCol))).as("_tok"))
+      .groupBy(col(groupCol), col("_tok"))
+      .agg(count(lit(1)).as("_f"))
+    val ff = tf.groupBy(col(groupCol), col("_f"))
+      .agg(count(lit(1)).as("_types"))
+    ff.groupBy(col(groupCol))
+      .agg(sum(col("_types")).as("v_types"),
+        sum(col("_f") * col("_types")).as("n_tokens"),
+        coalesce(sum(when(col("_f") === 1, col("_types"))), lit(0L))
+          .as("f1"),
+        coalesce(sum(when(col("_f") === 2, col("_types"))), lit(0L))
+          .as("f2"))
+      .select(col(groupCol), col("v_types"), col("n_tokens"), col("f1"),
+        col("f2"),
+        round(expr("""
+          v_types + cast(f1 as double) * (f1 - 1) / (2.0 * (f2 + 1))"""), 6)
+          .as("chao1"),
+        round(expr("1.0 - cast(f1 as double) / n_tokens"), 6)
+          .as("coverage"))
+  }
+
+  private val q271: Q = (s, d) =>
+    vocabRichness(Tables.documents(s, d), "lang", "text")
+      .orderBy(col("lang"))
+
   val queries: Map[String, Q] = Map(
     "q255_vocab_growth" -> q255,
+    "q271_vocab_richness" -> q271,
     "q261_ndcg" -> q261,
     "q176_bpe_merges" -> q176,
     "q178_bpe_fertility" -> q178,
@@ -1829,6 +1878,30 @@ object TextAnalysis {
     // min-bucket first occurrence, bucket counts and the running type
     // total (bucket is monotone in id, so min bucket == bucket of the
     // first document).
+    // Replays vocabRichness: the same token-frequency collapse, the
+    // frequency-of-frequencies frame and the two pinned chains
+    // (bias-corrected Chao1, Good-Turing coverage).
+    "q271_vocab_richness" -> """
+      WITH t AS (SELECT lang,
+                        unnest(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS tok
+                 FROM documents WHERE lang IS NOT NULL),
+      tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS f
+             FROM t GROUP BY 1, 2),
+      ff AS (SELECT lang, f, CAST(count(*) AS BIGINT) AS types
+             FROM tf GROUP BY 1, 2),
+      a AS (SELECT lang, CAST(sum(types) AS BIGINT) AS v_types,
+                   CAST(sum(f * types) AS BIGINT) AS n_tokens,
+                   coalesce(CAST(sum(CASE WHEN f = 1 THEN types END)
+                     AS BIGINT), 0) AS f1,
+                   coalesce(CAST(sum(CASE WHEN f = 2 THEN types END)
+                     AS BIGINT), 0) AS f2
+            FROM ff GROUP BY lang)
+      SELECT lang, v_types, n_tokens, f1, f2,
+             round(v_types + CAST(f1 AS DOUBLE) * (f1 - 1)
+                   / (2.0 * (f2 + 1)), 6) AS chao1,
+             round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
+      FROM a ORDER BY lang""",
     "q255_vocab_growth" -> """
       WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
       b AS (SELECT doc_id, CAST((doc_id * 10) // mx.m AS INT) AS bucket,

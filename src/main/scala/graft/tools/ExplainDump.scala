@@ -125,6 +125,9 @@ object ExplainDump {
     "q177_neighborhood_agg" -> "two message-passing layers: node-keyed equality join + exact decimal sum each; symmetrized distinct edge list checkpointed once, read by both layers",
     "q184_ks_test" -> "per-value class counts; two-level integer prefix sums (bucket-local windows + broadcast offsets); decimal cross-product argmax as TakeOrderedAndProject; one division",
     "q187_dedup_audit" -> "both channels checkpointed as skinny pair frames; TP = one left-semi; the statistics run on a 1-row crossJoin chain",
+    "q267_sssp" -> "Bellman-Ford final-round shape: frontier-keyed equality join + keyed min aggregate + improvement left-join; RDDScan leaves are the per-round localCheckpoints",
+    "q269_concentration" -> "Gini WITHOUT per-unit ranks: collapsed (group,value) frame, bucket-local windows + per-(group,bucket) offsets (q249's two-level form), doubled block identity map-side",
+    "q274_join_view_maintenance" -> "delta decomposition: three delta-side SMJ legs unioned into ONE aggregate; base x base appears only as the certificate's V0; full-outer key merge of two bounded frames",
   )
 
   def main(args: Array[String]): Unit = {

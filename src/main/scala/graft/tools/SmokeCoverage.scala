@@ -265,6 +265,31 @@ object SmokeCoverage {
       "frontier SHRINKS toward convergence, so rounds cost less as the " +
       "graph settles — 1.2x at the 10x tier"),
     "q268_stream_update" -> StreamingDrain,
+    "q269_concentration" -> ("ONE corpus unit collapse (map-side " +
+      "partials), then the q249/q184 two-level bucketed decomposition " +
+      "on the (group, value) frame — no group-partitioned corpus " +
+      "window — and a groups-bounded finalize; 1.0x at the 10x tier"),
+    "q270_robust_trend" -> ("ONE days-bounded keyed collapse; the pair " +
+      "join, slope sort and every aggregate live on <= |days| and " +
+      "<= |days|^2/2 frames (the kaplanMeier bounded-quadratic class) " +
+      "— 0.8x at the 10x tier (fixed-cost dominated)"),
+    "q271_vocab_richness" -> ("ONE token-keyed count aggregate (the " +
+      "dedup-class skinny shuffle), a (group, frequency)-bounded " +
+      "collapse, groups-bounded finalize; the corpus never sorts — " +
+      "1.1x at the 10x tier"),
+    "q272_acf" -> ("ONE days-bounded keyed collapse; index window, lag " +
+      "self-joins and moments all on the <= |days| frame — 1.0x at " +
+      "the 10x tier"),
+    "q273_burstiness" -> ("ONE user-keyed window exchange for the lag " +
+      "(fine-grained keys, never a per-type corpus window) + one " +
+      "types-bounded aggregate with map-side partials — 1.8x at the " +
+      "10x tier"),
+    "q274_join_view_maintenance" -> ("four fact-fact join+aggregate " +
+      "legs whose DELTA sides bound the maintenance work (the base x " +
+      "base leg exists only for the certificate's V0); SMJ at scale " +
+      "by design (statsSensitive — both sides corpus-growing); 5.6x " +
+      "at the 10x tier, 3.8x for 3x at the 30x probe (linear with " +
+      "shuffle overhead, no quadratic signature)"),
     "q266_centroid_drift" -> ("ONE (side x d)-bounded keyed aggregate " +
       "over the exploded corpus (map-side partials); centroids, " +
       "moments and the cosine tail all live on <= d rows — 1.1x at " +

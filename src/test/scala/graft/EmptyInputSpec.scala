@@ -79,4 +79,29 @@ class EmptyInputSpec extends SparkSpec {
       .as[(Int, Double, Double, Option[Double])].collect().toSeq
     assert(nd == Seq((10, 0.0, 0.0, None)))
   }
+
+  test("round-19 operators tolerate empty input (ANSI-mode no-crash contracts)") {
+    val e0 = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    // SSSP on an empty graph: the source itself is still settled at 0.
+    val ss = Graph.sssp(e0, "src", "dst", "w", "x")
+      .as[(String, Long)].collect().toSeq
+    assert(ss == Seq("x" -> 0L))
+    assert(Analytics.concentrationProfile(ev0, "event_type",
+      "user_id").isEmpty)
+    assert(Analytics.interArrivalStats(ev0, "user_id", "ts", "event_id",
+      "event_type").isEmpty)
+    assert(TextAnalysis.vocabRichness(docs0.toDF("lang", "text"), "lang",
+      "text").isEmpty)
+    assert(Analytics.joinViewMaintenance(
+      Seq.empty[(Long, String, Boolean)].toDF("ak", "ag", "ab"),
+      Seq.empty[(Long, String, Double, Boolean)].toDF("bk", "bg", "v", "bb"),
+      "ak", "bk", "ag", "bg", "v", col("ab"), col("bb")).isEmpty)
+    // 1-row / spine-shaped global summaries stay WELL-DEFINED: all-null
+    // statistics, never a 0/0 ANSI crash
+    val rt = Analytics.robustTrend(ev0, "ts").collect()
+    assert(rt.length == 1 && rt.head.isNullAt(2) && rt.head.isNullAt(3))
+    val ac = Analytics.autocorrelation(ev0, "ts")
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(ac.size == 7 && ac.forall(_._3.isEmpty))
+  }
 }

@@ -122,4 +122,123 @@ class Round19OpsSpec extends SparkSpec {
     assert(a == Seq("n1" -> 0L, "n2" -> 3L, "n3" -> 7L))
     assert(a == b)
   }
+
+  // ----------------------------------------- concentration profile --
+
+  test("concentrationProfile: hand-computed Gini/HHI/top-share (q269)") {
+    // Group g: units u1 (1 event), u2 (1), u3 (2) — sorted [1, 1, 2]:
+    //   six2 = 2*(1*1 + 2*1 + 3*2) = 18, N = 3, S = 4
+    //   gini = (18 - 4*4)/(3*4) = 1/6, hhi = (1+1+4)/16 = 0.375,
+    //   top = 2/4 = 0.5.
+    // Group eq: two units with 1 each — gini exactly 0.
+    val df = Seq(("g", "u1"), ("g", "u2"), ("g", "u3"), ("g", "u3"),
+        ("eq", "a"), ("eq", "b"))
+      .toDF("grp", "unit")
+    val out = Analytics.concentrationProfile(df, "grp", "unit")
+      .orderBy(col("grp"))
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("eq", 2L, 2L, 0.0, 0.5, 0.5),
+      ("g", 3L, 4L, 0.166667, 0.375, 0.5)))
+  }
+
+  // ------------------------------------------------- robust trend --
+
+  test("robustTrend: strictly rising series — tau_b = 1, Sen slope is the median pairwise slope (q270)") {
+    // Day counts 1, 2, 4 over consecutive days: S = 3 (all concordant),
+    // no tied counts so tau_b = 3/sqrt(3*3) = 1; slopes {1, 1.5, 2},
+    // median 1.5.
+    def day(d: Int, k: Int) = (1 to k).map(i =>
+      java.sql.Timestamp.valueOf(f"2024-01-0$d%d 0$i%02d:00:00"))
+    val ev = (day(1, 1) ++ day(2, 2) ++ day(3, 4)).toDF("ts")
+    val out = Analytics.robustTrend(ev, "ts")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((3L, 3L, 1.0, 1.5)))
+    // All-equal counts: every pair ties, the tie term consumes n0 and
+    // tau_b is NULL; the flat slopes median 0.
+    val flat = (day(1, 2) ++ day(2, 2) ++ day(3, 2)).toDF("ts")
+    val f = Analytics.robustTrend(flat, "ts")
+      .select(col("n_days"), col("s"), col("tau_b").isNull.as("nl"),
+        col("sen_slope")).as[(Long, Long, Boolean, Double)].collect().toSeq
+    assert(f == Seq((3L, 0L, true, 0.0)))
+  }
+
+  // --------------------------------------------- vocabulary richness --
+
+  test("vocabRichness: hand-computed Chao1 + Good-Turing coverage (q271)") {
+    // lang en: "a b" + "a c c" -> freqs a:2, b:1, c:2
+    //   V = 3, N = 5, F1 = 1, F2 = 2
+    //   chao1 = 3 + 1*0/(2*3) = 3.0, coverage = 1 - 1/5 = 0.8
+    val docs = Seq(("en", "a b"), ("en", "a c c")).toDF("lang", "text")
+    val out = TextAnalysis.vocabRichness(docs, "lang", "text")
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(out == Seq(("en", 3L, 5L, 1L, 2L, 3.0, 0.8)))
+    // All singletons: F2 = 0 exercises the bias-corrected denominator:
+    // chao1 = 2 + 2*1/2 = 3, coverage = 0.
+    val s = Seq(("de", "x y")).toDF("lang", "text")
+    assert(TextAnalysis.vocabRichness(s, "lang", "text")
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq == Seq(("de", 2L, 2L, 2L, 0L, 3.0, 0.0)))
+  }
+
+  // ---------------------------------------------- autocorrelation --
+
+  test("autocorrelation: hand-computed lag-1/lag-2 on a 3-day series (q272)") {
+    // Counts [1, 2, 4] (deviations [-4/3, -1/3, 5/3] around 7/3):
+    // exact identity gives r1 = (9*14 - 18*9 + 2*49)/(3*(3*21 - 49))
+    //   = (126 - 162 + 98)/42 = 62/42... compute via the spec below.
+    // Use [1, 2, 3] instead — clean: x-bar = 2, devs [-1, 0, 1]:
+    //   r1 = ((-1)(0) + (0)(1)) / 2 = 0, r2 = (-1)(1)/2 = -0.5;
+    //   lags 3..7 have no pairs -> NULL.
+    def day(d: Int, k: Int) = (1 to k).map(i =>
+      java.sql.Timestamp.valueOf(f"2024-01-0$d%d 0$i%02d:00:00"))
+    val ev = (day(1, 1) ++ day(2, 2) ++ day(3, 3)).toDF("ts")
+    val out = Analytics.autocorrelation(ev, "ts")
+      .select(col("lag"), col("n_pairs"), col("acf"))
+      .as[(Int, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(out.take(2) == Seq((1, 2L, Some(0.0)), (2, 1L, Some(-0.5))))
+    assert(out.drop(2).forall(_._3.isEmpty))
+  }
+
+  // --------------------------------------------------- burstiness --
+
+  test("interArrivalStats: hand-computed gaps, CV and Goh-Barabasi B (q273)") {
+    // One user, type x, events at 0 s / 10 s / 30 s: gaps 10 s, 20 s.
+    //   mean 15 s, sd 5 s, cv = 1/3, B = (5-15)/(5+15) = -0.5.
+    val ev = Seq((7L, 1L, "x", 0L), (7L, 2L, "x", 10000000L),
+        (7L, 3L, "x", 30000000L))
+      .toDF("user_id", "event_id", "event_type", "t")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestamp_micros(t)").as("ts"))
+    val out = Analytics.interArrivalStats(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("x", 2L, 15.0, 5.0, 0.333333, -0.5)))
+  }
+
+  // ----------------------------------- join-view delta maintenance --
+
+  test("joinViewMaintenance: maintained view == recompute; NULL split lands in delta (q274)") {
+    // a: key 1 in base, key 2 in delta, key 3 with a NULL split (must
+    // book as delta, q258's rule). b: one base and one delta row on
+    // key 1, a delta row on key 2, a base row on key 3.
+    val a = Seq((1L, "p", Some(true)), (2L, "p", Some(false)),
+        (3L, "q", None: Option[Boolean]))
+      .toDF("ak", "ag", "ab")
+    val b = Seq((1L, "r", 10.0, Some(true)), (1L, "r", 5.0, Some(false)),
+        (2L, "s", 7.0, Some(false)), (3L, "r", 2.0, Some(true)))
+      .toDF("bk", "bg", "v", "bb")
+    val out = Analytics.joinViewMaintenance(a, b, "ak", "bk", "ag", "bg",
+        "v", col("ab"), col("bb"))
+      .orderBy(col("_ga"), col("_gb"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(("p", "r", 2L, 15.0), ("p", "s", 1L, 7.0),
+      ("q", "r", 1L, 2.0)))
+    // Certificate: any split placement must equal the all-in-base state.
+    val whole = Analytics.joinViewMaintenance(a, b, "ak", "bk", "ag", "bg",
+        "v", lit(true), lit(true))
+      .orderBy(col("_ga"), col("_gb"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == whole)
+  }
 }
