@@ -109,7 +109,7 @@ object Q226Probe {
     val heat = Seq("q214_canonical_pick", "q218_recommend", "q219_cuped",
       "q232_span_scrub", "q234_gram_novelty", "q249_spearman_corr",
       "q187_dedup_audit", "q194_containment_capped", "q159_setsim_join",
-      "q53_fuzzy_neardup", "q169_zone_map", "q191_stream_append")
+      "q53_ngram_jaccard", "q169_skip_stats", "q191_stream_append")
     phase("B-heat  ", heat)
     phase("B-post  ", Seq(q, q, q))
     System.gc(); Thread.sleep(1000); System.gc()
