@@ -2411,7 +2411,17 @@ object Analytics {
     * Both cap orders are TOTAL, so every score is deterministic and the
     * DuckDB oracle replays both caps row-for-row. The anti-join still
     * uses the user's FULL seen set — truncation may drop candidates,
-    * never re-admit owned items. */
+    * never re-admit owned items.
+    *
+    * Bench note (round 19, root-caused): this query's wall-clock
+    * amplifies SESSION heap residue more than any other on the surface
+    * — its bounded contribution shuffle+sort has the highest allocation
+    * rate, so accumulated collectable old-gen occupancy costs it the
+    * most GC stalls per second (PERF.md "q226 heat amplification:
+    * root-caused"; reproduce with `graft.tools.Q226Probe` — zero spill,
+    * zero fetch-wait, floor returns to baseline after a full GC). A hot
+    * q226 sample in a long session is a GC-budget reading, not a plan
+    * regression. */
   def recommendItemsCapped(df: DataFrame, basketCol: String, itemCol: String,
       k: Int = 3, maxItemsPerBasket: Int = 100,
       maxNeighborsPerItem: Int = 50, maxContribPerUser: Int = 2400): DataFrame = {
@@ -4493,8 +4503,72 @@ object Analytics {
       .withColumnRenamed("_gb", "l_returnflag")
       .orderBy(col("o_orderpriority"), col("l_returnflag"))
 
+  // ------------------------------------------------ Neyman allocation --
+
+  /** Neyman-optimal sample allocation with largest-remainder integer
+    * apportionment (round 19) — "you can afford to label `budget` rows;
+    * how many from each stratum?" The variance-minimizing answer
+    * allocates ∝ N_h·σ_h (big AND noisy strata earn more than big
+    * alone), and the integer seats come from Hamilton's largest-
+    * remainder method so they sum to the budget EXACTLY — the
+    * apportionment step ad-hoc float rounding always gets wrong by a
+    * seat or two. Degenerate corpus (every stratum constant, ΣN·σ = 0)
+    * falls back to proportional-to-N — the statistically right limit
+    * (equal σ ⇒ proportional), the q180/attributionModels
+    * defined-degenerate discipline.
+    *
+    * Determinism: (N, Σv, Σv²) are exact DECIMAL moments; σ, weights,
+    * quotas are pinned IEEE chains; floors are exact; the remainder
+    * ranking is a pinned (remainder DESC, stratum) total order. Seats
+    * are integers; Σalloc = budget by construction (spec-locked).
+    *
+    * Shape: ONE strata-bounded keyed aggregate over the corpus
+    * (map-side partials); every window and broadcast after it rides the
+    * ≤ |strata| frame. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valCol: String,
+      budget: Int = 1000): DataFrame = {
+    require(budget >= 1, s"neymanAllocation: budget must be >= 1, got $budget")
+    val m = df.filter(col(stratumCol).isNotNull && col(valCol).isNotNull)
+      .select(col(stratumCol), col(valCol).cast("decimal(14,2)").as("_v"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_v")).cast("decimal(38,2)").as("_s"),
+        sum((col("_v") * col("_v")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").as("_s2"))
+      .withColumn("_sd", expr("""
+        sqrt((cast(_s2 as double)
+              - cast(_s as double) * cast(_s as double) / n_rows)
+             / n_rows)"""))
+      .withColumn("_w", col("n_rows") * col("_sd"))
+      .localCheckpoint()
+    val tot = m.agg(sum(col("_w")).as("_W0"),
+      sum(col("n_rows").cast("double")).as("_WN"))
+    val q = m.crossJoin(broadcast(tot))
+      .withColumn("_we",
+        when(col("_W0") > 0, col("_w")).otherwise(col("n_rows").cast("double")))
+      .withColumn("_q",
+        lit(budget) * col("_we")
+          / when(col("_W0") > 0, col("_W0")).otherwise(col("_WN")))
+      .withColumn("_fl", floor(col("_q")).cast("long"))
+      .withColumn("_rem", col("_q") - col("_fl"))
+    val totF = q.agg(sum(col("_fl")).as("_tf"))
+    val wR = Window.orderBy(col("_rem").desc, col(stratumCol))
+    q.withColumn("_rk", row_number().over(wR))
+      .crossJoin(broadcast(totF))
+      .select(col(stratumCol), col("n_rows"),
+        round(col("_sd"), 6).as("sd"),
+        round(col("_q"), 6).as("quota"),
+        (col("_fl") + when(col("_rk") <= lit(budget.toLong) - col("_tf"),
+          1L).otherwise(0L)).as("alloc"))
+  }
+
+  private val q278: Q = (s, d) =>
+    neymanAllocation(Tables.events(s, d), "event_type", "value")
+      .orderBy(col("event_type"))
+
   val queries: Map[String, Q] = Map(
     "q274_join_view_maintenance" -> q274,
+    "q278_neyman_allocation" -> q278,
     "q272_acf" -> q272,
     "q273_burstiness" -> q273,
     "q269_concentration" -> q269,
@@ -4699,6 +4773,41 @@ object Analytics {
                    / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS hhi,
              round(CAST(mx AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top_share
       FROM a ORDER BY event_type""",
+    // Replays neymanAllocation: exact DECIMAL moments, the pinned
+    // sd/weight/quota chains (identical operand order incl. the
+    // proportional fallback CASE), exact floors, and the largest-
+    // remainder seats under the same (rem DESC, stratum) order.
+    "q278_neyman_allocation" -> """
+      WITH b AS (SELECT event_type AS st, CAST(value AS DECIMAL(14,2)) AS v
+                 FROM events
+                 WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      m AS (SELECT st, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(v) AS DECIMAL(38,2)) AS s,
+                   CAST(sum(CAST(v * v AS DECIMAL(38,4))) AS DECIMAL(38,4))
+                     AS s2
+            FROM b GROUP BY st),
+      m2 AS (SELECT *, sqrt((CAST(s2 AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                               / n_rows) / n_rows) AS sd
+             FROM m),
+      m3 AS (SELECT *, n_rows * sd AS w FROM m2),
+      t AS (SELECT sum(w) AS w0, CAST(sum(n_rows) AS DOUBLE) AS wn FROM m3),
+      qf AS (SELECT m3.st, m3.n_rows, m3.sd,
+                    1000 * (CASE WHEN t.w0 > 0 THEN m3.w
+                            ELSE CAST(m3.n_rows AS DOUBLE) END)
+                    / (CASE WHEN t.w0 > 0 THEN t.w0 ELSE t.wn END) AS q
+             FROM m3, t),
+      q2 AS (SELECT *, CAST(floor(q) AS BIGINT) AS fl,
+                    q - floor(q) AS rem
+             FROM qf),
+      tf AS (SELECT CAST(sum(fl) AS BIGINT) AS tfl FROM q2),
+      r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, st) AS rk
+            FROM q2)
+      SELECT r.st AS event_type, r.n_rows, round(r.sd, 6) AS sd,
+             round(r.q, 6) AS quota,
+             CAST(r.fl + CASE WHEN r.rk <= 1000 - tf.tfl
+                              THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM r, tf ORDER BY event_type""",
     // The q274 certificate: the SINGLE-PASS aggregate over the full
     // join — agreement proves maintain(V0, dA, dB) == recompute(A, B)
     // exactly (integer counts, exact DECIMAL revenue, both bit-equal

@@ -1200,7 +1200,43 @@ object Dedup {
         (col(idCol) === col("rep_id")).as("kept"))
   }
 
+  // --------------------------------------- cross-split near-dup leakage --
+
+  /** Cross-split near-duplicate leakage audit (round 19) — the MODERN
+    * contamination check next to q66's exact n-gram containment: a
+    * train/valid split is only honest if no near-duplicate PAIR
+    * straddles it (a paraphrase of a training document sitting in valid
+    * inflates every eval), and exact-match contamination scans miss
+    * exactly the near-dup class. Composition is the point: the pairs
+    * are [[minHashLsh]]'s (the certified banded machinery, its cap
+    * valve included), the split is [[TextAnalysis.hashSplit]]'s md5
+    * bucket contract (q48 — reproducible anywhere, adding data never
+    * moves a document), and the audit is the straddle filter. Output:
+    * one row per leaking pair with both split labels, ready to quarantine
+    * or re-assign.
+    *
+    * Shape: adds two id-keyed joins of the (bounded) pair frame against
+    * the map-side split projection, and the straddle filter — nothing
+    * beyond minHashLsh's own exchange budget. */
+  def crossSplitLeakage(df: DataFrame, idCol: String, textCol: String,
+      validPct: Int = 10, minEst: Double = 0.35): DataFrame = {
+    val pairs = minHashLsh(df, idCol, textCol, minEst)
+    val sp = TextAnalysis.hashSplit(df.select(col(idCol)), idCol, validPct)
+      .select(col(idCol), col("split"))
+    pairs
+      .join(sp.select(col(idCol).as("id1"), col("split").as("split1")),
+        "id1")
+      .join(sp.select(col(idCol).as("id2"), col("split").as("split2")),
+        "id2")
+      .filter(col("split1") =!= col("split2"))
+      .select(col("id1"), col("id2"), col("est_jaccard"), col("split1"),
+        col("split2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q277_split_leakage" -> ((s, d) =>
+      crossSplitLeakage(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id1"), col("id2"))),
     "q214_canonical_pick" -> ((s, d) =>
       canonicalPick(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -1424,6 +1460,22 @@ object Dedup {
       WITH ${duckMinhashCtes()}
       SELECT id1, id2, est_jaccard FROM est
       WHERE est_jaccard >= 0.35 ORDER BY id1, id2""",
+    // Replays crossSplitLeakage: q51's full LSH machinery + the q48
+    // md5-bucket split rule + the straddle filter.
+    "q277_split_leakage" -> s"""
+      WITH ${duckMinhashCtes()},
+      sp AS (SELECT doc_id,
+                    CASE WHEN CAST((${
+        graft.operators.CrossHash.h60DuckDb("CAST(doc_id AS VARCHAR)")})
+                      % 100 AS INT) < 10
+                         THEN 'valid' ELSE 'train' END AS split
+             FROM documents)
+      SELECT e.id1, e.id2, e.est_jaccard,
+             s1.split AS split1, s2.split AS split2
+      FROM est e JOIN sp s1 ON s1.doc_id = e.id1
+                 JOIN sp s2 ON s2.doc_id = e.id2
+      WHERE e.est_jaccard >= 0.35 AND s1.split <> s2.split
+      ORDER BY e.id1, e.id2""",
     // Incremental = full-corpus LSH (identical banding/cap/estimate over
     // corpus ∪ batch) restricted to pairs touching the new batch — the
     // exact equivalence incrementalNearDup's scaladoc states, replayed.

@@ -664,8 +664,61 @@ object Graph {
     sssp(custSuppWeightedEdges(s, d), "src", "dst", "w", "c:28")
       .orderBy(col("node"))
 
+  // ----------------------------------- degree distribution + tail index --
+
+  /** Degree distribution + Hill/MLE power-law tail index (round 19) —
+    * the first question asked of any interaction graph before running
+    * the iterative family on it: is this scale-free (hubs dominate —
+    * PageRank/HITS ranks mean something, skew valves are load-bearing)
+    * or near-regular (they don't)? Emits the (degree, node-count)
+    * spectrum with the CCDF, plus the discrete-MLE tail exponent
+    * α = 1 + n_tail / Σ nᵢ·ln(dᵢ/(dmin − ½)) (Clauset–Shalizi–Newman's
+    * discrete approximation) for nodes with degree ≥ `dmin`.
+    *
+    * Determinism: degrees and counts are exact; each ln term is
+    * 9-dp pre-rounded into an exact DECIMAL sum (the q209/q123 libm
+    * discipline — order-free, last-ulp ln differences absorbed), and α
+    * is ONE pinned chain over (n_tail, Σterms), round(6). An empty tail
+    * (all degrees < dmin) → NULL α.
+    *
+    * Shape: one symmetrize+distinct, ONE node-keyed degree count
+    * (map-side partials), then everything — the spectrum, the CCDF
+    * window, the tail fold — lives on the ≤ |distinct degrees| frame
+    * (single-partition by construction, bounded). */
+  def degreeDistribution(edges: DataFrame, src: String, dst: String,
+      dmin: Int = 2): DataFrame = {
+    require(dmin >= 1, s"degreeDistribution: dmin must be >= 1, got $dmin")
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b")).distinct()
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val dist = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint()
+    val tot = dist.agg(sum(col("n_nodes")).as("_nt"))
+    val tail = dist.filter(col("d") >= dmin)
+      .select(col("n_nodes"), expr(s"""
+        cast(round(n_nodes * ln(cast(d as double) / ($dmin - 0.5)), 9)
+             as decimal(28,9))""").as("_lt"))
+      .agg(coalesce(sum(col("n_nodes")), lit(0L)).as("_ntail"),
+        sum(col("_lt")).as("_slt"))
+    val w = Window.orderBy(col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dist.withColumn("_cum", sum(col("n_nodes")).over(w))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(tail))
+      .select(col("d").as("degree"), col("n_nodes"),
+        round(expr("cast(_cum as double) / _nt"), 6).as("ccdf"),
+        round(expr(
+          "case when _slt > 0 then 1.0 + _ntail / cast(_slt as double) end"),
+          6).as("alpha"))
+      .orderBy(col("degree"))
+  }
+
+  private val q275: Q = (s, d) =>
+    degreeDistribution(custSuppEdges(s, d), "src", "dst")
+
   val queries: Map[String, Q] = Map(
     "q267_sssp" -> q267,
+    "q275_degree_distribution" -> q275,
     "q245_link_prediction" -> q245,
     "q259_hits" -> q259,
     "q110_pagerank" -> q110,
@@ -737,6 +790,33 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // Replays degreeDistribution: symmetrized distinct degrees, the
+    // degree spectrum, the descending cumulative CCDF and the identical
+    // 9-dp pre-rounded ln-term tail fold + pinned alpha chain.
+    "q275_degree_distribution" -> """
+      WITH e0 AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                                  's:' || CAST(l_suppkey AS VARCHAR) AS b
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                  WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'),
+      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      dist AS (SELECT d, CAST(count(*) AS BIGINT) AS n_nodes
+               FROM (SELECT a, CAST(count(*) AS BIGINT) AS d
+                     FROM e GROUP BY a)
+               GROUP BY d),
+      tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS nt FROM dist),
+      tl AS (SELECT coalesce(CAST(sum(n_nodes) AS BIGINT), 0) AS ntail,
+                    CAST(sum(CAST(round(n_nodes
+                           * ln(CAST(d AS DOUBLE) / 1.5), 9)
+                        AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS slt
+             FROM dist WHERE d >= 2)
+      SELECT dist.d AS degree, dist.n_nodes,
+             round(CAST(sum(dist.n_nodes) OVER (ORDER BY dist.d DESC
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.nt, 6)
+               AS ccdf,
+             round(CASE WHEN tl.slt > 0
+                   THEN 1.0 + tl.ntail / CAST(tl.slt AS DOUBLE) END, 6)
+               AS alpha
+      FROM dist, tot, tl ORDER BY degree""",
     // Replays sssp as the INDEPENDENT bounded min-cost-walk formulation:
     // (node, cost, round) states with UNION dedup — cost grows along a
     // walk (weights >= 1), but the round column caps recursion exactly

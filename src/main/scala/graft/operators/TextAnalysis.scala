@@ -1708,9 +1708,53 @@ object TextAnalysis {
     vocabRichness(Tables.documents(s, d), "lang", "text")
       .orderBy(col("lang"))
 
+  // ------------------------------------- normalization dedup impact --
+
+  /** Normalization dedup-impact report (round 19) — the A/B every
+    * curation pipeline runs before committing to a canonical text form:
+    * how many MORE exact duplicates collapse under casefold +
+    * punctuation-strip + whitespace-squash than on raw bytes, per
+    * source. q50 answers "how many exact dups"; this answers "how much
+    * of the near-dup mass is just formatting" — if the collapse rate is
+    * high, cheap normalization buys what MinHash would otherwise pay
+    * for; if ~zero, go straight to q51/q52. The normal form here is the
+    * standard aggressive one: lower → non-[a-z0-9 ] → space → squash
+    * runs → trim.
+    *
+    * Determinism: both channels are md5 digests of deterministic string
+    * transforms; every output is a count but the rate (one pinned
+    * division, round 6).
+    *
+    * Shape: pure map-side digest projection, ONE groups-bounded
+    * aggregate with two exact distinct-counts (map-side partial
+    * distinct) — the corpus body never shuffles, only digests. */
+  def normalizationImpact(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol), md5(col(textCol)).as("_dr"),
+        md5(trim(regexp_replace(regexp_replace(lower(col(textCol)),
+          "[^a-z0-9 ]", " "), " +", " "))).as("_dn"))
+    t.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("_dr")).as("distinct_raw"),
+        countDistinct(col("_dn")).as("distinct_norm"))
+      .select(col(groupCol), col("n_docs"), col("distinct_raw"),
+        col("distinct_norm"),
+        (col("n_docs") - col("distinct_raw")).as("dups_raw"),
+        (col("distinct_raw") - col("distinct_norm")).as("extra_collapsed"),
+        round(expr(
+          "cast(distinct_raw - distinct_norm as double) / distinct_raw"), 6)
+          .as("collapse_rate"))
+  }
+
+  private val q276: Q = (s, d) =>
+    normalizationImpact(Tables.documents(s, d), "source", "text")
+      .orderBy(col("source"))
+
   val queries: Map[String, Q] = Map(
     "q255_vocab_growth" -> q255,
     "q271_vocab_richness" -> q271,
+    "q276_normalization_impact" -> q276,
     "q261_ndcg" -> q261,
     "q176_bpe_merges" -> q176,
     "q178_bpe_fertility" -> q178,
@@ -1878,6 +1922,25 @@ object TextAnalysis {
     // min-bucket first occurrence, bucket counts and the running type
     // total (bucket is monotone in id, so min bucket == bucket of the
     // first document).
+    // Replays normalizationImpact: the same normal form (lower ->
+    // punct->space -> squash -> trim; DuckDB regexp_replace needs the
+    // 'g' flag where Spark replaces globally by default) and the same
+    // distinct-digest counts.
+    "q276_normalization_impact" -> """
+      WITH t AS (SELECT source, md5(text) AS dr,
+                        md5(trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dn
+                 FROM documents WHERE source IS NOT NULL),
+      a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT dr) AS BIGINT) AS distinct_raw,
+                   CAST(count(DISTINCT dn) AS BIGINT) AS distinct_norm
+            FROM t GROUP BY source)
+      SELECT source, n_docs, distinct_raw, distinct_norm,
+             n_docs - distinct_raw AS dups_raw,
+             distinct_raw - distinct_norm AS extra_collapsed,
+             round(CAST(distinct_raw - distinct_norm AS DOUBLE)
+                   / distinct_raw, 6) AS collapse_rate
+      FROM a ORDER BY source""",
     // Replays vocabRichness: the same token-frequency collapse, the
     // frequency-of-frequencies frame and the two pinned chains
     // (bias-corrected Chao1, Good-Turing coverage).

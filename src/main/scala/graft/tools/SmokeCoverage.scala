@@ -284,6 +284,20 @@ object SmokeCoverage {
       "(fine-grained keys, never a per-type corpus window) + one " +
       "types-bounded aggregate with map-side partials — 1.8x at the " +
       "10x tier"),
+    "q275_degree_distribution" -> ("one symmetrize+distinct + ONE " +
+      "node-keyed degree count (map-side partials); spectrum, CCDF " +
+      "window and the tail fold all on the <= |distinct degrees| " +
+      "frame — 1.1x at the 10x tier"),
+    "q276_normalization_impact" -> ("pure map-side digest projection + " +
+      "ONE groups-bounded aggregate with two exact distinct-counts; " +
+      "only digests shuffle, never bodies — 3.2x at the 10x tier " +
+      "(digest-volume linear)"),
+    "q277_split_leakage" -> ("minHashLsh's smoked banding machinery " +
+      "verbatim + two id-keyed joins of the bounded pair frame against " +
+      "the map-side split projection — 1.3x at the 10x tier"),
+    "q278_neyman_allocation" -> ("ONE strata-bounded keyed aggregate " +
+      "with map-side partials; quotas, floors and the remainder " +
+      "ranking all ride the <= |strata| frame — 1.0x at the 10x tier"),
     "q274_join_view_maintenance" -> ("four fact-fact join+aggregate " +
       "legs whose DELTA sides bound the maintenance work (the base x " +
       "base leg exists only for the certificate's V0); SMJ at scale " +

@@ -103,5 +103,11 @@ class EmptyInputSpec extends SparkSpec {
     val ac = Analytics.autocorrelation(ev0, "ts")
       .as[(Int, Long, Option[Double])].collect().toSeq
     assert(ac.size == 7 && ac.forall(_._3.isEmpty))
+    val se0 = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.degreeDistribution(se0, "src", "dst").isEmpty)
+    assert(TextAnalysis.normalizationImpact(docs0.toDF("source", "text"),
+      "source", "text").isEmpty)
+    assert(Dedup.crossSplitLeakage(docs0, "doc_id", "text").isEmpty)
+    assert(Analytics.neymanAllocation(ev0, "event_type", "value").isEmpty)
   }
 }

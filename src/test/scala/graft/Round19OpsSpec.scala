@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Graph, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Graph, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-19 locks: the three r18 ADVICE contracts (cohenKappa's
@@ -240,5 +240,90 @@ class Round19OpsSpec extends SparkSpec {
       .orderBy(col("_ga"), col("_gb"))
       .as[(String, String, Long, Double)].collect().toSeq
     assert(out == whole)
+  }
+
+  // ------------------------------------------- degree distribution --
+
+  test("degreeDistribution: hand-computed spectrum, CCDF and Hill alpha (q275)") {
+    // A-B, A-C, A-D, B-C: degrees A:3 B:2 C:2 D:1 ->
+    //   dist {1:1, 2:2, 3:1}, nt = 4, ccdf(desc) 3->0.25 2->0.75 1->1.
+    //   Tail (d >= 2): ntail = 3,
+    //   slt = round(2*ln(2/1.5), 9) + round(1*ln(3/1.5), 9)
+    //       = 0.575364145 + 0.693147181 = 1.268511326,
+    //   alpha = 1 + 3/1.268511326 = 3.364977 (6 dp).
+    val e = Seq(("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"))
+      .toDF("s", "t")
+    val out = Graph.degreeDistribution(e, "s", "t")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1.0, 3.364977), (2L, 2L, 0.75, 3.364977),
+      (3L, 1L, 0.25, 3.364977)))
+    // All degrees below dmin: alpha NULL, spectrum still emitted.
+    val lone = Seq(("X", "Y")).toDF("s", "t")
+    val l = Graph.degreeDistribution(lone, "s", "t")
+      .select(col("degree"), col("alpha").isNull).as[(Long, Boolean)]
+      .collect().toSeq
+    assert(l == Seq((1L, true)))
+  }
+
+  // --------------------------------------- normalization dedup impact --
+
+  test("normalizationImpact: formatting variants collapse under the normal form (q276)") {
+    // Three formatting variants of one sentence + one unique doc: raw
+    // digests all distinct; normalized collapses the three.
+    val docs = Seq(("s1", "Hello, World!"), ("s1", "hello world"),
+        ("s1", "hello  world"), ("s1", "unique")).toDF("source", "text")
+    val out = TextAnalysis.normalizationImpact(docs, "source", "text")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("s1", 4L, 4L, 2L, 0L, 2L, 0.5)))
+  }
+
+  // ------------------------------------- cross-split near-dup leakage --
+
+  test("crossSplitLeakage: exactly the straddling near-dup pairs survive (q277)") {
+    // Two near-identical doc families over enough ids that both splits
+    // appear; the audit must equal the manual composition (LSH pairs
+    // joined to q48 splits, straddlers only) and every returned pair
+    // must straddle.
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) base else base + " extra")).toDF("doc_id", "text")
+    val out = Dedup.crossSplitLeakage(docs, "doc_id", "text")
+      .as[(Long, Long, Double, String, String)].collect().toSeq
+    assert(out.forall(p => p._4 != p._5), "a non-straddling pair leaked in")
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    val split = TextAnalysis.hashSplit(docs.select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    val expect = pairs.filter(p => split(p._1) != split(p._2))
+      .map(p => (p._1, p._2, p._3, split(p._1), split(p._2))).toSet
+    assert(out.toSet == expect)
+    assert(expect.nonEmpty, "fixture produced no straddling pairs — widen it")
+    assert(pairs.exists(p => split(p._1) == split(p._2)),
+      "fixture produced no same-split pair — the filter arm is untested")
+  }
+
+  // ------------------------------------------------ Neyman allocation --
+
+  test("neymanAllocation: hand-computed seats sum to the budget exactly (q278)") {
+    // a: [0, 10] (sd 5, w 10); b: [0,0,0,0] (sd 0, w 0); c: [2, 4]
+    // (sd 1, w 2). W = 12; quotas a 833.333333, b 0, c 166.666667;
+    // floors 833/0/166 leave ONE seat -> largest remainder (c, 2/3)
+    // takes it: 833/0/167, sum exactly 1000.
+    val df = Seq(("a", 0.0), ("a", 10.0), ("b", 0.0), ("b", 0.0),
+        ("b", 0.0), ("b", 0.0), ("c", 2.0), ("c", 4.0)).toDF("st", "v")
+    val out = Analytics.neymanAllocation(df, "st", "v")
+      .orderBy(col("st"))
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(out == Seq(("a", 2L, 5.0, 833.333333, 833L),
+      ("b", 4L, 0.0, 0.0, 0L), ("c", 2L, 1.0, 166.666667, 167L)))
+    assert(out.map(_._5).sum == 1000L)
+    // Degenerate (every stratum constant): proportional-to-N fallback.
+    val const = Seq(("x", 5.0), ("x", 5.0), ("x", 5.0), ("y", 5.0))
+      .toDF("st", "v")
+    val f = Analytics.neymanAllocation(const, "st", "v")
+      .orderBy(col("st")).as[(String, Long, Double, Double, Long)]
+      .collect().toSeq
+    assert(f == Seq(("x", 3L, 0.0, 750.0, 750L), ("y", 1L, 0.0, 250.0, 250L)))
   }
 }
