@@ -285,6 +285,46 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream LEFT ANTI interval join (round 19) — the FIFTH and
+    * final mode of the interval-join matrix (inner q86, left outer
+    * q195, full outer q252, left semi q262): "clicks that NEVER
+    * converted", the retargeting/abandonment feed. Spark's streaming
+    * engine supports inner/outer/semi but has NO native stream-stream
+    * anti — and none is needed: the certified left-outer's null side IS
+    * the anti. A click null-extends exactly once, when the watermark
+    * passes the far edge of its interval (q195's rule, proved by
+    * StreamOuterJoinSpec's no-premature-null/exactly-once locks), and a
+    * matched click never null-extends — so filtering the drained outer
+    * rows to purchase-side NULL yields each never-converted click
+    * exactly once, with the outer join's bounded-state economics
+    * unchanged (this derivation adds no state at all). The oracle is
+    * the independent batch NOT EXISTS behind the same watermark cutoff:
+    * clicks whose proof window is still open at drain end are withheld
+    * by BOTH engines (q191's trailing-edge rule). */
+  private val q279: Q = (s, d) => {
+    val src = eventsStream(s, d)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases, expr(
+      "c_uid = p_uid AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"),
+      "left_outer")
+    val name = s"graft_stream_anti_${System.nanoTime()}"
+    withStatePartitions(s, 4) {
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .filter(col("p_uid").isNull)
+      .select(col("c_uid").as("user_id"), col("click_id"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
   /** Stream-stream FULL OUTER interval join — the last production funnel
     * shape after q86 (inner) and q195 (left outer): "clicks without
     * purchases AND purchases without clicks", both sides null-extended
@@ -1008,6 +1048,7 @@ object StreamingQueries {
     "q191_stream_append" -> q191,
     "q268_stream_update" -> q268,
     "q195_stream_outer_join" -> q195,
+    "q279_stream_anti_join" -> q279,
     "q252_stream_full_outer" -> q252,
     "q262_stream_semi_join" -> q262,
     "q199_stream_restart" -> q199,
@@ -1196,6 +1237,23 @@ object StreamingQueries {
              CAST(count(*) - count(value) AS BIGINT) AS n_unmatched,
              round(sum(coalesce(value, 0.0)), 2) AS total_value
       FROM rows_all GROUP BY user_id ORDER BY user_id""",
+    // The anti mode: q195's unmatched-click CTE alone — per-click NOT
+    // EXISTS behind the same far-edge watermark cutoff.
+    "q279_stream_anti_join" -> """
+      WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, event_id
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+            FROM events WHERE event_type = 'purchase'),
+      wm AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+                    - INTERVAL '1 hour' AS cutoff)
+      SELECT c.user_id, c.event_id AS click_id
+      FROM c, wm
+      WHERE c.cts + INTERVAL '1 hour' < wm.cutoff
+        AND NOT EXISTS (SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND p.pts >= c.cts
+                AND p.pts <= c.cts + INTERVAL '1 hour')
+      ORDER BY c.user_id, c.event_id""",
     // Replays the FULL outer drain: matched pairs unconditionally; click
     // nulls behind the q195 far-edge cutoff; purchase nulls behind the
     // purchase's OWN timestamp (its admissible clicks all precede it, so
