@@ -4348,7 +4348,7 @@ object Analytics {
     lags.join(pairs, Seq("lag"), "left")
       .crossJoin(broadcast(stats))
       .select(col("lag"),
-        (col("_N") - col("lag")).as("n_pairs"),
+        greatest(lit(0L), col("_N") - col("lag")).as("n_pairs"),
         round(expr("""
           case when _N * _S2 - _S * _S <> 0 and _XY is not null
                then cast(cast(_N as decimal(38,0)) * _N * _XY
@@ -4393,7 +4393,8 @@ object Analytics {
       idCol: String, typeCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col("_us"), col(idCol))
-    val gaps = df.filter(col(userCol).isNotNull)
+    val gaps = df.filter(col(userCol).isNotNull && col(typeCol).isNotNull
+        && col(tsCol).isNotNull)
       .select(col(userCol), col(typeCol), col(idCol),
         unix_micros(col(tsCol)).as("_us"))
       .withColumn("_g", col("_us") - lag(col("_us"), 1).over(w))
@@ -4841,7 +4842,7 @@ object Analytics {
                    CAST(sum(CAST(b.n AS HUGEINT)) AS DECIMAL(38,0)) AS t
             FROM di a JOIN di b ON b.i > a.i AND b.i - a.i <= 7
             GROUP BY 1)
-      SELECT lg.lag, st.nn - lg.lag AS n_pairs,
+      SELECT lg.lag, GREATEST(0, st.nn - lg.lag) AS n_pairs,
              round(CASE WHEN st.nn * st.s2 - st.s * st.s <> 0
                          AND p.xy IS NOT NULL
                    THEN CAST(CAST(st.nn AS DECIMAL(38,0)) * st.nn * p.xy
@@ -4863,7 +4864,8 @@ object Analytics {
                           PARTITION BY user_id
                           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
                                    event_id) AS pus
-                 FROM events WHERE user_id IS NOT NULL),
+                 FROM events WHERE user_id IS NOT NULL
+                   AND event_type IS NOT NULL AND ts IS NOT NULL),
       g AS (SELECT event_type, us - pus AS gp FROM e WHERE pus IS NOT NULL),
       a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
                    CAST(sum(CAST(gp AS HUGEINT)) AS DECIMAL(38,0)) AS sg,

@@ -1238,7 +1238,10 @@ object StreamingQueries {
              round(sum(coalesce(value, 0.0)), 2) AS total_value
       FROM rows_all GROUP BY user_id ORDER BY user_id""",
     // The anti mode: q195's unmatched-click CTE alone — per-click NOT
-    // EXISTS behind the same far-edge watermark cutoff.
+    // EXISTS behind the same far-edge watermark cutoff. The STRICT '<'
+    // is pinned against Spark's actual eviction boundary (far edge ==
+    // watermark withholds; strictly past emits) by StreamOuterJoinSpec's
+    // boundary case (ADVICE r19).
     "q279_stream_anti_join" -> """
       WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, event_id
                  FROM events WHERE event_type = 'click'),

@@ -45,7 +45,7 @@ object Sf01Coverage {
   }
 
   /** query -> reason no sf0.1 certification is required. Empty today:
-    * all 277 queries (including every streaming drain and the 965k-row
+    * every query on the surface (278 as of round 20, including every streaming drain and the 965k-row
     * q159 answer) are certified. Any future entry must argue the
     * STRUCTURAL reason, as in SmokeCoverage/TierCoverage. */
   val exempt: Map[String, String] = Map.empty

@@ -94,15 +94,31 @@ object Tier30Coverage {
       "UTF-8"))
 
   /** Pure parser for the `"exempt"` object so the spec can exercise the
-    * row shape on synthetic records. Reasons are plain strings with no
-    * escapes (the ledger is this repo's own hand-merged format; a
-    * reason needing a quote character should be rephrased). */
+    * row shape on synthetic records. Parses with a REAL JSON reader
+    * (Jackson, already on Spark's classpath) and THROWS on malformed
+    * content (ADVICE r19: the previous regex form silently truncated
+    * when a reason contained '}' or '"', yielding a smaller exemption
+    * map instead of a loud failure — exactly the wrong behavior for a
+    * coverage gate's input). Non-object `exempt`, non-string reasons
+    * and non-qNN keys all fail loudly too. */
   def parseExemptions(text: String): Map[String, String] = {
-    val block = """"exempt"\s*:\s*\{([^}]*)\}""".r
-    block.findFirstMatchIn(text).map { m =>
-      val row = """"(q\d+)"\s*:\s*"([^"]*)"""".r
-      row.findAllMatchIn(m.group(1))
-        .map(r => r.group(1) -> r.group(2)).toMap
-    }.getOrElse(Map.empty)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(text) // throws JsonProcessingException on malformed JSON
+    val ex = root.get("exempt")
+    if (ex == null) Map.empty
+    else {
+      require(ex.isObject, s"tier30 'exempt' must be a JSON object, got: $ex")
+      val it = ex.fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val e = it.next()
+        require(e.getKey.matches("q\\d+"),
+          s"tier30 exemption key must be qNN, got: ${e.getKey}")
+        require(e.getValue.isTextual,
+          s"tier30 exemption reason for ${e.getKey} must be a string")
+        b += e.getKey -> e.getValue.asText()
+      }
+      b.result()
+    }
   }
 }

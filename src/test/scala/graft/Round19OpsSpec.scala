@@ -198,6 +198,9 @@ class Round19OpsSpec extends SparkSpec {
       .as[(Int, Long, Option[Double])].collect().toSeq.sortBy(_._1)
     assert(out.take(2) == Seq((1, 2L, Some(0.0)), (2, 1L, Some(-0.5))))
     assert(out.drop(2).forall(_._3.isEmpty))
+    // n_pairs is a COUNT: lags past the series clamp to 0, never go
+    // negative (ADVICE r19 — lag 7 on a 3-day series is 0 pairs, not -4).
+    assert(out.drop(2).forall(_._2 == 0L))
   }
 
   // --------------------------------------------------- burstiness --
@@ -214,6 +217,24 @@ class Round19OpsSpec extends SparkSpec {
         "event_type")
       .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
     assert(out == Seq(("x", 2L, 15.0, 5.0, 0.333333, -0.5)))
+  }
+
+  test("interArrivalStats: NULL type/ts rows are excluded symmetrically (q273)") {
+    // ADVICE r19: a NULL event_type would form a group ordered
+    // NULLS-FIRST by Spark and NULLS-LAST by DuckDB; both engines now
+    // filter them at the input. The NULL-type row at t=10 s must not be
+    // a group OR a lag predecessor: the surviving gap is 30 s, not 20 s.
+    val ev = Seq((7L, 1L, Some("x"), Some(0L)),
+        (7L, 2L, None: Option[String], Some(10000000L)),
+        (7L, 3L, Some("x"), Some(30000000L)),
+        (7L, 4L, Some("x"), None: Option[Long]))
+      .toDF("user_id", "event_id", "event_type", "t")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestamp_micros(t)").as("ts"))
+    val out = Analytics.interArrivalStats(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("x", 1L, 30.0, 0.0, 0.0, -1.0)))
   }
 
   // ----------------------------------- join-view delta maintenance --

@@ -136,6 +136,55 @@ class StreamOuterJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anti/outer boundary: a click whose interval far edge lands EXACTLY on the watermark is withheld; it emits once the watermark strictly passes (q279/q195 oracle '<' lock)") {
+    // ADVICE r19: the q279 oracle gates null-extension with a STRICT
+    // far-edge cutoff (cts + 1 h < watermark). This pins that choice
+    // against Spark's actual eviction semantics at the exact boundary —
+    // if Spark emitted at equality, the oracle would withhold a row the
+    // engine emits, and a fixture regen with round-hour spacing would
+    // fail the gate. Empirically (Spark 4.1): state eviction requires
+    // watermark STRICTLY past the far edge, matching '<'.
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int, s: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:$s%02d")
+    val clicksIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val buysIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val clicks = clicksIn.toDF().toDF("c_uid", "click_ts", "click_id")
+      .withWatermark("click_ts", "10 minutes")
+    val buys = buysIn.toDF().toDF("p_uid", "p_ts", "value")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(buys, expr(
+      "c_uid = p_uid AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"),
+      "left_outer")
+    val name = s"sbound_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    def nullRows() = spark.table(name).collect()
+      .filter(r => r.isNullAt(3)).map(_.getLong(0)).toSeq.sorted
+    try {
+      // User 2 clicks at 10:00, never converts: far edge 11:00. Tick
+      // BOTH sides at 11:10 → watermark = 11:10 − 10 min = 11:00,
+      // landing EXACTLY on the far edge.
+      clicksIn.addData((2L, ts(10, 0), 201L))
+      buysIn.addData((8L, ts(10, 0), 0.5))
+      q.processAllAvailable()
+      clicksIn.addData((9L, ts(11, 10), 901L))
+      buysIn.addData((9L, ts(11, 10), 0.25))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(nullRows().isEmpty,
+        s"far edge == watermark must WITHHOLD (strict cutoff): ${nullRows()}")
+      // One second later: watermark 11:00:01 is strictly past 11:00 —
+      // the unmatched click emits exactly once.
+      clicksIn.addData((9L, ts(11, 10, 1), 902L))
+      buysIn.addData((9L, ts(11, 10, 1), 0.25))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(nullRows() == Seq(2L),
+        s"strictly-past watermark must emit the null row exactly once: ${nullRows()}")
+    } finally q.stop()
+  }
+
   test("left-semi interval join: a click with many in-window purchases emits exactly once (q262)") {
     implicit val sqlCtx = spark.sqlContext
     def ts(h: Int, m: Int) =

@@ -106,6 +106,27 @@ class Tier30CoverageSpec extends AnyFunSuite {
     // empty object and missing object both parse to no exemptions
     assert(Tier30Coverage.parseExemptions("""{"exempt":{},"queries":{}}""").isEmpty)
     assert(Tier30Coverage.parseExemptions("""{"queries":{}}""").isEmpty)
+    // ADVICE r19: reasons containing '}' or escaped quotes must parse
+    // COMPLETELY (the old regex form silently dropped later rows) ...
+    val tricky = """{"exempt":{"q1": "bounded by {k} rows; cannot grow",""" +
+      """"q2": "a \"quoted\" structural reason, forty chars min"},""" +
+      """"queries":{}}"""
+    assert(Tier30Coverage.parseExemptions(tricky) == Map(
+      "q1" -> "bounded by {k} rows; cannot grow",
+      "q2" -> "a \"quoted\" structural reason, forty chars min"))
+    // ... and malformed content must fail LOUDLY, never shrink the map
+    intercept[Exception] {
+      Tier30Coverage.parseExemptions("""{"exempt":{"q1": "unterminated""")
+    }
+    intercept[IllegalArgumentException] {
+      Tier30Coverage.parseExemptions("""{"exempt":{"notaquery": "reason"}}""")
+    }
+    intercept[IllegalArgumentException] {
+      Tier30Coverage.parseExemptions("""{"exempt":{"q1": 42}}""")
+    }
+    intercept[IllegalArgumentException] {
+      Tier30Coverage.parseExemptions("""{"exempt":[1,2]}""")
+    }
     // the committed record must carry the object (even when empty), so
     // the arm is visible in the ledger itself, not only in code
     val committed = new String(java.nio.file.Files.readAllBytes(
