@@ -266,6 +266,7 @@ object SmokeCoverage {
       "graph settles — 1.2x at the 10x tier"),
     "q268_stream_update" -> StreamingDrain,
     "q279_stream_anti_join" -> StreamingDrain,
+    "q280_stream_timeout_session" -> StreamingDrain,
     "q269_concentration" -> ("ONE corpus unit collapse (map-side " +
       "partials), then the q249/q184 two-level bucketed decomposition " +
       "on the (group, value) frame — no group-partitioned corpus " +
