@@ -4567,7 +4567,202 @@ object Analytics {
     neymanAllocation(Tables.events(s, d), "event_type", "value")
       .orderBy(col("event_type"))
 
+  // ------------------------------------------- isotonic calibration --
+
+  /** Isotonic (PAV) calibration curve over binned scores (round 20,
+    * VERDICT r19 item 5a) — the monotone companion to [[calibrationBins]]
+    * q181 and [[liftTable]] q242: reliability bins show WHERE a score is
+    * miscalibrated; the isotonic fit is the canonical FIX (the
+    * non-parametric monotone regression every probability-calibration
+    * pipeline runs before thresholding). Scores collapse to `bins`
+    * equal-width cells first (q181's broadcast-bounds binning verbatim,
+    * constant-score guard included), then the fit uses the max-min
+    * closed form of isotonic regression — fitted(k) = max_{i≤k}
+    * min_{j≥k} mean(cells i..j) — which equals pool-adjacent-violators
+    * exactly but is fully declarative: one ≤ B² pair frame + one running
+    * window min + one bounded max, no sequential pool loop.
+    *
+    * Determinism: cell moments are exact longs; mean(i,j) is ONE pinned
+    * double division of exact longs; min/max over IEEE doubles are
+    * order-free; round(6). Shape: ONE corpus keyed collapse to ≤ B
+    * cells (map-side partials); everything after rides bins-bounded
+    * frames — the pair frame is ≤ B², a constant, never corpus-sized. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, labelCol: Column,
+      bins: Int = 50): DataFrame = {
+    require(bins >= 2, s"isotonicCalibration: bins must be >= 2, got $bins")
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("s"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+    val bounds = base.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val cells = base.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(
+            floor((col("s") - col("lo")) * bins / (col("hi") - col("lo"))),
+            lit(bins - 1)).cast("int")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("w"), sum(col("y")).as("v"))
+      .withColumn("k",
+        row_number().over(Window.orderBy(col("bin"))).cast("int"))
+      .localCheckpoint()
+    // prefix sums over the <= B cell frame (exact longs)
+    val wp = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = cells.select(col("k"), col("bin"), col("w"), col("v"),
+      sum(col("w")).over(wp).as("cw"), sum(col("v")).over(wp).as("cv"))
+    val hi = pre.select(col("k").as("j"), col("cw").as("cwj"),
+      col("cv").as("cvj"))
+    val lo = pre.select(col("k").as("i"),
+      (col("cw") - col("w")).as("cwi"), (col("cv") - col("v")).as("cvi"))
+    // mean(i..j) for every i <= j, then rmin(i,k) = min_{j>=k} mean(i,j)
+    // via ONE running min per i (ordered j DESC), then fitted(k) =
+    // max_{i<=k} rmin(i,k) — all on <= B^2 rows.
+    val pairs = lo.join(broadcast(hi), col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        ((col("cvj") - col("cvi")).cast("double")
+          / (col("cwj") - col("cwi"))).as("m"))
+    val wmin = Window.partitionBy(col("i")).orderBy(col("j").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fitted = pairs
+      .select(col("i"), col("j").as("k"), min(col("m")).over(wmin).as("rmin"))
+      .filter(col("i") <= col("k"))
+      .groupBy(col("k")).agg(max(col("rmin")).as("iso"))
+    // both sides are <= B rows (bins-bounded) — hint the join so the
+    // checkpointed cell frame's scale-blind size estimate can't flip
+    // the bounded BHJ to an SMJ at bench scale (StatsSweep r20)
+    cells.join(broadcast(fitted), Seq("k"))
+      .select(col("bin"), col("w").as("n_rows"), col("v").as("n_pos"),
+        round(col("v").cast("double") / col("w"), 6).as("raw_rate"),
+        round(col("iso"), 6).as("iso_rate"))
+  }
+
+  private val q281: Q = (s, d) =>
+    isotonicCalibration(Tables.events(s, d), "value",
+      col("event_type") === "purchase")
+      .orderBy(col("bin"))
+
+  // ----------------------------------------------- A/B power / MDE --
+
+  /** Experiment power readout — the minimum detectable effect (round 20):
+    * "with the traffic each arm actually got, what's the smallest lift
+    * this test could have seen?" — the question asked BEFORE reading
+    * [[abTest]]'s z or [[welchTest]]'s t, because an underpowered
+    * no-result is not a negative result. Per metric group: arm sizes,
+    * arm means, pooled-arm variances, and the two-sample MDE at 5%
+    * two-sided / 80% power — MDE = (z_{α/2} + z_β) · √(s₀²/n₀ + s₁²/n₁)
+    * with the z constants pinned as literals (1.959964, 0.841621 — the
+    * same no-libm-inverse discipline as q265's Wilson z), plus the
+    * relative MDE against the control mean. Assignment is the
+    * deterministic user-id parity split (arm = user_id mod 2 — any
+    * deterministic arm expression slots in; q48's hash split is the
+    * production choice).
+    *
+    * Determinism: (n, Σv, Σv²) are exact DECIMAL moments per (group,
+    * arm); variances, the MDE chain and the ratio are pinned IEEE
+    * chains over them; round(6). Control mean 0 → NULL relative MDE.
+    * Shape: ONE groups×2-bounded keyed aggregate with map-side
+    * partials; the arm pivot and scalar chains ride the bounded frame. */
+  def abPower(df: DataFrame, groupCol: String, userCol: String,
+      valCol: String): DataFrame = {
+    val m = df.filter(col(groupCol).isNotNull && col(userCol).isNotNull
+        && col(valCol).isNotNull)
+      .select(col(groupCol), pmod(col(userCol), lit(2)).as("arm"),
+        col(valCol).cast("decimal(14,2)").as("_v"))
+      .groupBy(col(groupCol), col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_v")).cast("decimal(38,2)").as("_s"),
+        sum((col("_v") * col("_v")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").as("_s2"))
+      .withColumn("_var", expr("""
+        (cast(_s2 as double) - cast(_s as double) * cast(_s as double) / n)
+        / n"""))
+      .withColumn("_mean", expr("cast(_s as double) / n"))
+    val p = m.groupBy(col(groupCol))
+      .agg(max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 0, col("_mean"))).as("m0"),
+        max(when(col("arm") === 1, col("_mean"))).as("m1"),
+        max(when(col("arm") === 0, col("_var"))).as("v0"),
+        max(when(col("arm") === 1, col("_var"))).as("v1"))
+      .filter(col("n0").isNotNull && col("n1").isNotNull)
+    p.select(col(groupCol), col("n0"), col("n1"),
+      round(col("m0"), 6).as("mean_control"),
+      round(col("m1"), 6).as("mean_treat"),
+      round((lit(1.959964) + lit(0.841621))
+        * sqrt(col("v0") / col("n0") + col("v1") / col("n1")), 6)
+        .as("mde_abs"),
+      round(when(col("m0") =!= 0.0,
+        (lit(1.959964) + lit(0.841621))
+          * sqrt(col("v0") / col("n0") + col("v1") / col("n1"))
+          / col("m0")), 6).as("mde_rel"))
+  }
+
+  private val q287: Q = (s, d) =>
+    abPower(Tables.events(s, d), "event_type", "user_id", "value")
+      .orderBy(col("event_type"))
+
+  // -------------------------------------------- mutual information --
+
+  /** Mutual information between two categorical columns (round 20) —
+    * the feature-selection/leakage readout next to [[chi2Drift]] q238
+    * (chi² says "dependent?"; MI says HOW MANY NATS the dependence is
+    * worth, the number fed to feature ranking and redundancy pruning).
+    * Emitted with both marginal entropies and the normalized
+    * MI / √(H_x·H_y) so the scale-free score is one readout.
+    *
+    * Determinism: cell/margin counts are exact longs from ONE keyed
+    * collapse; each p·ln term is 9-dp pre-rounded into an exact DECIMAL
+    * sum (the q256/q275 libm discipline — the ONLY float op per term is
+    * one ln of a ratio of exact counts), finals round(6). NMI NULLs out
+    * when either marginal entropy is 0 (a constant column carries no
+    * normalizable information). Shape: ONE |X|×|Y|-bounded keyed
+    * collapse with map-side partials; margins and entropy sums ride the
+    * bounded cell frame (two tiny broadcasts). */
+  def mutualInfo(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df.select(xCol.as("x"), yCol.as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nx = cells.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+    val ny = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+    val tot = cells.agg(sum(col("c")).as("nn"))
+    val terms = cells.join(broadcast(nx), "x").join(broadcast(ny), "y")
+      .crossJoin(broadcast(tot))
+      .select(col("nn"),
+        expr("""cast(round(cast(c as double) / nn
+                 * ln(cast(c as double) * nn / (cast(cx as double) * cy)), 9)
+               as decimal(20,9))""").as("t_mi"))
+    val hx = nx.crossJoin(broadcast(tot)).agg(
+      sum(expr("""cast(round(-(cast(cx as double) / nn)
+                   * ln(cast(cx as double) / nn), 9)
+                 as decimal(20,9))""")).as("_hx"))
+    val hy = ny.crossJoin(broadcast(tot)).agg(
+      sum(expr("""cast(round(-(cast(cy as double) / nn)
+                   * ln(cast(cy as double) / nn), 9)
+                 as decimal(20,9))""")).as("_hy"))
+    terms.agg(max(col("nn")).as("n"),
+        count(lit(1)).as("n_cells"),
+        sum(col("t_mi")).as("_mi"))
+      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"), col("n_cells"),
+        round(col("_mi").cast("double"), 6).as("mi_nats"),
+        round(col("_hx").cast("double"), 6).as("h_x"),
+        round(col("_hy").cast("double"), 6).as("h_y"),
+        round(when(col("_hx") > 0 && col("_hy") > 0,
+          col("_mi").cast("double")
+            / sqrt(col("_hx").cast("double") * col("_hy").cast("double"))),
+          6).as("nmi"))
+      .filter(col("n").isNotNull) // empty input -> empty, not a null row
+  }
+
+  private val q288: Q = (s, d) =>
+    mutualInfo(Tables.events(s, d), col("event_type"),
+      dayofweek(col("ts")))
+
   val queries: Map[String, Q] = Map(
+    "q281_isotonic" -> q281,
+    "q287_ab_power" -> q287,
+    "q288_mutual_info" -> q288,
     "q274_join_view_maintenance" -> q274,
     "q278_neyman_allocation" -> q278,
     "q272_acf" -> q272,
@@ -4744,6 +4939,120 @@ object Analytics {
       ORDER BY p"""
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    // Replays isotonicCalibration: identical equal-width binning with
+    // the constant-score guard, exact prefix sums over the cell frame,
+    // the same max-min closed form (fitted(k) = max_{i<=k} min_{j>=k}
+    // mean(i..j)) and the pinned divisions.
+    "q281_isotonic" -> """
+      WITH base AS (SELECT CAST(value AS DOUBLE) AS s,
+                           CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END AS y
+                    FROM events WHERE value IS NOT NULL),
+      b AS (SELECT min(s) AS lo, max(s) AS hi FROM base),
+      cells AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS w,
+               CAST(sum(y) AS BIGINT) AS v
+        FROM (SELECT y,
+                     CASE WHEN b.hi = b.lo THEN 0
+                          ELSE CAST(least(floor((s - b.lo) * 50
+                                                / (b.hi - b.lo)), 49) AS INT)
+                     END AS bin
+              FROM base, b)
+        GROUP BY bin),
+      pre AS (SELECT bin, w, v,
+                     CAST(row_number() OVER (ORDER BY bin) AS INT) AS k,
+                     sum(w) OVER (ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+                     sum(v) OVER (ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS cv
+              FROM cells),
+      pairs AS (SELECT a.k AS i, c.k AS j,
+                       CAST(c.cv - (a.cv - a.v) AS DOUBLE)
+                         / (c.cw - (a.cw - a.w)) AS m
+                FROM pre a JOIN pre c ON a.k <= c.k),
+      rmin AS (SELECT i, j AS k,
+                      min(m) OVER (PARTITION BY i ORDER BY j DESC
+                        ROWS UNBOUNDED PRECEDING) AS rm
+               FROM pairs),
+      fit AS (SELECT k, max(rm) AS iso FROM rmin WHERE i <= k GROUP BY k)
+      SELECT pre.bin, pre.w AS n_rows, pre.v AS n_pos,
+             round(CAST(pre.v AS DOUBLE) / pre.w, 6) AS raw_rate,
+             round(fit.iso, 6) AS iso_rate
+      FROM pre JOIN fit USING (k)
+      ORDER BY pre.bin""",
+    // Replays abPower: the same parity split, exact DECIMAL moments,
+    // and the pinned MDE chain with the literal z constants.
+    "q287_ab_power" -> """
+      WITH m AS (
+        SELECT event_type, user_id % 2 AS arm,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS s,
+               CAST(sum(CAST(CAST(value AS DECIMAL(14,2))
+                             * CAST(value AS DECIMAL(14,2))
+                        AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s2
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL
+        GROUP BY 1, 2),
+      mm AS (SELECT event_type, arm, n,
+                    (CAST(s2 AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n AS vv,
+                    CAST(s AS DOUBLE) / n AS mean
+             FROM m),
+      p AS (SELECT event_type,
+                   max(CASE WHEN arm = 0 THEN n END) AS n0,
+                   max(CASE WHEN arm = 1 THEN n END) AS n1,
+                   max(CASE WHEN arm = 0 THEN mean END) AS m0,
+                   max(CASE WHEN arm = 1 THEN mean END) AS m1,
+                   max(CASE WHEN arm = 0 THEN vv END) AS v0,
+                   max(CASE WHEN arm = 1 THEN vv END) AS v1
+            FROM mm GROUP BY event_type)
+      SELECT event_type, n0, n1,
+             round(m0, 6) AS mean_control,
+             round(m1, 6) AS mean_treat,
+             round((1.959964 + 0.841621) * sqrt(v0 / n0 + v1 / n1), 6)
+               AS mde_abs,
+             round(CASE WHEN m0 <> 0
+                   THEN (1.959964 + 0.841621) * sqrt(v0 / n0 + v1 / n1) / m0
+                   END, 6) AS mde_rel
+      FROM p
+      WHERE n0 IS NOT NULL AND n1 IS NOT NULL
+      ORDER BY event_type""",
+    // Replays mutualInfo: exact cell/margin counts, one ln per 9-dp
+    // pre-rounded DECIMAL term, exact sums, identical finals. Spark
+    // dayofweek = DuckDB dayofweek() + 1.
+    "q288_mutual_info" -> """
+      WITH cells AS (
+        SELECT event_type AS x, dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS y,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2),
+      nx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY x),
+      ny AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY y),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells),
+      mi AS (SELECT max(nn) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+                    sum(CAST(round(CAST(c AS DOUBLE) / nn
+                          * ln(CAST(c AS DOUBLE) * nn
+                               / (CAST(cx AS DOUBLE) * cy)), 9)
+                        AS DECIMAL(20,9))) AS mi_d
+             FROM cells JOIN nx USING (x) JOIN ny USING (y), tot),
+      hx AS (SELECT sum(CAST(round(-(CAST(cx AS DOUBLE) / nn)
+                          * ln(CAST(cx AS DOUBLE) / nn), 9)
+                        AS DECIMAL(20,9))) AS hx_d FROM nx, tot),
+      hy AS (SELECT sum(CAST(round(-(CAST(cy AS DOUBLE) / nn)
+                          * ln(CAST(cy AS DOUBLE) / nn), 9)
+                        AS DECIMAL(20,9))) AS hy_d FROM ny, tot)
+      SELECT n, n_cells,
+             round(CAST(mi_d AS DOUBLE), 6) AS mi_nats,
+             round(CAST(hx_d AS DOUBLE), 6) AS h_x,
+             round(CAST(hy_d AS DOUBLE), 6) AS h_y,
+             round(CASE WHEN hx_d > 0 AND hy_d > 0
+                   THEN CAST(mi_d AS DOUBLE)
+                        / sqrt(CAST(hx_d AS DOUBLE) * CAST(hy_d AS DOUBLE))
+                   END, 6) AS nmi
+      FROM mi, hx, hy
+      WHERE n IS NOT NULL""",
     // Replays concentrationProfile by the INDEPENDENT row-rank
     // formulation: plain row_number per group (any order over tied
     // values yields the same Σ i·x — equal values commute), doubled to

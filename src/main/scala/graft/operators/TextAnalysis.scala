@@ -1751,7 +1751,51 @@ object TextAnalysis {
     normalizationImpact(Tables.documents(s, d), "source", "text")
       .orderBy(col("source"))
 
+  // --------------------------------------------- readability score --
+
+  /** Flesch reading-ease readability (round 20) — the classic curation
+    * quality signal next to the ratio heuristics (q42/q57) and
+    * charEntropy (q123): training-corpus mixes are routinely balanced by
+    * readability band (drop the unreadably degenerate, keep a spread).
+    * Sentences are terminal-punctuation runs; words are whitespace-split
+    * tokens; syllables use the standard vowel-GROUP approximation
+    * (runs of [aeiouy] — the canonical cheap proxy, deterministic and
+    * libm-free). Flesch = 206.835 − 1.015·(words/sentence) −
+    * 84.6·(syllables/word), with the sentence count floored at 1 for
+    * any non-empty text (a fragment without a period is one sentence).
+    *
+    * Determinism: all three counts are exact regex-derived integers;
+    * the score is a pinned IEEE chain over them, round(6); zero-word
+    * texts NULL out. Shape: pure map-side regex projection — ZERO
+    * shuffle besides the output sort; at 100 TB this is a scan-bound
+    * single pass, the cheapest possible posture. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)"))
+          .cast("long").as("_sraw"),
+        when(length(trim(col(textCol))) === 0, 0L)
+          .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
+          .as("n_words"),
+        size(expr(s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)"))
+          .cast("long").as("n_syllables"))
+      .select(col(idCol),
+        when(col("n_words") > 0, greatest(col("_sraw"), lit(1L)))
+          .otherwise(col("_sraw")).as("n_sentences"),
+        col("n_words"), col("n_syllables"))
+      .withColumn("flesch",
+        round(when(col("n_words") > 0,
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words"))),
+          6))
+
+  private val q286: Q = (s, d) =>
+    readability(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
+    "q286_readability" -> q286,
     "q255_vocab_growth" -> q255,
     "q271_vocab_richness" -> q271,
     "q276_normalization_impact" -> q276,
@@ -1853,6 +1897,33 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // Replays readability: identical regex counts (terminal-punctuation
+    // runs, whitespace tokens, vowel groups), the sentence floor and the
+    // pinned Flesch chain.
+    "q286_readability" -> """
+      WITH c AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                 AS sraw,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+                         AS BIGINT) END AS n_words,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 AS BIGINT) AS n_syllables
+        FROM documents WHERE doc_id IS NOT NULL)
+      SELECT doc_id,
+             CASE WHEN n_words > 0 THEN greatest(sraw, 1)
+                  ELSE sraw END AS n_sentences,
+             n_words, n_syllables,
+             round(CASE WHEN n_words > 0 THEN
+               206.835
+               - 1.015 * (CAST(n_words AS DOUBLE)
+                          / (CASE WHEN n_words > 0 THEN greatest(sraw, 1)
+                                  ELSE sraw END))
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) END, 6)
+               AS flesch
+      FROM c
+      ORDER BY doc_id""",
     // Replays ndcgAtK: the q109 BM25 ranking verbatim, graded
     // term-presence relevance, both deterministic position windows and
     // the 9-dp pre-rounded gain/discount terms.

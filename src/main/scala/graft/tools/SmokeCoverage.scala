@@ -267,6 +267,22 @@ object SmokeCoverage {
     "q268_stream_update" -> StreamingDrain,
     "q279_stream_anti_join" -> StreamingDrain,
     "q280_stream_timeout_session" -> StreamingDrain,
+    // -- round-20 batch (q281+) --
+    "q281_isotonic" -> ("q181's broadcast-bounds corpus collapse to " +
+      "<= 50 bin cells (map-side partials); the PAV max-min closed form " +
+      "rides <= B^2 constant frames (one broadcast NLJ + one window min " +
+      "+ one bounded max) — corpus cost is the ONE collapse; 0.7 s at " +
+      "the 10x tier"),
+    "q286_readability" -> ("pure map-side regex projection (three " +
+      "codegen'd regexp counts + one pinned IEEE chain), ZERO shuffle " +
+      "besides the output sort — scan-bound at any scale; 0.8 s at the " +
+      "10x tier"),
+    "q287_ab_power" -> ("ONE groups-x-2-bounded keyed aggregate with " +
+      "map-side partials and exact DECIMAL moments; the arm pivot and " +
+      "MDE chain ride the bounded frame — 0.5 s at the 10x tier"),
+    "q288_mutual_info" -> ("ONE |X|x|Y|-bounded keyed collapse with " +
+      "map-side partials; margins/entropies ride the bounded cell frame " +
+      "via tiny broadcasts — 0.5 s at the 10x tier"),
     "q269_concentration" -> ("ONE corpus unit collapse (map-side " +
       "partials), then the q249/q184 two-level bucketed decomposition " +
       "on the (group, value) frame — no group-partitioned corpus " +

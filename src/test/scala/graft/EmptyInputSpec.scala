@@ -110,4 +110,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.crossSplitLeakage(docs0, "doc_id", "text").isEmpty)
     assert(Analytics.neymanAllocation(ev0, "event_type", "value").isEmpty)
   }
+
+  test("round-20 operators tolerate empty input (ANSI-mode no-crash contracts)") {
+    assert(Analytics.isotonicCalibration(ev0, "value",
+      col("event_type") === "purchase").isEmpty)
+    assert(Analytics.abPower(ev0, "event_type", "user_id", "value").isEmpty)
+    assert(Analytics.mutualInfo(ev0, col("event_type"),
+      dayofweek(col("ts"))).isEmpty)
+    assert(TextAnalysis.readability(docs0, "doc_id", "text").isEmpty)
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{Analytics, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-20 locks: hand-computable cases for the round's new operators
+  * as they land. Every expected value is derivable on paper from the
+  * inputs. */
+class Round20OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------- isotonic calibration --
+
+  test("isotonicCalibration: PAV pools a decreasing violation exactly (q281)") {
+    // Four 1-row cells with raw rates [1, 0, 0, 1] (bins = 4 over
+    // scores 0..3, one row each). PAV merges the violating prefix:
+    // [1] > [0] -> pool 1/2; 1/2 > [0] -> pool 1/3; 1/3 <= [1] stops.
+    // Fitted = [1/3, 1/3, 1/3, 1] — and the max-min closed form agrees:
+    // e.g. fitted(1) = min over j of mean(1..j) = min(1, 1/2, 1/3, 1/2).
+    val df = Seq((0.0, true), (1.0, false), (2.0, false), (3.0, true))
+      .toDF("score", "lab")
+    val out = Analytics.isotonicCalibration(df, "score", col("lab"), bins = 4)
+      .orderBy(col("bin"))
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (0, 1L, 1L, 1.0, 0.333333),
+      (1, 1L, 0L, 0.0, 0.333333),
+      (2, 1L, 0L, 0.0, 0.333333),
+      (3, 1L, 1L, 1.0, 1.0)))
+  }
+
+  test("isotonicCalibration: already-monotone rates are unchanged; constant scores land in bin 0 (q281)") {
+    val mono = Seq((0.0, false), (1.0, false), (2.0, true), (3.0, true))
+      .toDF("score", "lab")
+    val outM = Analytics.isotonicCalibration(mono, "score", col("lab"), bins = 4)
+      .orderBy(col("bin"))
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(outM.map(_._4) == outM.map(_._5),
+      s"monotone input must be a fixed point of the fit: $outM")
+    val const = Seq((5.0, true), (5.0, false)).toDF("score", "lab")
+    val outC = Analytics.isotonicCalibration(const, "score", col("lab"), bins = 4)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(outC == Seq((0, 2L, 1L, 0.5, 0.5)))
+  }
+
+  // ------------------------------------------------------ A/B power --
+
+  test("abPower: hand-computed two-arm MDE (q287)") {
+    // Arm 0 = even users {0, 2} with values {10, 14}: n=2, mean=12,
+    // var=((100+196)-288)/2=4. Arm 1 = odd users {1, 3} with {20, 22}:
+    // n=2, mean=21, var=((400+484)-882)/2=1.
+    // MDE = 2.801585 * sqrt(4/2 + 1/2) = 4.429695; rel = MDE/12.
+    val df = Seq((0L, "g", 10.0), (2L, "g", 14.0),
+        (1L, "g", 20.0), (3L, "g", 22.0))
+      .toDF("user_id", "grp", "value")
+    val out = Analytics.abPower(df, "grp", "user_id", "value")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(out == Seq(("g", 2L, 2L, 12.0, 21.0, 4.429695, 0.369141)))
+  }
+
+  test("abPower: a group with only one arm is dropped, zero control mean nulls the relative MDE (q287)") {
+    val df = Seq((0L, "one", 1.0), (2L, "one", 2.0), // even users only
+        (0L, "z", -1.0), (2L, "z", 1.0), (1L, "z", 5.0), (3L, "z", 7.0))
+      .toDF("user_id", "grp", "value")
+    val out = Analytics.abPower(df, "grp", "user_id", "value")
+      .orderBy(col("grp"))
+      .as[(String, Long, Long, Double, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(out.map(_._1) == Seq("z"), s"one-armed group must drop: $out")
+    assert(out.head._4 == 0.0 && out.head._7.isEmpty,
+      s"zero control mean must NULL mde_rel: $out")
+  }
+
+  // ---------------------------------------------- mutual information --
+
+  test("mutualInfo: perfectly dependent pair gives MI = ln 2 and NMI = 1 (q288)") {
+    // Cells (a,1)x2 and (b,2)x2: each term 0.5*ln(2*4/(2*2)) = 0.5*ln2;
+    // MI = ln2 = 0.693147; Hx = Hy = ln2; NMI = 1.
+    val df = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("x", "y")
+    val out = Analytics.mutualInfo(df, col("x"), col("y"))
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((4L, 2L, 0.693147, 0.693147, 0.693147, 1.0)))
+  }
+
+  test("mutualInfo: independent pair gives MI = 0; constant column NULLs NMI (q288)") {
+    // Uniform 2x2 product distribution: every term ln(1) = 0.
+    val ind = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+    val outI = Analytics.mutualInfo(ind, col("x"), col("y"))
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(outI == Seq((4L, 4L, 0.0, 0.693147, 0.693147, 0.0)))
+    val const = Seq(("a", 1), ("a", 2)).toDF("x", "y")
+    val outC = Analytics.mutualInfo(const, col("x"), col("y"))
+      .as[(Long, Long, Double, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(outC.head._3 == 0.0 && outC.head._4 == 0.0 && outC.head._6.isEmpty,
+      s"constant x: MI 0, Hx 0, NMI NULL: $outC")
+  }
+
+  // ---------------------------------------------------- readability --
+
+  test("readability: hand-computed Flesch on two sentences (q286)") {
+    // "Hello world. It works!" — 2 terminal runs, 4 words, vowel groups
+    // he-llo(2) world(1) it(1) works(1) = 5 syllables:
+    // 206.835 - 1.015*(4/2) - 84.6*(5/4) = 99.055.
+    // "abc" — no terminal punct but 1 word: sentence floor kicks in,
+    // 206.835 - 1.015*1 - 84.6*1 = 121.22. Empty text: 0 words, NULL.
+    val df = Seq((1L, "Hello world. It works!"), (2L, "abc"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 4L, 5L, Some(99.055)),
+      (2L, 1L, 1L, 1L, Some(121.22)),
+      (3L, 0L, 0L, 0L, None)))
+  }
+}
