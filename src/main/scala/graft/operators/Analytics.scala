@@ -4759,7 +4759,181 @@ object Analytics {
     mutualInfo(Tables.events(s, d), col("event_type"),
       dayofweek(col("ts")))
 
+  // -------------------------------------- sequential pattern mining --
+
+  /** Capped sequential-pattern mining, PrefixSpan-style at lengths ≤ 3
+    * (round 20, VERDICT r19 item 5b) — the generalization of
+    * [[sessionPaths]] q170's CONTIGUOUS trigrams to gapped subsequences:
+    * "users who view … then later purchase", whatever happens in
+    * between — the shape funnel exploration and next-action models mine.
+    * Support = the number of distinct users whose (ts, id)-ordered
+    * event-type sequence CONTAINS the pattern as a subsequence.
+    *
+    * Scale valve (the q218 cap-before-pairing discipline): each user's
+    * sequence is capped to its first `cap` events via ONE user-keyed
+    * row_number prune, so per-user subsequence fan-out is ≤ C(cap,3) —
+    * a constant, never corpus-quadratic — and the per-user DISTINCT
+    * collapses it to ≤ |types|³ before the support count. Shape: one
+    * user-keyed window exchange, three bounded self-joins on the capped
+    * frame, patterns-bounded aggregates.
+    *
+    * Determinism: the order is the fixture-pinned (us, id) total order
+    * per user; every output is an exact count. */
+  def seqPatterns(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, cap: Int = 12,
+      minSupport: Int = 2): DataFrame = {
+    require(cap >= 3, s"seqPatterns: cap must be >= 3, got $cap")
+    require(minSupport >= 1,
+      s"seqPatterns: minSupport must be >= 1, got $minSupport")
+    val w = Window.partitionBy(col("u")).orderBy(col("_us"), col(idCol))
+    val ranked = df.filter(col(userCol).isNotNull && col(typeCol).isNotNull
+        && col(tsCol).isNotNull && col(idCol).isNotNull)
+      .select(col(userCol).as("u"), col(typeCol).as("t"),
+        unix_micros(col(tsCol)).as("_us"), col(idCol))
+      .withColumn("p", row_number().over(w))
+      .filter(col("p") <= cap)
+      .select(col("u"), col("t"), col("p"))
+      .localCheckpoint()
+    val l1 = ranked.select(col("u"), col("t")).distinct()
+      .groupBy(col("t").as("p1")).agg(count(lit(1)).as("support"))
+      .select(lit(1).as("length"), col("p1"),
+        lit(null).cast("string").as("p2"), lit(null).cast("string").as("p3"),
+        col("support"))
+    val l2 = ranked.as("r1")
+      .join(ranked.as("r2"),
+        col("r1.u") === col("r2.u") && col("r1.p") < col("r2.p"))
+      .select(col("r1.u").as("u"), col("r1.t").as("t1"), col("r2.t").as("t2"))
+      .distinct()
+      .groupBy(col("t1").as("p1"), col("t2").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .select(lit(2).as("length"), col("p1"), col("p2"),
+        lit(null).cast("string").as("p3"), col("support"))
+    val l3 = ranked.as("r1")
+      .join(ranked.as("r2"),
+        col("r1.u") === col("r2.u") && col("r1.p") < col("r2.p"))
+      .join(ranked.as("r3"),
+        col("r2.u") === col("r3.u") && col("r2.p") < col("r3.p"))
+      .select(col("r1.u").as("u"), col("r1.t").as("t1"),
+        col("r2.t").as("t2"), col("r3.t").as("t3"))
+      .distinct()
+      .groupBy(col("t1").as("p1"), col("t2").as("p2"), col("t3").as("p3"))
+      .agg(count(lit(1)).as("support"))
+      .select(lit(3).as("length"), col("p1"), col("p2"), col("p3"),
+        col("support"))
+    l1.unionAll(l2).unionAll(l3).filter(col("support") >= minSupport)
+  }
+
+  private val q282: Q = (s, d) =>
+    seqPatterns(Tables.events(s, d), "user_id", "ts", "event_id",
+      "event_type")
+      .orderBy(col("length"), col("p1"), col("p2"), col("p3"))
+
+  // -------------------------------------------------- log-rank test --
+
+  /** Two-group log-rank test (round 20) — the hypothesis-test companion
+    * to [[kaplanMeier]] q244: the curves SHOW the two arms' survival;
+    * the log-rank statistic says whether they differ beyond chance,
+    * weighting every pooled event day by its hypergeometric expectation
+    * — the standard churn/retention A/B readout. Shares q244's lifetable
+    * derivation verbatim (per-user first→last duration in days, horizon
+    * censoring) so the two operators read the same experiment.
+    *
+    * At each pooled event day t: observed arm-0 events d₀ₜ vs expected
+    * e₀ₜ = dₜ·n₀ₜ/nₜ under the null, variance vₜ = dₜ·(n₀ₜ/nₜ)·(n₁ₜ/nₜ)
+    * ·(nₜ−dₜ)/(nₜ−1) (0 when nₜ ≤ 1); χ² = (Σd₀ₜ−Σe₀ₜ)²/Σvₜ, NULL when
+    * Σvₜ = 0. At-risk counts are exact longs (total − removed-before-t,
+    * the standard convention that day-t events/censored are still at
+    * risk at t); e/v are pinned IEEE chains 9-dp pre-rounded into exact
+    * DECIMAL sums (the q256/q275 discipline), finals round(6).
+    *
+    * Shape: ONE user-keyed collapse; the lifetable, the pooled day
+    * spine and the before-t removal join all ride ≤ |days|-bounded
+    * frames (the q270 bounded-quadratic day-frame class — |days|² is a
+    * constant of the observation window, not the corpus). */
+  def logRank(df: DataFrame, userCol: String, tsCol: String,
+      groupCol: Column, censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0,
+      s"logRank: censorDays must be >= 0, got $censorDays")
+    val dayUs = 86400000000L
+    val per = df.filter(col(userCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("_t0"),
+        max(unix_micros(col(tsCol))).as("_t1"))
+    val hz = df.agg(max(unix_micros(col(tsCol))).as("_hz"))
+    val dur = per.crossJoin(broadcast(hz))
+      .withColumn("grp", groupCol)
+      .withColumn("d", expr(s"(_t1 - _t0) div ${dayUs}L"))
+      .withColumn("_ev", col("_t1") < col("_hz") - censorDays * dayUs)
+    val lt = dur.groupBy(col("grp"), col("d"))
+      .agg(sum(when(col("_ev"), 1L).otherwise(0L)).as("ev"),
+        sum(when(col("_ev"), 0L).otherwise(1L)).as("cn"))
+      .localCheckpoint()
+    val tot = lt.groupBy(col("grp"))
+      .agg(sum(col("ev") + col("cn")).as("_n"))
+    val spine = lt.groupBy(col("d")).agg(sum(col("ev")).as("_dt"))
+      .filter(col("_dt") > 0).select(col("d").as("td"))
+    // removed-before-t per (grp, t): a days^2-bounded band join — both
+    // sides are |days|-bounded, so the spine is broadcast-hinted (the
+    // unhinted form degraded BNLJ -> CartesianProduct at the 10x tier,
+    // StatsSweep r20)
+    val removed = broadcast(spine).join(lt, lt("d") < col("td"))
+      .groupBy(col("grp"), col("td"))
+      .agg(sum(col("ev") + col("cn")).as("_rm"))
+    val cells = spine.crossJoin(broadcast(tot.select(col("grp"))))
+      .join(removed, Seq("grp", "td"), "left")
+      .join(broadcast(tot), Seq("grp"))
+      .join(broadcast(lt.select(col("grp"), col("d").as("td"), col("ev"))),
+        Seq("grp", "td"), "left")
+      .select(col("grp"), col("td"),
+        (col("_n") - coalesce(col("_rm"), lit(0L))).as("nr"),
+        coalesce(col("ev"), lit(0L)).as("de"))
+    val piv = cells.groupBy(col("td"))
+      .agg(max(when(col("grp") === 0, col("nr"))).as("n0"),
+        max(when(col("grp") === 1, col("nr"))).as("n1"),
+        max(when(col("grp") === 0, col("de"))).as("d0"),
+        max(when(col("grp") === 1, col("de"))).as("d1"))
+      .filter(col("n0").isNotNull && col("n1").isNotNull)
+      .withColumn("nt", col("n0") + col("n1"))
+      .withColumn("dt", col("d0") + col("d1"))
+      .filter(col("nt") > 0)
+    val terms = piv.select(col("td"), col("d0"), col("d1"),
+      expr("""cast(round(cast(dt as double) * n0 / nt, 9)
+             as decimal(20,9))""").as("te0"),
+      expr("""cast(round(cast(dt as double) * n1 / nt, 9)
+             as decimal(20,9))""").as("te1"),
+      expr("""cast(round(case when nt > 1 then
+                cast(dt as double) * (cast(n0 as double) / nt)
+                  * (cast(n1 as double) / nt)
+                  * (cast(nt - dt as double) / (nt - 1))
+                else 0.0 end, 9) as decimal(20,9))""").as("tv"))
+    terms.agg(count(lit(1)).as("n_times"),
+        sum(col("d0")).as("o0"), sum(col("d1")).as("o1"),
+        sum(col("te0")).as("_e0"), sum(col("te1")).as("_e1"),
+        sum(col("tv")).as("_v"))
+      .filter(col("n_times").isNotNull && col("o0").isNotNull)
+      .select(col("n_times"), col("o0"),
+        round(col("_e0").cast("double"), 6).as("e0"),
+        col("o1"),
+        round(col("_e1").cast("double"), 6).as("e1"),
+        round(when(col("_v") > 0,
+          (col("o0") - col("_e0").cast("double"))
+            * (col("o0") - col("_e0").cast("double"))
+            / col("_v").cast("double")), 6).as("chi2"))
+  }
+
+  // censorDays = 1, not q244's 7: the fixture window is ~30 days of
+  // uniformly-active users, so a 7-day horizon censors EVERYONE (zero
+  // event days -> an empty test at every SF); one day yields the mixed
+  // event/censor population a survival test needs (1/15, 17/150,
+  // 156/1500 events at the three gate scales).
+  private val q285: Q = (s, d) =>
+    logRank(Tables.events(s, d), "user_id", "ts",
+      expr(s"pmod(${graft.operators.CrossHash.h60Expr("user_id")}, 2)"),
+      censorDays = 1)
+
   val queries: Map[String, Q] = Map(
+    "q282_seq_patterns" -> q282,
+    "q285_logrank" -> q285,
     "q281_isotonic" -> q281,
     "q287_ab_power" -> q287,
     "q288_mutual_info" -> q288,
@@ -4939,6 +5113,98 @@ object Analytics {
       ORDER BY p"""
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    // Replays seqPatterns: the same (us, id)-ordered per-user cap, the
+    // bounded position self-joins, per-user DISTINCT and support counts.
+    "q282_seq_patterns" -> """
+      WITH r AS (
+        SELECT u, t, p FROM (
+          SELECT user_id AS u, event_type AS t,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS p
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            AND ts IS NOT NULL AND event_id IS NOT NULL)
+        WHERE p <= 12),
+      l1 AS (SELECT 1 AS length, p1, CAST(NULL AS VARCHAR) AS p2,
+                    CAST(NULL AS VARCHAR) AS p3,
+                    CAST(count(*) AS BIGINT) AS support
+             FROM (SELECT DISTINCT u, t AS p1 FROM r) GROUP BY p1),
+      l2 AS (SELECT 2 AS length, p1, p2, CAST(NULL AS VARCHAR) AS p3,
+                    CAST(count(*) AS BIGINT) AS support
+             FROM (SELECT DISTINCT r1.u, r1.t AS p1, r2.t AS p2
+                   FROM r r1 JOIN r r2 ON r1.u = r2.u AND r1.p < r2.p)
+             GROUP BY p1, p2),
+      l3 AS (SELECT 3 AS length, p1, p2, p3,
+                    CAST(count(*) AS BIGINT) AS support
+             FROM (SELECT DISTINCT r1.u, r1.t AS p1, r2.t AS p2, r3.t AS p3
+                   FROM r r1
+                   JOIN r r2 ON r1.u = r2.u AND r1.p < r2.p
+                   JOIN r r3 ON r2.u = r3.u AND r2.p < r3.p)
+             GROUP BY p1, p2, p3)
+      SELECT * FROM (SELECT * FROM l1 UNION ALL
+                     SELECT * FROM l2 UNION ALL
+                     SELECT * FROM l3)
+      WHERE support >= 2
+      ORDER BY length, p1, p2, p3""",
+    // Replays logRank: q244's lifetable derivation, the pooled event-day
+    // spine, before-t removals, the hypergeometric e/v chains 9-dp
+    // pre-rounded into exact DECIMAL sums, and the pinned chi2.
+    "q285_logrank" -> s"""
+      WITH per AS (
+        SELECT user_id,
+               min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+               max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      hz AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS hzv FROM events),
+      dur AS (SELECT (${graft.operators.CrossHash.h60DuckDb(
+        "CAST(user_id AS VARCHAR)")}) % 2 AS grp,
+                     (t1 - t0) // 86400000000 AS d,
+                     CASE WHEN t1 < hzv - 86400000000 THEN 1 ELSE 0 END AS e
+              FROM per, hz),
+      lt AS (SELECT grp, d, CAST(sum(e) AS BIGINT) AS ev,
+                    CAST(count(*) - sum(e) AS BIGINT) AS cn
+             FROM dur GROUP BY grp, d),
+      tot AS (SELECT grp, CAST(sum(ev + cn) AS BIGINT) AS n FROM lt GROUP BY grp),
+      spine AS (SELECT d AS td FROM lt GROUP BY d HAVING sum(ev) > 0),
+      rem AS (SELECT lt.grp, s.td, CAST(sum(ev + cn) AS BIGINT) AS rm
+              FROM spine s JOIN lt ON lt.d < s.td GROUP BY lt.grp, s.td),
+      cells AS (SELECT t.grp, s.td,
+                       t.n - coalesce(rem.rm, 0) AS nr,
+                       coalesce(l.ev, 0) AS de
+                FROM spine s CROSS JOIN tot t
+                LEFT JOIN rem ON rem.grp = t.grp AND rem.td = s.td
+                LEFT JOIN lt l ON l.grp = t.grp AND l.d = s.td),
+      piv AS (SELECT td,
+                     max(CASE WHEN grp = 0 THEN nr END) AS n0,
+                     max(CASE WHEN grp = 1 THEN nr END) AS n1,
+                     max(CASE WHEN grp = 0 THEN de END) AS d0,
+                     max(CASE WHEN grp = 1 THEN de END) AS d1
+              FROM cells GROUP BY td),
+      pv AS (SELECT td, d0, d1, n0 + n1 AS nt, d0 + d1 AS dt, n0, n1
+             FROM piv
+             WHERE n0 IS NOT NULL AND n1 IS NOT NULL AND n0 + n1 > 0),
+      terms AS (SELECT td, d0, d1,
+                       CAST(round(CAST(dt AS DOUBLE) * n0 / nt, 9)
+                         AS DECIMAL(20,9)) AS te0,
+                       CAST(round(CAST(dt AS DOUBLE) * n1 / nt, 9)
+                         AS DECIMAL(20,9)) AS te1,
+                       CAST(round(CASE WHEN nt > 1 THEN
+                           CAST(dt AS DOUBLE) * (CAST(n0 AS DOUBLE) / nt)
+                             * (CAST(n1 AS DOUBLE) / nt)
+                             * (CAST(nt - dt AS DOUBLE) / (nt - 1))
+                           ELSE 0.0 END, 9) AS DECIMAL(20,9)) AS tv
+                FROM pv),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+                     CAST(sum(d0) AS BIGINT) AS o0,
+                     CAST(sum(d1) AS BIGINT) AS o1,
+                     sum(te0) AS e0d, sum(te1) AS e1d, sum(tv) AS vd
+              FROM terms)
+      SELECT n_times, o0, round(CAST(e0d AS DOUBLE), 6) AS e0,
+             o1, round(CAST(e1d AS DOUBLE), 6) AS e1,
+             round(CASE WHEN vd > 0 THEN
+               (o0 - CAST(e0d AS DOUBLE)) * (o0 - CAST(e0d AS DOUBLE))
+               / CAST(vd AS DOUBLE) END, 6) AS chi2
+      FROM agg WHERE o0 IS NOT NULL""",
     // Replays isotonicCalibration: identical equal-width binning with
     // the constant-score guard, exact prefix sums over the cell frame,
     // the same max-min closed form (fitted(k) = max_{i<=k} min_{j>=k}

@@ -283,6 +283,26 @@ object SmokeCoverage {
     "q288_mutual_info" -> ("ONE |X|x|Y|-bounded keyed collapse with " +
       "map-side partials; margins/entropies ride the bounded cell frame " +
       "via tiny broadcasts — 0.5 s at the 10x tier"),
+    "q282_seq_patterns" -> ("ONE user-keyed window exchange caps each " +
+      "sequence to 12 events BEFORE pairing (q218's cap-before-pairing " +
+      "valve), so subsequence fan-out is <= C(12,3) per user and the " +
+      "per-user DISTINCT collapses to <= |types|^3 before the support " +
+      "count — 2.3 s at the 10x tier"),
+    "q283_personalized_pagerank" -> ("q110's smoked per-round shape " +
+      "verbatim (one equality join + one shuffle-on-destination exact " +
+      "sum, localCheckpoint with eager release); only the teleport " +
+      "routing differs — 2.6 s at the 10x tier"),
+    "q284_ktruss" -> ("per-round triangle enumeration via q111's " +
+      "degree-ordered orientation (wedge fan-out capped O(sqrt E) per " +
+      "node; the unoriented form measured 85 s at the tier and was " +
+      "rewritten pre-commit, 4.6x); 4 bounded peels on the sampled " +
+      "co-supply graph — 18.4 s at the 10x tier, dominated by the " +
+      "fixture graph's documented densification (q111's artifact), " +
+      "30x-probed"),
+    "q285_logrank" -> ("q244's ONE user-keyed collapse; lifetable, " +
+      "pooled spine and before-t removals all ride <= |days|-bounded " +
+      "frames (the q270 bounded-quadratic day-frame class) — 0.9 s at " +
+      "the 10x tier"),
     "q269_concentration" -> ("ONE corpus unit collapse (map-side " +
       "partials), then the q249/q184 two-level bucketed decomposition " +
       "on the (group, value) frame — no group-partitioned corpus " +

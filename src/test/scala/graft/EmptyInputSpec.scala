@@ -118,5 +118,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(Analytics.mutualInfo(ev0, col("event_type"),
       dayofweek(col("ts"))).isEmpty)
     assert(TextAnalysis.readability(docs0, "doc_id", "text").isEmpty)
+    assert(Analytics.seqPatterns(ev0, "user_id", "ts", "event_id",
+      "event_type").isEmpty)
+    assert(Analytics.logRank(ev0, "user_id", "ts",
+      pmod(col("user_id"), lit(2L))).isEmpty)
+    val e0 = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.personalizedPageRank(e0, "src", "dst", Seq("x")).isEmpty)
+    assert(Graph.kTruss(e0, "src", "dst", k = 4).isEmpty)
   }
 }

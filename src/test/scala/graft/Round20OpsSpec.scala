@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, TextAnalysis}
+import graft.operators.{Analytics, Graph, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-20 locks: hand-computable cases for the round's new operators
@@ -95,6 +95,97 @@ class Round20OpsSpec extends SparkSpec {
       .collect().toSeq
     assert(outC.head._3 == 0.0 && outC.head._4 == 0.0 && outC.head._6.isEmpty,
       s"constant x: MI 0, Hx 0, NMI NULL: $outC")
+  }
+
+  // ------------------------------------------- sequential patterns --
+
+  test("seqPatterns: gapped subsequences with per-user distinct support (q282)") {
+    // u1 = [a, b, a], u2 = [a, b] (order by ts, id):
+    //   L1: a in both (2), b in both (2).
+    //   L2: (a,b) in both (2); (a,a) and (b,a) only in u1 (1 each) —
+    //       (a,a) is the GAPPED pair q170's contiguous trigrams miss.
+    //   L3: (a,b,a) only in u1 (1).
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq((1L, t(0), 1L, "a"), (1L, t(1), 2L, "b"), (1L, t(2), 3L, "a"),
+        (2L, t(0), 4L, "a"), (2L, t(1), 5L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Analytics.seqPatterns(ev, "user_id", "ts", "event_id",
+        "event_type", minSupport = 1)
+      .as[(Int, String, Option[String], Option[String], Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._2, r._3, r._4))
+    assert(out == Seq(
+      (1, "a", None, None, 2L),
+      (1, "b", None, None, 2L),
+      (2, "a", Some("a"), None, 1L),
+      (2, "a", Some("b"), None, 2L),
+      (2, "b", Some("a"), None, 1L),
+      (3, "a", Some("b"), Some("a"), 1L)))
+  }
+
+  test("seqPatterns: the cap prunes events past position `cap` before pairing (q282)") {
+    // One user with [a, a, a, b]: cap = 3 keeps only the three a's, so
+    // no pattern may contain b and (a,a) has support 1.
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq((1L, t(0), 1L, "a"), (1L, t(1), 2L, "a"),
+        (1L, t(2), 3L, "a"), (1L, t(3), 4L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Analytics.seqPatterns(ev, "user_id", "ts", "event_id",
+        "event_type", cap = 3, minSupport = 1)
+      .as[(Int, String, Option[String], Option[String], Long)]
+      .collect().toSeq
+    assert(out.forall(r => r._2 == "a" && !r._3.contains("b")
+      && !r._4.contains("b")), s"capped-away b leaked: $out")
+    assert(out.toSet == Set((1, "a", None, None, 1L),
+      (2, "a", Some("a"), None, 1L), (3, "a", Some("a"), Some("a"), 1L)))
+  }
+
+  // --------------------------------------- personalized PageRank --
+
+  test("personalizedPageRank: one round on a path routes restart mass to the source (q283)") {
+    // Path a-b-c, source {a}, damping 85, 1 iter, Scale = 1e9:
+    //   init: a = 1e9, b = c = 0; degrees a:1, b:2, c:1.
+    //   round 1 messages: a sends 1e9 to b; b and c send 0.
+    //   a' = 150_000_000 (restart only), b' = 850_000_000, c' = 0.
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val out = Graph.personalizedPageRank(e, "src", "dst", Seq("a"), iters = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("b", 850000000L), ("a", 150000000L), ("c", 0L)))
+  }
+
+  // ------------------------------------------------------ k-truss --
+
+  test("kTruss: K4 survives the 4-truss peel, a pendant triangle is peeled (q284)") {
+    // K4 on {1,2,3,4}: every edge closes exactly 2 triangles -> support
+    // 2 >= k-2, survives. Pendant triangle {4,5,6}: each edge closes 1
+    // -> peeled in round 1; K4 supports are unchanged after the peel.
+    val k4 = for (a <- 1 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)
+    val pend = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val e = (k4 ++ pend).toDF("src", "dst")
+    val out = Graph.kTruss(e, "src", "dst", k = 4)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(out == k4.map { case (a, b) => (a, b, 2L) }.toSeq.sorted)
+  }
+
+  // ----------------------------------------------------- log-rank --
+
+  test("logRank: hand-computed three-event-day table (q285)") {
+    // Arm 0 (even users): u0 d=2 event, u2 d=0 event. Arm 1 (odd):
+    // u1 d=1 event, u3 d=5 = horizon -> censored (censorDays = 0).
+    // Pooled event days {0,1,2}; at-risk/expected per day:
+    //   t=0: n=(2,2) d=(1,0) e0=0.5   v=0.25
+    //   t=1: n=(1,2) d=(0,1) e0=1/3   v=2/9
+    //   t=2: n=(1,1) d=(1,0) e0=0.5   v=0.25
+    // o0=2, e0=1.333333, o1=1, e1=1.666667,
+    // chi2=(2-1.333333333)^2/0.722222222 = 0.615385.
+    def day(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-0${n + 1}%d 00:00:00")
+    val ev = Seq((0L, day(0)), (0L, day(2)), (2L, day(0)),
+        (1L, day(0)), (1L, day(1)), (3L, day(0)), (3L, day(5)))
+      .toDF("user_id", "ts")
+    val out = Analytics.logRank(ev, "user_id", "ts",
+        pmod(col("user_id"), lit(2L)), censorDays = 0)
+      .as[(Long, Long, Double, Long, Double, Option[Double])]
+      .collect().toSeq
+    assert(out == Seq((3L, 2L, 1.333333, 1L, 1.666667, Some(0.615385))))
   }
 
   // ---------------------------------------------------- readability --
