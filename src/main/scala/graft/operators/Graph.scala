@@ -866,7 +866,113 @@ object Graph {
     kTruss(suppPartEdges(s, d), "src", "dst", k = 4)
       .orderBy(col("a"), col("b"))
 
+  // -------------------------------------------------------- bridges --
+
+  /** Bridge (cut-edge) detection via cycle-space fingerprinting (round
+    * 20, VERDICT r19 item 5d's other half) — the robustness question
+    * k-core/k-truss don't answer: WHICH single edges disconnect the
+    * graph (the links whose loss partitions a supply network). The
+    * classic algorithm is DFS chain decomposition — inherently
+    * sequential, not expressible as bounded dataflow rounds — so this
+    * uses the distributed-standard cycle-space formulation
+    * (Thurimella/Pritchard): build a BFS spanning forest; give every
+    * NON-tree edge a deterministic 60-bit fingerprint XOR'd onto both
+    * endpoints; then a tree edge's covering set is the XOR of all
+    * fingerprints in the child's subtree (edges with both endpoints
+    * inside cancel), and the edge is a bridge iff that XOR is 0 — a
+    * non-tree edge is never a bridge (it closes a cycle with the tree
+    * path). A non-bridge reads 0 only on a 2⁻⁶⁰ fingerprint collision;
+    * the oracle replays the identical arithmetic, so the gate is stable
+    * regardless.
+    *
+    * All stages are bounded dataflow rounds in the q110 discipline:
+    * per-component BFS (roots = [[Dedup.connectedComponents]] min
+    * labels; loop until the frontier empties, required within
+    * `maxRounds`), parent = min neighbor one level up (a keyed min —
+    * deterministic), ancestor closure built one parent-hop per round
+    * (pairs unique by construction — a tree ancestor chain never
+    * repeats), ONE subtree-XOR keyed aggregate, one anti-join for the
+    * non-tree set. Every frame is O(V·depth) or O(E); nothing is
+    * quadratic. */
+  def bridges(edges: DataFrame, src: String, dst: String,
+      maxRounds: Int = 24): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"bridges: maxRounds must be in [1, 64], got $maxRounds")
+    val canon = edges.select(col(src).as("x"), col(dst).as("y"))
+      .filter(col("x") =!= col("y") && col("x").isNotNull && col("y").isNotNull)
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    if (canon.isEmpty) return canon.select(col("a"), col("b"))
+    val und = canon.union(canon.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val roots = Dedup.connectedComponents(canon, "a", "b")
+      .filter(col("id") === col("component"))
+      .select(col("id").as("node"))
+    var levels = roots.withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = levels
+    var rounds = 0
+    var n = frontier.count()
+    while (n > 0 && rounds < maxRounds) {
+      rounds += 1
+      val next = und.join(frontier.select(col("node")),
+          und("a") === col("node"))
+        .select(und("b").as("node")).distinct()
+        .join(levels.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(rounds))
+        .localCheckpoint()
+      val merged = levels.union(next).localCheckpoint()
+      Dedup.unpersistBlocks(levels)
+      levels = merged
+      frontier = next
+      n = next.count()
+    }
+    require(n == 0,
+      s"bridges: BFS frontier still non-empty after $maxRounds rounds")
+    val la = levels.select(col("node").as("a"), col("dist").as("_da"))
+    val lb = levels.select(col("node").as("b"), col("dist").as("_db"))
+    val parent = und.join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("_db") === col("_da") - 1)
+      .groupBy(col("a").as("v")).agg(min(col("b")).as("par"))
+      .localCheckpoint()
+    val treeCanon = parent.select(least(col("v"), col("par")).as("a"),
+      greatest(col("v"), col("par")).as("b"))
+    val nonTree = canon.join(treeCanon, Seq("a", "b"), "left_anti")
+      .withColumn("r",
+        expr(CrossHash.h60Expr("concat(a, '|', b)")))
+      .localCheckpoint()
+    val vals = nonTree.select(col("a").as("v"), col("r"))
+      .union(nonTree.select(col("b").as("v"), col("r")))
+      .groupBy(col("v")).agg(expr("bit_xor(r)").as("xv"))
+    // ancestor-or-self closure, one parent-hop per round; a tree chain
+    // never repeats a node, so the pairs are unique without dedup
+    var closure = levels.select(col("node").as("v"), col("node").as("t"))
+      .localCheckpoint()
+    var hop = parent.select(col("v"), col("par").as("t")).localCheckpoint()
+    var k = 0
+    while (k < rounds) {
+      k += 1
+      closure = closure.union(hop).localCheckpoint()
+      hop = hop.join(parent.select(col("v").as("t"), col("par").as("t2")),
+          Seq("t"))
+        .select(col("v"), col("t2").as("t"))
+        .localCheckpoint()
+    }
+    val sub = closure.join(vals, Seq("v"))
+      .groupBy(col("t")).agg(expr("bit_xor(xv)").as("sx"))
+    parent.join(sub, parent("v") === sub("t"), "left")
+      .filter(coalesce(col("sx"), lit(0L)) === 0L)
+      .select(least(col("v"), col("par")).as("a"),
+        greatest(col("v"), col("par")).as("b"))
+  }
+
+  private val q289: Q = (s, d) =>
+    bridges(custSuppEdges(s, d), "src", "dst")
+      .orderBy(col("a"), col("b"))
+
   val queries: Map[String, Q] = Map(
+    "q289_bridges" -> q289,
     "q283_personalized_pagerank" -> q283,
     "q284_ktruss" -> q284,
     "q267_sssp" -> q267,
@@ -1008,6 +1114,51 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "q283_personalized_pagerank" -> pprSql(3, 85, "c:28", 20),
     "q284_ktruss" -> ktrussSql(4, 3),
+    // Replays bridges: BFS levels from the min node (the gated graph is
+    // CONNECTED at all three gate scales — reached == node-count
+    // verified at sf0.001/0.01/0.1 — so the engine's per-component
+    // multi-root forest degenerates to this single root), the same
+    // min-neighbor parent, h60 fingerprints on non-tree edges, the
+    // subtree-XOR via the recursive ancestor closure, and the zero test.
+    "q289_bridges" -> s"""
+      WITH RECURSIVE
+      ec AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                             's:' || CAST(l_suppkey AS VARCHAR) AS b
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'),
+      e0 AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM ec),
+      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      mn AS (SELECT min(a) AS m FROM e),
+      lv0 AS (SELECT m AS node, 0 AS d FROM mn
+              UNION
+              SELECT e.b, lv0.d + 1 FROM lv0 JOIN e ON e.a = lv0.node
+              WHERE lv0.d < 24),
+      lvl AS (SELECT node, CAST(min(d) AS INT) AS d FROM lv0 GROUP BY node),
+      par AS (SELECT u.a AS v, min(u.b) AS p
+              FROM e u
+              JOIN lvl la ON la.node = u.a
+              JOIN lvl lb ON lb.node = u.b
+              WHERE lb.d = la.d - 1
+              GROUP BY u.a),
+      tre AS (SELECT least(v, p) AS a, greatest(v, p) AS b FROM par),
+      nt AS (SELECT c.a, c.b,
+                    (${CrossHash.h60DuckDb("c.a || '|' || c.b")}) AS r
+             FROM e0 c
+             WHERE NOT EXISTS (SELECT 1 FROM tre t
+                               WHERE t.a = c.a AND t.b = c.b)),
+      vals AS (SELECT v, bit_xor(r) AS xv
+               FROM (SELECT a AS v, r FROM nt
+                     UNION ALL SELECT b AS v, r FROM nt)
+               GROUP BY v),
+      cl AS (SELECT node AS v, node AS t FROM lvl
+             UNION
+             SELECT cl.v, par.p AS t FROM cl JOIN par ON par.v = cl.t),
+      sub AS (SELECT cl.t, bit_xor(vals.xv) AS sx
+              FROM cl JOIN vals ON vals.v = cl.v GROUP BY cl.t)
+      SELECT least(p2.v, p2.p) AS a, greatest(p2.v, p2.p) AS b
+      FROM par p2 LEFT JOIN sub ON sub.t = p2.v
+      WHERE coalesce(sub.sx, 0) = 0
+      ORDER BY a, b""",
     // Replays degreeDistribution: symmetrized distinct degrees, the
     // degree spectrum, the descending cumulative CCDF and the identical
     // 9-dp pre-rounded ln-term tail fold + pinned alpha chain.

@@ -303,6 +303,13 @@ object SmokeCoverage {
       "pooled spine and before-t removals all ride <= |days|-bounded " +
       "frames (the q270 bounded-quadratic day-frame class) — 0.9 s at " +
       "the 10x tier"),
+    "q289_bridges" -> ("bounded dataflow rounds in the q110 iterative " +
+      "discipline end-to-end: q54 components for roots, BFS to frontier " +
+      "exhaustion, one-parent-hop-per-round ancestor closure, ONE " +
+      "subtree-XOR keyed aggregate — every frame O(V*depth) or O(E), " +
+      "rounds scale with graph DIAMETER not size; 10.9 s at the 10x " +
+      "tier vs 6.0 s at sf0.1 (1.8x for 10x — per-round fixed cost " +
+      "dominates)"),
     "q269_concentration" -> ("ONE corpus unit collapse (map-side " +
       "partials), then the q249/q184 two-level bucketed decomposition " +
       "on the (group, value) frame — no group-partitioned corpus " +

@@ -125,5 +125,6 @@ class EmptyInputSpec extends SparkSpec {
     val e0 = Seq.empty[(String, String)].toDF("src", "dst")
     assert(Graph.personalizedPageRank(e0, "src", "dst", Seq("x")).isEmpty)
     assert(Graph.kTruss(e0, "src", "dst", k = 4).isEmpty)
+    assert(Graph.bridges(e0, "src", "dst").isEmpty)
   }
 }

@@ -166,6 +166,38 @@ class Round20OpsSpec extends SparkSpec {
     assert(out == k4.map { case (a, b) => (a, b, 2L) }.toSeq.sorted)
   }
 
+  // ------------------------------------------------------ bridges --
+
+  test("bridges: two triangles joined by one edge — exactly the connector and the tail are bridges (q289)") {
+    // Triangles {1,2,3} and {4,5,6} joined by 3-4, plus tail 6-7:
+    // cycle edges are never bridges; 3-4 and 6-7 disconnect the graph.
+    // Hand trace of the fingerprint algebra: BFS root 1, tree
+    // 1-2,1-3,3-4,4-5,4-6,6-7; non-tree 2-3 (r1), 5-6 (r2);
+    // sub(4)=r2^r2=0 -> 3-4 bridge; sub(7)=0 -> 6-7 bridge;
+    // sub(2)=r1, sub(3)=r1^0=r1 (4's subtree cancels r2), sub(5)=r2,
+    // sub(6)=r2 -> all non-zero, not bridges.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+        (3L, 4L), (6L, 7L))
+      .toDF("src", "dst")
+    val out = Graph.bridges(e, "src", "dst")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((3L, 4L), (6L, 7L)))
+  }
+
+  test("bridges: a tree is all bridges, a cycle has none (q289)") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.bridges(path, "src", "dst")
+      .as[(Long, Long)].collect().toSeq.sorted
+      == Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(Graph.bridges(cycle, "src", "dst").isEmpty)
+    // two components: each component's bridges independently
+    val two = Seq((1L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    assert(Graph.bridges(two, "src", "dst")
+      .as[(Long, Long)].collect().toSeq.sorted == Seq((1L, 2L)))
+  }
+
   // ----------------------------------------------------- log-rank --
 
   test("logRank: hand-computed three-event-day table (q285)") {
