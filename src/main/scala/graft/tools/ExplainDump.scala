@@ -128,6 +128,12 @@ object ExplainDump {
     "q267_sssp" -> "Bellman-Ford final-round shape: frontier-keyed equality join + keyed min aggregate + improvement left-join; RDDScan leaves are the per-round localCheckpoints",
     "q269_concentration" -> "Gini WITHOUT per-unit ranks: collapsed (group,value) frame, bucket-local windows + per-(group,bucket) offsets (q249's two-level form), doubled block identity map-side",
     "q274_join_view_maintenance" -> "delta decomposition: three delta-side SMJ legs unioned into ONE aggregate; base x base appears only as the certificate's V0; full-outer key merge of two bounded frames",
+    "q279_stream_anti_join" -> "the anti mode's drain shape (the one interval-join member previously without a curated dump): the certified left-outer's drained sink filtered to purchase-side NULL — zero added state over q195; the batch plan here is the post-drain filter + sort",
+    "q280_stream_timeout_session" -> "flatMapGroupsWithState + EventTimeTimeout drain: the post-drain plan is the memory sink's session rows projected and range-sorted; session state itself lives in the streaming runtime (one open session per user, evicted on every timer expiry)",
+    "q281_isotonic" -> "PAV as declarative max-min: corpus collapses to <= B bin cells once; the <= B^2 pair frame, running window min and bounded max all ride constant frames (broadcast-pinned final join)",
+    "q282_seq_patterns" -> "cap-before-pairing: ONE user-keyed window prune to 12 positions, then three bounded position self-joins + per-user DISTINCT collapse to <= |types|^3 before support counting",
+    "q284_ktruss" -> "final peel round's support shape: q111's degree-ordered orientation (wedge fan-out O(sqrt E) per node), wedge join + closing join, 3-edge explode, keyed support count; RDDScan leaves are the per-round checkpoints",
+    "q289_bridges" -> "cycle-space verdict pass: non-tree fingerprint XOR values joined through the ancestor closure into ONE subtree bit_xor aggregate; left-join zero test on the tree-edge frame",
   )
 
   def main(args: Array[String]): Unit = {
