@@ -45,7 +45,7 @@ object Sf01Coverage {
   }
 
   /** query -> reason no sf0.1 certification is required. Empty today:
-    * every query on the surface (278 as of round 20, including every streaming drain and the 965k-row
+    * every query on the surface (288 as of the round-20 close, including every streaming drain and the 965k-row
     * q159 answer) are certified. Any future entry must argue the
     * STRUCTURAL reason, as in SmokeCoverage/TierCoverage. */
   val exempt: Map[String, String] = Map.empty

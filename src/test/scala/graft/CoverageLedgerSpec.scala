@@ -21,7 +21,7 @@ class CoverageLedgerSpec extends AnyFunSuite {
 
   private val ledgerPath = "COVERAGE.md"
 
-  /** query -> reason no COVERAGE.md row is required. Empty today: all 278
+  /** query -> reason no COVERAGE.md row is required. Empty today: all 288
     * queries have rows. Any future entry must argue the STRUCTURAL
     * reason, as in SmokeCoverage/TierCoverage/Sf01Coverage. */
   private val exempt: Map[String, String] = Map.empty
