@@ -193,6 +193,14 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft_wh_bench").toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // NOT set: spark.sql.adaptive.coalescePartitions.parallelismFirst=
+      // false (the docs' production lean). A/B'd in r21 on a 13-query mix:
+      // bytes-based post-shuffle sizing collapsed the CPU-dense operators
+      // to a handful of 1 MB partitions and serialized them on 32 cores —
+      // q159 7.6→30 s, q226 4.5→15 s, q139 1.8→11 s. This fixture is
+      // small in bytes but heavy in CPU per byte, so parallelism-first
+      // (the default) is the correct coalescing mode here; at a 100 TB
+      // deployment the advisory-size path dominates either way.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Recursive-CTE closure output is input-proportional by design; the

@@ -2275,11 +2275,23 @@ object Analytics {
     * AQE-broadcast when small); lift arithmetic runs in double — integer
     * n_i·n_j overflows 64 bits past ~3·10⁹ baskets. */
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
-      maxItemsPerBasket: Int = 100): DataFrame = {
+      maxItemsPerBasket: Int = 100): DataFrame =
+    coOccurrenceFrom(distinctBasketItems(df, basketCol, itemCol),
+      maxItemsPerBasket)
+
+  /** The distinct non-NULL (basket, item) relation both [[coOccurrence]]
+    * and the recommenders' seen set are built from — factored out (r21) so
+    * [[recommenderBase]] computes the distinct exchange ONCE instead of
+    * twice (once inside coOccurrence, once for `seen`). */
+  private def distinctBasketItems(df: DataFrame, basketCol: String,
+      itemCol: String): DataFrame =
+    df.select(col(basketCol).as("b"), col(itemCol).as("it"))
+      .filter(col("b").isNotNull && col("it").isNotNull).distinct()
+
+  private def coOccurrenceFrom(bi: DataFrame,
+      maxItemsPerBasket: Int): DataFrame = {
     require(maxItemsPerBasket >= 2,
       s"coOccurrence: maxItemsPerBasket must be >= 2, got $maxItemsPerBasket")
-    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("it"))
-      .filter(col("b").isNotNull && col("it").isNotNull).distinct()
     val capped = bi
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("b")).orderBy(col("it"))))
@@ -2343,14 +2355,16 @@ object Analytics {
     * solo at sf0.1, round 13) — keep the union form. */
   private def recommenderBase(df: DataFrame, basketCol: String,
       itemCol: String, maxItemsPerBasket: Int): (DataFrame, DataFrame) = {
-    val co = coOccurrence(df, basketCol, itemCol, maxItemsPerBasket)
+    // ONE distinct (basket, item) exchange feeds both the co-occurrence
+    // pipeline and the seen set (r21 — they were the same frame computed
+    // twice: one full re-scan + distinct of the input per query).
+    val bi = distinctBasketItems(df, basketCol, itemCol).localCheckpoint()
+    val co = coOccurrenceFrom(bi, maxItemsPerBasket)
       .withColumn("_l", col("lift").cast("decimal(12,6)"))
     val sym = co.select(col("item1").as("_it"), col("item2").as("rec"), col("_l"))
       .unionByName(co.select(col("item2").as("_it"), col("item1").as("rec"),
         col("_l")))
-    val seen = df.select(col(basketCol).as("b"), col(itemCol).as("_it"))
-      .filter(col("b").isNotNull && col("_it").isNotNull).distinct()
-      .localCheckpoint()
+    val seen = bi.select(col("b"), col("it").as("_it"))
     (sym, seen)
   }
 
@@ -4460,13 +4474,20 @@ object Analytics {
   def joinViewMaintenance(a: DataFrame, b: DataFrame, aJoin: String,
       bJoin: String, aGroup: String, bGroup: String, valCol: String,
       inBaseA: Column, inBaseB: Column): DataFrame = {
+    // Checkpointed once: a0/da (and b0/db) below are filters over these
+    // frames, and the four view legs would otherwise re-run the base scans
+    // AND the split predicates (md5-derived — the expensive part of the
+    // projection) once per leg (r21; the skinny key+group+flag projection
+    // is what materializes, never the base tables' full width).
     val at = a.filter(col(aJoin).isNotNull)
       .select(col(aJoin).as("_k"), col(aGroup).as("_ga"),
         coalesce(inBaseA, lit(false)).as("_ba"))
+      .localCheckpoint()
     val bt = b.filter(col(bJoin).isNotNull)
       .select(col(bJoin).as("_k"), col(bGroup).as("_gb"),
         col(valCol).cast("decimal(14,2)").as("_v"),
         coalesce(inBaseB, lit(false)).as("_bb"))
+      .localCheckpoint()
     val a0 = at.filter(col("_ba")).drop("_ba")
     val da = at.filter(!col("_ba")).drop("_ba")
     val b0 = bt.filter(col("_bb")).drop("_bb")

@@ -739,6 +739,11 @@ object Graph {
       sources: Seq[String], iters: Int = 3, dampingPct: Int = 85,
       topK: Int = 20): DataFrame = {
     require(sources.nonEmpty, "personalizedPageRank: sources must be non-empty")
+    // A duplicated source would fan out the srcSet joins (duplicate rank
+    // rows per node each iteration) and mis-split the teleport mass
+    // (ADVICE r20): refuse loudly rather than silently mis-rank.
+    require(sources.distinct.size == sources.size,
+      s"personalizedPageRank: sources must be distinct, got $sources")
     require(iters >= 1 && iters <= 100,
       s"personalizedPageRank: iters must be in [1, 100], got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
@@ -799,17 +804,38 @@ object Graph {
     * rounds and converge-then-stop agree whenever the peel settles
     * within the budget, and the fixed form is what's gateable).
     *
-    * Per round: triangles are enumerated with q111's DEGREE-ORDERED
-    * forward algorithm (orient low→high (degree, id), ONE wedge join +
-    * ONE closing join — orientation caps wedge fan-out at O(√E) per
-    * node; the naive neighbors-of-a ⋈ neighbors-of-b form squared hub
-    * degrees and measured 85 s at the 10× tier before this rewrite,
-    * 12× the oriented form), each triangle credits its THREE canonical
-    * edges, and `support ≥ k−2` keeps an edge; per-round localCheckpoint
-    * with eager release. Output: surviving canonical edges with their
-    * in-truss support — all exact integers (an unconverged zero-support
-    * survivor carries no triangle row and is absent; the oracle replays
-    * the same join). */
+    * Triangles are enumerated ONCE, over the initial edge set, with
+    * q111's DEGREE-ORDERED forward algorithm (orient low→high
+    * (degree, id), ONE wedge join + ONE closing join — orientation caps
+    * wedge fan-out at O(√E) per node; the naive neighbors-of-a ⋈
+    * neighbors-of-b form squared hub degrees and measured 85 s at the
+    * 10× tier before this rewrite, 12× the oriented form). The peel is
+    * DECREMENTAL (r21, VERDICT r20 item 5): the edge set only SHRINKS,
+    * so the triangles among round-r survivors are exactly the initial
+    * triangles whose three edges all survive — and a support count only
+    * changes when a triangle DIES, which happens the first round one of
+    * its edges is removed. Each round therefore: (1) edges dropped by
+    * the `support ≥ k−2` filter join the (triangle, edge) incidence
+    * frame to find newly-dead triangles (the removed set is the SMALL
+    * side — AQE broadcasts it, the incidence frame never shuffles);
+    * (2) the newly-dead triangles' credits decrement the surviving
+    * edges' supports (again a small-side join); (3) supports that reach
+    * 0 drop their row, exactly as an edge with no triangles was absent
+    * from the old per-round recount. The previous form re-ran the full
+    * wedge+closing enumeration every round — rounds+1 passes over the
+    * quadratic-ish wedge stage for identical output; at sf0.1 the graph
+    * is 41k edges / 1.46M wedges / 510k triangles, so each avoided
+    * recount is ~1.5M-row work (A/B in OPTIMIZATION_r21.md). Output:
+    * surviving canonical edges with their in-truss support — all exact
+    * integers, byte-identical to the recount form (the oracle replays
+    * the fixed-round recount).
+    *
+    * Scale note: the (triangle, edge) incidence frame is O(3·#triangles)
+    * rows, checkpointed once and scanned map-side per round — the same
+    * volume every per-round enumeration materialized transiently before;
+    * per-round shuffle volume is O(removed edges + dying triangles),
+    * which is what makes the peel cheap on graphs where most edges
+    * survive (and never worse than a recount when they don't). */
   def kTruss(edges: DataFrame, src: String, dst: String, k: Int,
       rounds: Int = 3): DataFrame = {
     require(k >= 3, s"kTruss: k must be >= 3, got $k")
@@ -820,46 +846,76 @@ object Graph {
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct()
-    def support(cur: DataFrame): DataFrame = {
-      val und = cur.select(col("a").as("u"), col("b").as("v"))
-        .union(cur.select(col("b").as("u"), col("a").as("v")))
-      val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("dg"))
-      val o = cur
-        .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
-        .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
-        .select(
-          when(col("da") < col("db")
-              || (col("da") === col("db") && col("a") < col("b")),
-            col("a")).otherwise(col("b")).as("oa"),
-          when(col("da") < col("db")
-              || (col("da") === col("db") && col("a") < col("b")),
-            col("b")).otherwise(col("a")).as("ob"))
-        .localCheckpoint()
-      val tri = o.as("e1")
-        .join(o.as("e2"), col("e1.ob") === col("e2.oa"))
-        .select(col("e1.oa").as("wa"), col("e1.ob").as("wb"),
-          col("e2.ob").as("wc"))
-        .join(o, col("wa") === col("oa") && col("wc") === col("ob"))
-        .select(col("wa"), col("wb"), col("wc"))
-      tri.select(explode(array(
+      .localCheckpoint()
+    val und = canon.select(col("a").as("u"), col("b").as("v"))
+      .union(canon.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("dg"))
+    val o = canon
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db")
+            || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("oa"),
+        when(col("da") < col("db")
+            || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("ob"))
+      .localCheckpoint()
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.ob") === col("e2.oa"))
+      .select(col("e1.oa").as("wa"), col("e1.ob").as("wb"),
+        col("e2.ob").as("wc"))
+      .join(o, col("wa") === col("oa") && col("wc") === col("ob"))
+      .select(col("wa"), col("wb"), col("wc"))
+    // (triangle, canonical edge) incidence — the forward algorithm emits
+    // each triangle exactly once; the synthetic tid is fixed by the
+    // checkpoint and only ever used as an internal grouping key.
+    val te = tri.withColumn("tid", monotonically_increasing_id())
+      .select(col("tid"),
+        explode(array(
           struct(least(col("wa"), col("wb")).as("a"),
             greatest(col("wa"), col("wb")).as("b")),
           struct(least(col("wb"), col("wc")).as("a"),
             greatest(col("wb"), col("wc")).as("b")),
           struct(least(col("wa"), col("wc")).as("a"),
             greatest(col("wa"), col("wc")).as("b")))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-    }
-    var cur = canon.localCheckpoint()
+      .select(col("tid"), col("e.a").as("a"), col("e.b").as("b"))
+      .localCheckpoint()
+    Dedup.unpersistBlocks(o)
+    Dedup.unpersistBlocks(canon)
+    // sup_1: every triangle is alive — one keyed count over the incidence.
+    var sup = te.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support"))
+      .localCheckpoint()
+    // Accumulated dead-triangle frames (each round's newly-dead tids,
+    // checkpointed small): a triangle dies the FIRST round an edge of it
+    // is removed and must decrement exactly once.
+    var deadFrames: List[DataFrame] = Nil
     for (_ <- 1 to rounds) {
-      val next = support(cur).filter(col("support") >= k - 2)
+      // Edges dropped this round. Zero-support edges (no triangle row)
+      // belong to no triangle, so dropping them kills nothing — the
+      // removed set from the support frame alone is complete.
+      val removed = sup.filter(col("support") < k - 2)
         .select(col("a"), col("b"))
+      val touched = te.join(removed, Seq("a", "b"))
+        .select(col("tid")).distinct()
+      val newlyDead = deadFrames
+        .foldLeft(touched)((t, d) => t.join(d, Seq("tid"), "left_anti"))
         .localCheckpoint()
-      Dedup.unpersistBlocks(cur)
-      cur = next
+      val dec = te.join(newlyDead, Seq("tid"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_lost"))
+      val next = sup.filter(col("support") >= k - 2)
+        .join(dec, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          (col("support") - coalesce(col("_lost"), lit(0L))).as("support"))
+        .filter(col("support") > 0)
+        .localCheckpoint()
+      Dedup.unpersistBlocks(sup)
+      deadFrames ::= newlyDead
+      sup = next
     }
-    support(cur)
+    deadFrames.foreach(Dedup.unpersistBlocks)
+    sup
   }
 
   private val q284: Q = (s, d) =>
@@ -910,6 +966,10 @@ object Graph {
     val roots = Dedup.connectedComponents(canon, "a", "b")
       .filter(col("id") === col("component"))
       .select(col("id").as("node"))
+    // levels accumulates as a LAZY union of the per-round checkpointed
+    // frontiers (each leaf is an RDD scan): re-checkpointing the merged
+    // frame every round copied O(V) rows per round — O(V·depth²) total
+    // writes for identical content (r21, guide §2.4).
     var levels = roots.withColumn("dist", lit(0)).localCheckpoint()
     var frontier = levels
     var rounds = 0
@@ -922,9 +982,7 @@ object Graph {
         .join(levels.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(rounds))
         .localCheckpoint()
-      val merged = levels.union(next).localCheckpoint()
-      Dedup.unpersistBlocks(levels)
-      levels = merged
+      levels = levels.union(next)
       frontier = next
       n = next.count()
     }
@@ -945,19 +1003,34 @@ object Graph {
     val vals = nonTree.select(col("a").as("v"), col("r"))
       .union(nonTree.select(col("b").as("v"), col("r")))
       .groupBy(col("v")).agg(expr("bit_xor(r)").as("xv"))
-    // ancestor-or-self closure, one parent-hop per round; a tree chain
-    // never repeats a node, so the pairs are unique without dedup
+    // Ancestor-or-self closure by POINTER DOUBLING (r21, guide §1.2 "the
+    // distributed algorithm"): `closure` spans ancestor distances
+    // [0, span), `jump` holds the exact span-distance ancestor where one
+    // exists; one round composes both through `jump`, doubling the span —
+    // ⌈log₂(depth+1)⌉ joins instead of the previous one-parent-hop-per-
+    // round loop's `depth` joins (and `depth` re-checkpoints of the
+    // growing frame). A tree ancestor chain never repeats a node and each
+    // (v, ancestor) pair has a unique distance, so the distance-disjoint
+    // pieces union without dedup — the same uniqueness argument the
+    // one-hop form relied on, and the identical final pair set.
     var closure = levels.select(col("node").as("v"), col("node").as("t"))
       .localCheckpoint()
-    var hop = parent.select(col("v"), col("par").as("t")).localCheckpoint()
-    var k = 0
-    while (k < rounds) {
-      k += 1
-      closure = closure.union(hop).localCheckpoint()
-      hop = hop.join(parent.select(col("v").as("t"), col("par").as("t2")),
-          Seq("t"))
+    var jump = parent.select(col("v"), col("par").as("t")).localCheckpoint()
+    var span = 1
+    while (span <= rounds) {
+      val shifted = jump
+        .join(closure.select(col("v").as("t"), col("t").as("t2")), Seq("t"))
+        .select(col("v"), col("t2").as("t"))
+      val closure2 = closure.union(shifted).localCheckpoint()
+      val jump2 = jump
+        .join(jump.select(col("v").as("t"), col("t").as("t2")), Seq("t"))
         .select(col("v"), col("t2").as("t"))
         .localCheckpoint()
+      Dedup.unpersistBlocks(closure)
+      Dedup.unpersistBlocks(jump)
+      closure = closure2
+      jump = jump2
+      span *= 2
     }
     val sub = closure.join(vals, Seq("v"))
       .groupBy(col("t")).agg(expr("bit_xor(xv)").as("sx"))

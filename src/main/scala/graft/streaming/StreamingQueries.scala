@@ -532,11 +532,18 @@ object StreamingQueries {
           s"directory-shaped fixture $src lists no parquet part files")
         parts.foreach { p =>
           val link = dir.resolve(p.getFileName.toString)
-          if (!Files.exists(link)) Files.createSymbolicLink(link, p)
+          // Links are content-addressed, so a concurrent JVM creating the
+          // same link between our exists-check and create is benign
+          // (ADVICE r20 TOCTOU): swallow the race, not the staging.
+          if (!Files.exists(link))
+            try Files.createSymbolicLink(link, p)
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
         }
       } else {
         val link = dir.resolve(s"$table.parquet")
-        if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+        if (!Files.exists(link))
+          try Files.createSymbolicLink(link, src)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
       }
       Files.write(marker, Array.emptyByteArray)
     }
