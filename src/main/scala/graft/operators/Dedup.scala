@@ -384,27 +384,40 @@ object Dedup {
     * Jaccard then verifies each candidate from the two full token arrays
     * map-side (array_intersect on the joined rows).
     *
-    * Scale (100 TB posture): the signature shuffle carries m digests per
-    * document (each 32 chars — token text never shuffles after the digest
+    * Scale (100 TB posture): the signature shuffle carries m 8-byte
+    * digests per document (token text never shuffles after the digest
     * build); comparison volume is Σ|signature-group|², and signature
     * groups are near-dup families, never vocabulary hot spots. One
     * candidate-keyed join + a per-pair O(|s|) intersect — no second
-    * shuffle of the corpus. */
+    * shuffle of the corpus.
+    *
+    * r21: the part signature is xxhash64 over the part's slice of the
+    * SORTED 64-bit token hashes, not md5 over the concatenated token
+    * text. Identical part content (as a token set) still implies an
+    * identical signature — the only property the pigeonhole completeness
+    * lemma uses — so no true pair is ever missed; a signature collision
+    * only mints a false candidate that the exact verify kills, the SAME
+    * tolerance class the htoks-based verify already carries. What it
+    * buys: the checkpoint drops the token-text arrays entirely (the
+    * verify path never needed them), the per-part digest skips one
+    * string materialization + md5 per part, and the candidate join's
+    * key narrows from a 32-char string to a long. */
   def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
       jNum: Int = 9, jDen: Int = 10): DataFrame = {
     require(jNum >= 1 && jNum <= jDen,
       s"setSimilarityJoin: threshold must be in (0,1], got $jNum/$jDen")
     val sets = df.select(col(idCol).as("id"),
-        expr(s"array_sort(array_distinct(${toksExpr(textCol)}))").as("stoks"))
-      .filter(size(col("stoks")) > 0)
-      .withColumn("sz", size(col("stoks")).cast("long"))
-      // The verify path never needs the token TEXT — only identity. Hash
-      // each token to 64 bits once here, so the two pair-keyed back-joins
-      // shuffle array<long> instead of array<string> (the same
-      // xxhash64-for-identity step ngramJaccard applies to its shingle
-      // postings; distinct-ness is preserved up to 64-bit collision,
+        expr(s"array_distinct(${toksExpr(textCol)})").as("dtoks"))
+      .filter(size(col("dtoks")) > 0)
+      // sz counts distinct token STRINGS (exactly as before — never the
+      // hashed form, so a 64-bit collision cannot move the size bound).
+      .withColumn("sz", size(col("dtoks")).cast("long"))
+      // Token identity for both signature build and verify: 64-bit
+      // hashes, sorted so every function of a part's content is
+      // order-canonical (distinct-ness preserved up to 64-bit collision,
       // negligible at any real vocabulary).
-      .withColumn("htoks", expr("array_sort(transform(stoks, t -> xxhash64(t)))"))
+      .withColumn("htoks", expr("array_sort(transform(dtoks, t -> xxhash64(t)))"))
+      .select(col("id"), col("sz"), col("htoks"))
       .localCheckpoint()
     val maxRow = sets.agg(max(col("sz"))).head()
     // empty corpus: the bound is undefined and there is nothing to join
@@ -417,8 +430,7 @@ object Dedup {
       .select(col("id"), col("sz"),
         explode(expr(
           s"""transform(sequence(0, ${m - 1}), part -> struct(part,
-              md5(concat_ws('\\u001f',
-                filter(stoks, t -> pmod(xxhash64(t), $m) = part))) as sig))"""))
+              xxhash64(filter(htoks, h -> pmod(h, $m) = part)) as sig))"""))
         .as("ps"))
       .select(col("id"), col("sz"), col("ps.part").as("part"), col("ps.sig").as("sig"))
     val cands = sigs.as("x").join(sigs.as("y"),
@@ -544,16 +556,26 @@ object Dedup {
     * the candidate set is complete. Ordering the prefix by (df ASC,
     * digest) keeps hot shingles out of the small side of the join.
     *
-    * Shuffles carry 32-char digests, never gram text; verification is one
-    * map-side array_intersect over the two digest arrays. */
+    * Shuffles carry 8-byte digests, never gram text; verification is one
+    * map-side array_intersect over the two digest arrays.
+    *
+    * r21: the digest is xxhash64(shingle) directly — previously md5
+    * (32-char string) with a SECOND xxhash64 re-hash bolted on for the
+    * verify arrays. The completeness lemma holds for ANY fixed p-subset
+    * of a document's shingles, so the (df ASC, digest)-ordered prefix
+    * changing under the new hash changes WHICH candidates are probed,
+    * never whether a true pair is found; the verify's collision class
+    * (64-bit, already accepted for the old `hh` arrays) is unchanged.
+    * Every shuffle in the operator narrows 4× (postings, df counts,
+    * collect_list, probe join), and one hash pass replaces two. */
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
       cNum: Int = 4, cDen: Int = 5): DataFrame = {
     require(cNum >= 1 && cNum <= cDen,
       s"containmentJoin: threshold must be in (0,1], got $cNum/$cDen")
     // checkpointed: df build, the ordered arrays, and the candidate probe
-    // all read it — without this the shingle explode + md5 runs three times
+    // all read it — without this the shingle explode + hash runs three times
     val dig = shingled(df, idCol, textCol)
-      .select(col(idCol).as("id"), md5(col("sh")).as("h"))
+      .select(col(idCol).as("id"), expr("xxhash64(sh)").as("h"))
       .localCheckpoint()
     val dfreq = dig.groupBy(col("h")).agg(count(lit(1)).as("df_"))
     val ordered = dig.join(dfreq, "h")
@@ -563,11 +585,6 @@ object Dedup {
       .select(col("id"), col("hs"), size(col("hs")).cast("long").as("sz"))
       .withColumn("p",
         col("sz") - expr(s"(sz * $cNum + ${cDen - 1}) div $cDen") + 1L)
-      // verify-path payload: the digest arrays re-hashed to 64-bit longs —
-      // the pair back-joins ship 8 bytes per shingle instead of a 32-char
-      // digest (identity preserved up to negligible collision; the JOIN
-      // key stays the md5 digest, which the oracle replays)
-      .withColumn("hh", expr("transform(hs, x -> xxhash64(x))"))
       .localCheckpoint()
     val pre = ordered
       .select(col("id"), explode(expr("slice(hs, 1, cast(p as int))")).as("h"))
@@ -577,9 +594,9 @@ object Dedup {
       .select(col("id").as("id1"), col("yid").as("id2"))
       .distinct()
     cands
-      .join(ordered.select(col("id").as("id1"), col("hh").as("s1"),
+      .join(ordered.select(col("id").as("id1"), col("hs").as("s1"),
         col("sz").as("sz1")), "id1")
-      .join(ordered.select(col("id").as("id2"), col("hh").as("s2")), "id2")
+      .join(ordered.select(col("id").as("id2"), col("hs").as("s2")), "id2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       // Exact integer threshold (C ≥ cNum/cDen ⇔ inter·cDen ≥ sz1·cNum) —
       // same rounding-vs-completeness reasoning as setSimilarityJoin: the

@@ -310,9 +310,18 @@ object StreamingQueries {
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_uid"), col("ts").as("p_ts"), col("value"))
       .withWatermark("p_ts", "1 hour")
+    // The null filter rides INSIDE the streaming plan (r21, guide §2.3
+    // "project early"): matched pairs — the bulk of the outer join's
+    // emissions — are dropped in-flight instead of being materialized
+    // into the memory sink and filtered afterwards. Emission timing is
+    // untouched (a null-extension still fires exactly when the watermark
+    // closes the click's interval), so the drained rows are byte-for-byte
+    // the rows the post-drain filter kept before.
     val joined = clicks.join(purchases, expr(
       "c_uid = p_uid AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"),
       "left_outer")
+      .filter(col("p_uid").isNull)
+      .select(col("c_uid"), col("click_id"))
     val name = s"graft_stream_anti_${System.nanoTime()}"
     withStatePartitions(s, 4) {
       val q = joined.writeStream.outputMode(OutputMode.Append())
@@ -320,7 +329,6 @@ object StreamingQueries {
       try q.processAllAvailable() finally q.stop()
     }
     s.table(name)
-      .filter(col("p_uid").isNull)
       .select(col("c_uid").as("user_id"), col("click_id"))
       .orderBy(col("user_id"), col("click_id"))
   }

@@ -43,14 +43,16 @@ object Q159Profile {
     val docs = graft.Tables.documents(spark, sfDir)
 
     // Stage 1: distinct-token sets + 64-bit token hashes, checkpointed
-    // (mirrors Dedup.scala:393's `sets`).
+    // (mirrors Dedup.scala's r21 `sets` — hash identities only, no token
+    // text in the checkpoint).
     val sets = timed("sets build + localCheckpoint") {
       docs.select(col("doc_id").as("id"),
-          expr("array_sort(array_distinct(filter(split(text, ' '), t -> t != '')))")
-            .as("stoks"))
-        .filter(size(col("stoks")) > 0)
-        .withColumn("sz", size(col("stoks")).cast("long"))
-        .withColumn("htoks", expr("array_sort(transform(stoks, t -> xxhash64(t)))"))
+          expr("array_distinct(filter(split(text, ' '), t -> t != ''))")
+            .as("dtoks"))
+        .filter(size(col("dtoks")) > 0)
+        .withColumn("sz", size(col("dtoks")).cast("long"))
+        .withColumn("htoks", expr("array_sort(transform(dtoks, t -> xxhash64(t)))"))
+        .select(col("id"), col("sz"), col("htoks"))
         .localCheckpoint()
     }
     val maxSz = timed("max set size agg")(sets.agg(max(col("sz"))).head().getLong(0))
@@ -61,8 +63,7 @@ object Q159Profile {
       .select(col("id"), col("sz"),
         explode(expr(
           s"""transform(sequence(0, ${m - 1}), part -> struct(part,
-              md5(concat_ws('\\u001f',
-                filter(stoks, t -> pmod(xxhash64(t), $m) = part))) as sig))"""))
+              xxhash64(filter(htoks, h -> pmod(h, $m) = part)) as sig))"""))
           .as("ps"))
       .select(col("id"), col("sz"), col("ps.part").as("part"), col("ps.sig").as("sig"))
     val cands = sigs.as("x").join(sigs.as("y"),

@@ -293,7 +293,10 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.isEmpty, "one shared token must not produce J >= 0.9 pairs")
     val plan = Dedup.setSimilarityJoin(docs, "doc_id", "text")
       .queryExecution.optimizedPlan.toString
-    assert(plan.contains("md5") && plan.contains("pmod"),
+    // r21: the part digest is xxhash64 over the part's slice of the sorted
+    // token hashes (was md5 over concatenated token text) — same
+    // identical-content ⇒ identical-signature property, 8-byte join key.
+    assert(plan.contains("xxhash64") && plan.contains("pmod"),
       "candidates must join on pigeonhole part digests")
     // identical docs always survive (completeness sanity at the extreme)
     val dup = Seq((1L, "p q r s t u v w x y"), (2L, "p q r s t u v w x y"))
