@@ -32,6 +32,40 @@ object Graph {
   /** Integer mass of probability 1.0 (1e9 ≙ nine decimal digits of rank). */
   val Scale: Long = 1000000000L
 
+  /** Row ceiling under which an iterative operator's per-round
+    * node-bounded frame (ranks, labels, frontiers, survivor sets — every
+    * one of them ≤ the graph's node count) is BROADCAST into the
+    * per-round joins instead of shuffled (r22, guide §2.4/§3.1: a
+    * broadcast join replaces the exchange of BOTH sides; at fixture
+    * scale the per-round frames are KB while the exchanges cost 32
+    * tasks × several stages × rounds). The decision is driver-measured —
+    * each operator counts its materialized edge checkpoint ONCE and the
+    * node-bounded frames inherit that bound — so the 100 TB path (counts
+    * past the ceiling) keeps the shuffle joins unchanged. Parameterized
+    * via `spark.graft.iter.broadcastMaxRows`; the 1M default is ~tens of
+    * MB built (well under executor memory anywhere), not tuned to the
+    * local core count. */
+  private def iterBcastMaxRows(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.iter.broadcastMaxRows")
+      .map(_.toLong).getOrElse(1000000L)
+
+  private def bcastIf(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
+
+  /** Coalesce a driver-measured-small per-round frame before its
+    * checkpoint (r22, guide §2.2 "shuffles get relatively slower as you
+    * scale out"): the loop frames this guards are KB-to-MB, but every
+    * job over them — the materializing checkpoint, the loop-control
+    * count, the next round's broadcast build — schedules one task per
+    * partition, and they otherwise inherit the session shuffle width
+    * (32 on the driver bench) for pure per-task overhead. 8 is NOT a
+    * local-core tuning: it is deliberately ≪ any executor count and
+    * applies only under the same measured row bound as [[bcastIf]]
+    * (≤ ~1M rows — trivial CPU per task at any width); frames past the
+    * bound keep the session width. */
+  private def compactIf(df: DataFrame, small: Boolean): DataFrame =
+    if (small) df.coalesce(8) else df
+
   /** Undirected PageRank over `edges`, returned as the global top-`topK`
     * (node, rank_fp) rows, rank_fp in `Scale` units.
     *
@@ -74,21 +108,30 @@ object Graph {
     // frame doubles as the node list. Checkpointed: read every round.
     val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val nRow = deg.agg(count(lit(1)).as("nn")) // 1 row, broadcast below
-
-    var ranks = deg.crossJoin(broadcast(nRow))
-      .select(col("node"), col("deg"), expr(s"${Scale}L div nn").as("r"))
+    // N is a driver long now (one count over the materialized checkpoint):
+    // the per-round teleport term becomes a LITERAL (same floor division —
+    // Scala Long `/` on non-negatives ≡ SQL `div`), dropping the former
+    // 1-row nRow crossJoin subtree from every round; and the node-bounded
+    // ranks/sums frames broadcast into the per-round joins when N is under
+    // the ceiling (r22, guide §2.4 — see iterBcastMaxRows).
+    val nNodes = deg.count()
+    val small = nNodes <= iterBcastMaxRows(edges.sparkSession)
+    val initR = if (nNodes == 0) 0L else Scale / nNodes
+    val baseR = if (nNodes == 0) 0L else baseNumer / nNodes
+    var ranks = compactIf(deg
+      .select(col("node"), col("deg"), lit(initR).as("r")), small)
       .localCheckpoint()
     var iter = 0
     while (iter < iters) {
-      val msgs = und.join(ranks, und("a") === ranks("node"))
+      val rk = bcastIf(ranks, small)
+      val msgs = und.join(rk, und("a") === rk("node"))
         .select(und("b").as("dst_"), expr("r div deg").as("c"))
       val sums = msgs.groupBy(col("dst_")).agg(sum(col("c")).as("sc"))
-      val upd = deg.join(sums, deg("node") === sums("dst_"))
-        .crossJoin(broadcast(nRow))
-        .select(deg("node"), deg("deg"),
-          (expr(s"${baseNumer}L div nn")
-            + expr(s"(${dampingPct}L * sc) div 100")).as("r"))
+      val upd = compactIf(
+        deg.join(bcastIf(sums, small), deg("node") === sums("dst_"))
+          .select(deg("node"), deg("deg"),
+            (lit(baseR)
+              + expr(s"(${dampingPct}L * sc) div 100")).as("r")), small)
         .localCheckpoint()
       Dedup.unpersistBlocks(ranks)
       ranks = upd
@@ -123,13 +166,22 @@ object Graph {
       .distinct()
       .localCheckpoint()
     Dedup.unpersistBlocks(e0)
+    // Node-bounded frames (deg, the oriented edge list) broadcast into the
+    // orientation/wedge/closing joins when the driver-measured edge count
+    // is under the ceiling (r22, guide §2.4/§3.1): the whole enumeration
+    // then runs map-side over the checkpoint scans — the only exchange
+    // left is deg's own groupBy. Counts are unchanged either way.
+    val undN = und.count()
+    val small = undN <= iterBcastMaxRows(edges.sparkSession)
     val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     // Orient each undirected edge once: keep (a, b) iff (deg(a), a) <
     // (deg(b), b). und holds both directions, so exactly one survives.
     val withDeg = und
-      .join(deg.withColumnRenamed("node", "a_"), col("a") === col("a_"))
+      .join(bcastIf(deg.withColumnRenamed("node", "a_"), small),
+        col("a") === col("a_"))
       .withColumnRenamed("deg", "da")
-      .join(deg.withColumnRenamed("node", "b_").withColumnRenamed("deg", "db"),
+      .join(bcastIf(deg.withColumnRenamed("node", "b_")
+        .withColumnRenamed("deg", "db"), small),
         col("b") === col("b_"))
     val oriented = withDeg
       .filter(col("da") < col("db") ||
@@ -137,9 +189,9 @@ object Graph {
       .select(col("a"), col("b"))
       .localCheckpoint()
     val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.b") === col("e2.a"))
+      .join(bcastIf(oriented.as("e2"), small), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
-    val tri = wedges.join(oriented,
+    val tri = wedges.join(bcastIf(oriented, small),
       col("wa") === col("a") && col("wc") === col("b"), "left_semi")
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = oriented.agg(count(lit(1)).as("n_edges"))
@@ -212,23 +264,36 @@ object Graph {
       .distinct()
       .localCheckpoint()
     Dedup.unpersistBlocks(e0)
-    var settled = Seq((sourceNode, 0)).toDF("node", "dist").localCheckpoint()
-    var frontier = settled
+    // Every node appears as a source in the symmetrized set, so the
+    // frontier and settled frames are bounded by |und| rows — one count
+    // over the materialized checkpoint decides the broadcast path (r22,
+    // guide §2.4: the frontier expansion join and the settled anti-join
+    // then run map-side, leaving ONE exchange per level — the distinct).
+    val undN = und.count()
+    val small = undN <= iterBcastMaxRows(sess)
+    val init = Seq((sourceNode, 0)).toDF("node", "dist").localCheckpoint()
+    // settled accumulates as a LAZY union of the per-level checkpointed
+    // frontiers (the r21 bridges discipline): the old per-level
+    // settled.union(nf).localCheckpoint() re-copied O(V) rows every level
+    // — O(V·depth²) checkpoint writes for identical content (guide §2.4).
+    // Every frontier is a leaf of the returned plan, so the caller's
+    // result-block release (the Bench discipline) frees them all.
+    var settled = init
+    var frontier = init
     var depth = 0
     var frontierN = 1L
     while (depth < maxDepth && frontierN > 0) {
       depth += 1
-      val nbrs = und.join(frontier, und("a") === frontier("node"))
+      val f = bcastIf(frontier.select(col("node")), small)
+      val nbrs = und.join(f, und("a") === f("node"))
         .select(und("b").as("node")).distinct()
-      val nf = nbrs.join(settled, Seq("node"), "left_anti")
-        .select(col("node"), lit(depth).as("dist"))
+      val nf = compactIf(
+        nbrs.join(bcastIf(settled.select(col("node")), small),
+            Seq("node"), "left_anti")
+          .select(col("node"), lit(depth).as("dist")), small)
         .localCheckpoint()
       frontierN = nf.count()
-      val ns = settled.union(nf).localCheckpoint()
-      // Round 1's frontier IS settled — unpersist is idempotent on blocks.
-      Dedup.unpersistBlocks(frontier)
-      Dedup.unpersistBlocks(settled)
-      settled = ns
+      settled = settled.union(nf)
       frontier = nf
     }
     Dedup.unpersistBlocks(und)
@@ -264,22 +329,30 @@ object Graph {
       .distinct()
       .localCheckpoint()
     Dedup.unpersistBlocks(e0)
+    // The survivor set is node-bounded (≤ |und| — every node occurs as a
+    // source): broadcast it into the two per-round semi-joins when the
+    // driver-measured edge count is under the ceiling (r22, guide §2.4) —
+    // each round then keeps only its degree-count exchange.
+    val undN = und.count()
+    val small = undN <= iterBcastMaxRows(edges.sparkSession)
     def survivors(aliveOpt: Option[DataFrame]): DataFrame = {
       val scoped = aliveOpt.fold(und) { alive =>
-        und.join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-          .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        und.join(bcastIf(alive.withColumnRenamed("node", "a"), small),
+            Seq("a"), "left_semi")
+          .join(bcastIf(alive.withColumnRenamed("node", "b"), small),
+            Seq("b"), "left_semi")
       }
       scoped.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("node"))
     }
-    var alive = survivors(None).localCheckpoint()
+    var alive = compactIf(survivors(None), small).localCheckpoint()
     var n = alive.count()
     var round = 1
     var converged = false
     while (round < maxRounds && !converged && n > 0) {
       round += 1
-      val next = survivors(Some(alive)).localCheckpoint()
+      val next = compactIf(survivors(Some(alive)), small).localCheckpoint()
       val n2 = next.count()
       // The survivor set only shrinks, so equal counts ⇒ equal sets.
       converged = n2 == n
@@ -291,8 +364,10 @@ object Graph {
     // plan (releasing them here would kill blocks the caller still reads —
     // checkpoint lineage cannot recompute). The caller's result-block
     // release (the Bench discipline) frees them with the result.
-    und.join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-      .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+    und.join(bcastIf(alive.withColumnRenamed("node", "a"), small),
+        Seq("a"), "left_semi")
+      .join(bcastIf(alive.withColumnRenamed("node", "b"), small),
+        Seq("b"), "left_semi")
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
   }
 
@@ -324,17 +399,22 @@ object Graph {
     Dedup.unpersistBlocks(e0)
     // Symmetry ⇒ every node occurs as a source, so the initial label
     // frame is also the node list; no node can lose its vote row later.
+    // Labels are node-bounded (≤ |und|): broadcast them into the per-round
+    // vote join when the edge count is under the ceiling (r22, guide §2.4).
+    val undN = und.count()
+    val small = undN <= iterBcastMaxRows(edges.sparkSession)
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val votes = und.join(labels, und("a") === labels("node"))
+      val lbf = bcastIf(labels, small)
+      val votes = und.join(lbf, und("a") === lbf("node"))
         .groupBy(und("b").as("node2"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
-      val next = votes
+      val next = compactIf(votes
         .groupBy(col("node2").as("node"))
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
-        .select(col("node"), col("m.l").as("lbl"))
+        .select(col("node"), col("m.l").as("lbl")), small)
         .localCheckpoint()
       Dedup.unpersistBlocks(labels)
       labels = next
@@ -526,31 +606,41 @@ object Graph {
     require(topK >= 1, s"hits: topK must be >= 1, got $topK")
     val e = edges.select(col(src).as("a"), col(dst).as("b"))
       .distinct().localCheckpoint()
-    var hub = e.select(col("a")).distinct()
-      .select(col("a"), lit(Scale).as("h")).localCheckpoint()
+    // Score frames are node-bounded (≤ |e| rows each): broadcast them into
+    // the per-half-iteration joins when the driver-measured edge count is
+    // under the ceiling (r22, guide §2.4) — each half-iteration keeps only
+    // its keyed-sum exchange.
+    val eN = e.count()
+    val small = eN <= iterBcastMaxRows(edges.sparkSession)
+    var hub = compactIf(e.select(col("a")).distinct()
+      .select(col("a"), lit(Scale).as("h")), small).localCheckpoint()
     var auth: DataFrame = null
     var iter = 0
     while (iter < iters) {
-      val ar = e.join(hub, "a").groupBy(col("b"))
+      val ar = e.join(bcastIf(hub, small), "a").groupBy(col("b"))
         .agg(sum(col("h").cast("decimal(38,0)")).as("ar"))
       val am = ar.agg(max(col("ar")).as("am"))
-      val newAuth = ar.crossJoin(broadcast(am))
+      val newAuth = compactIf(ar.crossJoin(broadcast(am))
         .select(col("b"),
-          expr(s"cast((ar * ${Scale}L) div am as bigint)").as("au"))
+          expr(s"cast((ar * ${Scale}L) div am as bigint)").as("au")), small)
         .localCheckpoint()
       if (auth != null) Dedup.unpersistBlocks(auth)
       auth = newAuth
-      val hr = e.join(auth, "b").groupBy(col("a"))
+      val hr = e.join(bcastIf(auth, small), "b").groupBy(col("a"))
         .agg(sum(col("au").cast("decimal(38,0)")).as("hr"))
       val hm = hr.agg(max(col("hr")).as("hm"))
-      val newHub = hr.crossJoin(broadcast(hm))
+      val newHub = compactIf(hr.crossJoin(broadcast(hm))
         .select(col("a"),
-          expr(s"cast((hr * ${Scale}L) div hm as bigint)").as("h"))
+          expr(s"cast((hr * ${Scale}L) div hm as bigint)").as("h")), small)
         .localCheckpoint()
       Dedup.unpersistBlocks(hub)
       hub = newHub
       iter += 1
     }
+    // The result reads only the final auth/hub checkpoints — the edge
+    // checkpoint is not a leaf of the returned plan and would otherwise
+    // outlive the query in the block store (r22 leak audit).
+    Dedup.unpersistBlocks(e)
     val topAuth = auth
       .select(lit("authority").as("role"), col("b").as("node"),
         col("au").as("score_fp"))
@@ -612,31 +702,43 @@ object Graph {
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
       .localCheckpoint()
     Dedup.unpersistBlocks(e0)
+    // The frontier and the settled distance frame are node-bounded
+    // (≤ |und| — symmetry puts every node in the source column): broadcast
+    // them into the relaxation join and the improvement left-join when the
+    // driver-measured edge count is under the ceiling (r22, guide §2.4) —
+    // each round then keeps two exchanges (the keyed min aggregates).
+    val undN = und.count()
+    val small = undN <= iterBcastMaxRows(sess)
     var dist = Seq((sourceNode, 0L)).toDF("node", "dist").localCheckpoint()
     var frontier = dist
     var round = 0
     var improvedN = 1L
     while (round < maxRounds && improvedN > 0) {
       round += 1
-      val cand = und.join(frontier, und("a") === frontier("node"))
+      val f = bcastIf(frontier, small)
+      val cand = und.join(f, und("a") === f("node"))
         .select(und("b").as("node"),
-          (frontier("dist") + und("w")).as("d"))
+          (f("dist") + und("w")).as("d"))
         .groupBy(col("node")).agg(min(col("d")).as("d"))
-      val improved = cand.join(dist, Seq("node"), "left")
-        .filter(col("dist").isNull || col("d") < col("dist"))
-        .select(col("node"), col("d").as("dist"))
+      val improved = compactIf(
+        cand.join(bcastIf(dist, small), Seq("node"), "left")
+          .filter(col("dist").isNull || col("d") < col("dist"))
+          .select(col("node"), col("d").as("dist")), small)
         .localCheckpoint()
       improvedN = improved.count()
       // improved rows strictly beat their settled entries, so the merge
       // is a keyed min over the union — ONE aggregate, no outer join.
-      val nd = dist.union(improved)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val nd = compactIf(dist.union(improved)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")), small)
         .localCheckpoint()
       Dedup.unpersistBlocks(frontier)
       Dedup.unpersistBlocks(dist)
       dist = nd
       frontier = improved
     }
+    // The last round's (possibly empty) improved frame is not part of the
+    // returned plan — release it with the loop (r22 leak audit).
+    if (frontier ne dist) Dedup.unpersistBlocks(frontier)
     Dedup.unpersistBlocks(und)
     dist
   }
@@ -761,21 +863,29 @@ object Graph {
     Dedup.unpersistBlocks(e0)
     val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    var ranks = deg.join(srcSet, deg("node") === col("snode"), "left")
-      .select(col("node"), col("deg"),
-        when(col("snode").isNotNull, lit(initPerSrc)).otherwise(lit(0L))
-          .as("r"))
+    // Ranks/sums are node-bounded: broadcast them into the per-round joins
+    // when the driver-measured node count is under the ceiling (r22,
+    // guide §2.4) — each round then keeps only the keyed-sum exchange.
+    val nNodes = deg.count()
+    val small = nNodes <= iterBcastMaxRows(edges.sparkSession)
+    var ranks = compactIf(
+      deg.join(srcSet, deg("node") === col("snode"), "left")
+        .select(col("node"), col("deg"),
+          when(col("snode").isNotNull, lit(initPerSrc)).otherwise(lit(0L))
+            .as("r")), small)
       .localCheckpoint()
     var iter = 0
     while (iter < iters) {
-      val msgs = und.join(ranks, und("a") === ranks("node"))
+      val rk = bcastIf(ranks, small)
+      val msgs = und.join(rk, und("a") === rk("node"))
         .select(und("b").as("dst_"), expr("r div deg").as("c"))
       val sums = msgs.groupBy(col("dst_")).agg(sum(col("c")).as("sc"))
-      val upd = deg.join(sums, deg("node") === sums("dst_"))
-        .join(srcSet, deg("node") === col("snode"), "left")
-        .select(deg("node"), deg("deg"),
-          (when(col("snode").isNotNull, lit(basePerSrc)).otherwise(lit(0L))
-            + expr(s"(${dampingPct}L * sc) div 100")).as("r"))
+      val upd = compactIf(
+        deg.join(bcastIf(sums, small), deg("node") === sums("dst_"))
+          .join(srcSet, deg("node") === col("snode"), "left")
+          .select(deg("node"), deg("deg"),
+            (when(col("snode").isNotNull, lit(basePerSrc)).otherwise(lit(0L))
+              + expr(s"(${dampingPct}L * sc) div 100")).as("r")), small)
         .localCheckpoint()
       Dedup.unpersistBlocks(ranks)
       ranks = upd
@@ -830,12 +940,13 @@ object Graph {
     * integers, byte-identical to the recount form (the oracle replays
     * the fixed-round recount).
     *
-    * Scale note: the (triangle, edge) incidence frame is O(3·#triangles)
-    * rows, checkpointed once and scanned map-side per round — the same
-    * volume every per-round enumeration materialized transiently before;
-    * per-round shuffle volume is O(removed edges + dying triangles),
-    * which is what makes the peel cheap on graphs where most edges
-    * survive (and never worse than a recount when they don't). */
+    * Scale note: the triangle frame is O(#triangles) rows, checkpointed
+    * once (r22: the incidence is a lazy map-side explode over it — the
+    * r21 form checkpointed the 3× exploded rows); per-round shuffle
+    * volume is O(removed edges + dying triangles), which is what makes
+    * the peel cheap on graphs where most edges survive (and never worse
+    * than a recount when they don't) — and a round that removes NOTHING
+    * is a fixed point, so the loop stops there (r22). */
   def kTruss(edges: DataFrame, src: String, dst: String, k: Int,
       rounds: Int = 3): DataFrame = {
     require(k >= 3, s"kTruss: k must be >= 3, got $k")
@@ -847,12 +958,21 @@ object Graph {
         greatest(col("x"), col("y")).as("b"))
       .distinct()
       .localCheckpoint()
+    // Edge- and node-bounded frames (deg, the oriented list, removed
+    // edges, per-round decrements) broadcast into their joins when the
+    // driver-measured edge count is under the ceiling (r22, guide
+    // §2.4/§3.1 — makes the AQE small-side decisions deterministic and
+    // runs the whole enumeration map-side over the checkpoint scans).
+    val canonN = canon.count()
+    val small = canonN <= iterBcastMaxRows(edges.sparkSession)
     val und = canon.select(col("a").as("u"), col("b").as("v"))
       .union(canon.select(col("b").as("u"), col("a").as("v")))
     val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("dg"))
     val o = canon
-      .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
-      .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+      .join(bcastIf(deg.select(col("node").as("a"), col("dg").as("da")),
+        small), Seq("a"))
+      .join(bcastIf(deg.select(col("node").as("b"), col("dg").as("db")),
+        small), Seq("b"))
       .select(
         when(col("da") < col("db")
             || (col("da") === col("db") && col("a") < col("b")),
@@ -861,16 +981,23 @@ object Graph {
             || (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("ob"))
       .localCheckpoint()
+    // One row per triangle, tid fixed by the CHECKPOINT (r22: the r21 form
+    // checkpointed the 3×-exploded (tid, edge) incidence — 3× the rows and
+    // bytes for content the explode below reproduces map-side from this
+    // frame on every scan; monotonically_increasing_id is only stable
+    // behind a checkpoint, which is why the tid rides here).
     val tri = o.as("e1")
-      .join(o.as("e2"), col("e1.ob") === col("e2.oa"))
+      .join(bcastIf(o.as("e2"), small), col("e1.ob") === col("e2.oa"))
       .select(col("e1.oa").as("wa"), col("e1.ob").as("wb"),
         col("e2.ob").as("wc"))
-      .join(o, col("wa") === col("oa") && col("wc") === col("ob"))
+      .join(bcastIf(o, small), col("wa") === col("oa") && col("wc") === col("ob"))
       .select(col("wa"), col("wb"), col("wc"))
-    // (triangle, canonical edge) incidence — the forward algorithm emits
-    // each triangle exactly once; the synthetic tid is fixed by the
-    // checkpoint and only ever used as an internal grouping key.
-    val te = tri.withColumn("tid", monotonically_increasing_id())
+      .withColumn("tid", monotonically_increasing_id())
+      .localCheckpoint()
+    // (triangle, canonical edge) incidence — a lazy map-side explode over
+    // the checkpointed triangle frame; the forward algorithm emits each
+    // triangle exactly once.
+    val te = tri
       .select(col("tid"),
         explode(array(
           struct(least(col("wa"), col("wb")).as("a"),
@@ -880,41 +1007,68 @@ object Graph {
           struct(least(col("wa"), col("wc")).as("a"),
             greatest(col("wa"), col("wc")).as("b")))).as("e"))
       .select(col("tid"), col("e.a").as("a"), col("e.b").as("b"))
-      .localCheckpoint()
     Dedup.unpersistBlocks(o)
     Dedup.unpersistBlocks(canon)
+    // tid frames (newly-dead sets) are triangle-bounded, not edge-bounded —
+    // their broadcast decision takes the measured triangle count.
+    val triN = tri.count()
+    val smallTri = triN <= iterBcastMaxRows(edges.sparkSession)
     // sup_1: every triangle is alive — one keyed count over the incidence.
     var sup = te.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("support"))
       .localCheckpoint()
-    // Accumulated dead-triangle frames (each round's newly-dead tids,
-    // checkpointed small): a triangle dies the FIRST round an edge of it
-    // is removed and must decrement exactly once.
-    var deadFrames: List[DataFrame] = Nil
-    for (_ <- 1 to rounds) {
+    // Accumulated dead-triangle tids as a LAZY UNION of the per-round
+    // checkpointed newly-dead frames (r22: the r21 form folded a LIST of
+    // frames through one left_anti per prior round — O(rounds²) join
+    // stages; one anti-join against the union scans the same rows in ONE
+    // stage). A triangle dies the FIRST round an edge of it is removed
+    // and must decrement exactly once.
+    var deadAcc: Option[DataFrame] = None
+    var deadCkpts: List[DataFrame] = Nil
+    var round = 0
+    var fixedPoint = false
+    while (round < rounds && !fixedPoint) {
+      round += 1
       // Edges dropped this round. Zero-support edges (no triangle row)
       // belong to no triangle, so dropping them kills nothing — the
       // removed set from the support frame alone is complete.
       val removed = sup.filter(col("support") < k - 2)
         .select(col("a"), col("b"))
-      val touched = te.join(removed, Seq("a", "b"))
-        .select(col("tid")).distinct()
-      val newlyDead = deadFrames
-        .foldLeft(touched)((t, d) => t.join(d, Seq("tid"), "left_anti"))
-        .localCheckpoint()
-      val dec = te.join(newlyDead, Seq("tid"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_lost"))
-      val next = sup.filter(col("support") >= k - 2)
-        .join(dec, Seq("a", "b"), "left")
-        .select(col("a"), col("b"),
-          (col("support") - coalesce(col("_lost"), lit(0L))).as("support"))
-        .filter(col("support") > 0)
-        .localCheckpoint()
-      Dedup.unpersistBlocks(sup)
-      deadFrames ::= newlyDead
-      sup = next
+      if (removed.isEmpty) {
+        // Monotone peel at a FIXED POINT: nothing removed ⇒ no triangle
+        // dies ⇒ no support changes ⇒ every remaining round recomputes
+        // the identical sup (the kCore early-exit argument, and this
+        // scaladoc's "a converged set is a fixed point — extra rounds
+        // are no-ops"). The probe is one scan of the ≤|edges|-row
+        // checkpointed support frame; it replaces up to
+        // (rounds − r)·4 no-op per-round stages (r22, guide §1.2).
+        fixedPoint = true
+      } else {
+        val touched = te.join(bcastIf(removed, small), Seq("a", "b"))
+          .select(col("tid")).distinct()
+        val newlyDead = compactIf(deadAcc.fold(touched)(d =>
+            touched.join(bcastIf(d, smallTri), Seq("tid"), "left_anti")),
+            smallTri)
+          .localCheckpoint()
+        val dec = te.join(bcastIf(newlyDead, smallTri), Seq("tid"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_lost"))
+        val next = compactIf(sup.filter(col("support") >= k - 2)
+          .join(bcastIf(dec, small), Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("support") - coalesce(col("_lost"), lit(0L))).as("support"))
+          .filter(col("support") > 0), small)
+          .localCheckpoint()
+        Dedup.unpersistBlocks(sup)
+        deadCkpts ::= newlyDead
+        deadAcc = Some(deadAcc.fold(newlyDead)(_.union(newlyDead)))
+        sup = next
+      }
     }
-    deadFrames.foreach(Dedup.unpersistBlocks)
+    deadCkpts.foreach(Dedup.unpersistBlocks)
+    // The result is the final sup checkpoint alone — the triangle frame
+    // is not a leaf of the returned plan and leaked ~4 copies per bench
+    // pass in r21 (VERDICT r21 item 1).
+    Dedup.unpersistBlocks(tri)
     sup
   }
 
@@ -961,6 +1115,13 @@ object Graph {
       .distinct()
       .localCheckpoint()
     if (canon.isEmpty) return canon.select(col("a"), col("b"))
+    // Node-bounded frames (frontiers, levels, the per-node XOR values,
+    // jump/closure pieces) broadcast into the per-round joins when the
+    // driver-measured edge count is under the ceiling (r22, guide §2.4:
+    // the BFS expansion join and the settled anti-join run map-side,
+    // leaving one exchange per level — the distinct).
+    val canonN = canon.count()
+    val small = 2 * canonN <= iterBcastMaxRows(edges.sparkSession)
     val und = canon.union(canon.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     val roots = Dedup.connectedComponents(canon, "a", "b")
@@ -970,19 +1131,23 @@ object Graph {
     // frontiers (each leaf is an RDD scan): re-checkpointing the merged
     // frame every round copied O(V) rows per round — O(V·depth²) total
     // writes for identical content (r21, guide §2.4).
-    var levels = roots.withColumn("dist", lit(0)).localCheckpoint()
-    var frontier = levels
+    val levels0 = roots.withColumn("dist", lit(0)).localCheckpoint()
+    var levels = levels0
+    var frontierCkpts: List[DataFrame] = List(levels0)
+    var frontier = levels0
     var rounds = 0
     var n = frontier.count()
     while (n > 0 && rounds < maxRounds) {
       rounds += 1
-      val next = und.join(frontier.select(col("node")),
-          und("a") === col("node"))
+      val f = bcastIf(frontier.select(col("node")), small)
+      val next = compactIf(und.join(f, und("a") === f("node"))
         .select(und("b").as("node")).distinct()
-        .join(levels.select(col("node")), Seq("node"), "left_anti")
-        .withColumn("dist", lit(rounds))
+        .join(bcastIf(levels.select(col("node")), small),
+          Seq("node"), "left_anti")
+        .withColumn("dist", lit(rounds)), small)
         .localCheckpoint()
       levels = levels.union(next)
+      frontierCkpts ::= next
       frontier = next
       n = next.count()
     }
@@ -990,16 +1155,22 @@ object Graph {
       s"bridges: BFS frontier still non-empty after $maxRounds rounds")
     val la = levels.select(col("node").as("a"), col("dist").as("_da"))
     val lb = levels.select(col("node").as("b"), col("dist").as("_db"))
-    val parent = und.join(la, Seq("a")).join(lb, Seq("b"))
+    val parent = compactIf(und.join(bcastIf(la, small), Seq("a"))
+      .join(bcastIf(lb, small), Seq("b"))
       .filter(col("_db") === col("_da") - 1)
-      .groupBy(col("a").as("v")).agg(min(col("b")).as("par"))
+      .groupBy(col("a").as("v")).agg(min(col("b")).as("par")), small)
       .localCheckpoint()
+    // parent is materialized — und's last reader (r22 leak audit: und was
+    // never released and outlived the query in the block store).
+    Dedup.unpersistBlocks(und)
     val treeCanon = parent.select(least(col("v"), col("par")).as("a"),
       greatest(col("v"), col("par")).as("b"))
     val nonTree = canon.join(treeCanon, Seq("a", "b"), "left_anti")
       .withColumn("r",
         expr(CrossHash.h60Expr("concat(a, '|', b)")))
       .localCheckpoint()
+    // nonTree is materialized — canon's last reader (r22 leak audit).
+    Dedup.unpersistBlocks(canon)
     val vals = nonTree.select(col("a").as("v"), col("r"))
       .union(nonTree.select(col("b").as("v"), col("r")))
       .groupBy(col("v")).agg(expr("bit_xor(r)").as("xv"))
@@ -1012,29 +1183,42 @@ object Graph {
     // growing frame). A tree ancestor chain never repeats a node and each
     // (v, ancestor) pair has a unique distance, so the distance-disjoint
     // pieces union without dedup — the same uniqueness argument the
-    // one-hop form relied on, and the identical final pair set.
-    var closure = levels.select(col("node").as("v"), col("node").as("t"))
+    // one-hop form relied on, and the identical final pair set. r22: the
+    // closure accumulates as a lazy union of the checkpointed per-round
+    // SHIFTED pieces (the levels discipline above) — the r21 form
+    // re-checkpointed the whole merged closure every doubling round.
+    val closure0 = compactIf(
+      levels.select(col("node").as("v"), col("node").as("t")), small)
       .localCheckpoint()
+    // closure0 and parent hold everything the BFS levels carried — the
+    // frontier checkpoints' last readers (r22 leak audit: every per-round
+    // frontier previously outlived the query in the block store).
+    frontierCkpts.foreach(Dedup.unpersistBlocks)
+    var closure = closure0
     var jump = parent.select(col("v"), col("par").as("t")).localCheckpoint()
     var span = 1
     while (span <= rounds) {
-      val shifted = jump
+      val j = bcastIf(jump, small)
+      val shifted = compactIf(j
         .join(closure.select(col("v").as("t"), col("t").as("t2")), Seq("t"))
-        .select(col("v"), col("t2").as("t"))
-      val closure2 = closure.union(shifted).localCheckpoint()
-      val jump2 = jump
-        .join(jump.select(col("v").as("t"), col("t").as("t2")), Seq("t"))
-        .select(col("v"), col("t2").as("t"))
+        .select(col("v"), col("t2").as("t")), small)
         .localCheckpoint()
-      Dedup.unpersistBlocks(closure)
+      val jump2 = compactIf(jump
+        .join(bcastIf(jump.select(col("v").as("t"), col("t").as("t2")),
+          small), Seq("t"))
+        .select(col("v"), col("t2").as("t")), small)
+        .localCheckpoint()
       Dedup.unpersistBlocks(jump)
-      closure = closure2
+      closure = closure.union(shifted)
       jump = jump2
       span *= 2
     }
-    val sub = closure.join(vals, Seq("v"))
+    // The final jump frame is not part of the result (r22 leak audit).
+    Dedup.unpersistBlocks(jump)
+    val sub = closure.join(bcastIf(vals, small), Seq("v"))
       .groupBy(col("t")).agg(expr("bit_xor(xv)").as("sx"))
-    parent.join(sub, parent("v") === sub("t"), "left")
+    val sb = bcastIf(sub, small)
+    parent.join(sb, parent("v") === sb("t"), "left")
       .filter(coalesce(col("sx"), lit(0L)) === 0L)
       .select(least(col("v"), col("par")).as("a"),
         greatest(col("v"), col("par")).as("b"))

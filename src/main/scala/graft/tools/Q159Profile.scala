@@ -66,16 +66,25 @@ object Q159Profile {
               xxhash64(filter(htoks, h -> pmod(h, $m) = part)) as sig))"""))
           .as("ps"))
       .select(col("id"), col("sz"), col("ps.part").as("part"), col("ps.sig").as("sig"))
-    val cands = sigs.as("x").join(sigs.as("y"),
+    val candsRaw = sigs.as("x").join(sigs.as("y"),
         col("x.part") === col("y.part") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id") &&
           col("x.sz") * jNum <= col("y.sz") * jDen &&
           col("y.sz") * jNum <= col("x.sz") * jDen)
-      .select(col("x.id").as("id1"), col("y.id").as("id2"))
-      .distinct()
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"),
+        col("x.sz").as("sz1"), col("y.sz").as("sz2"))
+      .agg(count(lit(1)).as("_mp"))
       .localCheckpoint(false)
-    val nCands = timed("signature + candidate join + distinct")(cands.count())
-    println(s"[q159prof] candidate pairs: $nCands")
+    val nDistinct = timed("signature + candidate join + groupBy")(candsRaw.count())
+    // r22 match-count filter (mirrors Dedup.setSimilarityJoin): a true
+    // pair matches on >= m - d parts, d*(jDen+jNum) <= (sz1+sz2)*(jDen-jNum).
+    val cands = candsRaw
+      .filter((lit(m) - col("_mp")) * (jDen + jNum)
+        <= (col("sz1") + col("sz2")) * (jDen - jNum))
+      .select(col("id1"), col("id2"))
+      .localCheckpoint(false)
+    val nCands = timed("match-count filter")(cands.count())
+    println(s"[q159prof] candidate pairs: $nDistinct distinct -> $nCands after count filter")
 
     val verified = cands
       .join(sets.select(col("id").as("id1"), col("htoks").as("s1"), col("sz").as("sz1")), "id1")
