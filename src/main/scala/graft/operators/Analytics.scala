@@ -1023,9 +1023,16 @@ object Analytics {
     // group: 2·cum_prev + cv + 1, cum_prev via bucket-local running
     // sums + per-(grp, bucket) offsets (the q184 decomposition).
     def ranks2(valCol: String, out: String): DataFrame = {
+      // Checkpointed: BOTH consumers below (the bucket-local running-sum
+      // window and the offsets aggregate) otherwise re-run this whole
+      // value-frame aggregation — for a near-unique value column that is
+      // a duplicated corpus-sized exchange per leg (r22, guide §2.4
+      // duplicated-subtree removal; the plan showed two copies of the
+      // vf HashAggregate chain per leg).
       val vf = cells.groupBy(g, col(valCol).as("_v"))
         .agg(sum(col("_c")).as("_cv"))
         .withColumn("_bkt", floor(col("_v").cast("double")).cast("long"))
+        .localCheckpoint()
       val wLoc = Window.partitionBy(g, col("_bkt")).orderBy(col("_v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = vf.withColumn("_l", sum(col("_cv")).over(wLoc))
@@ -1897,8 +1904,12 @@ object Analytics {
       .groupBy(col(groupCol).as("grp"), col(valCol).cast("double").as("_v"))
       .agg(count(lit(1)).as("_c"))
       .localCheckpoint()
+    // Checkpointed for the same duplicated-subtree reason as q249's
+    // ranks2 (r22): the local window and the offsets aggregate are both
+    // consumers of this pooled value frame.
     val vf = cells.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
       .withColumn("_bkt", floor(col("_v")).cast("long"))
+      .localCheckpoint()
     val wLoc = Window.partitionBy(col("_bkt")).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = vf.withColumn("_l", sum(col("_cv")).over(wLoc))
@@ -1907,11 +1918,16 @@ object Analytics {
     val offsets = vf.groupBy(col("_bkt")).agg(sum(col("_cv")).as("_bc"))
       .withColumn("_off", coalesce(sum(col("_bc")).over(wOff), lit(0L)))
       .select(col("_bkt"), col("_off"))
+    // Checkpointed: consumed by BOTH the per-group rank-sum join (gsum)
+    // and the tie-correction aggregate (ties) — without it the whole
+    // window + offsets chain runs twice (r22, same duplicated-subtree
+    // class as vf above).
     val ranks = local.join(offsets, Seq("_bkt"))
       .select(col("_v"),
         ((col("_off") + col("_l") - col("_cv")) * 2 + col("_cv") + 1)
           .as("_r2"),
         col("_cv"))
+      .localCheckpoint()
     val gsum = cells.join(ranks.select(col("_v"), col("_r2")), Seq("_v"))
       .groupBy(col("grp"))
       .agg(sum(col("_c")).as("_ng"),
