@@ -61,15 +61,27 @@ object Q289Profile {
     var rounds = 0
     var n = frontier.count()
     timed("BFS loop total") {
+      // r22 mirror: frontier/levels broadcast into the per-round joins and
+      // the per-round checkpoint coalesced to 8 partitions (the operator's
+      // bcastIf/compactIf path — these KB frames are always under the 1M-
+      // row ceiling at this fixture).
       while (n > 0 && rounds < 24) {
         rounds += 1
         val next = timed(f"  BFS round $rounds") {
-          val nx = und.join(frontier.select(col("node")), und("a") === col("node"))
+          val f = broadcast(frontier.select(col("node")))
+          val pre = und.join(f, und("a") === f("node"))
             .select(und("b").as("node")).distinct()
-            .join(levels.select(col("node")), Seq("node"), "left_anti")
+            .join(broadcast(levels.select(col("node"))), Seq("node"), "left_anti")
             .withColumn("dist", lit(rounds))
-            .localCheckpoint()
-          nx
+            .coalesce(8)
+          if (rounds == 2) {
+            val txt = pre.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get("/tmp/q289_bfs_round_plan.txt"), txt)
+            println("[q289prof] round-2 per-round plan -> /tmp/q289_bfs_round_plan.txt")
+          }
+          pre.localCheckpoint()
         }
         levels = levels.union(next)
         frontier = next
